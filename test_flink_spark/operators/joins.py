@@ -1,0 +1,120 @@
+"""Join operators (SURVEY.md §2.10 — absent from the reference; engine
+superset).  Plain equi/semi/anti/range joins are Catalyst pass-throughs used
+directly at call sites; this module adds the strategies that need engine
+code: broadcast-hinted dimension joins and the as-of join.
+
+Scale notes: Catalyst already picks broadcast vs sort-merge vs shuffled-hash
+by size, and AQE re-plans at runtime (skew splitting).  We hint explicitly
+where WE know the side is dimension-sized — statistics at 100 TB are often
+missing or stale for freshly-written data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_dim_join(
+    fact: DataFrame, dim: DataFrame, on: Sequence[str] | Column, how: str = "inner"
+) -> DataFrame:
+    """Fact ⋈ broadcast(dim).  At 100 TB the fact side never moves: the dim
+    table ships to every executor and the join is a local hash probe inside
+    whole-stage codegen — zero shuffle."""
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    tolerance_ms: int | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, attach the latest right row with
+    ``right.ts <= left.ts`` per key (DuckDB/kdb ASOF JOIN semantics;
+    pandas ``merge_asof`` direction='backward').
+
+    Spark-first implementation — NOT a per-key Python loop: tag both sides,
+    union, and run ``last(value, ignorenulls)`` over a window ordered by
+    (ts, side) per key.  One shuffle + one sort per key, fully distributed,
+    no cross join, no state on the driver.  Ordering puts the right side
+    BEFORE the left at equal timestamps, so ties are inclusive (<=).
+
+    ``tolerance_ms`` optionally voids matches older than the tolerance
+    (pandas merge_asof ``tolerance``).
+    """
+    lcols = left.columns
+    sel_l = [F.col(c) for c in lcols]
+    sel_l += [F.lit(None).cast(dict(right.dtypes)[v]).alias(f"__r_{v}") for v in right_values]
+    sel_l += [
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("timestamp").alias("__rt"),
+    ]
+    tagged_l = left.select(*sel_l)
+
+    sel_r = [F.col(k) for k in keys]
+    sel_r += [F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c not in keys]
+    sel_r += [F.col(v).alias(f"__r_{v}") for v in right_values]
+    sel_r += [
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__rt"),
+    ]
+    tagged_r = right.select(*sel_r)
+
+    unioned = tagged_l.unionByName(tagged_r.select(*tagged_l.columns))
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[F.col(c) for c in lcols],
+        F.col("__side"),
+        F.col("__t"),
+        F.last(F.col("__rt"), ignorenulls=True).over(w).alias("__matched_ts"),
+        *[
+            F.last(F.col(f"__r_{v}"), ignorenulls=True).over(w).alias(f"__r_{v}")
+            for v in right_values
+        ],
+    )
+    out = filled.filter(F.col("__side") == 1)
+    if tolerance_ms is not None:
+        within = F.unix_millis(F.col("__t")) - F.unix_millis(F.col("__matched_ts")) <= F.lit(
+            tolerance_ms
+        )
+        out = out.select(
+            *[F.col(c) for c in lcols],
+            *[
+                F.when(within, F.col(f"__r_{v}")).alias(v)
+                for v in right_values
+            ],
+        )
+    else:
+        out = out.select(
+            *[F.col(c) for c in lcols], *[F.col(f"__r_{v}").alias(v) for v in right_values]
+        )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    equi_keys: Sequence[str],
+    range_cond: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi + range-predicate join.  With equi keys present Catalyst plans a
+    sort-merge/hash join on the keys with the range condition as a post-join
+    filter — no nested-loop blowup.  Pure range joins (no equi key) should
+    bucket the range dimension first at 100 TB; call sites own that choice."""
+    cond = range_cond
+    for k in equi_keys:
+        cond = (left[k] == right[k]) & cond
+    return left.join(right, cond, how)

@@ -1,9 +1,514 @@
-"""Relational operator pass-throughs (SURVEY.md §2.10): joins, set ops,
-distinct/rollup/cube, analytic window functions, approximate aggregates —
-absent from the reference, exposed so the engine surface is a superset.
-Populated incrementally."""
+"""Relational operator queries (SURVEY.md §2.10): joins (broadcast / sort-
+merge / semi / anti / range / as-of), set ops, distinct, rollup / cube /
+grouping sets, analytic window functions, exact + approximate aggregates,
+pivot — exposed so the engine surface is a strict superset of the reference.
+
+TPC-H-shaped queries run over the driver's star schema (TESTDATA.md); they
+double as the bench workload for join/agg throughput.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.joins import asof_join, broadcast_dim_join, range_join
+from ..schemas import load_table
+from ..session import apply_runtime_confs
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _ms(col) -> F.Column:
+    """Epoch millis from TIMESTAMP or TIMESTAMP_NTZ (parquet ms columns load
+    as NTZ in Spark 4; session tz is pinned UTC so the cast is lossless and
+    agrees with DuckDB's naive epoch_ms)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_millis(c.cast("timestamp"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregation sweep (TPC-H Q1 shape): wide scan → grouped partial+final agg.
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3-way join + top-k (TPC-H Q3 shape): two shuffled joins, rank, cut.
+# ---------------------------------------------------------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1999-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1999-01-01"))
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return (
+        agg.select(
+            "l_orderkey",
+            _ms("o_orderdate").alias("o_orderdate_ms"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+  AND l_shipdate > TIMESTAMP '1999-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6-way star join (TPC-H Q5 shape): small dims broadcast, fact stays put.
+# ---------------------------------------------------------------------------
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+_Q5_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Broadcast dimension join.
+# ---------------------------------------------------------------------------
+
+def broadcast_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = broadcast_dim_join(li, part, on=li.l_partkey == part.p_partkey)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+_BROADCAST_SQL = """
+SELECT p_brand, COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins.
+# ---------------------------------------------------------------------------
+
+def semi_join_big_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    big = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    hit = orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+    return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+_SEMI_SQL = """
+SELECT o_orderpriority, COUNT(*) AS cnt
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY 1
+"""
+
+
+def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    none = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return none.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+_ANTI_SQL = """
+SELECT c_mktsegment, COUNT(*) AS cnt
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range join: equi key + date-range predicate (SMJ + post-filter, no NLJ).
+# ---------------------------------------------------------------------------
+
+def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cond = (li.l_shipdate >= orders.o_orderdate) & (
+        _ms(li.l_shipdate) <= _ms(orders.o_orderdate) + F.lit(60 * 86400000)
+    )
+    joined = range_join(li, orders, [], (li.l_orderkey == orders.o_orderkey) & cond)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )
+
+
+_RANGE_SQL = """
+SELECT o_orderpriority, COUNT(*) AS cnt, ROUND(AVG(l_quantity), 4) AS avg_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate
+  AND epoch_ms(l_shipdate) <= epoch_ms(o_orderdate) + CAST(60 AS BIGINT) * 86400000
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join (operators/joins.py): latest prior 'error' value per user for
+# every 'click' — one shuffle, no cross join; DuckDB checks via native ASOF.
+# ---------------------------------------------------------------------------
+
+def asof_join_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "value")
+    out = asof_join(
+        clicks, errors, keys=["user_id"], left_ts="ts", right_ts="ts", right_values=["value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("value").alias("err_value"),
+    )
+
+
+_ASOF_SQL = """
+SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms, r.value AS err_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND r.ts <= l.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations.
+# ---------------------------------------------------------------------------
+
+def union_all_account_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.col("c_acctbal").alias("acctbal")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.col("s_acctbal").alias("acctbal")
+    )
+    return (
+        cust.unionByName(supp)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("acctbal"), 2).alias("sum_bal"))
+    )
+
+
+_UNION_SQL = """
+SELECT nationkey, COUNT(*) AS cnt, ROUND(SUM(acctbal), 2) AS sum_bal
+FROM (SELECT c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
+      UNION ALL
+      SELECT s_nationkey, s_acctbal FROM supplier)
+GROUP BY 1
+"""
+
+
+def intersect_view_and_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select("user_id")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return v.intersect(p)
+
+
+_INTERSECT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'view'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def except_users_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select("user_id")
+    e = ev.filter(F.col("event_type") == "error").select("user_id")
+    return v.exceptAll(e).groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+_EXCEPT_SQL = """
+SELECT user_id, COUNT(*) AS cnt
+FROM (SELECT user_id FROM events WHERE event_type = 'view'
+      EXCEPT ALL
+      SELECT user_id FROM events WHERE event_type = 'error')
+GROUP BY 1
+"""
+
+
+def distinct_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").dropDuplicates()
+
+
+_DISTINCT_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+# ---------------------------------------------------------------------------
+# Rollup / cube / grouping sets.
+# ---------------------------------------------------------------------------
+
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price")
+    )
+
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# Analytic window functions: row_number/rank/dense_rank/lag/lead/running agg.
+# ---------------------------------------------------------------------------
+
+def window_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank()
+        .over(Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc()))
+        .cast("long")
+        .alias("price_rank"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_total"),
+    )
+
+
+_WINDOW_SQL = """
+SELECT o_orderkey, o_custkey,
+       ROW_NUMBER() OVER w AS rn,
+       RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_rank,
+       LAG(o_totalprice, 1) OVER w AS prev_price,
+       LEAD(o_totalprice, 1) OVER w AS next_price,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact + approximate aggregates.  approx_count_distinct (HLL) is engine-
+# specific → rows-only check (no oracle); exact twin is fully checked.
+# ---------------------------------------------------------------------------
+
+def count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users"),
+        F.round(F.median("value"), 4).alias("median_value"),
+    )
+
+
+_COUNT_DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS users,
+       ROUND(MEDIAN(value), 4) AS median_value
+FROM events GROUP BY 1
+"""
+
+
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL count-distinct + approximate percentile — sketch results are
+    engine-specific by design (no oracle; driver does rows-only)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (explicit value list for determinism at scale — no discovery scan).
+# ---------------------------------------------------------------------------
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click') AS click,
+       COUNT(*) FILTER (event_type = 'view') AS view,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS signup,
+       COUNT(*) FILTER (event_type = 'error') AS error
+FROM events GROUP BY 1
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "broadcast_join_parts": broadcast_join_parts,
+    "semi_join_big_lineitems": semi_join_big_lineitems,
+    "anti_join_customers_no_orders": anti_join_customers_no_orders,
+    "range_join_ship_window": range_join_ship_window,
+    "asof_join_last_error": asof_join_last_error,
+    "union_all_account_balances": union_all_account_balances,
+    "intersect_view_and_purchase_users": intersect_view_and_purchase_users,
+    "except_users_without_errors": except_users_without_errors,
+    "distinct_user_event_pairs": distinct_user_event_pairs,
+    "rollup_lineitem": rollup_lineitem,
+    "cube_lineitem": cube_lineitem,
+    "grouping_sets_orders": grouping_sets_orders,
+    "window_order_analytics": window_order_analytics,
+    "count_distinct_exact": count_distinct_exact,
+    "approx_aggregates": approx_aggregates,
+    "pivot_event_counts": pivot_event_counts,
+}
+
+ORACLES = {
+    "q1_pricing_summary": _Q1_SQL,
+    "q3_shipping_priority": _Q3_SQL,
+    "q5_local_supplier_volume": _Q5_SQL,
+    "broadcast_join_parts": _BROADCAST_SQL,
+    "semi_join_big_lineitems": _SEMI_SQL,
+    "anti_join_customers_no_orders": _ANTI_SQL,
+    "range_join_ship_window": _RANGE_SQL,
+    "asof_join_last_error": _ASOF_SQL,
+    "union_all_account_balances": _UNION_SQL,
+    "intersect_view_and_purchase_users": _INTERSECT_SQL,
+    "except_users_without_errors": _EXCEPT_SQL,
+    "distinct_user_event_pairs": _DISTINCT_SQL,
+    "rollup_lineitem": _ROLLUP_SQL,
+    "cube_lineitem": _CUBE_SQL,
+    "grouping_sets_orders": _GROUPING_SETS_SQL,
+    "window_order_analytics": _WINDOW_SQL,
+    "count_distinct_exact": _COUNT_DISTINCT_SQL,
+    "pivot_event_counts": _PIVOT_SQL,
+    # approx_aggregates: sketch-based, engine-specific → rows-only check
+}

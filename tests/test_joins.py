@@ -1,0 +1,34 @@
+"""As-of join semantics tests (operators/joins.py): backward match,
+inclusive ties, no-match null, tolerance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from test_flink_spark.operators.joins import asof_join
+
+
+def _df(spark, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    return df.withColumn("ts", F.timestamp_millis(F.col("t"))).drop("t")
+
+
+def test_asof_backward_inclusive(spark):
+    left = _df(spark, [(1, "u", 100), (2, "u", 200), (3, "u", 50)], "id INT, k STRING, t BIGINT")
+    right = _df(
+        spark, [("u", 100, 1.0), ("u", 150, 2.0), ("v", 10, 9.0)], "k STRING, t BIGINT, v DOUBLE"
+    )
+    out = asof_join(left, right, ["k"], "ts", "ts", ["v"])
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got[1] == 1.0  # tie at t=100 is inclusive (<=)
+    assert got[2] == 2.0  # latest prior
+    assert got[3] is None  # nothing at or before t=50
+
+
+def test_asof_tolerance(spark):
+    left = _df(spark, [(1, "u", 1000)], "id INT, k STRING, t BIGINT")
+    right = _df(spark, [("u", 100, 7.0)], "k STRING, t BIGINT, v DOUBLE")
+    near = asof_join(left, right, ["k"], "ts", "ts", ["v"], tolerance_ms=1000)
+    far = asof_join(left, right, ["k"], "ts", "ts", ["v"], tolerance_ms=100)
+    assert near.collect()[0]["v"] == 7.0
+    assert far.collect()[0]["v"] is None
