@@ -1,0 +1,202 @@
+"""Deduplication operators (north-star, BASELINE.json): exact, n-gram
+Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design (the whole point of these operators at 100 TB):
+- exact dedup: one hash-groupBy on a fingerprint — the cheapest possible
+  shuffle key (16-byte md5, not the document body);
+- n-gram Jaccard: NEVER all-pairs — candidate pairs come from an inverted
+  shingle index (self-join on shingle), so cost is Σ bucket², bounded by
+  shingle selectivity, not n²;
+- MinHash+LSH: signatures shrink each doc to k ints; banding turns near-dup
+  search into an equality join on band keys — the only all-pairs work left
+  is within tiny buckets.  Probability a pair with Jaccard j collides:
+  1-(1-j^r)^b (r rows/band, b bands);
+- SimHash: 32-bit locality-sensitive hash — near-dups differ in few bits;
+  bucket on the hash (or hash prefixes) for candidate generation;
+- embedding near-dup: cosine threshold over LSH/bucketed candidates
+  (see similarity.py); the brute-force form here is the small-side oracle.
+
+All hashes are md5-derived → engine-independent, so the DuckDB oracle can
+reproduce signatures bit-for-bit (plans/llm_data.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import words
+
+
+def _h60(col: Column) -> Column:
+    """Deterministic 60-bit hash: first 15 hex chars of md5 → BIGINT.
+    Engine-independent (DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document.  Narrow explode — the
+    follow-on operators own their shuffles."""
+    ws = words(F.col(text_col))
+    # guard: sequence(1, 0) is DESCENDING in Spark ([1,0]), not empty — docs
+    # shorter than n words must yield an empty shingle set explicitly
+    idx = F.when(
+        F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .dropDuplicates([id_col, "shingle"])
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via md5-of-normalized-text fingerprint: one groupBy on the
+    16-byte key; canonical row = min id (deterministic)."""
+    norm = F.array_join(words(F.col(text_col)), " ")
+    fp = df.select(F.col(id_col), F.md5(norm).alias("fp_md5"))
+    return fp.groupBy("fp_md5").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    Inverted-index join: pairs are generated only for documents sharing at
+    least one shingle, then J = |∩| / (|A|+|B|-|∩|) is computed from shared
+    counts — no n² cross join.  At 100 TB add a stop-shingle filter (drop
+    shingles with document frequency above a cap) to bound bucket sizes;
+    the LSH variant below is the preferred scale path.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures: num_perm permutations simulated as independent
+    md5-salted hashes; signature[p] = min over shingles of h(p || ':' || s).
+
+    Shuffle profile: ONE groupBy(doc) with num_perm min-aggregates — no
+    row blowup; partial mins combine map-side, so shuffle volume is
+    O(docs × num_perm) ints regardless of shingle count.
+    """
+    sh = shingles(df, text_col, id_col, shingle_n)
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min(
+                _h60(F.concat(F.lit(f"{p}:"), F.col("shingle")))
+            ).alias(f"h{p}")
+            for p in range(num_perm)
+        ]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: split signatures into ``bands`` bands of
+    num_perm/bands rows; docs sharing any band key are candidates.
+    The band key is md5 of the band's signature slice — an equality-join
+    key, so candidate generation is a hash join, never all-pairs."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(band_idx).alias("band"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.col("signature"),
+                        F.col("band") * rows_per_band + 1,
+                        rows_per_band,
+                    ),
+                    lambda h: h.cast("string"),
+                ),
+                ":",
+            )
+        ).alias("band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash: per-document ``bits``-bit locality-sensitive hash — bit b of
+    the result is the majority vote of bit b across all word hashes.
+    Near-duplicates land at small Hamming distance.
+
+    Pure expression tree (explode + conditional sums) — engine-independent
+    md5 word hashes, reproduced exactly by the oracle SQL.
+    """
+    w = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
+    hw = w.select(F.col(id_col), _h60(F.col("w")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = hw.groupBy(id_col).agg(*votes)
+    sh = sum(
+        (
+            F.when(F.col(f"v{b}") >= 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+            for b in range(bits)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return voted.select(F.col(id_col), sh.alias("simhash"))

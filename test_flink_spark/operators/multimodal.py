@@ -1,0 +1,109 @@
+"""Multimodal column handling (north-star, BASELINE.json).
+
+Convention (schemas.MEDIA): image/audio/video payloads are opaque BINARY
+columns + typed metadata (modality, mime, meta map).  Metadata-only
+operations (byte length, hashing, routing, filtering) are pure JVM
+expressions.  Decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas functions over ``mapInPandas`` — the Spark-side
+plumbing (schema, batching, partitioning) is real and tested; the actual
+media decode is STUBBED (this container ships no image/audio libs) behind
+``decode_stub``: it raises NotImplementedError unless ``fake=True``, in
+which case it produces deterministic fake features so the pipeline shape is
+exercisable end-to-end.
+
+Scale notes: payloads never pass through Python except inside the Arrow
+batches of the decode stage itself; partition sizing is byte-aware
+(``repartition_by_bytes``) so a partition of 100 MB images and a partition
+of 100 MB audio cost the same, independent of row counts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def media_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Metadata pass: byte length + md5 of the payload — JVM-side only,
+    no Python, usable as a dedup fingerprint for binary columns."""
+    return df.withColumn("n_bytes", F.octet_length(F.col(payload_col)).cast("long")).withColumn(
+        "payload_md5", F.md5(F.col(payload_col).cast("string"))
+    )
+
+
+def repartition_by_bytes(df: DataFrame, target_bytes: int, payload_col: str = "payload") -> DataFrame:
+    """Byte-aware repartitioning: estimate total payload bytes and pick the
+    partition count so each partition holds ~target_bytes of media, not
+    ~equal row counts (rows vary 1000× in size across modalities)."""
+    total = df.select(F.sum(F.octet_length(F.col(payload_col)))).first()[0] or 0
+    parts = max(1, int(total / max(target_bytes, 1)))
+    return df.repartition(parts)
+
+
+def decode_stub(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    modality_col: str = "modality",
+    n_features: int = 8,
+    fake: bool = False,
+) -> DataFrame:
+    """Decode / feature-extract stage over ``mapInPandas``.
+
+    Real-world body would call PIL/torchaudio/ffmpeg per Arrow batch.  Those
+    libs are absent here, so: ``fake=False`` raises NotImplementedError at
+    executor time (clearly-marked stub); ``fake=True`` emits deterministic
+    pseudo-features derived from payload bytes — same signature, same batch
+    shape, so partitioning/schema/UDF plumbing is fully exercised.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode requires image/audio libraries not present "
+                    "in this environment; pass fake=True for plumbing tests"
+                )
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "modality": pdf[modality_col],
+                    "n_bytes": pdf[payload_col].map(lambda b: len(b) if b is not None else 0),
+                }
+            )
+            # deterministic fake features: n_features moments of byte values
+            def feats(b):
+                if b is None or len(b) == 0:
+                    return [0.0] * n_features
+                arr = bytearray(b)
+                return [
+                    round(sum((x ** ((i % 3) + 1)) % 251 for x in arr) / len(arr), 6)
+                    for i in range(n_features)
+                ]
+
+            out["features"] = pdf[payload_col].map(feats)
+            yield out
+
+    cols = df.select(id_col, modality_col, payload_col)
+    return cols.mapInPandas(decode, DECODED_SCHEMA)

@@ -1,0 +1,104 @@
+"""Text-analysis operators (north-star, BASELINE.json): tokenization, quality
+scoring, language ID, document fingerprinting.
+
+Design rules for 100 TB: everything is built-in JVM expressions (split /
+regexp / md5 / aggregate) — no Python UDFs, whole-stage-codegen fused, one
+narrow pass over the corpus; the only shuffles are the explicit groupBys.
+Hash functions are md5-based so results are engine-independent (the DuckDB
+oracle reproduces them bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Words counted as stopwords by the quality scorer and language-ID heuristic.
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in")
+
+# Minimal per-language marker sets for the n-gram/stopword language-ID
+# heuristic.  Deliberately simple and deterministic — the same sets are
+# inlined into the oracle SQL.
+LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+}
+
+# BPE-ish token pattern: word pieces or single non-space punctuation.
+BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text (empty input → empty array)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token counts: whitespace tokens + BPE-ish regex tokens +
+    char length.  One narrow projection, no shuffle."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(words(t)).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)).cast("long").alias("n_bpe_tokens"),
+        F.length(t).cast("long").alias("n_chars_computed"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality signals: token count, mean word length, stopword ratio,
+    distinct-word ratio (lexical diversity).  Explode + groupBy — one shuffle
+    keyed by doc id, partial-aggregated map-side."""
+    w = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
+    stop = F.when(F.col("w").isin(*STOPWORDS_EN), 1).otherwise(0)
+    return w.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(F.length("w")), 4).alias("avg_word_len"),
+        F.round(F.avg(stop), 4).alias("stopword_ratio"),
+        F.round(F.countDistinct("w") / F.count(F.lit(1)), 4).alias("distinct_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language ID: the language whose marker words occur
+    most; 'und' (undetermined) when nothing matches.  Ties break in fixed
+    en < es < de < fr priority order (deterministic).  Pure expression —
+    no shuffle, no UDF."""
+    padded = F.concat(F.lit(" "), F.trim(F.col(text_col)), F.lit(" "))
+    scores = {
+        lang: sum(
+            (F.size(F.split(padded, f" {m} ")) - 1 for m in markers), F.lit(0)
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
+        pred = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+    return df.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: md5 of whitespace-normalized text (exact-dup
+    key) + a 60-bit rolling content hash folded from word hashes (order-
+    sensitive, engine-independent: md5 → hex → int)."""
+    norm = F.array_join(words(F.col(text_col)), " ")
+    word_hashes = F.transform(
+        words(F.col(text_col)),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
+    )
+    # Keep the accumulator below 2^31 so acc*31 + h (h < 2^60) never
+    # overflows int64 — ANSI mode (Spark 4 default) would throw, and the
+    # DuckDB oracle reproduces the same modular arithmetic exactly.
+    rolling = F.aggregate(
+        word_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(31) + h) % F.lit(2147483647),
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_md5"),
+        rolling.alias("fp_rolling"),
+    )

@@ -1,7 +1,354 @@
-"""North-star LLM-data-pipeline queries (BASELINE.json): dedup, similarity
-search, text analysis, multimodal columns.  Populated incrementally."""
+"""North-star LLM-data-pipeline queries (BASELINE.json): text analysis,
+deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash), embedding
+similarity search, multimodal columns — over ``documents`` / ``embeddings``.
+
+Oracle parity trick: every hash is md5-derived and every vector fold mirrors
+Spark's left-to-right double arithmetic, so DuckDB reproduces signatures and
+similarities bit-for-bit — even the MinHash-LSH candidate pairs and the
+32-bit SimHash are fully differential-tested, not just rows-only.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash
+from ..operators.multimodal import decode_stub, media_stats
+from ..operators.similarity import cosine_topk, lsh_bucket_topk, near_dup_pairs
+from ..operators.text import fingerprint, language_id, quality_scores, token_stats
+from ..schemas import load_table
+from ..session import apply_runtime_confs
+
+EMB_DIM = 64
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_docs(spark, sf_dir))
+
+
+_TOKEN_SQL = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_bpe_tokens,
+       length(text) AS n_chars_computed
+FROM documents
+"""
+
+
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(_docs(spark, sf_dir))
+
+
+_QUALITY_SQL = r"""
+WITH w AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(length(w)), 4) AS avg_word_len,
+       ROUND(AVG(CASE WHEN w IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END), 4)
+           AS stopword_ratio,
+       ROUND(COUNT(DISTINCT w) * 1.0 / COUNT(*), 4) AS distinct_ratio
+FROM w GROUP BY 1
+"""
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_docs(spark, sf_dir))
+
+
+def _langid_sql() -> str:
+    from ..operators.text import LANG_MARKERS
+
+    score = {
+        lang: " + ".join(
+            f"(len(string_split(' '||trim(text)||' ', ' {m} ')) - 1)" for m in markers
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    scores_sel = ", ".join(f"({expr}) AS s_{lang}" for lang, expr in score.items())
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    cases = " ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH s AS (SELECT doc_id, {scores_sel} FROM documents)
+SELECT doc_id, CASE {cases} ELSE 'und' END AS pred_lang FROM s
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_docs(spark, sf_dir))
+
+
+_FINGERPRINT_SQL = r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+SELECT doc_id,
+       md5(array_to_string(ws, ' ')) AS fp_md5,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(ws, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)),
+           (acc, h) -> (acc * 31 + h) % 2147483647) AS fp_rolling
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+_DEDUP_EXACT_SQL = r"""
+SELECT md5(array_to_string(string_split_regex(trim(text), '\s+'), ' ')) AS fp_md5,
+       MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+_JACCARD_SQL = r"""
+WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM ws) WHERE s IS NOT NULL AND s <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.5
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_docs(spark, sf_dir), num_perm=16, bands=4)
+
+
+_MINHASH_SQL = r"""
+WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM ws) WHERE s IS NOT NULL AND s <> ''
+),
+mh AS (
+    SELECT doc_id, p,
+           MIN(('0x' || substr(md5(p::VARCHAR || ':' || s), 1, 15))::BIGINT) AS h
+    FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS p)
+    GROUP BY 1, 2
+),
+bands AS (
+    SELECT doc_id, p // 4 AS band,
+           md5(string_agg(h::VARCHAR, ':' ORDER BY p)) AS band_key
+    FROM mh GROUP BY doc_id, p // 4
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs(spark, sf_dir), bits=32)
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(bits)
+    )
+    fold = " + ".join(
+        f"CASE WHEN v{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    return rf"""
+WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM w),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY 1)
+SELECT doc_id, {fold} AS simhash FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+# DuckDB double-precision cosine mirroring Spark's left-fold arithmetic
+# exactly (the builtin list_cosine_similarity computes in float32 — ~1e-8
+# off, enough to flip a ROUND boundary).
+_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(range(1, {d}), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _cos_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    d = dim + 1
+    dot = _DOT.format(a=a, b=b, d=d)
+    na = _DOT.format(a=a, b=a, d=d)
+    nb = _DOT.format(a=b, b=b, d=d)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id", "sim", "rank")
+
+
+def _topk_sql() -> str:
+    cos = _cos_sql("qv", "cv")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+s AS (
+    SELECT query_id, neighbor_id, ROUND({cos}, 4) AS sim
+    FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+),
+r AS (
+    SELECT query_id, neighbor_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM s
+)
+SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
+"""
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+def _near_dup_sql() -> str:
+    cos = _cos_sql("a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({cos}, 4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND({cos}, 4) >= 0.35
+"""
+
+
+def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH buckets — engine-specific
+    candidate generation (recall < 1 by design) → rows-only check; recall
+    vs the exact top-k is pytest-asserted (tests/test_llm_data.py)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return lsh_bucket_topk(emb, queries, dim=EMB_DIM, k=5, n_planes=8).select(
+        "query_id", "neighbor_id", "sim", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (payloads fabricated from document text — the container
+# ships no media libs; plumbing is real, decode is a marked stub).
+# ---------------------------------------------------------------------------
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+def multimodal_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_stats(_media(spark, sf_dir))
+    return m.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )
+
+
+_MEDIA_STATS_SQL = """
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       COUNT(*) AS cnt,
+       SUM(octet_length(encode(text))) AS total_bytes,
+       MAX(octet_length(encode(text))) AS max_bytes
+FROM documents GROUP BY 1
+"""
+
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode plumbing with the deterministic fake
+    decoder (real decode is a marked NotImplementedError stub) — engine-
+    specific features → rows-only check."""
+    decoded = decode_stub(_media(spark, sf_dir), fake=True)
+    return decoded.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_scores": text_quality_scores,
+    "text_language_id": text_language_id,
+    "text_fingerprint": text_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "embedding_cosine_topk": embedding_cosine_topk,
+    "embedding_near_dup": embedding_near_dup,
+    "embedding_lsh_ann": embedding_lsh_ann,
+    "multimodal_media_stats": multimodal_media_stats,
+    "multimodal_decode_features": multimodal_decode_features,
+}
+
+ORACLES = {
+    "text_token_stats": _TOKEN_SQL,
+    "text_quality_scores": _QUALITY_SQL,
+    "text_language_id": _langid_sql(),
+    "text_fingerprint": _FINGERPRINT_SQL,
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": _JACCARD_SQL,
+    "dedup_minhash_lsh": _MINHASH_SQL,
+    "dedup_simhash": _simhash_sql(),
+    "embedding_cosine_topk": _topk_sql(),
+    "embedding_near_dup": _near_dup_sql(),
+    "multimodal_media_stats": _MEDIA_STATS_SQL,
+    # embedding_lsh_ann, multimodal_decode_features: engine-specific → rows-only
+}

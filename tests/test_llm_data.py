@@ -1,0 +1,80 @@
+"""Property tests for the LLM-data operators: LSH recall vs exact top-k,
+SimHash locality, MinHash vs true Jaccard agreement, multimodal stub
+behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from test_flink_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash
+from test_flink_spark.operators.multimodal import decode_stub
+from test_flink_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+from test_flink_spark.schemas import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lsh_ann_recall(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=3).collect()
+    approx = lsh_bucket_topk(emb, queries, dim=64, k=3, n_planes=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # 4 hyperplanes → 16 buckets: recall won't be 1.0, but the top neighbors
+    # share buckets far above chance; require non-trivial overlap.
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall > 0.2, f"LSH recall collapsed: {recall}"
+    # every approx result must be a genuine same-bucket candidate w/ valid sim
+    assert all(-1.0 <= r["sim"] <= 1.0 for r in approx)
+
+
+def test_simhash_locality(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # 1 word differs
+        (3, "completely unrelated words about spark and flink engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    h = {r["doc_id"]: r["simhash"] for r in simhash(df, bits=32).collect()}
+    d12 = bin(h[1] ^ h[2]).count("1")
+    d13 = bin(h[1] ^ h[3]).count("1")
+    assert d12 < d13, f"near-dup hamming {d12} should beat unrelated {d13}"
+
+
+def test_minhash_finds_jaccard_pairs(spark):
+    docs = load_table(spark, SF, "documents")
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, num_perm=16, bands=4).collect()
+    }
+    # J >= 0.9 pairs collide with prob 1-(1-0.9^4)^4 ≈ 0.996 per pair
+    missed = true_pairs - cand
+    assert len(missed) <= max(1, len(true_pairs) // 10), (
+        f"LSH missed {len(missed)}/{len(true_pairs)} high-jaccard pairs"
+    )
+
+
+def test_multimodal_stub_raises_without_fake(spark):
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"abc"))], "media_id LONG, modality STRING, payload BINARY"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        decode_stub(df).collect()
+
+
+def test_multimodal_fake_decode_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"abc")), (2, "audio", bytearray(b""))],
+        "media_id LONG, modality STRING, payload BINARY",
+    )
+    out1 = {r["media_id"]: (r["n_bytes"], r["features"]) for r in decode_stub(df, fake=True).collect()}
+    out2 = {r["media_id"]: (r["n_bytes"], r["features"]) for r in decode_stub(df, fake=True).collect()}
+    assert out1 == out2
+    assert out1[1][0] == 3 and out1[2][0] == 0
+    assert len(out1[1][1]) == 8
