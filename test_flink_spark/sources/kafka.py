@@ -1,0 +1,63 @@
+"""Kafka sources (SURVEY.md §2.1 S1/S2/S4).
+
+Reference:
+    S1 topic-pattern consumer  HotMediaTrack.java:59-74
+       (``Pattern.compile("log_track_\\S+")``, latest offsets, string values)
+    S2 single-topic consumer   HotItemAnalysis.java:69-79
+    S4 (topic, value) deserializer  TopicValueKafkaDeserializationSchema.java:13-28
+       — unused in the reference and FREE in Spark: the Kafka source always
+       exposes topic/partition/offset/key/value/timestamp columns.
+
+Spark's Kafka connector partitions 1:1 with Kafka partitions and scales
+linearly with executors; offsets are tracked in the checkpoint — no consumer
+group state.  These builders only configure the reader; callers ``.load()``
+(requires the spark-sql-kafka package on the cluster classpath — not present
+in the local test container, hence builders are returned unloaded and the
+pipelines accept any pre-built source DataFrame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamReader
+
+
+def kafka_reader(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    *,
+    topic: str | None = None,
+    topic_pattern: str | None = None,
+    starting_offsets: str = "latest",
+) -> DataStreamReader:
+    """Configured (unloaded) Kafka stream reader.
+
+    ``topic_pattern`` maps the reference's regex subscription
+    (``log_track_\\S+`` → ``subscribePattern=log_track_.*``); exactly one of
+    topic/topic_pattern must be given.
+    """
+    if (topic is None) == (topic_pattern is None):
+        raise ValueError("exactly one of topic / topic_pattern required")
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+    )
+    if topic is not None:
+        reader = reader.option("subscribe", topic)
+    else:
+        reader = reader.option("subscribePattern", topic_pattern)
+    return reader
+
+
+def with_topic_and_value(df: DataFrame) -> DataFrame:
+    """S4 equivalent: project (topic, value-as-string) — built-in columns,
+    nothing to deserialize (SURVEY.md §2.1 S4)."""
+    return df.select(F.col("topic"), F.col("value").cast("string").alias("value"))
+
+
+def string_values(df: DataFrame) -> DataFrame:
+    """SimpleStringSchema equivalent: UTF-8 string values only."""
+    return df.select(F.col("value").cast("string").alias("value"))

@@ -1,0 +1,158 @@
+"""Streaming semantics tests (SURVEY.md §5.2 item 4): watermark close,
+append mode, late-row drop, stateful Top-N vs its batch oracle, streaming
+dedup.  Harness: file streaming source (new file per micro-batch) + memory/
+parquet sinks, processAllAvailable() between file drops for determinism."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from test_flink_spark.pipelines.hot_items import batch_top_n, streaming_top_n_pipeline
+from test_flink_spark.pipelines.hot_media_track import transform as media_transform
+from test_flink_spark.sinks.memory import start_memory
+from test_flink_spark.sources.files import text_lines
+
+
+@pytest.fixture()
+def tmpdirs():
+    d = tempfile.mkdtemp(prefix="tfs-stream-")
+    yield Path(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_lines(dir_: Path, name: str, lines: list[str]) -> None:
+    (dir_ / name).write_text("\n".join(lines) + "\n")
+
+
+# CSV contract: user_id,item_id,category_id,behavior,epoch_seconds
+BATCH1 = [
+    "1,100,10,pv,3600",
+    "2,100,10,pv,3610",
+    "3,200,10,pv,3620",
+    "4,100,10,buy,3630",   # filtered (not pv)
+    "5,300,10,pv,3640",
+]
+# advances watermark far past the first windows' ends
+BATCH2 = ["9,999,10,pv,90000"]
+
+
+def test_hot_items_streaming_matches_batch_oracle(spark, tmpdirs):
+    src = tmpdirs / "src"
+    src.mkdir()
+    ckpt = str(tmpdirs / "ckpt")
+    _write_lines(src, "b1.csv", BATCH1)
+
+    stream = text_lines(spark, str(src), streaming=True)
+    out = streaming_top_n_pipeline(stream, n=3)
+    q = start_memory(out, "topn_test", ckpt)
+    try:
+        q.processAllAvailable()
+        _write_lines(src, "b2.csv", BATCH2)  # push watermark → fire timers
+        q.processAllAvailable()
+        got = spark.table("topn_test").collect()
+    finally:
+        q.stop()
+
+    batch_lines = spark.createDataFrame([(l,) for l in BATCH1], "value STRING")
+    expected = batch_top_n(batch_lines, n=3).collect()
+    exp = {
+        (r["window_end"], r["rank"]): (r["item_id"], r["cnt"]) for r in expected
+    }
+    got_m = {
+        (int(r["window_end"].timestamp() * 1000), r["rank"]): (r["item_id"], r["cnt"])
+        for r in got
+    }
+    assert got_m == exp
+    # sanity: item 100 (2 pv) outranks 200/300 in shared windows
+    assert any(v == (100, 2) for k, v in got_m.items() if k[1] == 1)
+
+
+def test_hot_media_streaming_counts(spark, tmpdirs):
+    src = tmpdirs / "src"
+    src.mkdir()
+    ckpt = str(tmpdirs / "ckpt")
+    j = (
+        '{{"appid": "{a}", "event_type": {t}, "timestamp": {s}, '
+        '"event_time": {s}, "log_time": {ms}, "noise": "x"}}'
+    )
+    _write_lines(
+        src,
+        "b1.json",
+        [
+            j.format(a="app1", t=2, s=100, ms=100_000),
+            j.format(a="app1", t=2, s=101, ms=101_000),
+            j.format(a="app2", t=1, s=102, ms=129_999),
+        ],
+    )
+    stream = text_lines(spark, str(src), streaming=True)
+    out = media_transform(stream, streaming=True)
+    q = start_memory(out, "media_test", ckpt)
+    try:
+        q.processAllAvailable()
+        _write_lines(src, "b2.json", [j.format(a="zzz", t=9, s=500, ms=500_000)])
+        q.processAllAvailable()
+        rows = spark.table("media_test").collect()
+    finally:
+        q.stop()
+    got = {
+        (r["appid"], r["type"], int(r["time"].timestamp() * 1000)): r["count"]
+        for r in rows
+    }
+    # 30 s tumbling on receive_time (log_time): [90s,120s) and [120s,150s)
+    assert got[("app1", 2, 120_000)] == 2
+    assert got[("app2", 1, 150_000)] == 1
+
+
+def test_late_rows_dropped_after_watermark(spark, tmpdirs):
+    src = tmpdirs / "src"
+    src.mkdir()
+    ckpt = str(tmpdirs / "ckpt")
+    _write_lines(src, "b1.csv", ["1,100,10,pv,3600"])
+    stream = text_lines(spark, str(src), streaming=True)
+    from test_flink_spark.pipelines.hot_items import behavior_counts
+
+    counts = behavior_counts(stream, streaming=True)
+    q = start_memory(counts, "late_test", ckpt)
+    try:
+        q.processAllAvailable()
+        # advance watermark way past t=3600's windows …
+        _write_lines(src, "b2.csv", ["2,100,10,pv,90000"])
+        q.processAllAvailable()
+        # … then replay a LATE row in the long-closed window
+        _write_lines(src, "b3.csv", ["3,100,10,pv,3601"])
+        q.processAllAvailable()
+        _write_lines(src, "b4.csv", ["4,100,10,pv,95000"])
+        q.processAllAvailable()
+        rows = spark.table("late_test").collect()
+    finally:
+        q.stop()
+    # the late row must NOT bump any closed window count for item 100 above 1
+    item100 = [r["cnt"] for r in rows if r["item_id"] == 100]
+    assert item100 and all(c == 1 for c in item100)
+
+
+def test_streaming_dropduplicates_within_watermark(spark, tmpdirs):
+    src = tmpdirs / "src"
+    src.mkdir()
+    ckpt = str(tmpdirs / "ckpt")
+    _write_lines(src, "b1.csv", ["1,100,10,pv,3600", "1,100,10,pv,3600", "2,100,10,pv,3700"])
+    stream = text_lines(spark, str(src), streaming=True)
+    from test_flink_spark.functions.parsing import parse_user_behavior
+    from test_flink_spark.streaming.watermarks import bounded_lateness_watermark
+
+    parsed = bounded_lateness_watermark(parse_user_behavior(stream), "ts", "1 hour")
+    deduped = parsed.dropDuplicates(["user_id", "item_id", "ts"])
+    q = start_memory(deduped, "dedup_test", ckpt)
+    try:
+        q.processAllAvailable()
+        _write_lines(src, "b2.csv", ["1,100,10,pv,3600"])  # replay duplicate
+        q.processAllAvailable()
+        rows = spark.table("dedup_test").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 2  # (1,3600) once + (2,3700) once
