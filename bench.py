@@ -36,6 +36,11 @@ def main() -> None:
     from test_flink_spark.session import get_spark
 
     spark = get_spark("bench")
+    # Warm the JVM/codegen paths once so the first measured query doesn't
+    # pay JIT + classloading (we measure engine throughput, not startup).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.createDataFrame([("w", 1.0)], "k STRING, v DOUBLE").groupBy("k").sum("v").collect()
+
     qs = entry.queries()
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n not in HEADLINE

@@ -34,9 +34,31 @@ def _h60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+# Mersenne prime 2^31−1: keeps a·h+b below 2^62 (no int64/ANSI overflow)
+# while staying engine-portable integer arithmetic.
+MINHASH_MOD = 2147483647
+
+
+def minhash_coeffs(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a_p, b_p) pairs for the affine permutations, derived
+    from md5 so any engine reproduces them (a must be non-zero)."""
+    import hashlib
+
+    out = []
+    for p in range(num_perm):
+        a = int(hashlib.md5(f"minhash-a:{p}".encode()).hexdigest()[:8], 16) % (MINHASH_MOD - 1) + 1
+        b = int(hashlib.md5(f"minhash-b:{p}".encode()).hexdigest()[:8], 16) % MINHASH_MOD
+        out.append((a, b))
+    return out
+
+
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document.  Narrow explode — the
     follow-on operators own their shuffles."""
+    # Fan out first: a single-file parquet corpus arrives as ONE partition,
+    # and everything downstream (md5 per shingle, minhash aggs, index joins)
+    # is compute-bound — spread it across the cluster before the explode.
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     ws = words(F.col(text_col))
     # guard: sequence(1, 0) is DESCENDING in Spark ([1,0]), not empty — docs
     # shorter than n words must yield an empty shingle set explicitly
@@ -108,20 +130,23 @@ def minhash_signatures(
     num_perm: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signatures: num_perm permutations simulated as independent
-    md5-salted hashes; signature[p] = min over shingles of h(p || ':' || s).
+    """MinHash signatures with affine permutations: ONE md5 per shingle
+    (the expensive part), then num_perm cheap universal-hash transforms
+    h_p = (a_p·h + b_p) mod M over the base hash — the classic
+    a·x+b construction, ~16× cheaper than num_perm independent md5s.
 
     Shuffle profile: ONE groupBy(doc) with num_perm min-aggregates — no
     row blowup; partial mins combine map-side, so shuffle volume is
     O(docs × num_perm) ints regardless of shingle count.
     """
     sh = shingles(df, text_col, id_col, shingle_n)
-    mins = sh.groupBy(id_col).agg(
+    base = sh.select(
+        F.col(id_col), (_h60(F.col("shingle")) % MINHASH_MOD).alias("h")
+    )
+    mins = base.groupBy(id_col).agg(
         *[
-            F.min(
-                _h60(F.concat(F.lit(f"{p}:"), F.col("shingle")))
-            ).alias(f"h{p}")
-            for p in range(num_perm)
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_MOD).alias(f"h{p}")
+            for p, (a, b) in enumerate(minhash_coeffs(num_perm))
         ]
     )
     return mins.select(
@@ -183,6 +208,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     Pure expression tree (explode + conditional sums) — engine-independent
     md5 word hashes, reproduced exactly by the oracle SQL.
     """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     w = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
     hw = w.select(F.col(id_col), _h60(F.col("w")).alias("h"))
     votes = [

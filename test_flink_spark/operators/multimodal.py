@@ -93,13 +93,18 @@ def decode_stub(
                 }
             )
             # deterministic fake features: n_features moments of byte values
+            # (vectorized — int64-exact, so results equal the naive loop)
+            import numpy as np
+
             def feats(b):
                 if b is None or len(b) == 0:
                     return [0.0] * n_features
-                arr = bytearray(b)
+                arr = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+                moments = [
+                    int(np.mod(arr ** k, 251).sum()) for k in (1, 2, 3)
+                ]
                 return [
-                    round(sum((x ** ((i % 3) + 1)) % 251 for x in arr) / len(arr), 6)
-                    for i in range(n_features)
+                    round(moments[i % 3] / len(arr), 6) for i in range(n_features)
                 ]
 
             out["features"] = pdf[payload_col].map(feats)

@@ -27,14 +27,24 @@ def _to_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product over raw float arrays, computed in double.
+
+    The higher-order fold stays in a tight JVM loop; an explicit 64-term
+    scalar chain was measured SLOWER (the generated method exceeds HotSpot's
+    huge-method JIT limit and falls back to interpreted bytecode).  Float→
+    double casts are exact and addition is left-to-right, bit-identical to
+    the DuckDB oracle's list_reduce.  ``dim`` is accepted for signature
+    stability but both paths now use the fold."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+def _norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(_dot(a, a, dim))
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -49,6 +59,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact brute-force top-k: broadcast the query set against the corpus.
 
@@ -57,10 +68,12 @@ def cosine_topk(
     engines.  Self-matches excluded.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("nq", _norm(F.col("qv"), dim))
+    c = (
+        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .withColumn("nc", _norm(F.col("cv"), dim))
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -68,7 +81,9 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv"), dim) / (F.col("nq") * F.col("nc")), round_to
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -116,21 +131,32 @@ def lsh_bucket_topk(
     re-ranked by exact cosine.  Equality join on the bucket key — shuffle is
     O(candidates), never O(Q×N).  Recall tested against cosine_topk."""
     planes = hyperplanes(dim, n_planes)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _to_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", lsh_bucket_key(F.col("qv"), planes))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _to_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("bucket", lsh_bucket_key(F.col("cv"), planes))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+        )
+        .withColumn("bucket", lsh_bucket_key(F.col("qv"), planes))
+        .withColumn("nq", _norm(F.col("qv"), dim))
+    )
+    c = (
+        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+        )
+        .withColumn("bucket", lsh_bucket_key(F.col("cv"), planes))
+        .withColumn("nc", _norm(F.col("cv"), dim))
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv"), dim) / (F.col("nq") * F.col("nc")), 4
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -145,19 +171,32 @@ def near_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (i < j, sim >= threshold).
     Brute-force form — correct at oracle scale; at 100 TB route candidate
-    generation through ``lsh_bucket_topk``'s bucket join instead."""
-    a = corpus.select(F.col(id_col).alias("id_a"), _to_double(F.col(vec_col)).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), _to_double(F.col(vec_col)).alias("vb"))
+    generation through ``lsh_bucket_topk``'s bucket join instead.
+
+    Norms are computed ONCE per row before the pair join (O(n) instead of
+    O(n²) norm folds — 3× fewer flops per pair) with the identical fold
+    arithmetic, so per-pair results are bit-equal to the naive form."""
+    a = (
+        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        .withColumn("na", _norm(F.col("va"), dim))
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    ).withColumn("nb", _norm(F.col("vb"), dim))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("sim"),
+            F.round(
+                _dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 4
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

@@ -155,7 +155,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), num_perm=16, bands=4)
 
 
-_MINHASH_SQL = r"""
+def _minhash_sql(num_perm: int = 16, bands: int = 4) -> str:
+    """Reproduces minhash_signatures/minhash_lsh_pairs exactly: one md5 base
+    hash per shingle + the same affine (a_p, b_p) permutations."""
+    from ..operators.dedup import MINHASH_MOD, minhash_coeffs
+
+    coeffs = minhash_coeffs(num_perm)
+    mins = ",\n           ".join(
+        f"MIN((CAST({a} AS BIGINT) * h + {b}) % {MINHASH_MOD}) AS h{p}"
+        for p, (a, b) in enumerate(coeffs)
+    )
+    rows_per_band = num_perm // bands
+    band_keys = ",\n           ".join(
+        "md5("
+        + " || ':' || ".join(
+            f"h{p}::VARCHAR" for p in range(band * rows_per_band, (band + 1) * rows_per_band)
+        )
+        + f") AS bk{band}"
+        for band in range(bands)
+    )
+    bk_unnest = ", ".join(f"bk{band}" for band in range(bands))
+    return rf"""
 WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
 sh AS (
     SELECT DISTINCT doc_id, s FROM (
@@ -164,20 +184,25 @@ sh AS (
                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
         FROM ws) WHERE s IS NOT NULL AND s <> ''
 ),
-mh AS (
-    SELECT doc_id, p,
-           MIN(('0x' || substr(md5(p::VARCHAR || ':' || s), 1, 15))::BIGINT) AS h
-    FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS p)
-    GROUP BY 1, 2
+base AS (
+    SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_MOD} AS h FROM sh
+),
+sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM base GROUP BY 1
 ),
 bands AS (
-    SELECT doc_id, p // 4 AS band,
-           md5(string_agg(h::VARCHAR, ':' ORDER BY p)) AS band_key
-    FROM mh GROUP BY doc_id, p // 4
+    SELECT doc_id,
+           {band_keys}
+    FROM sig
+),
+kv AS (
+    SELECT doc_id, band, bk FROM bands
+    UNPIVOT (bk FOR band IN ({bk_unnest}))
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a
-JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+FROM kv a JOIN kv b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
 """
 
 
@@ -225,7 +250,7 @@ def _cos_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
-    return cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id", "sim", "rank")
+    return cosine_topk(emb, queries, k=5, dim=EMB_DIM).select("query_id", "neighbor_id", "sim", "rank")
 
 
 def _topk_sql() -> str:
@@ -248,7 +273,7 @@ SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return near_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
+    return near_dup_pairs(_emb(spark, sf_dir), threshold=0.35, dim=EMB_DIM)
 
 
 def _near_dup_sql() -> str:
@@ -345,7 +370,7 @@ ORACLES = {
     "text_fingerprint": _FINGERPRINT_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
-    "dedup_minhash_lsh": _MINHASH_SQL,
+    "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "embedding_cosine_topk": _topk_sql(),
     "embedding_near_dup": _near_dup_sql(),
