@@ -73,13 +73,61 @@ def sliding_count(
     size: str = "1 hour",
     slide: str = "5 minutes",
     count_as: str = "cnt",
+    strategy: str = "direct",
 ) -> DataFrame:
     """WIN2+A1+A3: count per key per sliding window.
 
     Replica of the HotItemAnalysis aggregation (HotItemAnalysis.java:104-106):
     keyBy(itemId) → 1 h / 5 min sliding → count.
+
+    ``strategy``:
+    - ``direct``  (default): native sliding ``window()`` — one shuffle;
+      map-side partial aggregation already bounds shuffle volume to distinct
+      (key, window) groups.  Fastest when events-per-(key, slide-bucket) is
+      small (the 12× fan-out feeds straight into the partial agg).
+    - ``two_level``: tumbling count per slide bucket FIRST (partial agg
+      collapses raw events before any fan-out), then each bucket count
+      expands to the size/slide windows containing it and is summed.
+      Identical results (a sliding count is the sum of its slide-bucket
+      counts).  Wins when events-per-bucket is large — at 100 TB the fan-out
+      applies to millions of bucket counts instead of billions of raw events
+      — but costs an extra shuffle, so it LOSES on sparse keys; hence
+      opt-in, chosen by the caller who knows the density.
+    Streaming always uses ``direct`` (chaining two stateful aggs is
+    restricted in Structured Streaming).
     """
-    return windowed_agg(df, ts_col, keys, [F.count(F.lit(1)).alias(count_as)], size, slide)
+    if df.isStreaming or strategy == "direct":
+        return windowed_agg(df, ts_col, keys, [F.count(F.lit(1)).alias(count_as)], size, slide)
+
+    size_ms = _interval_ms(df, size)
+    slide_ms = _interval_ms(df, slide)
+    if size_ms % slide_ms != 0:
+        return windowed_agg(df, ts_col, keys, [F.count(F.lit(1)).alias(count_as)], size, slide)
+    n_windows = size_ms // slide_ms
+
+    bucket = (F.unix_millis(F.col(ts_col).cast("timestamp")) / slide_ms).cast("long")
+    partial = df.groupBy(*[F.col(k) for k in keys], bucket.alias("__bucket")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    ends = F.transform(
+        F.sequence(F.lit(1), F.lit(n_windows)),
+        lambda j: (F.col("__bucket") + j) * slide_ms,
+    )
+    expanded = partial.select(
+        *[F.col(k) for k in keys], F.explode(ends).alias("window_end"), F.col("__c")
+    )
+    return expanded.groupBy(*[F.col(k) for k in keys], F.col("window_end")).agg(
+        F.sum("__c").alias(count_as)
+    )
+
+
+def _interval_ms(df: DataFrame, interval: str) -> int:
+    """Resolve a Spark interval string to milliseconds (constant-folded on
+    the driver via a literal expression — no data scan)."""
+    row = df.sparkSession.range(1).select(
+        (F.expr(f"INTERVAL {interval}").cast("long") * 1000).alias("ms")
+    ).first()
+    return int(row["ms"])
 
 
 def session_count(

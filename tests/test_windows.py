@@ -47,6 +47,18 @@ def test_sliding_counts_accumulate(spark):
     assert len(by) == 24
 
 
+def test_sliding_two_level_equals_direct(spark):
+    # the two-level (pre-agg per slide bucket) strategy must be value-equal
+    # to the native sliding window on any input
+    rows = [("a", t * 37_000 % 7_200_000) for t in range(200)] + [("b", 123_456)]
+    df = _events_df(spark, rows)
+    direct = sliding_count(df, "ts", ["key"], "1 hour", "5 minutes")
+    two = sliding_count(df, "ts", ["key"], "1 hour", "5 minutes", strategy="two_level")
+    d = {(r["key"], r["window_end"]): r["cnt"] for r in direct.collect()}
+    t = {(r["key"], r["window_end"]): r["cnt"] for r in two.collect()}
+    assert d == t
+
+
 def test_session_gap_semantics(spark):
     # gap = 10 s: diff < gap merges, diff == gap splits (strict).
     df = _events_df(spark, [("a", 0), ("a", 9_999), ("a", 19_999), ("a", 30_000)])
