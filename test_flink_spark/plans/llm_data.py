@@ -377,3 +377,158 @@ ORACLES = {
     "multimodal_media_stats": _MEDIA_STATS_SQL,
     # embedding_lsh_ann, multimodal_decode_features: engine-specific → rows-only
 }
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: top bigrams, per-doc TF-IDF terms, kNN label voting.
+# ---------------------------------------------------------------------------
+
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram frequency table: top-20 word bigrams.
+    explode → groupBy — partial-aggregated, deterministic tie-break."""
+    from ..operators.dedup import shingles
+
+    docs = _docs(spark, sf_dir)
+    grams = shingles(docs, n=2).select("shingle")  # distinct per doc
+    counts = grams.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return counts.orderBy(F.col("doc_freq").desc(), F.col("shingle").asc()).limit(20)
+
+
+_BIGRAMS_SQL = r"""
+WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w), 1)),
+                                     i -> w[i] || ' ' || w[i+1])) AS s
+        FROM ws) WHERE s IS NOT NULL AND s <> ''
+)
+SELECT s AS shingle, COUNT(*) AS doc_freq
+FROM sh GROUP BY 1
+ORDER BY doc_freq DESC, shingle ASC
+LIMIT 20
+"""
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms.
+
+    tf = term count in doc; idf = ln(N / df) with df = docs containing the
+    term.  Ranking happens on the ROUNDED score with the term string as
+    tie-break, so cross-engine float noise in ln() cannot reorder results.
+    Two shuffles: (doc, term) count and df; the df side is broadcast.
+    """
+    from ..operators.text import words
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()  # scalar dimension, computed once
+    terms = docs.select(
+        F.col("doc_id"), F.explode(words(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.dropDuplicates(["doc_id", "term"]).groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+def _tfidf_sql() -> str:
+    return r"""
+WITH terms AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, tf.term AS term,
+           ROUND(tf * ln(n_docs * 1.0 / df), 4) AS tfidf
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, term, tfidf,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, term ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification by majority label of the 5 exact nearest
+    neighbors (ties → smallest label).  Composes cosine_topk with a
+    broadcast label join — the standard eval harness for embedding
+    quality."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    topk = cosine_topk(emb, queries, k=5, dim=EMB_DIM)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label"))
+    votes = topk.join(F.broadcast(labels), "neighbor_id").groupBy(
+        "query_id", "label"
+    ).agg(F.count(F.lit(1)).alias("votes"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label").asc())
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+def _knn_sql() -> str:
+    cos = _cos_sql("qv", "cv")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings),
+s AS (
+    SELECT query_id, neighbor_id, label, ROUND({cos}, 4) AS sim
+    FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+),
+r AS (
+    SELECT query_id, neighbor_id, label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM s
+),
+votes AS (
+    SELECT query_id, label, COUNT(*) AS votes
+    FROM r WHERE rank <= 5 GROUP BY 1, 2
+),
+best AS (
+    SELECT query_id, label AS pred_label, votes,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY votes DESC, label ASC) AS rn
+    FROM votes
+)
+SELECT query_id, pred_label, votes FROM best WHERE rn = 1
+"""
+
+
+QUERIES.update(
+    {
+        "text_top_bigrams": text_top_bigrams,
+        "text_tfidf_top_terms": text_tfidf_top_terms,
+        "knn_label_vote": knn_label_vote,
+    }
+)
+ORACLES.update(
+    {
+        "text_top_bigrams": _BIGRAMS_SQL,
+        "text_tfidf_top_terms": _tfidf_sql(),
+        "knn_label_vote": _knn_sql(),
+    }
+)

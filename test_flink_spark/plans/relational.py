@@ -512,3 +512,174 @@ ORACLES = {
     "pivot_event_counts": _PIVOT_SQL,
     # approx_aggregates: sketch-based, engine-specific → rows-only check
 }
+
+
+# ---------------------------------------------------------------------------
+# Additional TPC-H-shaped coverage: pure-SQL surface (Q6), EXISTS (Q4),
+# multi-join top-k (Q10), HAVING (Q18), hourly distinct users.
+# ---------------------------------------------------------------------------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure Spark-SQL surface demo (the engine's query language IS SQL +
+    DataFrame): selective filter + single agg — pushdown-friendly."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_q6")
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+               COUNT(*) AS cnt
+        FROM __li_q6
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.04
+          AND l_quantity < 24
+        """
+    )
+
+
+_Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue, COUNT(*) AS cnt
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-07-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-10-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    hit = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+    return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY 1
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", _ms("o_orderdate").alias("o_orderdate_ms"), "total_qty")
+    )
+
+
+_Q18_SQL = """
+SELECT o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY 1 HAVING ROUND(SUM(l_quantity), 2) > 150) t
+  ON o_orderkey = l_orderkey
+"""
+
+
+def hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window COUNT DISTINCT — the windowed-dedup composition."""
+    from ..operators.windows import windowed_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_agg(
+        ev, "ts", ["event_type"], [F.countDistinct("user_id").alias("uniq_users")], "1 hour"
+    ).select("event_type", "window_end", "uniq_users")
+
+
+_HOURLY_UNIQ_SQL = """
+SELECT event_type,
+       ((epoch_ms(ts) // 3600000) + 1) * 3600000 AS window_end,
+       COUNT(DISTINCT user_id) AS uniq_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def first_event_per_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-log dedup-by-rank: earliest event per (user, day) — the
+    row_number()=1 idiom that backs point-in-time dedup at scale."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_millis(cast(ts AS timestamp)) div 86400000")
+    return (
+        ev.withColumn("day", day)
+        .withColumn("rn", F.row_number().over(W.partitionBy("user_id", "day").orderBy(F.col("ts").asc(), F.col("event_id").asc())))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "event_id", F.col("event_type").alias("first_type"))
+    )
+
+
+_FIRST_EVENT_SQL = """
+SELECT user_id, day, event_id, first_type FROM (
+    SELECT user_id, epoch_ms(ts) // 86400000 AS day, event_id,
+           event_type AS first_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ms(ts) // 86400000
+                              ORDER BY ts ASC, event_id ASC) AS rn
+    FROM events)
+WHERE rn = 1
+"""
+
+
+QUERIES.update(
+    {
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q4_order_priority": q4_order_priority,
+        "q10_returned_items": q10_returned_items,
+        "q18_large_orders": q18_large_orders,
+        "hourly_unique_users": hourly_unique_users,
+        "first_event_per_user_day": first_event_per_user_day,
+    }
+)
+ORACLES.update(
+    {
+        "q6_forecast_revenue": _Q6_SQL,
+        "q4_order_priority": _Q4_SQL,
+        "q10_returned_items": _Q10_SQL,
+        "q18_large_orders": _Q18_SQL,
+        "hourly_unique_users": _HOURLY_UNIQ_SQL,
+        "first_event_per_user_day": _FIRST_EVENT_SQL,
+    }
+)
