@@ -25,6 +25,11 @@ HEADLINE = [
     "session_window_count",
     "json_parse_project",
     "avg_value_by_type",
+    "q3_shipping_priority",
+    "asof_join_last_error",
+    "dedup_minhash_lsh",
+    "embedding_cosine_topk",
+    "text_tfidf_top_terms",
 ]
 
 

@@ -112,3 +112,36 @@ def decode_stub(
 
     cols = df.select(id_col, modality_col, payload_col)
     return cols.mapInPandas(decode, DECODED_SCHEMA)
+
+
+def chunk_payload(
+    df: DataFrame,
+    chunk_chars: int = 256,
+    payload_col: str = "text_payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Split a large payload column into fixed-size chunks with (id, index,
+    fingerprint) metadata — the shard-for-processing step of a multimodal
+    pipeline (e.g. audio segments, video GOPs), expressed entirely JVM-side:
+    sequence → transform(substring) → explode.  Chunk order is explicit in
+    ``chunk_idx`` so downstream reassembly never depends on row order."""
+    n_chunks = F.ceil(F.length(F.col(payload_col)) / F.lit(chunk_chars)).cast("int")
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.substring(
+                F.col(payload_col), i * chunk_chars + 1, chunk_chars
+            ).alias("chunk"),
+        ),
+    )
+    exploded = df.select(F.col(id_col), F.explode(chunks).alias("c"))
+    return exploded.select(
+        F.col(id_col),
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.length("c.chunk").cast("long").alias("chunk_chars"),
+        F.md5(F.col("c.chunk")).alias("chunk_md5"),
+    )

@@ -532,3 +532,33 @@ ORACLES.update(
         "knn_label_vote": _knn_sql(),
     }
 )
+
+
+def multimodal_chunk_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload chunking (operators/multimodal.py::chunk_payload): shard each
+    document payload into 256-char chunks with md5 fingerprints."""
+    from ..operators.multimodal import chunk_payload
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"), F.col("text").alias("text_payload")
+    )
+    return chunk_payload(docs, chunk_chars=256)
+
+
+_CHUNK_SQL = """
+WITH n AS (
+    SELECT doc_id AS media_id, text,
+           CAST(ceil(length(text) / 256.0) AS INT) AS n_chunks
+    FROM documents
+),
+idx AS (
+    SELECT media_id, text, unnest(range(0, n_chunks)) AS chunk_idx FROM n
+)
+SELECT media_id, chunk_idx,
+       length(substring(text, chunk_idx * 256 + 1, 256)) AS chunk_chars,
+       md5(substring(text, chunk_idx * 256 + 1, 256)) AS chunk_md5
+FROM idx
+"""
+
+QUERIES["multimodal_chunk_fingerprints"] = multimodal_chunk_fingerprints
+ORACLES["multimodal_chunk_fingerprints"] = _CHUNK_SQL

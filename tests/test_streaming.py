@@ -156,3 +156,31 @@ def test_streaming_dropduplicates_within_watermark(spark, tmpdirs):
     finally:
         q.stop()
     assert len(rows) == 2  # (1,3600) once + (2,3700) once
+
+
+def test_streaming_session_window(spark, tmpdirs):
+    """session_window works in append-mode streaming (engine superset —
+    SURVEY.md §2.10); sessions close when the watermark passes start+gap."""
+    from test_flink_spark.functions.parsing import parse_user_behavior
+    from test_flink_spark.operators.windows import session_count
+    from test_flink_spark.streaming.watermarks import ascending_watermark
+
+    src = tmpdirs / "src"
+    src.mkdir()
+    ckpt = str(tmpdirs / "ckpt")
+    # user 1: two events 5 s apart (one session), then one 120 s later
+    _write_lines(src, "b1.csv", ["1,100,10,pv,1000", "1,100,10,pv,1005", "1,100,10,pv,1125"])
+    stream = text_lines(spark, str(src), streaming=True)
+    parsed = ascending_watermark(parse_user_behavior(stream), "ts")
+    sessions = session_count(parsed, "ts", ["user_id"], gap="30 seconds")
+    q = start_memory(sessions, "sess_test", ckpt)
+    try:
+        q.processAllAvailable()
+        _write_lines(src, "b2.csv", ["2,100,10,pv,90000"])  # advance watermark
+        q.processAllAvailable()
+        rows = spark.table("sess_test").collect()
+    finally:
+        q.stop()
+    got = {(r["user_id"], r["session_start"], r["cnt"]) for r in rows}
+    assert (1, 1_000_000, 2) in got
+    assert (1, 1_125_000, 1) in got
