@@ -683,3 +683,54 @@ ORACLES.update(
         "first_event_per_user_day": _FIRST_EVENT_SQL,
     }
 )
+
+
+def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py) over the most
+    skew-prone key in the star schema (l_orderkey) — value-equal to the
+    plain groupBy, as the oracle proves."""
+    from ..operators.skew import salted_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    counts = salted_count(li, ["l_returnflag"], salt_col="l_orderkey", salt_buckets=16)
+    return counts
+
+
+_SALTED_SQL = """
+SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+"""
+
+QUERIES["salted_skew_aggregate"] = salted_skew_aggregate
+ORACLES["salted_skew_aggregate"] = _SALTED_SQL
+
+
+def asof_join_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (pandas merge_asof ``tolerance``):
+    the matched error value only counts if it is at most 6 h old."""
+    TOL_MS = 6 * 3600 * 1000
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "value")
+    out = asof_join(
+        clicks, errors, keys=["user_id"], left_ts="ts", right_ts="ts",
+        right_values=["value"], tolerance_ms=TOL_MS,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _ms("ts").alias("ts_ms"),
+        F.col("value").alias("recent_err_value"),
+    )
+
+
+_ASOF_TOL_SQL = """
+SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+       CASE WHEN epoch_ms(l.ts) - epoch_ms(r.ts) <= 21600000
+            THEN r.value END AS recent_err_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND r.ts <= l.ts
+"""
+
+QUERIES["asof_join_with_tolerance"] = asof_join_with_tolerance
+ORACLES["asof_join_with_tolerance"] = _ASOF_TOL_SQL

@@ -32,3 +32,19 @@ def test_asof_tolerance(spark):
     far = asof_join(left, right, ["k"], "ts", "ts", ["v"], tolerance_ms=100)
     assert near.collect()[0]["v"] == 7.0
     assert far.collect()[0]["v"] is None
+
+
+def test_salted_count_equals_plain(spark):
+    from test_flink_spark.operators.skew import salted_count, salted_sum
+
+    rows = [("hot", i * 1.5, i) for i in range(500)] + [("cold", 1.0, 999)]
+    df = spark.createDataFrame(rows, "k STRING, v DOUBLE, id BIGINT")
+    plain = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    for buckets in (1, 4, 64):
+        salted = {
+            r["k"]: r["cnt"]
+            for r in salted_count(df, ["k"], "id", salt_buckets=buckets).collect()
+        }
+        assert salted == plain
+    sums = {r["k"]: r["total"] for r in salted_sum(df, ["k"], "v", "id").collect()}
+    assert abs(sums["hot"] - sum(i * 1.5 for i in range(500))) < 1e-9
