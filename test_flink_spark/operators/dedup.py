@@ -99,6 +99,11 @@ def ngram_jaccard_pairs(
     shingles with document frequency above a cap) to bound bucket sizes;
     the LSH variant below is the preferred scale path.
     """
+    # NOTE: the shingle index feeds three plan branches; recomputing the
+    # (cheap, codegen-fused) explode+md5 per branch measured FASTER than
+    # persist() — caching 260k short strings costs more in BlockManager
+    # serialization than the recompute saves.  Revisit only if the shingle
+    # stage grows expensive (e.g. char-level shingles at 100 TB).
     sh = shingles(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -184,3 +184,28 @@ def test_streaming_session_window(spark, tmpdirs):
     got = {(r["user_id"], r["session_start"], r["cnt"]) for r in rows}
     assert (1, 1_000_000, 2) in got
     assert (1, 1_125_000, 1) in got
+
+
+def test_rate_source_smoke(spark, tmpdirs):
+    """Rate source produces (timestamp, value) rows — the synthetic stream
+    for throughput tests."""
+    from test_flink_spark.sources.files import rate_source
+
+    stream = rate_source(spark, rows_per_second=50)
+    assert stream.isStreaming
+    q = start_memory(stream, "rate_test", str(tmpdirs / "ckpt"))
+    try:
+        import time
+
+        deadline = time.time() + 20
+        n = 0
+        while time.time() < deadline:
+            q.processAllAvailable()
+            n = spark.table("rate_test").count()
+            if n > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert n > 0
+    assert dict(spark.table("rate_test").dtypes) == {"timestamp": "timestamp", "value": "bigint"}
