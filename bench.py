@@ -62,17 +62,72 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "sum_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
+    out = {
+        "metric": "sum_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    try:
+        out["streaming"] = streaming_throughput(spark)
+    except Exception as e:  # noqa: BLE001 — throughput is auxiliary evidence
+        print(f"# streaming bench skipped: {e}", file=sys.stderr)
+    print(json.dumps(out))
+
+
+def streaming_throughput(spark, n_events: int = 200_000):
+    """End-to-end micro-batch throughput of the HotItemAnalysis streaming
+    pipeline (CSV parse → filter → watermark → 1 h/5 min sliding count):
+    events/sec through Structured Streaming with a memory sink.
+
+    Context for the number: the reference runs at parallelism 1
+    (HotItemAnalysis.java:66) with per-record JSON/CSV parsing, so its
+    ceiling is one core's parse rate; this measures the same logical
+    pipeline across all local cores.
+    """
+    import shutil
+    import tempfile
+
+    from test_flink_spark.pipelines.hot_items import behavior_counts
+    from test_flink_spark.sources.files import text_lines
+
+    d = tempfile.mkdtemp(prefix="tfs-bench-stream-")
+    try:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        per_file = n_events // 4
+        row_id = 0
+        for f in range(4):
+            lines = []
+            for _ in range(per_file):
+                t = 1_000_000 + row_id * 3  # ascending seconds
+                lines.append(f"{row_id},{row_id % 997},7,pv,{t}")
+                row_id += 1
+            with open(os.path.join(src, f"b{f}.csv"), "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+        counts = behavior_counts(text_lines(spark, src, streaming=True), streaming=True)
+        q = (
+            counts.writeStream.queryName("bench_stream")
+            .format("memory")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .start()
         )
-    )
+        t0 = time.perf_counter()
+        q.processAllAvailable()
+        elapsed = time.perf_counter() - t0
+        q.stop()
+        emitted = spark.table("bench_stream").count()
+        return {
+            "pipeline": "hot_items behavior_counts (sliding 1h/5m)",
+            "events": row_id,
+            "wall_sec": round(elapsed, 3),
+            "events_per_sec": round(row_id / elapsed),
+            "rows_emitted": emitted,
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -286,14 +286,18 @@ WHERE ROUND({cos}, 4) >= 0.35
 
 
 def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH buckets — engine-specific
-    candidate generation (recall < 1 by design) → rows-only check; recall
-    vs the exact top-k is pytest-asserted (tests/test_llm_data.py)."""
+    """Approximate NN via random-hyperplane LSH — 4 planes × 8 OR-amplified
+    tables (~0.63 recall@5 on this corpus, pytest-measured vs exact top-k;
+    engine-specific candidate generation → rows-only check).  With weakly
+    clustered embeddings (max pairwise cosine ≈ 0.5 here) per-plane
+    collision prob is ~0.6, so recall comes from table count, not plane
+    count — at 100 TB this is the knob that trades candidate volume for
+    recall."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
-    return lsh_bucket_topk(emb, queries, dim=EMB_DIM, k=5, n_planes=8).select(
-        "query_id", "neighbor_id", "sim", "rank"
-    )
+    return lsh_bucket_topk(
+        emb, queries, dim=EMB_DIM, k=5, n_planes=4, n_tables=8
+    ).select("query_id", "neighbor_id", "sim", "rank")
 
 
 # ---------------------------------------------------------------------------

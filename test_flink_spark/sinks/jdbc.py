@@ -35,38 +35,59 @@ def jdbc_append_writer(
     return write
 
 
+def upsert_statement(
+    table: str, staging: str, cols: list[str], key_cols: list[str], dialect: str
+) -> str:
+    """One set-oriented upsert statement for the staged batch.
+
+    ``mysql`` (the reference's target, HotMediaTrack.java:104) has no MERGE —
+    use INSERT … SELECT … ON DUPLICATE KEY UPDATE (requires a UNIQUE key on
+    ``key_cols``); every other dialect gets ANSI MERGE.
+    """
+    ins_cols = ", ".join(cols)
+    if dialect == "mysql":
+        sets = ", ".join(f"{c} = VALUES({c})" for c in cols if c not in key_cols)
+        return (
+            f"INSERT INTO {table} ({ins_cols}) SELECT {ins_cols} FROM {staging} "
+            f"ON DUPLICATE KEY UPDATE {sets}"
+        )
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c not in key_cols)
+    ins_vals = ", ".join(f"s.{c}" for c in cols)
+    return (
+        f"MERGE INTO {table} t USING {staging} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
 def jdbc_upsert_writer(
     url: str,
     table: str,
     key_cols: list[str],
     properties: dict[str, str],
     staging_table: str | None = None,
+    dialect: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Effectively-exactly-once upsert: append the batch to a staging table,
-    then issue ONE set-oriented MERGE into the target keyed on ``key_cols``.
+    then issue ONE set-oriented upsert into the target keyed on ``key_cols``.
     Idempotent under micro-batch replay (the deliberate improvement over the
-    reference noted in SURVEY.md §4.3)."""
+    reference noted in SURVEY.md §4.3).  Dialect inferred from the JDBC URL
+    unless given."""
     staging = staging_table or f"{table}__staging"
+    if dialect is None:
+        dialect = "mysql" if url.startswith("jdbc:mysql") else "ansi"
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.jdbc(url=url, table=staging, mode="overwrite", properties=properties)
-        cols = batch_df.columns
-        on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
-        sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c not in key_cols)
-        ins_cols = ", ".join(cols)
-        ins_vals = ", ".join(f"s.{c}" for c in cols)
-        merge = (
-            f"MERGE INTO {table} t USING {staging} s ON {on} "
-            f"WHEN MATCHED THEN UPDATE SET {sets} "
-            f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
-        )
+        stmt = upsert_statement(table, staging, batch_df.columns, key_cols, dialect)
         spark = batch_df.sparkSession
         jvm = spark._sc._jvm  # one statement per batch — not per row
         conn = jvm.java.sql.DriverManager.getConnection(
             url, properties.get("user", ""), properties.get("password", "")
         )
         try:
-            conn.createStatement().executeUpdate(merge)
+            conn.createStatement().executeUpdate(stmt)
         finally:
             conn.close()
 

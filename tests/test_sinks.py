@@ -38,3 +38,17 @@ def test_partitioned_parquet_roundtrip_and_pruning(spark, tmpdir):
     plan = buf.getvalue()
     assert "PartitionFilters: [isnotnull(event_type" in plan
     assert q.count() == ev.filter(F.col("event_type") == "view").count()
+
+
+def test_upsert_statement_dialects():
+    from test_flink_spark.sinks.jdbc import upsert_statement
+
+    cols = ["time", "appid", "type", "count"]
+    keys = ["time", "appid", "type"]
+    my = upsert_statement("log_track_point", "stg", cols, keys, "mysql")
+    assert my.startswith("INSERT INTO log_track_point")
+    assert "ON DUPLICATE KEY UPDATE count = VALUES(count)" in my
+    ansi = upsert_statement("t", "s", cols, keys, "ansi")
+    assert ansi.startswith("MERGE INTO t")
+    assert "WHEN MATCHED THEN UPDATE SET t.count = s.count" in ansi
+    assert "t.time = s.time AND t.appid = s.appid AND t.type = s.type" in ansi
