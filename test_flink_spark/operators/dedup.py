@@ -231,3 +231,53 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         F.lit(0).cast("long"),
     )
     return voted.select(F.col(id_col), sh.alias("simhash"))
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components over the near-duplicate graph: every document
+    gets a ``cluster_id`` = the smallest doc id transitively reachable via
+    Jaccard-over-threshold edges (its own id if unique).  This is the
+    canonical-representative step after candidate pairing: keep one doc per
+    cluster, drop the rest.
+
+    Algorithm: min-label propagation — labels start as own id; each round
+    every node takes min(label, neighbors' labels) until a fixed point.
+    Iterations are driver-coordinated (the one sanctioned driver loop:
+    iterative graph algorithms — same structure as GraphX Pregel), but all
+    data work is joins/aggregations; per-round state is one (node, label)
+    DataFrame.  Near-dup clusters are clique-like, so convergence is 2-3
+    rounds; ``max_iter`` bounds pathological chains.
+    """
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, threshold=threshold).select(
+        "id_a", "id_b"
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).persist()
+    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.id_b == labels.node)
+            .groupBy(F.col("id_a").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+                F.col("label").alias("old"),
+            )
+        ).persist()
+        changed = new_labels.filter(F.col("label") != F.col("old")).count()
+        labels = new_labels.select("node", "label")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

@@ -566,3 +566,38 @@ FROM idx
 
 QUERIES["multimodal_chunk_fingerprints"] = multimodal_chunk_fingerprints
 ORACLES["multimodal_chunk_fingerprints"] = _CHUNK_SQL
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over Jaccard>=0.5 near-dup edges
+    (operators/dedup.py::duplicate_clusters); oracle = DuckDB recursive CTE
+    transitive closure."""
+    from ..operators.dedup import duplicate_clusters
+
+    return duplicate_clusters(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _clusters_sql() -> str:
+    from . import llm_data as _self  # reuse the jaccard pair SQL body
+
+    pairs_sql = _JACCARD_SQL.strip().rstrip(";")
+    return f"""
+WITH RECURSIVE jp AS ({pairs_sql}),
+edges AS (
+    SELECT id_a AS s, id_b AS d FROM jp
+    UNION ALL
+    SELECT id_b, id_a FROM jp
+),
+reach(s, d) AS (
+    SELECT s, d FROM edges
+    UNION
+    SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+m AS (SELECT s AS doc_id, MIN(d) AS mn FROM reach GROUP BY 1)
+SELECT doc.doc_id, LEAST(COALESCE(m.mn, doc.doc_id), doc.doc_id) AS cluster_id
+FROM documents doc LEFT JOIN m ON doc.doc_id = m.doc_id
+"""
+
+
+QUERIES["dedup_clusters"] = dedup_clusters
+ORACLES["dedup_clusters"] = _clusters_sql()

@@ -209,3 +209,36 @@ def test_rate_source_smoke(spark, tmpdirs):
         q.stop()
     assert n > 0
     assert dict(spark.table("rate_test").dtypes) == {"timestamp": "timestamp", "value": "bigint"}
+
+
+def test_transform_with_state_topn(spark, tmpdirs):
+    """Spark 4 transformWithStateInPandas port of TopNHotItems (real
+    ListState + named timers).  Skipped where python protobuf (its control
+    channel serialization) is unavailable — the applyInPandasWithState path
+    is the production implementation either way."""
+    from test_flink_spark.streaming.stateful_topn_tws import (
+        streaming_top_n_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("python protobuf unavailable: transformWithState cannot run here")
+
+    src = tmpdirs / "src"
+    src.mkdir()
+    (src / "b1.csv").write_text("120000,100,5\n120000,200,3\n120000,300,9\n")
+    raw = spark.readStream.schema("wem BIGINT, item_id BIGINT, cnt BIGINT").csv(str(src))
+    counts = raw.select(
+        F.timestamp_millis(F.col("wem")).alias("window_end_ts"), "item_id", "cnt"
+    ).withWatermark("window_end_ts", "0 seconds")
+    out = streaming_top_n_tws(counts, n=2)
+    q = start_memory(out, "tws_out", str(tmpdirs / "ckpt"))
+    try:
+        q.processAllAvailable()
+        (src / "b2.csv").write_text("900000,999,1\n")
+        q.processAllAvailable()
+        rows = spark.table("tws_out").collect()
+    finally:
+        q.stop()
+    got = [(r["rank"], r["item_id"], r["cnt"]) for r in rows if r["item_id"] != 999]
+    assert sorted(got)[:2] == [(1, 300, 9), (2, 100, 5)]
