@@ -734,3 +734,132 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
 
 QUERIES["asof_join_with_tolerance"] = asof_join_with_tolerance
 ORACLES["asof_join_with_tolerance"] = _ASOF_TOL_SQL
+
+
+def full_outer_join_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join: per-nation customer vs supplier account totals,
+    including nations present on only one side."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("cust_bal"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.round(F.sum("s_acctbal"), 2).alias("supp_bal"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+            F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
+        )
+    )
+
+
+_FULL_OUTER_SQL = """
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(cust_bal, 0.0) AS cust_bal,
+       COALESCE(supp_bal, 0.0) AS supp_bal
+FROM (SELECT c_nationkey AS nationkey, ROUND(SUM(c_acctbal), 2) AS cust_bal
+      FROM customer GROUP BY 1) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nationkey, ROUND(SUM(s_acctbal), 2) AS supp_bal
+      FROM supplier GROUP BY 1) s
+  ON c.nationkey = s.nationkey
+"""
+
+
+def scalar_functions_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/conditional scalar-function breadth in one projection
+    (SURVEY.md §2.2 note: the engine exposes Spark's whole built-in scalar
+    library; this query pins a representative sample against DuckDB)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.lower(F.col("p_type")).alias("type_lower"),
+        F.substring(F.col("p_name"), 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.when(F.col("p_size") >= 25, "large")
+        .when(F.col("p_size") >= 10, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#00")), F.lit("unknown")).alias(
+            "brand_or_unknown"
+        ),
+        (F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.format_string("%s:%d", F.col("p_brand"), F.col("p_size")).alias("brand_size"),
+    )
+
+
+_SCALAR_SQL = """
+SELECT p_partkey,
+       UPPER(p_brand) AS brand_upper,
+       LOWER(p_type) AS type_lower,
+       substring(p_name, 1, 8) AS name_prefix,
+       length(p_name) AS name_len,
+       p_brand || '|' || p_type AS brand_type,
+       CASE WHEN p_size >= 25 THEN 'large'
+            WHEN p_size >= 10 THEN 'medium'
+            ELSE 'small' END AS size_class,
+       COALESCE(NULLIF(p_brand, 'Brand#00'), 'unknown') AS brand_or_unknown,
+       CAST(p_retailprice * 100 AS BIGINT) AS price_cents,
+       printf('%s:%d', p_brand, p_size) AS brand_size
+FROM part
+"""
+
+
+def date_functions_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar breadth: trunc, extract, diff — aggregated per year
+    so the compare stays compact."""
+    o = _t(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp")
+    return (
+        o.select(
+            F.year(ts).cast("long").alias("order_year"),
+            F.month(ts).cast("long").alias("order_month"),
+            F.dayofweek(ts).cast("long").alias("dow"),
+            _ms(F.date_trunc("month", ts)).alias("month_start_ms"),
+            F.datediff(F.to_date(F.lit("2002-01-01")), ts.cast("date"))
+            .cast("long")
+            .alias("days_to_2002"),
+        )
+        .groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("order_month").alias("months"),
+            F.countDistinct("dow").alias("dows"),
+            F.min("month_start_ms").alias("first_month_ms"),
+            F.max("days_to_2002").alias("max_days_to_2002"),
+        )
+    )
+
+
+_DATE_SQL = """
+SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+       COUNT(*) AS cnt,
+       COUNT(DISTINCT EXTRACT(month FROM o_orderdate)) AS months,
+       COUNT(DISTINCT (EXTRACT(dow FROM o_orderdate) + 1)) AS dows,
+       MIN(epoch_ms(date_trunc('month', o_orderdate))) AS first_month_ms,
+       MAX(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')) AS max_days_to_2002
+FROM orders GROUP BY 1
+"""
+
+QUERIES.update(
+    {
+        "full_outer_join_balances": full_outer_join_balances,
+        "scalar_functions_sweep": scalar_functions_sweep,
+        "date_functions_sweep": date_functions_sweep,
+    }
+)
+ORACLES.update(
+    {
+        "full_outer_join_balances": _FULL_OUTER_SQL,
+        "scalar_functions_sweep": _SCALAR_SQL,
+        "date_functions_sweep": _DATE_SQL,
+    }
+)
