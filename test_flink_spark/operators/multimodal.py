@@ -141,7 +141,7 @@ def chunk_payload(
     exploded = df.select(F.col(id_col), F.explode(chunks).alias("c"))
     return exploded.select(
         F.col(id_col),
-        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
         F.length("c.chunk").cast("long").alias("chunk_chars"),
         F.md5(F.col("c.chunk")).alias("chunk_md5"),
     )

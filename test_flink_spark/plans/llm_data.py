@@ -332,7 +332,7 @@ SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio'
             ELSE 'video' END AS modality,
        COUNT(*) AS cnt,
-       SUM(octet_length(encode(text))) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        MAX(octet_length(encode(text))) AS max_bytes
 FROM documents GROUP BY 1
 """

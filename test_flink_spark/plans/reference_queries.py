@@ -167,7 +167,8 @@ def csv_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CSV_SQL = """
-SELECT event_type AS behavior, COUNT(*) AS cnt, SUM(user_id) AS sum_user
+SELECT event_type AS behavior, COUNT(*) AS cnt,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user
 FROM events GROUP BY 1
 """
 
