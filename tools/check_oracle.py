@@ -64,6 +64,20 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
+        # dtype parity (arrow view): int32-vs-int64 or DECIMAL sums would
+        # pass a stringified value compare but may fail stricter drivers
+        try:
+            arrow = con.execute(oracles[name]).fetch_arrow_table().schema
+            amap = {"int64": "bigint", "int32": "int", "double": "double",
+                    "float": "float", "string": "string", "large_string": "string",
+                    "bool": "boolean"}
+            sdt = dict(fn(spark, sf_dir).dtypes)
+            for f_ in arrow:
+                want = amap.get(str(f_.type), str(f_.type))
+                if sdt.get(f_.name) not in (want, None) or f_.name not in sdt:
+                    print(f"DTYPE {name}: {f_.name} spark={sdt.get(f_.name)} duck={f_.type}")
+        except Exception:
+            pass
         s, o = normalize(sdf), normalize(odf)
         if len(s) != len(o):
             failures.append(name)
