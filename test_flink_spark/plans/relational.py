@@ -863,3 +863,116 @@ ORACLES.update(
         "date_functions_sweep": _DATE_SQL,
     }
 )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems below 50% of
+    their part's average quantity.  Spark form: join against the per-part
+    aggregate (what Catalyst de-correlates a subquery into anyway)."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    joined = li.join(avg_per_part, li.l_partkey == avg_per_part.pk).filter(
+        F.col("l_quantity") < 0.5 * F.col("avg_qty")
+    )
+    return joined.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+_Q17_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly, COUNT(*) AS cnt
+FROM lineitem l
+WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem
+                    WHERE l_partkey = l.l_partkey)
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: above-average-balance customers with no orders, per
+    market segment — global scalar subquery + anti join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    pending = orders.filter(F.col("o_orderstatus") == "P")
+    idle = rich.join(pending, rich.c_custkey == pending.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+_Q22_SQL = """
+SELECT c_mktsegment, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c.c_custkey AND o_orderstatus = 'P')
+GROUP BY 1
+"""
+
+
+def union_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) semantics vs the UNION ALL query above: users seen
+    in clicks or errors, each once."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select("user_id")
+    x = ev.filter(F.col("event_type") == "error").select("user_id")
+    return c.union(x).distinct()
+
+
+_UNION_DISTINCT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+UNION
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window function: order-value quartiles per order priority."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    q = o.select(
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        "o_totalprice",
+    )
+    return q.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+_NTILE_SQL = """
+SELECT o_orderpriority, quartile, COUNT(*) AS cnt,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM (SELECT o_orderpriority, o_totalprice,
+             NTILE(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+      FROM orders)
+GROUP BY 1, 2
+"""
+
+QUERIES.update(
+    {
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q22_idle_customers": q22_idle_customers,
+        "union_distinct_users": union_distinct_users,
+        "ntile_price_quartiles": ntile_price_quartiles,
+    }
+)
+ORACLES.update(
+    {
+        "q17_small_quantity_revenue": _Q17_SQL,
+        "q22_idle_customers": _Q22_SQL,
+        "union_distinct_users": _UNION_DISTINCT_SQL,
+        "ntile_price_quartiles": _NTILE_SQL,
+    }
+)

@@ -242,3 +242,34 @@ def test_transform_with_state_topn(spark, tmpdirs):
         q.stop()
     got = [(r["rank"], r["item_id"], r["cnt"]) for r in rows if r["item_id"] != 999]
     assert sorted(got)[:2] == [(1, 300, 9), (2, 100, 5)]
+
+
+def test_update_mode_emits_revisions(spark, tmpdirs):
+    """Update output mode re-emits a group whenever its aggregate changes —
+    the complement of append mode's emit-once-on-close (SURVEY.md §4.3:
+    append is the reference-faithful mode; update is the engine extension
+    for live dashboards)."""
+    src = tmpdirs / "src"
+    src.mkdir()
+    ckpt = str(tmpdirs / "ckpt")
+    _write_lines(src, "b1.csv", ["1,100,10,pv,3600"])
+    stream = text_lines(spark, str(src), streaming=True)
+    from test_flink_spark.functions.parsing import parse_user_behavior
+
+    counts = (
+        parse_user_behavior(stream)
+        .groupBy("item_id")
+        .count()
+    )
+    q = start_memory(counts, "upd_test", ckpt, mode="update")
+    try:
+        q.processAllAvailable()
+        first = {(r["item_id"], r["count"]) for r in spark.table("upd_test").collect()}
+        _write_lines(src, "b2.csv", ["2,100,10,pv,3700"])
+        q.processAllAvailable()
+        all_rows = [(r["item_id"], r["count"]) for r in spark.table("upd_test").collect()]
+    finally:
+        q.stop()
+    assert (100, 1) in first
+    # the revised count for item 100 was re-emitted in the second batch
+    assert (100, 2) in all_rows
