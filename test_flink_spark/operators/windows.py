@@ -122,12 +122,18 @@ def sliding_count(
 
 
 def _interval_ms(df: DataFrame, interval: str) -> int:
-    """Resolve a Spark interval string to milliseconds (constant-folded on
-    the driver via a literal expression — no data scan)."""
+    """Resolve a Spark interval string to milliseconds via timestamp
+    arithmetic (epoch + interval), constant-folded on the driver — no data
+    scan.  NOTE: casting a day-time interval to long yields the value in
+    the interval's OWN leading unit ('1 hour' → 1), which silently broke an
+    earlier version of this function; epoch addition is unit-exact."""
     row = df.sparkSession.range(1).select(
-        (F.expr(f"INTERVAL {interval}").cast("long") * 1000).alias("ms")
+        F.unix_millis(F.expr(f"timestamp_millis(0) + INTERVAL {interval}")).alias("ms")
     ).first()
-    return int(row["ms"])
+    ms = int(row["ms"])
+    if ms <= 0:
+        raise ValueError(f"non-positive interval: {interval!r}")
+    return ms
 
 
 def session_count(

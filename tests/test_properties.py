@@ -56,3 +56,46 @@ def test_count_union_equals_sum_of_counts(spark, rows):
     cb = {r["key"]: r["count"] for r in b.groupBy("key").count().collect()}
     for r in total:
         assert r["count"] == ca.get(r["key"], 0) + cb.get(r["key"], 0)
+
+
+asof_events = st.lists(
+    st.tuples(st.sampled_from(["u", "v"]), st.integers(min_value=0, max_value=10_000)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left_rows=asof_events, right_rows=asof_events)
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
+    """operators/joins.py::asof_join ≡ pandas merge_asof(by=key,
+    direction='backward') on arbitrary inputs (modulo duplicate-timestamp
+    ties, which pandas resolves by position — deduplicate to avoid)."""
+    import pandas as pd
+
+    from test_flink_spark.operators.joins import asof_join
+
+    # dedupe (key, ts) on both sides: tie order is engine-defined otherwise
+    left_rows = list({(k, t): None for k, t in left_rows})
+    right_rows = list({(k, t): None for k, t in right_rows})
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)], "id LONG, k STRING, t BIGINT"
+    ).select("id", "k", F.timestamp_millis(F.col("t")).alias("ts"))
+    right = spark.createDataFrame(
+        [(k, t, float(t)) for k, t in right_rows], "k STRING, t BIGINT, v DOUBLE"
+    ).select("k", F.timestamp_millis(F.col("t")).alias("ts"), "v")
+
+    got = {
+        r["id"]: r["v"]
+        for r in asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)], columns=["id", "k", "t"]
+    ).sort_values("t", kind="mergesort")
+    rp = pd.DataFrame(
+        [(k, t, float(t)) for k, t in right_rows], columns=["k", "t", "v"]
+    ).sort_values("t", kind="mergesort")
+    exp_df = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    exp = {int(r.id): (None if pd.isna(r.v) else float(r.v)) for r in exp_df.itertuples()}
+    assert got == exp
