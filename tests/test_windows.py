@@ -67,3 +67,24 @@ def test_session_gap_semantics(spark):
     # 0 → extends to 9_999 → extends to 19_999; 30_000 − 19_999 > 10 s? no:
     # 10_001 ≥ 10_000 → new session.
     assert got == {(0, 3), (30_000, 1)}
+
+
+def test_sliding_two_level_actually_two_level(spark):
+    # regression guard for the vacuous-test trap: the two_level strategy must
+    # materialize its own plan shape (explode + pre-agg), not silently fall
+    # back to the native window (as a broken interval resolver once caused)
+    import contextlib
+    import io
+
+    df = _events_df(spark, [("a", 0)])
+    two = sliding_count(df, "ts", ["key"], "1 hour", "5 minutes", strategy="two_level")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        two.explain("formatted")
+    plan = buf.getvalue()
+    assert "Generate" in plan  # the bucket-count fan-out explode
+    direct = sliding_count(df, "ts", ["key"], "1 hour", "5 minutes")
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        direct.explain("formatted")
+    assert "Generate" not in buf2.getvalue() or "window" in buf2.getvalue()
