@@ -601,3 +601,45 @@ FROM documents doc LEFT JOIN m ON doc.doc_id = m.doc_id
 
 QUERIES["dedup_clusters"] = dedup_clusters
 ORACLES["dedup_clusters"] = _clusters_sql()
+
+
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation in one composed plan: quality
+    filter (length + lexical diversity) ∘ near-dup canonicalization (keep
+    only cluster representatives).  The shape every 100 TB pretraining
+    pipeline runs; here each stage is the already-oracle-checked operator,
+    composed without materialization barriers so Catalyst plans it whole."""
+    from ..operators.dedup import duplicate_clusters
+    from ..operators.text import quality_scores
+
+    docs = _docs(spark, sf_dir)
+    clusters = duplicate_clusters(docs, threshold=0.5)
+    canonical = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    quality = quality_scores(docs)
+    kept = (
+        quality.join(canonical, "doc_id")
+        .filter((F.col("n_tokens") >= 30) & (F.col("distinct_ratio") >= 0.35))
+        .select("doc_id", "n_tokens", "distinct_ratio")
+    )
+    return kept
+
+
+def _curation_sql() -> str:
+    clusters = _clusters_sql().strip()
+    return rf"""
+WITH clusters AS ({clusters}),
+w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+quality AS (
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(COUNT(DISTINCT w) * 1.0 / COUNT(*), 4) AS distinct_ratio
+    FROM w GROUP BY 1
+)
+SELECT q.doc_id, q.n_tokens, q.distinct_ratio
+FROM quality q
+JOIN clusters c ON q.doc_id = c.doc_id AND c.doc_id = c.cluster_id
+WHERE q.n_tokens >= 30 AND q.distinct_ratio >= 0.35
+"""
+
+
+QUERIES["corpus_curation_pipeline"] = corpus_curation_pipeline
+ORACLES["corpus_curation_pipeline"] = _curation_sql()
