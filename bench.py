@@ -30,6 +30,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "embedding_cosine_topk",
     "text_tfidf_top_terms",
+    "corpus_curation_pipeline",
 ]
 
 

@@ -90,14 +90,20 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
     Inverted-index join: pairs are generated only for documents sharing at
     least one shingle, then J = |∩| / (|A|+|B|-|∩|) is computed from shared
-    counts — no n² cross join.  At 100 TB add a stop-shingle filter (drop
-    shingles with document frequency above a cap) to bound bucket sizes;
-    the LSH variant below is the preferred scale path.
+    counts — no n² cross join.
+
+    ``max_doc_freq`` is the stop-shingle cap for 100 TB corpora: a shingle
+    appearing in f documents contributes f² join pairs, so boilerplate
+    shingles (headers, licenses) blow the index join up quadratically.
+    Capping drops them from candidate generation AND the Jaccard sets
+    (slight under-count for docs sharing only boilerplate — exactly the
+    pairs you don't want).  Default None = exact (the oracle-checked mode).
     """
     # NOTE: the shingle index feeds three plan branches; recomputing the
     # (cheap, codegen-fused) explode+md5 per branch measured FASTER than
@@ -105,6 +111,10 @@ def ngram_jaccard_pairs(
     # serialization than the recompute saves.  Revisit only if the shingle
     # stage grows expensive (e.g. char-level shingles at 100 TB).
     sh = shingles(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        keep = freq.filter(F.col("df_") <= max_doc_freq).select("shingle")
+        sh = sh.join(F.broadcast(keep), "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (

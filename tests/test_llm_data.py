@@ -79,3 +79,31 @@ def test_multimodal_fake_decode_deterministic(spark):
     assert out1 == out2
     assert out1[1][0] == 3 and out1[2][0] == 0
     assert len(out1[1][1]) == 8
+
+
+def test_jaccard_stop_shingle_cap(spark):
+    """max_doc_freq drops boilerplate shingles from candidate generation:
+    docs sharing ONLY a ubiquitous shingle stop pairing; genuinely similar
+    docs still pair."""
+    # boilerplate shingles appear in 3 docs (df=3); genuine near-dup
+    # shingles appear in exactly 2 (df=2) — cap at 2 kills only boilerplate
+    boiler = "common header line three"
+    rows = [
+        (1, f"{boiler} unique alpha beta gamma delta"),
+        (2, f"{boiler} other epsilon zeta eta theta"),
+        (5, f"{boiler} third iota kappa lambda mu"),
+        (3, "near dup body text one two three four"),
+        (4, "near dup body text one two three five"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, threshold=0.1).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, threshold=0.1, max_doc_freq=2).collect()
+    }
+    assert (1, 2) in uncapped  # paired via the boilerplate shingles
+    assert (1, 2) not in capped  # cap kills the boilerplate-only pair
+    assert (3, 4) in capped  # genuine near-dups survive (df == 2 shingles)
