@@ -77,11 +77,15 @@ def format_topn_report(df: DataFrame) -> DataFrame:
     (HotItemAnalysis.java:204-217).  Kept OUT of the core pipeline — the
     structured rows (window_end, rank, item_id, cnt) are the testable
     contract (SURVEY.md §2.2 P4 note); this is sink-side sugar only.
+
+    The reference's onTimer fires at ``windowEnd + 1`` and prints
+    ``new Timestamp(timestamp - 1)`` — i.e. the window end itself, so the
+    rendered time is exactly ``window_end`` (no off-by-one).
     """
     return df.select(
         F.format_string(
             "time : %s  No %d -> %d : %d",
-            F.timestamp_millis(F.col("window_end") - F.lit(1)).cast("string"),
+            F.timestamp_millis(F.col("window_end")).cast("string"),
             F.col("rank"),
             F.col("item_id"),
             F.col("cnt"),

@@ -9,9 +9,9 @@ row-at-a-time UDFs require an explicit opt-in flag so they never sneak into
 a hot path.
 
 At scale: pandas UDFs move Arrow record batches between JVM and one Python
-worker per core; a row UDF pickles every row individually (10-100× slower —
-/opt/skills/guides/pyspark_guide.md).  Aggregates go through
-``applyInPandas`` (grouped-map) which shuffles once on the group key.
+worker per core; a row UDF pickles every row individually (10-100× slower).
+Aggregates go through ``applyInPandas`` (grouped-map) which shuffles once on
+the group key.
 """
 
 from __future__ import annotations

@@ -22,6 +22,8 @@ reproduce signatures bit-for-bit (plans/llm_data.py).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -262,7 +264,16 @@ def duplicate_clusters(
     iterative graph algorithms — same structure as GraphX Pregel), but all
     data work is joins/aggregations; per-round state is one (node, label)
     DataFrame.  Near-dup clusters are clique-like, so convergence is 2-3
-    rounds; ``max_iter`` bounds pathological chains.
+    rounds; ``max_iter`` bounds pathological chains and the loop WARNS if it
+    exits un-converged (a chain longer than ``max_iter`` hops would
+    otherwise silently return partial clusters).
+
+    Memory discipline at scale: at most TWO label generations are persisted
+    at any moment — the ``count()`` materializes the new generation, then
+    the superseded one is unpersisted immediately.  The returned DataFrame
+    is ``localCheckpoint``-ed (lineage truncated: 15 iterations of
+    join-on-join would otherwise blow up the planner) and all intermediate
+    cache is released before return.
     """
     pairs = ngram_jaccard_pairs(df, text_col, id_col, threshold=threshold).select(
         "id_a", "id_b"
@@ -271,6 +282,8 @@ def duplicate_clusters(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).persist()
     labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    prev: DataFrame | None = None
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.id_b == labels.node)
@@ -286,8 +299,26 @@ def duplicate_clusters(
             )
         ).persist()
         changed = new_labels.filter(F.col("label") != F.col("old")).count()
+        if prev is not None:
+            prev.unpersist()  # new generation is materialized; drop the old
+        prev = new_labels
         labels = new_labels.select("node", "label")
         if changed == 0:
+            converged = True
             break
+    if not converged and max_iter > 0:
+        warnings.warn(
+            f"duplicate_clusters: label propagation did not converge in "
+            f"{max_iter} iterations; a duplicate chain longer than {max_iter} "
+            f"hops exists and returned cluster ids are not transitively "
+            f"minimal — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    out = labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    ).localCheckpoint(eager=True)
     edges.unpersist()
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    if prev is not None:
+        prev.unpersist()
+    return out

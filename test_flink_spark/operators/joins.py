@@ -40,10 +40,15 @@ def asof_join(
     pandas ``merge_asof`` direction='backward').
 
     Spark-first implementation — NOT a per-key Python loop: tag both sides,
-    union, and run ``last(value, ignorenulls)`` over a window ordered by
-    (ts, side) per key.  One shuffle + one sort per key, fully distributed,
-    no cross join, no state on the driver.  Ordering puts the right side
-    BEFORE the left at equal timestamps, so ties are inclusive (<=).
+    union, and run ``last(match_struct, ignorenulls)`` over a window ordered
+    by (ts, side) per key, where ``match_struct`` packs the right row's
+    timestamp AND all its values and is non-null exactly for right-side rows.
+    Matching is therefore on the *row*, not per-value — a right row whose
+    value column is legitimately NULL still wins over an older non-null row
+    (pandas ``merge_asof`` / DuckDB ASOF row semantics).  One shuffle + one
+    sort per key, fully distributed, no cross join, no state on the driver.
+    Ordering puts the right side BEFORE the left at equal timestamps, so
+    ties are inclusive (<=).
 
     ``tolerance_ms`` optionally voids matches older than the tolerance
     (pandas merge_asof ``tolerance``).
@@ -74,31 +79,34 @@ def asof_join(
         .orderBy(F.col("__t").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Non-null exactly for right rows: carries the matched row atomically so
+    # NULL values inside a matched row survive (never skipped for older rows).
+    match_struct = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col("__rt").alias("__mt"),
+            *[F.col(f"__r_{v}").alias(f"__r_{v}") for v in right_values],
+        ),
+    )
     filled = unioned.select(
         *[F.col(c) for c in lcols],
         F.col("__side"),
         F.col("__t"),
-        F.last(F.col("__rt"), ignorenulls=True).over(w).alias("__matched_ts"),
-        *[
-            F.last(F.col(f"__r_{v}"), ignorenulls=True).over(w).alias(f"__r_{v}")
-            for v in right_values
-        ],
+        F.last(match_struct, ignorenulls=True).over(w).alias("__m"),
     )
     out = filled.filter(F.col("__side") == 1)
     if tolerance_ms is not None:
-        within = F.unix_millis(F.col("__t")) - F.unix_millis(F.col("__matched_ts")) <= F.lit(
-            tolerance_ms
-        )
+        within = F.unix_millis(F.col("__t")) - F.unix_millis(
+            F.col("__m.__mt")
+        ) <= F.lit(tolerance_ms)
         out = out.select(
             *[F.col(c) for c in lcols],
-            *[
-                F.when(within, F.col(f"__r_{v}")).alias(v)
-                for v in right_values
-            ],
+            *[F.when(within, F.col(f"__m.__r_{v}")).alias(v) for v in right_values],
         )
     else:
         out = out.select(
-            *[F.col(c) for c in lcols], *[F.col(f"__r_{v}").alias(v) for v in right_values]
+            *[F.col(c) for c in lcols],
+            *[F.col(f"__m.__r_{v}").alias(v) for v in right_values],
         )
     return out
 

@@ -42,4 +42,6 @@ def test_format_topn_report_p4(spark):
     )
     line = format_topn_report(df).collect()[0]["line"]
     assert "No 1 -> 42 : 7" in line
-    assert line.startswith("time : ")
+    # onTimer fires at windowEnd+1 and prints Timestamp(timestamp-1) == the
+    # window end itself: 120_000 ms = 1970-01-01 00:02:00 (UTC session tz)
+    assert line.startswith("time : 1970-01-01 00:02:00")

@@ -25,6 +25,21 @@ def test_asof_backward_inclusive(spark):
     assert got[3] is None  # nothing at or before t=50
 
 
+def test_asof_null_value_row_still_matches(spark):
+    """A right row whose value column is legitimately NULL must win over an
+    older non-null row — matching is on the row, not per-value (pandas
+    merge_asof / DuckDB ASOF row semantics)."""
+    left = _df(spark, [(1, "u", 200), (2, "u", 120)], "id INT, k STRING, t BIGINT")
+    right = _df(
+        spark,
+        [("u", 100, 1.0), ("u", 150, None)],
+        "k STRING, t BIGINT, v DOUBLE",
+    )
+    got = {r["id"]: r["v"] for r in asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()}
+    assert got[1] is None  # matched row (t=150) has NULL v — keep it
+    assert got[2] == 1.0  # t=120 still matches the t=100 row
+
+
 def test_asof_tolerance(spark):
     left = _df(spark, [(1, "u", 1000)], "id INT, k STRING, t BIGINT")
     right = _df(spark, [("u", 100, 7.0)], "k STRING, t BIGINT, v DOUBLE")

@@ -107,3 +107,43 @@ def test_jaccard_stop_shingle_cap(spark):
     assert (1, 2) in uncapped  # paired via the boilerplate shingles
     assert (1, 2) not in capped  # cap kills the boilerplate-only pair
     assert (3, 4) in capped  # genuine near-dups survive (df == 2 shingles)
+
+
+def _chain_docs(spark):
+    """Chain-shaped near-dup graph: A~B, B~C, but NOT A~C (word-window
+    overlap decays with distance) — exercises multi-hop label propagation."""
+    w = [f"w{i}" for i in range(14)]
+    rows = [
+        (1, " ".join(w[0:10])),
+        (2, " ".join(w[2:12])),
+        (3, " ".join(w[4:14])),
+        (9, "completely different singleton document body here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_duplicate_clusters_chain_and_cache_discipline(spark):
+    from test_flink_spark.operators.dedup import duplicate_clusters
+
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    out = duplicate_clusters(_chain_docs(spark), threshold=0.5)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    # transitively minimal: the whole chain collapses to min id 1
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9}
+    # cache discipline: everything unpersisted except the localCheckpoint
+    # of the returned result (≤1 extra persistent RDD)
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1, f"leaked persisted RDDs: {after - before}"
+
+
+def test_duplicate_clusters_warns_on_nonconvergence(spark):
+    import pytest as _pytest
+
+    from test_flink_spark.operators.dedup import duplicate_clusters
+
+    # a 3-node chain needs 2 rounds to reach the fixed point; max_iter=1
+    # must WARN instead of silently returning partial clusters
+    with _pytest.warns(RuntimeWarning, match="did not converge"):
+        out = duplicate_clusters(_chain_docs(spark), threshold=0.5, max_iter=1)
+        out.collect()

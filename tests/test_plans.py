@@ -59,8 +59,11 @@ def test_aggregation_partial_before_exchange(spark):
     ev = load_table(spark, SF, "events")
     df = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
     plan = _plan(df)
-    assert "partial_count" in plan
-    assert plan.index("partial_count") > plan.index("Exchange") or "Exchange" in plan
+    assert "partial_count" in plan and "Exchange" in plan
+    # formatted explain prints the operator chain top-down ending at the
+    # scan, so the map-side partial aggregate (which FEEDS the shuffle)
+    # must print AFTER the Exchange node it feeds — no escape hatch
+    assert plan.index("partial_count") > plan.index("Exchange")
     # single-column agg scans exactly one column
     m = re.search(r"ReadSchema: (\S+)", plan)
     assert m and m.group(1) == "struct<event_type:string>"

@@ -81,8 +81,13 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
     left = spark.createDataFrame(
         [(i, k, t) for i, (k, t) in enumerate(left_rows)], "id LONG, k STRING, t BIGINT"
     ).select("id", "k", F.timestamp_millis(F.col("t")).alias("ts"))
+    # every 7th timestamp carries a NULL value: row-matching semantics must
+    # surface the matched row's NULL, not skip to an older non-null row
+    def _v(t):
+        return None if t % 7 == 0 else float(t)
+
     right = spark.createDataFrame(
-        [(k, t, float(t)) for k, t in right_rows], "k STRING, t BIGINT, v DOUBLE"
+        [(k, t, _v(t)) for k, t in right_rows], "k STRING, t BIGINT, v DOUBLE"
     ).select("k", F.timestamp_millis(F.col("t")).alias("ts"), "v")
 
     got = {
@@ -94,7 +99,7 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
         [(i, k, t) for i, (k, t) in enumerate(left_rows)], columns=["id", "k", "t"]
     ).sort_values("t", kind="mergesort")
     rp = pd.DataFrame(
-        [(k, t, float(t)) for k, t in right_rows], columns=["k", "t", "v"]
+        [(k, t, _v(t)) for k, t in right_rows], columns=["k", "t", "v"]
     ).sort_values("t", kind="mergesort")
     exp_df = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
     exp = {int(r.id): (None if pd.isna(r.v) else float(r.v)) for r in exp_df.itertuples()}
