@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash
 from ..operators.multimodal import decode_stub, media_stats
-from ..operators.similarity import cosine_topk, lsh_bucket_topk, near_dup_pairs
+from ..operators.similarity import (
+    cosine_topk,
+    lsh_bucket_topk,
+    near_dup_pairs_blocked,
+    near_dup_pairs_lsh,
+)
 from ..operators.text import fingerprint, language_id, quality_scores, token_stats
 from ..schemas import load_table
 from ..session import apply_runtime_confs
@@ -273,7 +278,25 @@ SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return near_dup_pairs(_emb(spark, sf_dir), threshold=0.35, dim=EMB_DIM)
+    """Exact near-dup pairs via block-pair matmul (operators/similarity.py::
+    near_dup_pairs_blocked) — O(n·B) communication, no Cartesian product,
+    bit-identical fold arithmetic; the brute-force crossJoin form is
+    test-only and backs the SQL oracle."""
+    return near_dup_pairs_blocked(_emb(spark, sf_dir), threshold=0.35, dim=EMB_DIM)
+
+
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-candidate + exact-rerank near-dup pairs, checked against the same
+    brute-force SQL oracle.  τ=0.35 on this near-isotropic corpus sits in
+    LSH's degenerate regime, so parameters are the measured-exact setting
+    (2 planes × 24 tables: zero missed pairs at sf0.001/0.01/0.1, verified
+    against rounded-threshold brute force); the candidate shuffle still
+    carries bare id pairs, never embeddings.  The high-threshold regime
+    where LSH actually prunes (>95% at τ≥0.8) is pytest-covered on a
+    clustered corpus."""
+    return near_dup_pairs_lsh(
+        _emb(spark, sf_dir), threshold=0.35, dim=EMB_DIM, n_planes=2, n_tables=24
+    )
 
 
 def _near_dup_sql() -> str:
@@ -362,6 +385,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "embedding_cosine_topk": embedding_cosine_topk,
     "embedding_near_dup": embedding_near_dup,
+    "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "embedding_lsh_ann": embedding_lsh_ann,
     "multimodal_media_stats": multimodal_media_stats,
     "multimodal_decode_features": multimodal_decode_features,
@@ -378,6 +402,7 @@ ORACLES = {
     "dedup_simhash": _simhash_sql(),
     "embedding_cosine_topk": _topk_sql(),
     "embedding_near_dup": _near_dup_sql(),
+    "embedding_near_dup_lsh": _near_dup_sql(),
     "multimodal_media_stats": _MEDIA_STATS_SQL,
     # embedding_lsh_ann, multimodal_decode_features: engine-specific → rows-only
 }

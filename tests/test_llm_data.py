@@ -147,3 +147,58 @@ def test_duplicate_clusters_warns_on_nonconvergence(spark):
     with _pytest.warns(RuntimeWarning, match="did not converge"):
         out = duplicate_clusters(_chain_docs(spark), threshold=0.5, max_iter=1)
         out.collect()
+
+
+def test_near_dup_blocked_equals_brute(spark):
+    """Block-pair matmul all-pairs must be BIT-exact vs the brute-force
+    crossJoin form (same left-to-right fold arithmetic)."""
+    from test_flink_spark.operators.similarity import near_dup_pairs, near_dup_pairs_blocked
+
+    emb = load_table(spark, SF, "embeddings")
+    brute = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in near_dup_pairs(emb, threshold=0.35, dim=64).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in near_dup_pairs_blocked(emb, threshold=0.35, dim=64, n_blocks=5).collect()
+    }
+    assert blocked == brute and len(brute) > 0
+
+
+def _clustered_corpus(spark, n_clusters=8, per_cluster=25, dim=16):
+    """Deterministic clustered vectors: unit-ish centers + small noise —
+    within-cluster cosine > 0.9, across-cluster well below 0.5."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(n_clusters, dim))
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + rng.normal(scale=0.05, size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+
+def test_near_dup_lsh_exact_in_high_threshold_regime(spark):
+    """At τ=0.85 (the regime near-dup dedup actually runs at) LSH candidate
+    generation with 8 planes × 4 tables retains EVERY true pair on a
+    clustered corpus — output identical to brute force."""
+    from test_flink_spark.operators.similarity import near_dup_pairs, near_dup_pairs_lsh
+
+    corpus = _clustered_corpus(spark)
+    brute = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in near_dup_pairs(corpus, threshold=0.85, dim=16).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in near_dup_pairs_lsh(
+            corpus, threshold=0.85, dim=16, n_planes=8, n_tables=4
+        ).collect()
+    }
+    assert len(brute) > 100  # the corpus genuinely has near-dup structure
+    assert lsh == brute

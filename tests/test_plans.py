@@ -74,3 +74,14 @@ def test_semi_join_stays_semi(spark):
 
     plan = _plan(semi_join_big_lineitems(spark, SF))
     assert "LeftSemi" in plan  # not rewritten into a full join + distinct
+
+
+def test_near_dup_registered_plan_has_no_cross_join(spark):
+    """The registered embedding_near_dup queries must not contain a
+    Cartesian/nested-loop product — the brute-force form is test-only."""
+    from test_flink_spark.plans.llm_data import embedding_near_dup, embedding_near_dup_lsh
+
+    for q in (embedding_near_dup, embedding_near_dup_lsh):
+        plan = _plan(q(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
