@@ -137,8 +137,10 @@ def _bucket_expand(
     id_alias: str,
     vec_alias: str,
     norm_alias: str,
+    keep_buckets: bool = False,
 ) -> DataFrame:
-    """One row per (vector, hash table): ``(id, vec, norm, table, bucket)``.
+    """One row per (vector, hash table): ``(id, vec, norm, table, bucket)``
+    (plus the full per-table bucket array when ``keep_buckets``).
 
     One Arrow-batched numpy matmul computes ALL table buckets per batch:
     (batch × dim) @ (dim × n_tables·n_planes) → sign bits → bucket ints.
@@ -163,8 +165,11 @@ def _bucket_expand(
     base = df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)).withColumn(
         norm_alias, _norm(F.col(vec_alias), dim)
     ).withColumn("__buckets", all_buckets(F.col(vec_alias)))
+    cols = [id_alias, vec_alias, norm_alias]
+    if keep_buckets:
+        cols.append("__buckets")
     return base.select(
-        id_alias, vec_alias, norm_alias, F.posexplode(F.col("__buckets")).alias("table", "bucket")
+        *cols, F.posexplode(F.col("__buckets")).alias("table", "bucket")
     )
 
 
@@ -257,6 +262,7 @@ def near_dup_pairs_lsh(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_vectors: bool = False,
 ) -> DataFrame:
     """LSH-routed near-duplicate pairs: candidates = id pairs sharing a
     bucket in ANY hash table, deduplicated as bare (id_a, id_b) BEFORE
@@ -274,17 +280,32 @@ def near_dup_pairs_lsh(
       For that regime use ``near_dup_pairs_blocked`` (exact by design, no
       recall tuning).  Both are registered queries; the parameter choice is
       the operator's documented contract, not a hidden fallback.
+
+    ``broadcast_vectors=True`` ships the (id → vec, norm) side to every
+    executor for the re-rank instead of shuffling candidate pairs against
+    it — right whenever the vector table fits executor memory (1M × 64-dim
+    float64 ≈ 512 MB is the practical ceiling); beyond that leave it False
+    and the re-rank degrades gracefully to a shuffle join on id.
     """
     e = _bucket_expand(
-        corpus, dim, n_planes, n_tables, id_col, vec_col, "vid", "vv", "nv"
+        corpus, dim, n_planes, n_tables, id_col, vec_col, "vid", "vv", "nv",
+        keep_buckets=True,
     )
-    a = e.select(F.col("vid").alias("id_a"), "table", "bucket")
-    b = e.select(F.col("vid").alias("id_b"), "table", "bucket")
+    a = e.select(F.col("vid").alias("id_a"), F.col("__buckets").alias("ba"), "table", "bucket")
+    b = e.select(F.col("vid").alias("id_b"), F.col("__buckets").alias("bb"), "table", "bucket")
+    # First-collision dedup: a pair is emitted ONLY by the first table whose
+    # buckets match (checked against the carried bucket arrays) — pairs are
+    # unique by construction, so no dedup shuffle + no aggregation hash
+    # table over the candidate volume.  A cheap 24-element zip per joined
+    # row replaces an exchange over every duplicated candidate.
+    first_coll = F.array_position(
+        F.zip_with(F.col("ba"), F.col("bb"), lambda x, y: x == y), F.lit(True)
+    )
     cand = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(first_coll == F.col("table") + 1)
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])  # union of tables, ids only
     )
     va = corpus.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
@@ -292,6 +313,8 @@ def near_dup_pairs_lsh(
     vb = corpus.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
     ).withColumn("nb", _norm(F.col("vb"), dim))
+    if broadcast_vectors:
+        va, vb = F.broadcast(va), F.broadcast(vb)
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")

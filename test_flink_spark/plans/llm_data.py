@@ -295,7 +295,8 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     where LSH actually prunes (>95% at τ≥0.8) is pytest-covered on a
     clustered corpus."""
     return near_dup_pairs_lsh(
-        _emb(spark, sf_dir), threshold=0.35, dim=EMB_DIM, n_planes=2, n_tables=24
+        _emb(spark, sf_dir), threshold=0.35, dim=EMB_DIM, n_planes=2, n_tables=24,
+        broadcast_vectors=True,  # embeddings table ≪ executor memory here
     )
 
 
