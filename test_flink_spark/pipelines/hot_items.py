@@ -68,5 +68,7 @@ def streaming_top_n_pipeline(raw_lines: DataFrame, n: int = 3) -> DataFrame:
     end (CountAgg + TopNHotItems collapsed — Spark rejects a stateful map
     chained after a streaming aggregation).  Returns the unstarted stream."""
     parsed = parse_user_behavior(raw_lines)
-    pv = ascending_watermark(parsed.filter(F.col("behavior") == "pv"), "ts")
+    # no watermark here: streaming_windowed_top_n owns watermark placement
+    # (it must sit above the map-side combine)
+    pv = parsed.filter(F.col("behavior") == "pv")
     return streaming_windowed_top_n(pv, ts_col="ts", item_col="item_id", n=n)

@@ -23,6 +23,44 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamReader
 
 
+def java_pattern_to_kafka(pattern: str) -> str:
+    """Translate the reference's Java topic regex to Kafka's (Java-regex
+    compatible) ``subscribePattern`` with the one idiom change that matters:
+    ``\\S+`` (HotMediaTrack.java:61) matches any non-space run, which for
+    topic names — where whitespace is illegal — is exactly ``.+``."""
+    return pattern.replace("\\S+", ".+").replace("\\S*", ".*")
+
+
+def kafka_options(
+    bootstrap_servers: str,
+    *,
+    topic: str | None = None,
+    topic_pattern: str | None = None,
+    starting_offsets: str = "latest",
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """The full option map for the Kafka source — a pure function so the
+    reader contract (subscription mode, offsets, data-loss policy) is
+    testable without a broker.
+
+    Exactly one of topic/topic_pattern must be given.  ``failOnDataLoss``
+    defaults off: the reference consumes from ``latest`` with no reset
+    handling, so expired offsets must not kill the job.
+    """
+    if (topic is None) == (topic_pattern is None):
+        raise ValueError("exactly one of topic / topic_pattern required")
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if topic is not None:
+        opts["subscribe"] = topic
+    else:
+        opts["subscribePattern"] = java_pattern_to_kafka(topic_pattern)
+    return opts
+
+
 def kafka_reader(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -34,22 +72,16 @@ def kafka_reader(
     """Configured (unloaded) Kafka stream reader.
 
     ``topic_pattern`` maps the reference's regex subscription
-    (``log_track_\\S+`` → ``subscribePattern=log_track_.*``); exactly one of
+    (``log_track_\\S+`` → ``subscribePattern=log_track_.+``); exactly one of
     topic/topic_pattern must be given.
     """
-    if (topic is None) == (topic_pattern is None):
-        raise ValueError("exactly one of topic / topic_pattern required")
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "false")
+    opts = kafka_options(
+        bootstrap_servers,
+        topic=topic,
+        topic_pattern=topic_pattern,
+        starting_offsets=starting_offsets,
     )
-    if topic is not None:
-        reader = reader.option("subscribe", topic)
-    else:
-        reader = reader.option("subscribePattern", topic_pattern)
-    return reader
+    return spark.readStream.format("kafka").options(**opts)
 
 
 def with_topic_and_value(df: DataFrame) -> DataFrame:

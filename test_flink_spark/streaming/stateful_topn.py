@@ -125,7 +125,8 @@ def streaming_top_n(
 def _windowed_topn_func(top_size: int):
     """Fused CountAgg + TopNHotItems: state is the per-item count map of one
     window-end key, updated incrementally (the reference's window accumulator
-    + ListState collapsed into one keyed state)."""
+    + ListState collapsed into one keyed state).  Input rows carry a ``cnt``
+    partial count (1 for raw events, >1 when the map-side combine ran)."""
 
     def func(
         key: tuple[Any, ...],
@@ -151,7 +152,7 @@ def _windowed_topn_func(top_size: int):
         item_ids, cnts = state.get if state.exists else ([], [])
         acc = dict(zip(item_ids, cnts))
         for pdf in pdfs:
-            for item, c in pdf.groupby("item_id").size().items():
+            for item, c in pdf.groupby("item_id")["cnt"].sum().items():
                 acc[item] = acc.get(item, 0) + int(c)
         state.update((list(acc.keys()), list(acc.values())))
         end_ms = int(window_end.timestamp() * 1000)
@@ -170,30 +171,115 @@ def streaming_windowed_top_n(
     n: int = 3,
     size_ms: int = 3_600_000,
     slide_ms: int = 300_000,
+    partial_combine: bool = True,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """End-to-end streaming sliding-window Top-N in ONE stateful operator.
 
-    ``events`` is a watermarked stream of raw rows.  Each event is assigned
-    its size/slide window ends declaratively (JVM-side explode — the same
-    multiplicity Flink's window assigner produces), then one
-    applyInPandasWithState keyed by window end counts per item and fires at
-    window_end + 1 ms.  State per key is O(distinct items), the shuffle is
-    the single groupBy — matching the reference's two keyBys collapsed to
+    ``events`` is an UN-watermarked stream of raw rows — this operator owns
+    watermark placement, because with the map-side combine the watermark
+    must be (re)defined on the combined rows' event-time column, and Spark
+    forbids redefining an upstream watermark.  Pass the lateness tolerance
+    via ``watermark_delay`` ('0 seconds' = the reference's ascending-input
+    assumption, W1/W2; larger = W3 bounded lateness).
+
+    Each event belongs to
+    size/slide overlapping windows (12 for 1 h / 5 min); the stateful
+    operator is keyed by window end and fires at window_end + 1 ms.  State
+    per key is O(distinct items) — the reference's two keyBys collapsed to
     one exchange.
+
+    **Map-side combine (default on):** naively exploding each raw event
+    into its 12 window-end copies before the shuffle carries O(events x 12)
+    rows with no pre-aggregation — exactly the fan-out Flink avoids by
+    assigning windows post-shuffle.  With ``partial_combine`` the pipeline
+    is:
+
+        1. stateless ``mapInPandas`` pre-shuffle: per Arrow batch, count
+           events per (item, slide bucket) — output one row per distinct
+           pair carrying ``cnt`` and the batch-max event time,
+        2. JVM-side explode of each bucket row into its 12 window ends,
+        3. the keyed stateful operator sums ``cnt``.
+
+    The exchange then carries O(distinct(item, bucket) x 12) rows per
+    micro-batch instead of O(events x 12) — the saving is the
+    events-per-(item, bucket) DENSITY factor, which grows linearly with
+    event rate at a fixed item catalog (the production trajectory: the
+    reference's item catalog is bounded, traffic is not).  Cost: one extra
+    Arrow crossing before the shuffle.
+
+    Measured (local[4], 100k events, identical outputs both modes):
+
+    ======================  =========  ============  ==========
+    workload                density    combine eps   naive eps
+    ======================  =========  ============  ==========
+    997 items, 3 s apart      ~0.1/pr      11k/s        20k/s
+    200 items, 10 ms apart   ~150/pr      52k/s        42k/s
+    ======================  =========  ============  ==========
+
+    i.e. the combine pays off once density exceeds ~a handful of events
+    per (item, bucket) per micro-batch, and on a real cluster the
+    crossover is far lower (the local shuffle is an in-memory copy; the
+    cluster exchange is network + disk).  Default True because the 100 TB
+    regime is deeply in the dense zone; set False for sparse/low-rate
+    streams.  ``run_streaming_foreach_batch`` (native window aggregation +
+    per-batch rank, fully JVM-side with map-side partial aggregation for
+    free) remains the default production strategy; this operator is the
+    faithful incremental port.
+
+    Watermark correctness under the combine: the combined row's event time
+    is the MAX raw event time of its group, so max-over-batch — what the
+    watermark tracks — is unchanged; the watermark is re-asserted on that
+    column after the map (mapInPandas output carries no event-time
+    metadata).
     """
     n_windows = size_ms // slide_ms
-    ends = F.transform(
-        F.sequence(F.lit(1), F.lit(n_windows)),
-        lambda j: F.timestamp_millis(
-            (F.floor(F.unix_millis(F.col(ts_col)) / slide_ms) + j) * slide_ms
-        ),
-    )
-    exploded = events.select(
-        F.col(item_col).alias("item_id"),
-        F.col(ts_col),
-        F.explode(ends).alias("window_end"),
-    )
-    return exploded.groupBy("window_end").applyInPandasWithState(
+    if partial_combine:
+        bucketed = events.select(
+            F.col(item_col).alias("item_id"),
+            F.col(ts_col).alias("__ts"),
+            F.floor(F.unix_millis(F.col(ts_col)) / slide_ms).alias("bucket"),
+        )
+
+        def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                yield (
+                    pdf.groupby(["item_id", "bucket"], as_index=False)
+                    .agg(__ts=("__ts", "max"), cnt=("__ts", "size"))
+                )
+
+        partial = bucketed.mapInPandas(
+            combine, schema="item_id long, bucket long, __ts timestamp, cnt long"
+        ).withWatermark("__ts", watermark_delay)
+        # __ts stays in the projection: the analyzer requires the
+        # watermarked column to flow into the stateful operator
+        src = partial.select(
+            "item_id",
+            "cnt",
+            "__ts",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(n_windows)),
+                    lambda j: F.timestamp_millis((F.col("bucket") + j) * slide_ms),
+                )
+            ).alias("window_end"),
+        )
+    else:
+        ends = F.transform(
+            F.sequence(F.lit(1), F.lit(n_windows)),
+            lambda j: F.timestamp_millis(
+                (F.floor(F.unix_millis(F.col(ts_col)) / slide_ms) + j) * slide_ms
+            ),
+        )
+        src = events.withWatermark(ts_col, watermark_delay).select(
+            F.col(item_col).alias("item_id"),
+            F.lit(1).cast("long").alias("cnt"),
+            F.col(ts_col),
+            F.explode(ends).alias("window_end"),
+        )
+    return src.groupBy("window_end").applyInPandasWithState(
         _windowed_topn_func(n),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,

@@ -72,6 +72,69 @@ def test_hot_items_streaming_matches_batch_oracle(spark, tmpdirs):
     assert any(v == (100, 2) for k, v in got_m.items() if k[1] == 1)
 
 
+def test_stateful_topn_combine_modes_equivalent(spark, tmpdirs):
+    """The map-side-combine and naive fan-out paths of the fused stateful
+    Top-N must emit identical rows (same fixture as the batch-oracle test)."""
+    from test_flink_spark.functions.parsing import parse_user_behavior
+    from test_flink_spark.streaming.stateful_topn import streaming_windowed_top_n
+
+    results = {}
+    for mode in (True, False):
+        src = tmpdirs / f"src_{mode}"
+        src.mkdir()
+        _write_lines(src, "b1.csv", BATCH1)
+        stream = text_lines(spark, str(src), streaming=True)
+        pv = parse_user_behavior(stream).filter(F.col("behavior") == "pv")
+        out = streaming_windowed_top_n(
+            pv, ts_col="ts", item_col="item_id", n=3, partial_combine=mode
+        )
+        q = start_memory(out, f"topn_mode_{mode}", str(tmpdirs / f"ckpt_{mode}"))
+        try:
+            q.processAllAvailable()
+            _write_lines(src, "b2.csv", BATCH2)
+            q.processAllAvailable()
+            results[mode] = sorted(
+                (r["window_end"], r["rank"], r["item_id"], r["cnt"])
+                for r in spark.table(f"topn_mode_{mode}").collect()
+            )
+        finally:
+            q.stop()
+    assert results[True] == results[False]
+    assert results[True]  # non-vacuous: rows actually fired
+
+
+def test_stateful_topn_combine_plan_shape(spark):
+    """Plan gate for the fan-out fix: with the combine, a MapInPandas
+    (partial per-(item,bucket) count) must sit BEFORE the shuffle feeding
+    the stateful operator; the naive path must not pay the extra crossing."""
+    from test_flink_spark.functions.parsing import parse_user_behavior
+    from test_flink_spark.streaming.stateful_topn import streaming_windowed_top_n
+
+    def plan_of(combine: bool) -> str:
+        stream = spark.readStream.format("rate").load().select(
+            F.concat_ws(
+                ",",
+                F.col("value"),
+                (F.col("value") % 997),
+                F.lit(7),
+                F.lit("pv"),
+                F.unix_seconds(F.col("timestamp")),
+            ).alias("value")
+        )
+        pv = parse_user_behavior(stream).filter(F.col("behavior") == "pv")
+        out = streaming_windowed_top_n(
+            pv, ts_col="ts", item_col="item_id", partial_combine=combine
+        )
+        return out._jdf.queryExecution().analyzed().toString()
+
+    with_combine = plan_of(True)
+    naive = plan_of(False)
+    assert "MapInPandas" in with_combine
+    assert "MapInPandas" not in naive
+    for p in (with_combine, naive):
+        assert "FlatMapGroupsInPandasWithState" in p
+
+
 def test_hot_media_streaming_counts(spark, tmpdirs):
     src = tmpdirs / "src"
     src.mkdir()
