@@ -80,6 +80,82 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(F.col(id_col), pred.alias("pred_lang"))
 
 
+def bigrams(text: Column) -> Column:
+    """Adjacent word pairs as 'w1 w2' strings (documents with <2 words →
+    empty array; the size guard avoids Spark's descending sequence(1, 0))."""
+    ws = words(text)
+    return F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition signals (the boilerplate/spam filter of a
+    training-data pipeline): bigram count, distinct-bigram ratio, and the
+    share of the document taken by its single most repeated bigram.
+
+    Plan shape for 100 TB: explode to (doc, bigram), count per pair, then
+    re-aggregate per doc.  Both aggregations are partially aggregated
+    map-side, so the first exchange carries one row per distinct
+    (doc, bigram) per map partition — repeated bigrams (the thing being
+    measured) collapse before they're shuffled — and the second carries
+    per-pair counts.  Deliberately NOT the O(tokens^2) pure-expression
+    form: a 100k-token document would blow up quadratically there, while
+    this stays linear."""
+    bi = df.select(F.col(id_col), F.explode(bigrams(F.col(text_col))).alias("bg"))
+    per_pair = bi.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
+    return per_pair.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 4).alias("distinct_bigram_ratio"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_share"),
+    )
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    chunk_size: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    sequence-packing step that turns a cleaned corpus into training rows.
+
+    chunk i covers tokens [i*stride, i*stride + chunk_size); the last chunk
+    is the first one whose window reaches the final token (short tails are
+    NOT emitted as extra fragments).  Pure per-row expression + posexplode:
+    map-side only, no shuffle, scales with input splits.
+    """
+    if not 0 < stride <= chunk_size:
+        raise ValueError(f"need 0 < stride <= chunk_size, got {stride}/{chunk_size}")
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    # number of windows: 1 + ceil(max(n - chunk_size, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(chunk_size), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(ws, i * stride + 1, chunk_size),
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "toks"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long"),
+            F.array_join(F.col("toks"), " ").alias("chunk_text"),
+            F.size(F.col("toks")).cast("long").alias("n_chunk_tokens"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprints: md5 of whitespace-normalized text (exact-dup
     key) + a 60-bit rolling content hash folded from word hashes (order-

@@ -669,3 +669,149 @@ WHERE q.n_tokens >= 30 AND q.distinct_ratio >= 0.35
 
 QUERIES["corpus_curation_pipeline"] = corpus_curation_pipeline
 ORACLES["corpus_curation_pipeline"] = _curation_sql()
+
+
+# ---------------------------------------------------------------------------
+# Dataset assembly: deterministic splits, repetition filtering, sequence
+# chunking, corpus mix governance.
+# ---------------------------------------------------------------------------
+
+def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed train/val/test assignment
+    (operators/sampling.py) — stable across retries/engines, shuffle-free."""
+    from ..operators.sampling import train_val_test_split
+
+    return train_val_test_split(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "split"
+    )
+
+
+def _split_sql() -> str:
+    from ..operators.sampling import split_oracle_sql
+
+    return f"SELECT doc_id, lang, {split_oracle_sql()} AS split FROM documents"
+
+
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document bigram repetition signals (operators/text.py) — the
+    boilerplate/spam axis of corpus quality filtering."""
+    from ..operators.text import repetition_scores
+
+    return repetition_scores(_docs(spark, sf_dir))
+
+
+_REPETITION_SQL = r"""
+WITH w AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+),
+b AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i + 1])) AS bg
+    FROM w
+),
+pp AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY 1, 2)
+SELECT doc_id,
+       SUM(c) AS n_bigrams,
+       COUNT(*) AS n_distinct_bigrams,
+       ROUND(COUNT(*) * 1.0 / SUM(c), 4) AS distinct_bigram_ratio,
+       ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top_bigram_share
+FROM pp GROUP BY 1
+"""
+
+
+def doc_chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 32 / stride 24) — corpus →
+    training-sequence rows, map-side only (operators/text.py)."""
+    from ..operators.text import chunk_token_windows
+
+    return chunk_token_windows(_docs(spark, sf_dir), chunk_size=32, stride=24)
+
+
+_CHUNK_WINDOWS_SQL = r"""
+WITH w AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+),
+n AS (
+    SELECT doc_id, ws,
+           CAST(1 + ceil(greatest(len(ws) - 32, 0) / 24.0) AS BIGINT) AS n_chunks
+    FROM w
+),
+idx AS (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS chunk_idx FROM n)
+SELECT doc_id, chunk_idx,
+       array_to_string(ws[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+           AS chunk_text,
+       CAST(len(ws[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS BIGINT)
+           AS n_chunk_tokens
+FROM idx
+"""
+
+
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) governance report: volume, token share of the
+    whole corpus, and split balance (proof the hash split stratifies every
+    slice at the configured rates without stratified sampling)."""
+    from pyspark.sql import Window
+
+    from ..operators.sampling import train_val_test_split
+    from ..operators.text import words
+
+    docs = train_val_test_split(_docs(spark, sf_dir)).withColumn(
+        "n_tokens", F.size(words(F.col("text"))).cast("long")
+    )
+    agg = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+        F.sum((F.col("split") == "val").cast("long")).alias("n_val"),
+        F.sum((F.col("split") == "test").cast("long")).alias("n_test"),
+    )
+    # single-partition window over ~|sources x langs| grouped rows — fine
+    return agg.withColumn(
+        "token_share",
+        F.round(
+            F.col("total_tokens") / F.sum("total_tokens").over(Window.partitionBy()),
+            6,
+        ),
+    )
+
+
+def _mix_sql() -> str:
+    from ..operators.sampling import split_oracle_sql
+
+    return rf"""
+WITH d AS (
+    SELECT source, lang,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           {split_oracle_sql()} AS split
+    FROM documents
+),
+agg AS (
+    SELECT source, lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+           SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+           SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
+           SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+    FROM d GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, total_tokens, n_train, n_val, n_test,
+       ROUND(total_tokens * 1.0 / SUM(total_tokens) OVER (), 6) AS token_share
+FROM agg
+"""
+
+
+QUERIES.update(
+    {
+        "corpus_train_split": corpus_train_split,
+        "text_repetition_scores": text_repetition_scores,
+        "doc_chunk_token_windows": doc_chunk_token_windows,
+        "corpus_mix_report": corpus_mix_report,
+    }
+)
+ORACLES.update(
+    {
+        "corpus_train_split": _split_sql(),
+        "text_repetition_scores": _REPETITION_SQL,
+        "doc_chunk_token_windows": _CHUNK_WINDOWS_SQL,
+        "corpus_mix_report": _mix_sql(),
+    }
+)

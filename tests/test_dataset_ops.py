@@ -1,0 +1,109 @@
+"""Dataset-assembly operator tests: deterministic splits/samples, repetition
+scoring, token-window chunking (the differential oracle covers parity with
+DuckDB; these pin the operator CONTRACTS on constructed inputs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from test_flink_spark.operators.sampling import (
+    deterministic_sample,
+    train_val_test_split,
+)
+from test_flink_spark.operators.text import chunk_token_windows, repetition_scores
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_split_is_deterministic_and_partitioning_invariant(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = train_val_test_split(df).select("doc_id", "split")
+    b = train_val_test_split(df.repartition(7)).select("doc_id", "split")
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+    # rates land near the configured weights (hash uniformity)
+    frac = {
+        r["split"]: r["n"] / 2000
+        for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(frac["train"] - 0.9) < 0.03
+    assert abs(frac.get("val", 0) - 0.05) < 0.02
+    assert abs(frac.get("test", 0) - 0.05) < 0.02
+    # splits partition the input: every row exactly one split
+    assert a.count() == 2000
+
+
+def test_split_rejects_bad_weights(spark):
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        train_val_test_split(df, weights=(0.5, 0.2, 0.2))
+
+
+def test_samples_are_nested_and_stable(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s10 = set(r["doc_id"] for r in deterministic_sample(df, 0.10).collect())
+    s25 = set(r["doc_id"] for r in deterministic_sample(df, 0.25).collect())
+    assert s10 <= s25  # threshold sampling nests by construction
+    assert abs(len(s10) / 2000 - 0.10) < 0.03
+    # a different salt draws an (essentially) independent sample
+    other = set(
+        r["doc_id"] for r in deterministic_sample(df, 0.10, salt="fold2").collect()
+    )
+    assert other != s10
+
+
+def test_repetition_scores_on_constructed_docs(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b a b a b"),       # bigrams: ab ba ab ba ab -> top 'a b' 3/5
+            (2, "w x y z"),           # all distinct
+            (3, "solo"),              # <2 words: no row
+        ],
+    )
+    got = {r["doc_id"]: r for r in repetition_scores(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_bigrams"] == 5
+    assert got[1]["n_distinct_bigrams"] == 2
+    assert got[1]["top_bigram_share"] == pytest.approx(0.6)
+    assert got[2]["distinct_bigram_ratio"] == pytest.approx(1.0)
+
+
+def test_chunk_token_windows_exact_layout(spark):
+    # 10 tokens, size 4, stride 3 -> chunks at 0,3,6 cover token 10? last
+    # window must REACH the final token: 1 + ceil((10-4)/3) = 3 chunks,
+    # starts 0,3,6 -> covers tokens 1..10
+    text = " ".join(f"t{i}" for i in range(1, 11))
+    df = _docs(spark, [(1, text)])
+    rows = sorted(
+        (r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_token_windows(df, chunk_size=4, stride=3).collect()
+    )
+    assert rows == [
+        (0, "t1 t2 t3 t4", 4),
+        (1, "t4 t5 t6 t7", 4),
+        (2, "t7 t8 t9 t10", 4),
+    ]
+    # short doc: one (short) chunk
+    short = chunk_token_windows(_docs(spark, [(2, "a b")]), 4, 3).collect()
+    assert [(r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"]) for r in short] == [
+        (0, "a b", 2)
+    ]
+    with pytest.raises(ValueError):
+        chunk_token_windows(df, chunk_size=4, stride=5)
+
+
+def test_chunk_token_windows_is_shuffle_free(spark):
+    """Chunking must stay map-side: no Exchange in the plan."""
+    import contextlib
+    import io
+
+    from test_flink_spark.schemas import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        chunk_token_windows(docs).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
