@@ -108,6 +108,10 @@ def repetition_scores(
     per-pair counts.  Deliberately NOT the O(tokens^2) pure-expression
     form: a 100k-token document would blow up quadratically there, while
     this stays linear."""
+    # a single-file parquet corpus arrives as ONE partition; the explode +
+    # first aggregation are compute-bound, so fan out before them (the
+    # groupBys shuffle anyway — this adds parallelism, not a new barrier)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     bi = df.select(F.col(id_col), F.explode(bigrams(F.col(text_col))).alias("bg"))
     per_pair = bi.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
     return per_pair.groupBy(id_col).agg(

@@ -285,19 +285,76 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_blocked(_emb(spark, sf_dir), threshold=0.35, dim=EMB_DIM)
 
 
+_LSH_PLANES = 6
+_LSH_TABLES = 8
+
+
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-candidate + exact-rerank near-dup pairs, checked against the same
-    brute-force SQL oracle.  τ=0.35 on this near-isotropic corpus sits in
-    LSH's degenerate regime, so parameters are the measured-exact setting
-    (2 planes × 24 tables: zero missed pairs at sf0.001/0.01/0.1, verified
-    against rounded-threshold brute force); the candidate shuffle still
-    carries bare id pairs, never embeddings.  The high-threshold regime
-    where LSH actually prunes (>95% at τ≥0.8) is pytest-covered on a
-    clustered corpus."""
+    """LSH-candidate + exact-rerank near-dup pairs at the SELECTIVE
+    parameter point (6 planes × 8 tables = 64 buckets/table): candidates are
+    ~12% of all pairs on this near-isotropic corpus instead of ~99.8% at the
+    full-recall setting (2 planes × 24 tables), which measured 33 s at sf0.1
+    — a cross join wearing an LSH costume.  The price is recall (~36% of
+    τ=0.35 borderline pairs here; ≥98% in the real near-dup regime sim≥0.9,
+    pytest-measured on a clustered corpus) — which is why the ORACLE for
+    this query reproduces the whole ALGORITHM in SQL (md5-seeded planes →
+    sign buckets → first-collision candidate dedup → exact rerank), not the
+    brute-force semantics: the driver verifies every emitted pair and every
+    recall loss bit-for-bit.  Exact-by-construction near-dup at low
+    thresholds is ``embedding_near_dup`` (block matmul)."""
     return near_dup_pairs_lsh(
-        _emb(spark, sf_dir), threshold=0.35, dim=EMB_DIM, n_planes=2, n_tables=24,
+        _emb(spark, sf_dir), threshold=0.35, dim=EMB_DIM,
+        n_planes=_LSH_PLANES, n_tables=_LSH_TABLES,
         broadcast_vectors=True,  # embeddings table ≪ executor memory here
     )
+
+
+def _near_dup_lsh_sql() -> str:
+    """DuckDB replica of near_dup_pairs_lsh: same hyperplanes (md5-seeded),
+    same sign-bit buckets, same first-collision dedup, same rerank/round."""
+    from ..operators.similarity import hyperplanes_seeded
+
+    rows = []
+    for t in range(_LSH_TABLES):
+        planes = hyperplanes_seeded(EMB_DIM, _LSH_PLANES, seed=t)
+        for p, coefs in enumerate(planes):
+            lit = ", ".join(repr(c) for c in coefs)
+            rows.append(f"({t}, {p}, [{lit}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    dot = _DOT.format(a="v.embedding", b="pl.coefs", d=EMB_DIM + 1)
+    cos = _cos_sql("va.embedding", "vb.embedding")
+    return f"""
+WITH planes(t, p, coefs) AS (VALUES
+{values}
+),
+v AS (SELECT vec_id, embedding FROM embeddings),
+dots AS (
+    SELECT v.vec_id, pl.t, pl.p, {dot} AS dot
+    FROM v CROSS JOIN planes pl
+),
+bk AS (
+    SELECT vec_id, t,
+           CAST(SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+    FROM dots GROUP BY 1, 2
+),
+barr AS (SELECT vec_id, list(bucket ORDER BY t) AS buckets FROM bk GROUP BY 1),
+e AS (SELECT bk.vec_id, bk.t, bk.bucket, barr.buckets
+      FROM bk JOIN barr USING (vec_id)),
+cand AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM e a JOIN e b ON a.t = b.t AND a.bucket = b.bucket
+                      AND a.vec_id < b.vec_id
+    WHERE list_position(
+              list_transform(range(1, {_LSH_TABLES + 1}),
+                             i -> a.buckets[i] = b.buckets[i]),
+              true) = a.t + 1
+)
+SELECT c.id_a, c.id_b, ROUND({cos}, 4) AS sim
+FROM cand c
+JOIN embeddings va ON va.vec_id = c.id_a
+JOIN embeddings vb ON vb.vec_id = c.id_b
+WHERE ROUND({cos}, 4) >= 0.35
+"""
 
 
 def _near_dup_sql() -> str:
@@ -403,7 +460,7 @@ ORACLES = {
     "dedup_simhash": _simhash_sql(),
     "embedding_cosine_topk": _topk_sql(),
     "embedding_near_dup": _near_dup_sql(),
-    "embedding_near_dup_lsh": _near_dup_sql(),
+    "embedding_near_dup_lsh": _near_dup_lsh_sql(),
     "multimodal_media_stats": _MEDIA_STATS_SQL,
     # embedding_lsh_ann, multimodal_decode_features: engine-specific → rows-only
 }
