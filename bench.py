@@ -89,8 +89,17 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — throughput is auxiliary evidence
         print(f"# streaming bench skipped: {e}", file=sys.stderr)
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1950:  # the driver records a 2000-char stdout tail
-        print(f"# WARNING: bench JSON line {len(line)} chars", file=sys.stderr)
+    # The driver records a 2000-char stdout tail; a longer line would lose
+    # its HEAD (metric/value) and stop parsing.  Degrade gracefully: fold
+    # the fastest queries into one aggregate entry until the line fits —
+    # regression-relevant (slow) queries always stay itemized.
+    while len(line) > 1950 and len(out["queries"]) > 1:
+        q = out["queries"]
+        fastest = min((n for n in q if n != "_fast"), key=q.get)
+        fold = q.pop("_fast", {"n": 0, "sec": 0.0})
+        fold = {"n": fold["n"] + 1, "sec": round(fold["sec"] + q.pop(fastest), 2)}
+        q["_fast"] = fold
+        line = json.dumps(out, separators=(",", ":"))
     print(line)
 
 

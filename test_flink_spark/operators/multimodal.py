@@ -52,11 +52,31 @@ def media_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-def repartition_by_bytes(df: DataFrame, target_bytes: int, payload_col: str = "payload") -> DataFrame:
+def repartition_by_bytes(
+    df: DataFrame,
+    target_bytes: int,
+    payload_col: str = "payload",
+    sample_fraction: float | None = None,
+) -> DataFrame:
     """Byte-aware repartitioning: estimate total payload bytes and pick the
     partition count so each partition holds ~target_bytes of media, not
-    ~equal row counts (rows vary 1000× in size across modalities)."""
-    total = df.select(F.sum(F.octet_length(F.col(payload_col)))).first()[0] or 0
+    ~equal row counts (rows vary 1000× in size across modalities).
+
+    EAGER: runs one scalar aggregation job over ``payload_col`` before
+    returning (a transformation-shaped API cannot otherwise know the byte
+    volume — callers sizing a 100 TB decode stage pay one column scan to
+    avoid OOMing it).  Pass ``sample_fraction`` to estimate from a Bernoulli
+    sample instead — at scale the mean payload size converges fast, and the
+    sampled scan reads proportionally less of the (payload-only, column-
+    pruned) input."""
+    sized = df.select(F.octet_length(F.col(payload_col)).alias("b"))
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
+        est = sized.sample(fraction=sample_fraction, seed=7).select(F.sum("b")).first()[0]
+        total = int((est or 0) / sample_fraction)
+    else:
+        total = sized.select(F.sum("b")).first()[0] or 0
     parts = max(1, int(total / max(target_bytes, 1)))
     return df.repartition(parts)
 
