@@ -259,11 +259,13 @@ def duplicate_clusters(
     cluster, drop the rest.
 
     Algorithm: min-label propagation — labels start as own id; each round
-    every node takes min(label, neighbors' labels) until a fixed point.
-    Iterations are driver-coordinated (the one sanctioned driver loop:
-    iterative graph algorithms — same structure as GraphX Pregel), but all
-    data work is joins/aggregations; per-round state is one (node, label)
-    DataFrame.  Near-dup clusters are clique-like, so convergence is 2-3
+    every node takes min(label, neighbors' labels) until a fixed point,
+    detected as "exact decimal sum of labels unchanged" (labels only ever
+    decrease), which costs one scalar aggregate instead of a join against
+    the previous generation.  Iterations are driver-coordinated (the one
+    sanctioned driver loop: iterative graph algorithms — same structure as
+    GraphX Pregel), but all data work is one join + one aggregation per
+    round.  Near-dup clusters are clique-like, so convergence is 2-3
     rounds; ``max_iter`` bounds pathological chains and the loop WARNS if it
     exits un-converged (a chain longer than ``max_iter`` hops would
     otherwise silently return partial clusters).
@@ -274,6 +276,12 @@ def duplicate_clusters(
     is ``localCheckpoint``-ed (lineage truncated: 15 iterations of
     join-on-join would otherwise blow up the planner) and all intermediate
     cache is released before return.
+
+    The loop iterates ONLY over nodes incident to an edge (the duplicate
+    subgraph) — singleton documents, the overwhelming majority of any real
+    corpus, never enter a propagation round; they get their own id back via
+    one left join at the end.  Per-round work is O(duplicate nodes), not
+    O(corpus).
     """
     pairs = ngram_jaccard_pairs(df, text_col, id_col, threshold=threshold).select(
         "id_a", "id_b"
@@ -281,31 +289,36 @@ def duplicate_clusters(
     edges = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).persist()
-    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    labels = edges.select(F.col("id_a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
     prev: DataFrame | None = None
+    prev_sum = None
     converged = False
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.id_b == labels.node)
-            .groupBy(F.col("id_a").alias("node"))
-            .agg(F.min("label").alias("nmin"))
+        # one round = ONE join + ONE aggregation: each node's new label is
+        # min over {own label} ∪ {neighbors' labels}, expressed as a union
+        # into the groupBy (no second join against the old generation)
+        nbr = edges.join(labels, edges.id_b == labels.node).select(
+            F.col("id_a").alias("node"), "label"
         )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
-                F.col("label").alias("old"),
-            )
+            labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label"))
         ).persist()
-        changed = new_labels.filter(F.col("label") != F.col("old")).count()
+        # labels are monotonically non-increasing, so the fixed point is
+        # exactly "sum of labels unchanged"; decimal(38) keeps the sum exact
+        # at any id magnitude × corpus size (int64 could overflow)
+        label_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
         if prev is not None:
             prev.unpersist()  # new generation is materialized; drop the old
         prev = new_labels
-        labels = new_labels.select("node", "label")
-        if changed == 0:
+        labels = new_labels
+        if label_sum == prev_sum:
             converged = True
             break
+        prev_sum = label_sum
     if not converged and max_iter > 0:
         warnings.warn(
             f"duplicate_clusters: label propagation did not converge in "
@@ -315,9 +328,18 @@ def duplicate_clusters(
             RuntimeWarning,
             stacklevel=2,
         )
-    out = labels.select(
-        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    # singletons (no incident edge) cluster with themselves
+    out = (
+        df.select(F.col(id_col))
+        .join(
+            labels.select(F.col("node").alias(id_col), "label"), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
     edges.unpersist()
     if prev is not None:
         prev.unpersist()

@@ -976,3 +976,30 @@ ORACLES.update(
         "ntile_price_quartiles": _NTILE_SQL,
     }
 )
+
+
+def json_props_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON-path extraction in the aggregation hot path
+    (get_json_object stays JVM-side, unlike a from_json full-struct parse
+    when only one field is needed — the projection the scan should prune
+    to is (event_type, props))."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+_JSON_PROPS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       ROUND(AVG(CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
+       MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+FROM events GROUP BY 1
+"""
+
+QUERIES["json_props_aggregate"] = json_props_aggregate
+ORACLES["json_props_aggregate"] = _JSON_PROPS_SQL
