@@ -63,3 +63,19 @@ def grouped_agg(
     reference's AggregateFunction add/merge contract for non-algebraic
     aggregates.  Algebraic aggregates should stay on built-ins."""
     return df.groupBy(*group_cols).applyInPandas(fn, schema=output_schema)
+
+
+def register_udtf(spark: SparkSession, name: str, cls: type, return_type: str):
+    """UDTF surface: register a row → rows table function usable from SQL
+    (``SELECT * FROM name(...)`` or LATERAL joins).  ``cls`` is a plain
+    class with an ``eval(self, ...)`` generator — the analogue of the
+    reference's flatMap-shaped user functions.
+
+    Same house rule as row UDFs applies at scale: a Python UDTF runs
+    row-at-a-time in the Python worker, so keep it OFF per-row hot paths —
+    built-in generators (explode/posexplode/inline/stack over expression-
+    built arrays) cover most fan-out shapes JVM-side and should be
+    preferred; the UDTF is for genuinely imperative row expansion."""
+    udtf_fn = F.udtf(cls, returnType=return_type)
+    spark.udtf.register(name, udtf_fn)
+    return udtf_fn

@@ -165,3 +165,41 @@ def chunk_payload(
         F.length("c.chunk").cast("long").alias("chunk_chars"),
         F.md5(F.col("c.chunk")).alias("chunk_md5"),
     )
+
+
+def frame_sample(
+    df: DataFrame,
+    frame_bytes: int = 128,
+    every_k: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Sample every k-th fixed-size frame from a binary payload — the
+    video-style frame-sampling step (decode of the sampled frames is the
+    separately-stubbed ``decode_stub``; THIS stage, the byte slicing, is
+    where the data volume drops by k and it runs entirely JVM-side:
+    sequence-with-step → substring on binary → explode.  No shuffle; at
+    100 TB the 1/k output reduction happens before anything crosses to
+    Python or the network)."""
+    if frame_bytes <= 0 or every_k <= 0:
+        raise ValueError(f"need positive frame_bytes/every_k, got {frame_bytes}/{every_k}")
+    n_frames = F.ceil(F.octet_length(F.col(payload_col)) / F.lit(frame_bytes)).cast("int")
+    idx = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1, F.lit(every_k))
+    ).otherwise(F.array().cast("array<int>"))
+    frames = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("frame_idx"),
+            F.substring(
+                F.col(payload_col), i * frame_bytes + 1, frame_bytes
+            ).alias("frame"),
+        ),
+    )
+    exploded = df.select(F.col(id_col), F.explode(frames).alias("f"))
+    return exploded.select(
+        F.col(id_col),
+        F.col("f.frame_idx").cast("long").alias("frame_idx"),
+        F.octet_length("f.frame").cast("long").alias("frame_bytes"),
+        F.md5(F.col("f.frame")).alias("frame_md5"),
+    )

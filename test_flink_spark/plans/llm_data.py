@@ -872,3 +872,35 @@ ORACLES.update(
         "corpus_mix_report": _mix_sql(),
     }
 )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-4th 128-byte frame of each media payload
+    (operators/multimodal.py::frame_sample) — the sampling step that cuts
+    volume k-fold before any decode."""
+    from ..operators.multimodal import frame_sample
+
+    return frame_sample(_media(spark, sf_dir), frame_bytes=128, every_k=4)
+
+
+# payloads here are UTF-8 encoded ASCII text, so byte offsets == char
+# offsets and DuckDB's text substring reproduces the binary slicing
+_FRAME_SAMPLE_SQL = """
+WITH n AS (
+    SELECT doc_id AS media_id, text,
+           CAST(ceil(length(text) / 128.0) AS INT) AS n_frames
+    FROM documents
+),
+idx AS (
+    SELECT media_id, text,
+           unnest(range(0, n_frames, 4)) AS frame_idx FROM n
+)
+SELECT media_id, frame_idx,
+       CAST(length(substring(text, CAST(frame_idx * 128 + 1 AS INT), 128)) AS BIGINT)
+           AS frame_bytes,
+       md5(substring(text, CAST(frame_idx * 128 + 1 AS INT), 128)) AS frame_md5
+FROM idx
+"""
+
+QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
+ORACLES["multimodal_frame_sample"] = _FRAME_SAMPLE_SQL

@@ -45,3 +45,23 @@ def test_format_topn_report_p4(spark):
     # onTimer fires at windowEnd+1 and prints Timestamp(timestamp-1) == the
     # window end itself: 120_000 ms = 1970-01-01 00:02:00 (UTC session tz)
     assert line.startswith("time : 1970-01-01 00:02:00")
+
+
+def test_udtf_registration_and_lateral(spark):
+    from test_flink_spark.functions.udf import register_udtf
+
+    class SplitWords:
+        def eval(self, text: str):
+            for w in (text or "").split():
+                yield (w, len(w))
+
+    register_udtf(spark, "split_words_t", SplitWords, "word: string, n: int")
+    got = spark.sql("SELECT * FROM split_words_t('a bb ccc')").collect()
+    assert [(r["word"], r["n"]) for r in got] == [("a", 1), ("bb", 2), ("ccc", 3)]
+    # LATERAL application against a table
+    spark.createDataFrame([(1, "x yy"), (2, "")], "id int, t string") \
+        .createOrReplaceTempView("udtf_src")
+    rows = spark.sql(
+        "SELECT id, word FROM udtf_src, LATERAL split_words_t(t)"
+    ).collect()
+    assert sorted((r["id"], r["word"]) for r in rows) == [(1, "x"), (1, "yy")]

@@ -202,3 +202,30 @@ def test_near_dup_lsh_exact_in_high_threshold_regime(spark):
     }
     assert len(brute) > 100  # the corpus genuinely has near-dup structure
     assert lsh == brute
+
+
+def test_frame_sample_layout_and_edges(spark):
+    from test_flink_spark.operators.multimodal import frame_sample
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, b"A" * 300), (2, b""), (3, b"B" * 128)],
+        "media_id long, payload binary",
+    )
+    got = {
+        (r["media_id"], r["frame_idx"]): r["frame_bytes"]
+        for r in frame_sample(df, frame_bytes=128, every_k=2).collect()
+    }
+    # id 1: 300 bytes -> frames 0,1,2 (44-byte tail); sampled 0, 2
+    # id 2: empty -> no frames; id 3: exactly one frame -> sampled 0
+    assert got == {(1, 0): 128, (1, 2): 44, (3, 0): 128}
+    with _pytest.raises(ValueError):
+        frame_sample(df, frame_bytes=0)
+    # map-side only: no Exchange in the plan
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        frame_sample(df).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
