@@ -85,3 +85,37 @@ def test_near_dup_registered_plan_has_no_cross_join(spark):
         plan = _plan(q(spark, SF))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_json_props_aggregate_prunes_scan(spark):
+    from test_flink_spark.plans.relational import json_props_aggregate
+
+    plan = _plan(json_props_aggregate(spark, SF))
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and m.group(1) == "struct<event_type:string,props:string>"
+
+
+def test_every_registered_query_plan_is_scale_clean(spark):
+    """Fleet-wide plan hygiene: NO registered query may contain a Cartesian
+    product, a broadcast nested-loop join, or a row-at-a-time Python UDF
+    (BatchEvalPython).  Arrow-batched stages (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas) are the sanctioned Python crossings.  This is the
+    CI form of the 100 TB design rules — a new query that sneaks in an
+    accidental cross join fails here, not at the benchmark."""
+    import __spark_entry__ as entry
+
+    # BroadcastNestedLoopJoin is sanctioned ONLY where the nested side is
+    # deliberately tiny and broadcast: the uncorrelated scalar subquery in
+    # Q22 (one row) and the exact brute-force top-k family (the broadcast
+    # query set against a single corpus scan — the documented baseline).
+    bnlj_allowed = {"q22_idle_customers", "embedding_cosine_topk", "knn_label_vote"}
+    forbidden = ("CartesianProduct", "BatchEvalPython")
+    offenders = {}
+    for name, fn in entry.queries().items():
+        plan = _plan(fn(spark, SF))
+        hits = [marker for marker in forbidden if marker in plan]
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_allowed:
+            hits.append("BroadcastNestedLoopJoin")
+        if hits:
+            offenders[name] = hits
+    assert not offenders, f"scale-unclean plans: {offenders}"

@@ -199,26 +199,40 @@ def test_late_rows_dropped_after_watermark(spark, tmpdirs):
     assert item100 and all(c == 1 for c in item100)
 
 
-def test_streaming_dropduplicates_within_watermark(spark, tmpdirs):
+def test_streaming_dedup_bounded_state_semantics(spark, tmpdirs):
+    """streaming_exact_dedup (dropDuplicatesWithinWatermark): duplicates
+    are suppressed while they can still legitimately arrive (within the
+    watermark horizon) and per-key state is EVICTED once the watermark
+    passes — a replay after that arrives below the watermark and is
+    dropped as late, so nothing is double-emitted and state stays
+    O(keys per horizon) instead of growing forever."""
+    from test_flink_spark.functions.parsing import parse_user_behavior
+    from test_flink_spark.streaming.dedup import streaming_exact_dedup
+    from test_flink_spark.streaming.watermarks import bounded_lateness_watermark
+
     src = tmpdirs / "src"
     src.mkdir()
     ckpt = str(tmpdirs / "ckpt")
     _write_lines(src, "b1.csv", ["1,100,10,pv,3600", "1,100,10,pv,3600", "2,100,10,pv,3700"])
     stream = text_lines(spark, str(src), streaming=True)
-    from test_flink_spark.functions.parsing import parse_user_behavior
-    from test_flink_spark.streaming.watermarks import bounded_lateness_watermark
-
-    parsed = bounded_lateness_watermark(parse_user_behavior(stream), "ts", "1 hour")
-    deduped = parsed.dropDuplicates(["user_id", "item_id", "ts"])
+    parsed = bounded_lateness_watermark(parse_user_behavior(stream), "ts", "10 minutes")
+    deduped = streaming_exact_dedup(parsed, ["user_id", "item_id", "ts"])
     q = start_memory(deduped, "dedup_test", ckpt)
     try:
         q.processAllAvailable()
-        _write_lines(src, "b2.csv", ["1,100,10,pv,3600"])  # replay duplicate
+        assert spark.table("dedup_test").count() == 2  # in-batch dup collapsed
+        # duplicate within the horizon + a row that pushes the watermark far ahead
+        _write_lines(src, "b2.csv", ["1,100,10,pv,3600", "9,999,10,pv,90000"])
+        q.processAllAvailable()
+        assert spark.table("dedup_test").count() == 3  # dup suppressed, new row in
+        # state for (1,100,3600) is now evicted; the stale replay is late → dropped
+        _write_lines(src, "b3.csv", ["1,100,10,pv,3600"])
         q.processAllAvailable()
         rows = spark.table("dedup_test").collect()
     finally:
         q.stop()
-    assert len(rows) == 2  # (1,3600) once + (2,3700) once
+    assert len(rows) == 3
+    assert sorted(r["user_id"] for r in rows) == [1, 2, 9]
 
 
 def test_streaming_session_window(spark, tmpdirs):
