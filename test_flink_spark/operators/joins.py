@@ -34,10 +34,15 @@ def asof_join(
     right_ts: str,
     right_values: Sequence[str],
     tolerance_ms: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: for each left row, attach the latest right row with
-    ``right.ts <= left.ts`` per key (DuckDB/kdb ASOF JOIN semantics;
-    pandas ``merge_asof`` direction='backward').
+    """As-of join: for each left row, attach the matching right row per key
+    (DuckDB/kdb ASOF JOIN semantics; pandas ``merge_asof`` directions):
+
+    - ``backward`` (default): latest right row with ``right.ts <= left.ts``
+    - ``forward``: earliest right row with ``right.ts >= left.ts``
+    - ``nearest``: whichever of the two is closer in time (tie → backward,
+      matching pandas)
 
     Spark-first implementation — NOT a per-key Python loop: tag both sides,
     union, and run ``last(match_struct, ignorenulls)`` over a window ordered
@@ -73,11 +78,21 @@ def asof_join(
     ]
     tagged_r = right.select(*sel_r)
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     unioned = tagged_l.unionByName(tagged_r.select(*tagged_l.columns))
-    w = (
+    # backward: frame = everything up to (and incl.) this row, right rows
+    # sorted BEFORE left at equal ts → ties inclusive; forward: the mirror
+    # (frame from this row onward, right rows AFTER left at equal ts).
+    w_back = (
         Window.partitionBy(*[F.col(k) for k in keys])
         .orderBy(F.col("__t").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col("__t").asc(), F.col("__side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     # Non-null exactly for right rows: carries the matched row atomically so
     # NULL values inside a matched row survive (never skipped for older rows).
@@ -88,27 +103,46 @@ def asof_join(
             *[F.col(f"__r_{v}").alias(f"__r_{v}") for v in right_values],
         ),
     )
+    matches = []
+    if direction in ("backward", "nearest"):
+        matches.append(F.last(match_struct, ignorenulls=True).over(w_back).alias("__mb"))
+    if direction in ("forward", "nearest"):
+        matches.append(F.first(match_struct, ignorenulls=True).over(w_fwd).alias("__mf"))
     filled = unioned.select(
         *[F.col(c) for c in lcols],
         F.col("__side"),
         F.col("__t"),
-        F.last(match_struct, ignorenulls=True).over(w).alias("__m"),
+        *matches,
     )
-    out = filled.filter(F.col("__side") == 1)
-    if tolerance_ms is not None:
-        within = F.unix_millis(F.col("__t")) - F.unix_millis(
-            F.col("__m.__mt")
-        ) <= F.lit(tolerance_ms)
-        out = out.select(
-            *[F.col(c) for c in lcols],
-            *[F.when(within, F.col(f"__m.__r_{v}")).alias(v) for v in right_values],
-        )
+
+    # tolerance voids each candidate BEFORE the nearest-choice (pandas
+    # semantics: a backward match outside tolerance must not shadow a
+    # forward match within it)
+    def _within(m: Column) -> Column:
+        if tolerance_ms is None:
+            return m
+        dist = F.abs(F.unix_millis(F.col("__t")) - F.unix_millis(m["__mt"]))
+        return F.when(dist <= F.lit(tolerance_ms), m)
+
+    if direction == "backward":
+        filled = filled.withColumn("__m", _within(F.col("__mb")))
+    elif direction == "forward":
+        filled = filled.withColumn("__m", _within(F.col("__mf")))
     else:
-        out = out.select(
-            *[F.col(c) for c in lcols],
-            *[F.col(f"__m.__r_{v}").alias(v) for v in right_values],
+        mb, mf = _within(F.col("__mb")), _within(F.col("__mf"))
+        d_back = F.unix_millis(F.col("__t")) - F.unix_millis(mb["__mt"])
+        d_fwd = F.unix_millis(mf["__mt"]) - F.unix_millis(F.col("__t"))
+        filled = filled.withColumn(
+            "__m",
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(d_fwd < d_back, mf)
+            .otherwise(mb),  # tie → backward (pandas semantics)
         )
-    return out
+    return filled.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__m.__r_{v}").alias(v) for v in right_values],
+    )
 
 
 def range_join(

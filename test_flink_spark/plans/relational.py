@@ -1003,3 +1003,42 @@ FROM events GROUP BY 1
 
 QUERIES["json_props_aggregate"] = json_props_aggregate
 ORACLES["json_props_aggregate"] = _JSON_PROPS_SQL
+
+
+def asof_join_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click matched to the EARLIEST error at-or-after
+    it per user (merge_asof direction='forward') — DuckDB's native ASOF
+    is backward-only, so the oracle states forward semantics directly as
+    a min-over-qualifying-rows subquery."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "value")
+    out = asof_join(
+        clicks, errors, keys=["user_id"], left_ts="ts", right_ts="ts",
+        right_values=["value"], direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("value").alias("err_value"),
+    )
+
+
+# forward as-of as declarative SQL: the matched row is the one whose ts is
+# the per-(click) minimum among qualifying error rows; ROW_NUMBER picks it
+# (value ties impossible: (user_id, ts) unique per event stream slice here)
+_ASOF_FWD_SQL = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error'),
+j AS (
+    SELECT l.event_id, l.user_id, l.ts, r.value,
+           ROW_NUMBER() OVER (PARTITION BY l.event_id ORDER BY r.ts ASC) AS rn
+    FROM l JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts
+)
+SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms, j.value AS err_value
+FROM l LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON l.event_id = j.event_id
+"""
+
+QUERIES["asof_join_next_error"] = asof_join_next_error
+ORACLES["asof_join_next_error"] = _ASOF_FWD_SQL

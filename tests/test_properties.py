@@ -104,3 +104,107 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
     exp_df = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
     exp = {int(r.id): (None if pd.isna(r.v) else float(r.v)) for r in exp_df.itertuples()}
     assert got == exp
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_tokens=st.integers(min_value=0, max_value=120),
+    chunk_size=st.integers(min_value=1, max_value=40),
+    stride_frac=st.floats(min_value=0.1, max_value=1.0),
+)
+def test_chunk_windows_cover_every_token(spark, n_tokens, chunk_size, stride_frac):
+    """Invariants of token-window chunking for ANY (size, stride<=size):
+    chunk 0 starts at token 0; consecutive chunks advance by exactly
+    stride; the final chunk reaches the last token; every token appears in
+    >= 1 chunk; non-final chunks are full-size."""
+    from test_flink_spark.operators.text import chunk_token_windows
+
+    stride = max(1, int(chunk_size * stride_frac))
+    toks = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_token_windows(df, chunk_size=chunk_size, stride=stride).collect()
+    )
+    assert rows, "at least one chunk always emitted"
+    if n_tokens == 0:
+        # documented wart shared with the oracle: split('') == [''] — one
+        # chunk holding the single empty token
+        assert rows == [(0, "", 1)]
+        return
+    covered = set()
+    for idx, text, n in rows:
+        start = idx * stride
+        words = text.split()
+        assert n == len(words)
+        if idx < rows[-1][0]:
+            assert n == chunk_size  # only the tail may be short
+        assert words == toks[start : start + chunk_size]
+        covered.update(range(start, start + len(words)))
+    assert covered == set(range(n_tokens))
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    w=st.tuples(
+        st.floats(min_value=0.05, max_value=0.9),
+        st.floats(min_value=0.05, max_value=0.5),
+    ).filter(lambda t: t[0] + t[1] < 0.99)
+)
+def test_split_weights_partition_exactly(spark, w):
+    """For ANY valid weight vector: every row lands in exactly one split
+    and observed rates track the weights (hash uniformity)."""
+    from test_flink_spark.operators.sampling import train_val_test_split
+
+    weights = (round(w[0], 2), round(w[1], 2), round(1 - w[0] - w[1], 2))
+    if abs(sum(weights) - 1.0) > 1e-9:
+        return  # rounding artifact — out of contract
+    df = spark.range(3000).withColumnRenamed("id", "doc_id")
+    out = train_val_test_split(df, weights=weights)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 3000
+    for name, frac in zip(("train", "val", "test"), weights):
+        assert abs(counts.get(name, 0) / 3000 - frac) < 0.05
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left_rows=asof_events,
+    right_rows=asof_events,
+    direction=st.sampled_from(["forward", "nearest"]),
+    tol=st.sampled_from([None, 500, 2000]),
+)
+def test_asof_join_directions_match_pandas(spark, left_rows, right_rows, direction, tol):
+    """forward/nearest (optionally with tolerance) ≡ pandas merge_asof on
+    arbitrary inputs — including per-side tolerance voiding before the
+    nearest-choice."""
+    import pandas as pd
+
+    from test_flink_spark.operators.joins import asof_join
+
+    left_rows = list({(k, t): None for k, t in left_rows})
+    right_rows = list({(k, t): None for k, t in right_rows})
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)], "id LONG, k STRING, t BIGINT"
+    ).select("id", "k", F.timestamp_millis(F.col("t")).alias("ts"))
+    right = spark.createDataFrame(
+        right_rows, "k STRING, t BIGINT"
+    ).select("k", F.timestamp_millis(F.col("t")).alias("ts"), F.col("t").cast("double").alias("v"))
+
+    got = {
+        r["id"]: r["v"]
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", ["v"], tolerance_ms=tol, direction=direction
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)], columns=["id", "k", "t"]
+    ).sort_values("t", kind="mergesort")
+    rp = pd.DataFrame(
+        [(k, t, float(t)) for k, t in right_rows], columns=["k", "t", "v"]
+    ).sort_values("t", kind="mergesort")
+    kwargs = {"tolerance": tol} if tol is not None else {}
+    exp_df = pd.merge_asof(lp, rp, on="t", by="k", direction=direction, **kwargs)
+    exp = {int(r.id): (None if pd.isna(r.v) else float(r.v)) for r in exp_df.itertuples()}
+    assert got == exp
