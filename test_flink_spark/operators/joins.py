@@ -155,8 +155,58 @@ def range_join(
     """Equi + range-predicate join.  With equi keys present Catalyst plans a
     sort-merge/hash join on the keys with the range condition as a post-join
     filter — no nested-loop blowup.  Pure range joins (no equi key) should
-    bucket the range dimension first at 100 TB; call sites own that choice."""
+    bucket the range dimension first at 100 TB — that path is
+    ``banded_interval_join``."""
     cond = range_cond
     for k in equi_keys:
         cond = (left[k] == right[k]) & cond
     return left.join(right, cond, how)
+
+
+def banded_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    band_ms: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Pure range join (NO equi key) as an equality join on time bands —
+    the scale path a nested-loop product cannot provide.
+
+    Matches every (left, right) pair with ``start <= point < end`` (all
+    columns epoch-millis BIGINT).  Each right interval explodes to the
+    bands it overlaps; each left point lives in exactly ONE band, so every
+    qualifying pair meets in exactly one band — exact join, NO dedup
+    shuffle.  The equality join on ``__band`` hash-partitions both sides;
+    communication is O(rows x interval_width/band_ms) instead of |L|x|R|.
+
+    ``band_ms`` is the classic fan-out-vs-selectivity knob: pick it near
+    the typical interval width so most intervals explode to <= 2 bands
+    while bands stay selective.
+    """
+    if band_ms <= 0:
+        raise ValueError(f"band_ms must be positive, got {band_ms}")
+    if how != "inner":
+        raise ValueError(
+            "banded_interval_join is inner-only (outer semantics would need "
+            "anti-join reconstruction over the band explosion)"
+        )
+    # integer div per house rule (double division corrupts int64 at nanos)
+    lb = left.withColumn("__band", F.expr(f"{left_point} div {band_ms}"))
+    # empty/inverted intervals yield no bands — also guards Spark's
+    # DESCENDING sequence(a, b) when b < a
+    bands = F.when(
+        F.col(right_end) > F.col(right_start),
+        F.sequence(
+            F.expr(f"{right_start} div {band_ms}"),
+            F.expr(f"({right_end} - 1) div {band_ms}"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    rb = right.withColumn("__band", F.explode(bands))
+    joined = lb.join(rb, "__band", how).filter(
+        (F.col(left_point) >= F.col(right_start))
+        & (F.col(left_point) < F.col(right_end))
+    )
+    return joined.drop("__band")

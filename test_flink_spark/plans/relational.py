@@ -1042,3 +1042,38 @@ FROM l LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON l.event_id = j.event_id
 
 QUERIES["asof_join_next_error"] = asof_join_next_error
 ORACLES["asof_join_next_error"] = _ASOF_FWD_SQL
+
+
+def banded_proximity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join at scale: for each error event, how many click
+    events (ANY user — no equi key exists) happened in the 60 s window
+    ending at the error.  Routed through banded_interval_join: equality
+    join on 30 s time bands instead of a nested-loop product."""
+    from ..operators.joins import banded_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.unix_millis("ts").alias("click_ms")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.unix_millis("ts").alias("w_end"),
+    ).withColumn("w_start", F.col("w_end") - 60_000)
+    joined = banded_interval_join(
+        clicks, errors, "click_ms", "w_start", "w_end", band_ms=30_000
+    )
+    return joined.groupBy("error_id").agg(
+        F.count(F.lit(1)).cast("long").alias("clicks_before")
+    )
+
+
+_BANDED_PROX_SQL = """
+SELECT e.event_id AS error_id, COUNT(*) AS clicks_before
+FROM (SELECT event_id, epoch_ms(ts) AS w_end FROM events WHERE event_type = 'error') e
+JOIN (SELECT epoch_ms(ts) AS click_ms FROM events WHERE event_type = 'click') c
+  ON c.click_ms >= e.w_end - 60000 AND c.click_ms < e.w_end
+GROUP BY 1
+"""
+
+QUERIES["banded_proximity_counts"] = banded_proximity_counts
+ORACLES["banded_proximity_counts"] = _BANDED_PROX_SQL

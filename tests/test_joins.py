@@ -63,3 +63,49 @@ def test_salted_count_equals_plain(spark):
         assert salted == plain
     sums = {r["k"]: r["total"] for r in salted_sum(df, ["k"], "v", "id").collect()}
     assert abs(sums["hot"] - sum(i * 1.5 for i in range(500))) < 1e-9
+
+
+def test_banded_interval_join_equals_naive(spark):
+    """Banded pure-range join ≡ the naive range predicate on random
+    intervals (incl. empty/inverted intervals and multi-band spans), and
+    its plan is an equality join, not a nested loop."""
+    import contextlib
+    import io
+    import random
+
+    from pyspark.sql import functions as F
+
+    from test_flink_spark.operators.joins import banded_interval_join
+
+    rng = random.Random(11)
+    points = [(i, rng.randrange(0, 100_000)) for i in range(300)]
+    intervals = []
+    for j in range(120):
+        s = rng.randrange(0, 100_000)
+        # widths from sub-band to several bands; every 10th inverted/empty
+        e = s + rng.randrange(0, 30_000) if j % 10 else s - rng.randrange(0, 5_000)
+        intervals.append((j, s, e))
+    left = spark.createDataFrame(points, "pid long, t long")
+    right = spark.createDataFrame(intervals, "iid long, s long, e long")
+
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in banded_interval_join(left, right, "t", "s", "e", band_ms=10_000).collect()
+    )
+    exp = sorted(
+        (p, i) for p, t in points for i, s, e in intervals if s <= t < e
+    )
+    assert got == exp and got  # non-vacuous
+
+    plan_buf = io.StringIO()
+    with contextlib.redirect_stdout(plan_buf):
+        banded_interval_join(left, right, "t", "s", "e", 10_000).explain("formatted")
+    plan = plan_buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        banded_interval_join(left, right, "t", "s", "e", 0)
+    with _pytest.raises(ValueError):
+        banded_interval_join(left, right, "t", "s", "e", 10_000, how="left")
