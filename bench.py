@@ -91,14 +91,14 @@ def main() -> None:
     line = json.dumps(out, separators=(",", ":"))
     # The driver records a 2000-char stdout tail; a longer line would lose
     # its HEAD (metric/value) and stop parsing.  Degrade gracefully: fold
-    # the fastest queries into one aggregate entry until the line fits —
-    # regression-relevant (slow) queries always stay itemized.
+    # the fastest queries out of the map into the top-level folded_n/
+    # folded_sec counters until the line fits — the queries map stays
+    # name→float and slow (regression-relevant) queries stay itemized.
     while len(line) > 1950 and len(out["queries"]) > 1:
         q = out["queries"]
-        fastest = min((n for n in q if n != "_fast"), key=q.get)
-        fold = q.pop("_fast", {"n": 0, "sec": 0.0})
-        fold = {"n": fold["n"] + 1, "sec": round(fold["sec"] + q.pop(fastest), 2)}
-        q["_fast"] = fold
+        fastest = min(q, key=q.get)
+        out["folded_n"] = out.get("folded_n", 0) + 1
+        out["folded_sec"] = round(out.get("folded_sec", 0.0) + q.pop(fastest), 2)
         line = json.dumps(out, separators=(",", ":"))
     print(line)
 
