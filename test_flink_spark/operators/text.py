@@ -10,6 +10,8 @@ oracle reproduces them bit-for-bit).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -157,6 +159,41 @@ def chunk_token_windows(
             F.array_join(F.col("toks"), " ").alias("chunk_text"),
             F.size(F.col("toks")).cast("long").alias("n_chunk_tokens"),
         )
+    )
+
+
+def pack_by_token_budget(
+    chunks: DataFrame,
+    budget: int,
+    n_tokens_col: str = "n_chunk_tokens",
+    order_cols: Sequence[str] = ("doc_id", "chunk_idx"),
+) -> DataFrame:
+    """Assign chunks to training packs by cumulative token budget:
+    ``pack_id = floor(exclusive_running_sum / budget)`` over a total
+    (deterministic) chunk order.  A chunk whose tokens straddle a boundary
+    belongs to the pack it STARTS in (documented overflow-at-boundary
+    semantics — packs can exceed ``budget`` by at most one chunk's tail,
+    never split a chunk).
+
+    Scale note: a single running sum implies one global sort — right for
+    per-shard packing where this is applied within a partition/date-slice
+    (the production shape: pack INSIDE each shard, shards in parallel).
+    The operator itself is one window over the given order; callers own
+    the sharding."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(n_tokens_col)).over(w)
+    excl = cum - F.col(n_tokens_col)
+    return chunks.select(
+        *[F.col(c) for c in order_cols],
+        F.col(n_tokens_col),
+        F.floor(excl / budget).cast("long").alias("pack_id"),
     )
 
 

@@ -904,3 +904,34 @@ FROM idx
 
 QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
 ORACLES["multimodal_frame_sample"] = _FRAME_SAMPLE_SQL
+
+
+def doc_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing after chunking: 32/24 token windows greedily packed
+    into 256-token training packs over the deterministic (doc, chunk)
+    order (operators/text.py::pack_by_token_budget)."""
+    from ..operators.text import chunk_token_windows, pack_by_token_budget
+
+    chunks = chunk_token_windows(_docs(spark, sf_dir), chunk_size=32, stride=24)
+    return pack_by_token_budget(chunks, budget=256)
+
+
+def _pack_sql() -> str:
+    chunk = _CHUNK_WINDOWS_SQL.strip().rstrip(";")
+    return f"""
+WITH chunks AS ({chunk}),
+c AS (
+    SELECT doc_id, chunk_idx, n_chunk_tokens,
+           SUM(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_chunk_tokens AS excl
+    FROM chunks
+)
+SELECT doc_id, chunk_idx, n_chunk_tokens,
+       CAST(floor(excl / 256.0) AS BIGINT) AS pack_id
+FROM c
+"""
+
+
+QUERIES["doc_pack_assignments"] = doc_pack_assignments
+ORACLES["doc_pack_assignments"] = _pack_sql()

@@ -107,3 +107,25 @@ def test_chunk_token_windows_is_shuffle_free(spark):
     with contextlib.redirect_stdout(buf):
         chunk_token_windows(docs).explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_pack_by_token_budget_semantics(spark):
+    """Packs are contiguous in order, never split a chunk, and only exceed
+    the budget by a straddling chunk's tail (overflow-at-boundary)."""
+    from test_flink_spark.operators.text import pack_by_token_budget
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 60), (1, 1, 60), (2, 0, 60), (2, 1, 10), (3, 0, 120)],
+        "doc_id long, chunk_idx long, n_chunk_tokens long",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["pack_id"])
+        for r in pack_by_token_budget(chunks, budget=100).collect()
+    )
+    # exclusive cumsums: 0,60,120,180,190 -> packs 0,0,1,1,1
+    assert rows == [(1, 0, 0), (1, 1, 0), (2, 0, 1), (2, 1, 1), (3, 0, 1)]
+    # pack ids are non-decreasing along the order (contiguity)
+    ids = [p for _, _, p in rows]
+    assert ids == sorted(ids)
+    with pytest.raises(ValueError):
+        pack_by_token_budget(chunks, budget=0)
