@@ -935,3 +935,61 @@ FROM c
 
 QUERIES["doc_pack_assignments"] = doc_pack_assignments
 ORACLES["doc_pack_assignments"] = _pack_sql()
+
+
+def corpus_curation_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation composition: lexical quality (length + diversity)
+    ∘ repetition filter (bigram boilerplate, top share <= 0.06 ~ p90 here)
+    ∘ near-dup canonicalization — all three signal families in ONE
+    composed Catalyst plan, no materialization barriers."""
+    from ..operators.dedup import duplicate_clusters
+    from ..operators.text import quality_scores, repetition_scores
+
+    docs = _docs(spark, sf_dir)
+    clusters = duplicate_clusters(docs, threshold=0.5)
+    canonical = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    quality = quality_scores(docs)
+    rep = repetition_scores(docs).select("doc_id", "top_bigram_share")
+    return (
+        quality.join(canonical, "doc_id")
+        .join(rep, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 30)
+            & (F.col("distinct_ratio") >= 0.35)
+            & (F.col("top_bigram_share") <= 0.06)
+        )
+        .select("doc_id", "n_tokens", "distinct_ratio", "top_bigram_share")
+    )
+
+
+def _curation_strict_sql() -> str:
+    clusters = _clusters_sql().strip()
+    return rf"""
+WITH clusters AS ({clusters}),
+w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+quality AS (
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(COUNT(DISTINCT w) * 1.0 / COUNT(*), 4) AS distinct_ratio
+    FROM w GROUP BY 1
+),
+ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+b AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i + 1])) AS bg
+    FROM ws
+),
+pp AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY 1, 2),
+rep AS (SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top_bigram_share
+        FROM pp GROUP BY 1)
+SELECT q.doc_id, q.n_tokens, q.distinct_ratio, r.top_bigram_share
+FROM quality q
+JOIN clusters c ON q.doc_id = c.doc_id AND c.doc_id = c.cluster_id
+JOIN rep r ON q.doc_id = r.doc_id
+WHERE q.n_tokens >= 30 AND q.distinct_ratio >= 0.35
+  AND r.top_bigram_share <= 0.06
+"""
+
+
+QUERIES["corpus_curation_strict"] = corpus_curation_strict
+ORACLES["corpus_curation_strict"] = _curation_strict_sql()
