@@ -18,15 +18,32 @@ order-insensitive value hash, columns sorted by name):
 from . import llm_data, reference_queries, relational
 
 
-def all_queries():
+# Registration order is load-bearing: the driver's CORRECTNESS snapshot
+# verifies the FIRST 50 entries of queries() (dict insertion order), so the
+# 7 reference queries come first, then the LLM-data flagships (the
+# BASELINE.json north star), then the relational superset. Queries named in
+# _PROMOTED jump ahead of the rest of their module so fresh fixes get a
+# driver-verified row (r2's only hash-fail was json_props_aggregate; its
+# dtype fix must be driver-visible). Everything outside the window is still
+# value-hash-checked locally by tools/check_oracle.py.
+_MODULE_ORDER = (reference_queries, llm_data, relational)
+_PROMOTED = ("json_props_aggregate",)
+
+
+def _ordered(attr):
     out = {}
-    for m in (reference_queries, relational, llm_data):
-        out.update(m.QUERIES)
+    for m in _MODULE_ORDER:
+        d = getattr(m, attr)
+        for name in _PROMOTED:
+            if name in d:
+                out[name] = d[name]
+        out.update(d)
     return out
+
+
+def all_queries():
+    return _ordered("QUERIES")
 
 
 def all_oracles():
-    out = {}
-    for m in (reference_queries, relational, llm_data):
-        out.update(m.ORACLES)
-    return out
+    return _ordered("ORACLES")

@@ -769,7 +769,7 @@ b AS (
 ),
 pp AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY 1, 2)
 SELECT doc_id,
-       SUM(c) AS n_bigrams,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
        COUNT(*) AS n_distinct_bigrams,
        ROUND(COUNT(*) * 1.0 / SUM(c), 4) AS distinct_bigram_ratio,
        ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top_bigram_share
@@ -844,10 +844,11 @@ WITH d AS (
     FROM documents
 ),
 agg AS (
-    SELECT source, lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
-           SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
-           SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
-           SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+           CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
     FROM d GROUP BY 1, 2
 )
 SELECT source, lang, n_docs, total_tokens, n_train, n_val, n_test,

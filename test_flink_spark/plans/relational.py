@@ -995,7 +995,7 @@ def json_props_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_PROPS_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
        ROUND(AVG(CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
        MAX(CAST(props->>'k' AS BIGINT)) AS max_k
 FROM events GROUP BY 1
