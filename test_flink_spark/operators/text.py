@@ -167,30 +167,35 @@ def pack_by_token_budget(
     budget: int,
     n_tokens_col: str = "n_chunk_tokens",
     order_cols: Sequence[str] = ("doc_id", "chunk_idx"),
+    partition_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Assign chunks to training packs by cumulative token budget:
-    ``pack_id = floor(exclusive_running_sum / budget)`` over a total
-    (deterministic) chunk order.  A chunk whose tokens straddle a boundary
+    ``pack_id = floor(exclusive_running_sum / budget)`` over a
+    deterministic chunk order.  A chunk whose tokens straddle a boundary
     belongs to the pack it STARTS in (documented overflow-at-boundary
     semantics — packs can exceed ``budget`` by at most one chunk's tail,
     never split a chunk).
 
-    Scale note: a single running sum implies one global sort — right for
-    per-shard packing where this is applied within a partition/date-slice
-    (the production shape: pack INSIDE each shard, shards in parallel).
-    The operator itself is one window over the given order; callers own
-    the sharding."""
+    Scale note: with ``partition_cols`` the running sum is computed
+    INSIDE each shard and shards pack in parallel — the production shape
+    for an unbounded corpus (pack ids are then per-shard; a pack is
+    identified by ``(*partition_cols, pack_id)``).  With no
+    ``partition_cols`` the window is a single global sort — one reducer
+    sees every chunk row, which is only acceptable for bounded inputs
+    (a date-slice, one document's chunks, a test fixture)."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     from pyspark.sql import Window
 
-    w = (
-        Window.orderBy(*[F.col(c) for c in order_cols])
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = Window.orderBy(*[F.col(c) for c in order_cols]).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
+    if partition_cols:
+        w = w.partitionBy(*[F.col(c) for c in partition_cols])
     cum = F.sum(F.col(n_tokens_col)).over(w)
     excl = cum - F.col(n_tokens_col)
     return chunks.select(
+        *[F.col(c) for c in partition_cols],
         *[F.col(c) for c in order_cols],
         F.col(n_tokens_col),
         F.floor(excl / budget).cast("long").alias("pack_id"),

@@ -907,28 +907,50 @@ QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
 ORACLES["multimodal_frame_sample"] = _FRAME_SAMPLE_SQL
 
 
+_PACK_SHARDS = 64
+
+
 def doc_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing after chunking: 32/24 token windows greedily packed
-    into 256-token training packs over the deterministic (doc, chunk)
-    order (operators/text.py::pack_by_token_budget)."""
+    into 256-token training packs WITHIN each of 64 deterministic hash
+    shards (operators/text.py::pack_by_token_budget).  Sharded packing is
+    the 100 TB shape: each shard's running sum is an independent window
+    partition, so packing parallelizes with the cluster instead of
+    funnelling every chunk row through one reducer; a pack is identified
+    by (pack_shard, pack_id)."""
+    from ..operators.sampling import hash_bucket
     from ..operators.text import chunk_token_windows, pack_by_token_budget
 
-    chunks = chunk_token_windows(_docs(spark, sf_dir), chunk_size=32, stride=24)
-    return pack_by_token_budget(chunks, budget=256)
+    chunks = chunk_token_windows(
+        _docs(spark, sf_dir), chunk_size=32, stride=24
+    ).withColumn("pack_shard", hash_bucket(F.col("doc_id"), "pack", _PACK_SHARDS))
+    return pack_by_token_budget(
+        chunks, budget=256, partition_cols=("pack_shard",)
+    )
 
 
 def _pack_sql() -> str:
     chunk = _CHUNK_WINDOWS_SQL.strip().rstrip(";")
+    shard = (
+        f"(('0x' || substr(md5('pack:' || doc_id), 1, 15))::BIGINT"
+        f" % {_PACK_SHARDS})"
+    )
     return f"""
 WITH chunks AS ({chunk}),
-c AS (
+s AS (
     SELECT doc_id, chunk_idx, n_chunk_tokens,
-           SUM(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_idx
+           {shard} AS pack_shard
+    FROM chunks
+),
+c AS (
+    SELECT pack_shard, doc_id, chunk_idx, n_chunk_tokens,
+           SUM(n_chunk_tokens) OVER (PARTITION BY pack_shard
+               ORDER BY doc_id, chunk_idx
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                - n_chunk_tokens AS excl
-    FROM chunks
+    FROM s
 )
-SELECT doc_id, chunk_idx, n_chunk_tokens,
+SELECT pack_shard, doc_id, chunk_idx, n_chunk_tokens,
        CAST(floor(excl / 256.0) AS BIGINT) AS pack_id
 FROM c
 """

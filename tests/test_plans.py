@@ -95,13 +95,42 @@ def test_json_props_aggregate_prunes_scan(spark):
     assert m and m.group(1) == "struct<event_type:string,props:string>"
 
 
+def _has_global_window(plan: str) -> bool:
+    """True when the plan funnels rows through an ``Exchange
+    SinglePartition`` to feed a ``Window`` — the one-reducer global-sort
+    shape that cannot survive unbounded input.  Co-occurrence is the
+    detector: in this fleet the only producer of a SinglePartition
+    exchange alongside a Window node IS an empty-partitionBy window.
+    (explain("formatted") splits node names from arguments, so the
+    exchange's distribution appears on its own `Arguments: SinglePartition`
+    line, not inline.)"""
+    return "SinglePartition" in plan and re.search(r"\bWindow\b", plan) is not None
+
+
+def test_global_window_detector_canary(spark):
+    """The detector must trip on a deliberately global running-sum window
+    (and stay quiet on the same window once partitioned)."""
+    from pyspark.sql import Window, functions as F
+
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    bad = df.select(F.sum("v").over(Window.orderBy("v")).alias("s"))
+    good = df.select(
+        F.sum("v").over(Window.partitionBy("k").orderBy("v")).alias("s")
+    )
+    assert _has_global_window(_plan(bad))
+    assert not _has_global_window(_plan(good))
+
+
 def test_every_registered_query_plan_is_scale_clean(spark):
     """Fleet-wide plan hygiene: NO registered query may contain a Cartesian
-    product, a broadcast nested-loop join, or a row-at-a-time Python UDF
-    (BatchEvalPython).  Arrow-batched stages (ArrowEvalPython / MapInPandas /
+    product, a broadcast nested-loop join, a row-at-a-time Python UDF
+    (BatchEvalPython), or a window over a single-partition exchange of
+    unbounded input.  Arrow-batched stages (ArrowEvalPython / MapInPandas /
     FlatMapGroupsInPandas) are the sanctioned Python crossings.  This is the
     CI form of the 100 TB design rules — a new query that sneaks in an
-    accidental cross join fails here, not at the benchmark."""
+    accidental cross join or global sort fails here, not at the benchmark."""
     import __spark_entry__ as entry
 
     # BroadcastNestedLoopJoin is sanctioned ONLY where the nested side is
@@ -109,6 +138,10 @@ def test_every_registered_query_plan_is_scale_clean(spark):
     # Q22 (one row) and the exact brute-force top-k family (the broadcast
     # query set against a single corpus scan — the documented baseline).
     bnlj_allowed = {"q22_idle_customers", "embedding_cosine_topk", "knn_label_vote"}
+    # A global window is sanctioned ONLY over provably-bounded input:
+    # corpus_mix_report's token_share window reads post-aggregation rows
+    # (~|sources × langs|), not the corpus.
+    global_window_allowed = {"corpus_mix_report"}
     forbidden = ("CartesianProduct", "BatchEvalPython")
     offenders = {}
     for name, fn in entry.queries().items():
@@ -116,6 +149,8 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         hits = [marker for marker in forbidden if marker in plan]
         if "BroadcastNestedLoopJoin" in plan and name not in bnlj_allowed:
             hits.append("BroadcastNestedLoopJoin")
+        if _has_global_window(plan) and name not in global_window_allowed:
+            hits.append("GlobalWindow(Exchange SinglePartition)")
         if hits:
             offenders[name] = hits
     assert not offenders, f"scale-unclean plans: {offenders}"
