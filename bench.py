@@ -67,6 +67,14 @@ def main() -> None:
         fn = qs[name]
         best = float("inf")
         for _ in range(reps):
+            if name == "dedup_clusters":
+                # the curation queries legitimately reuse the session's
+                # shared checkpointed propagation result, but dedup_clusters
+                # itself must report the FULL propagation price — clear the
+                # memo so every timed rep recomputes it (no min-of-cached)
+                from test_flink_spark.plans.llm_data import _CLUSTERS_CACHE
+
+                _CLUSTERS_CACHE.clear()
             t0 = time.perf_counter()
             # noop sink: full materialization of every projected column
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -283,6 +283,20 @@ def duplicate_clusters(
     one left join at the end.  Per-round work is O(duplicate nodes), not
     O(corpus).
     """
+    from pyspark.sql.types import NumericType
+
+    # the fixed-point detector sums labels as decimal(38,0); a non-numeric
+    # id would cast to NULL, making sum() None == None on round 1 and
+    # silently declaring convergence after a single propagation — reject
+    # up front (hash string ids to BIGINT first, e.g. sampling.hash_bucket)
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, NumericType):
+        raise TypeError(
+            f"duplicate_clusters requires a numeric {id_col!r} (got "
+            f"{id_type.simpleString()}): the convergence check sums labels "
+            f"exactly in decimal(38,0). Map string ids to BIGINT first "
+            f"(e.g. conv(substring(md5(id),1,15),16,10))."
+        )
     pairs = ngram_jaccard_pairs(df, text_col, id_col, threshold=threshold).select(
         "id_a", "id_b"
     )

