@@ -142,17 +142,29 @@ def _bucket_expand(
     """One row per (vector, hash table): ``(id, vec, norm, table, bucket)``
     (plus the full per-table bucket array when ``keep_buckets``).
 
-    One Arrow-batched numpy matmul computes ALL table buckets per batch:
-    (batch × dim) @ (dim × n_tables·n_planes) → sign bits → bucket ints.
-    JVM-side per-plane folds rebuilt the plane-literal array per row —
-    measured ~10× slower than BLAS here; this is exactly the "vectorized
-    pandas UDF for embedding ops" carve-out in the design rules."""
+    One Arrow-batched numpy pass computes ALL table buckets per batch:
+    (batch × dim) against (dim × n_tables·n_planes) → sign bits → bucket
+    ints.  JVM-side per-plane folds rebuilt the plane-literal array per
+    row — measured ~10× slower than vectorized numpy here; this is exactly
+    the "vectorized pandas UDF for embedding ops" carve-out in the design
+    rules.
+
+    The plane dot products accumulate dimensions in ASCENDING order (one
+    fused add per dimension), not via BLAS matmul: the DuckDB oracle folds
+    each dot product left-to-right, and a BLAS pairwise/blocked summation
+    could flip the sign of a dot within float rounding noise of zero,
+    bucketing the vector differently between engines (same discipline as
+    near_dup_pairs_blocked's fold)."""
     tables = [hyperplanes_seeded(dim, n_planes, seed=t) for t in range(n_tables)]
     planes_mat = np.array([p for tbl in tables for p in tbl], dtype=np.float64).T
 
     def _all_buckets(v: pd.Series) -> pd.Series:
         X = np.stack(v.map(lambda a: np.asarray(a, dtype=np.float64)).values)
-        bits = (X @ planes_mat) >= 0  # (batch, n_tables*n_planes)
+        # ascending-dimension accumulation == the oracle's sequential fold
+        acc = np.zeros((X.shape[0], planes_mat.shape[1]))
+        for d in range(X.shape[1]):
+            acc += X[:, d : d + 1] * planes_mat[d]
+        bits = acc >= 0  # (batch, n_tables*n_planes)
         weights = 1 << np.arange(n_planes, dtype=np.int64)
         out = []
         for r in bits:
