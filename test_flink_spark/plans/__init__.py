@@ -15,7 +15,7 @@ order-insensitive value hash, columns sorted by name):
     - every computed column aliased identically in both dialects.
 """
 
-from . import llm_data, reference_queries, relational
+from . import llm_data, reference_queries, relational, tpch_extra
 
 
 # Registration order is load-bearing: the driver's CORRECTNESS snapshot
@@ -26,7 +26,7 @@ from . import llm_data, reference_queries, relational
 # driver-verified row (r2's only hash-fail was json_props_aggregate; its
 # dtype fix must be driver-visible). Everything outside the window is still
 # value-hash-checked locally by tools/check_oracle.py.
-_MODULE_ORDER = (reference_queries, llm_data, relational)
+_MODULE_ORDER = (reference_queries, llm_data, relational, tpch_extra)
 _PROMOTED = ("json_props_aggregate",)
 
 

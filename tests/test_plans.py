@@ -137,7 +137,12 @@ def test_every_registered_query_plan_is_scale_clean(spark):
     # deliberately tiny and broadcast: the uncorrelated scalar subquery in
     # Q22 (one row) and the exact brute-force top-k family (the broadcast
     # query set against a single corpus scan — the documented baseline).
-    bnlj_allowed = {"q22_idle_customers", "embedding_cosine_topk", "knn_label_vote"}
+    bnlj_allowed = {
+        "q22_idle_customers",
+        "q11_important_stock",  # 1-row global-total scalar join, same shape as q22
+        "embedding_cosine_topk",
+        "knn_label_vote",
+    }
     # A global window is sanctioned ONLY over provably-bounded input:
     # corpus_mix_report's token_share window reads post-aggregation rows
     # (~|sources × langs|), not the corpus.
