@@ -1038,3 +1038,68 @@ WHERE q.n_tokens >= 30 AND q.distinct_ratio >= 0.35
 
 QUERIES["corpus_curation_strict"] = corpus_curation_strict
 ORACLES["corpus_curation_strict"] = _curation_strict_sql()
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: benchmark n-gram containment (operators/decontam.py)
+# ---------------------------------------------------------------------------
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-vs-benchmark n-gram containment.  The "benchmark suite" is
+    a deterministic 5% hash slice of the corpus (stand-in for a real eval
+    set); every remaining doc is scored by the fraction of its distinct
+    3-gram shingles that appear anywhere in the benchmark.  The benchmark
+    side collapses to a broadcast set of 60-bit shingle hashes — the
+    corpus-side scan never shuffles text, only (doc_id, count) partials."""
+    from ..operators.decontam import ngram_containment
+    from ..operators.sampling import hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"), "bench")
+    bench = docs.filter(b < 500)
+    train = docs.filter(b >= 500)
+    return ngram_containment(train, bench, n=3, flag_threshold=0.2)
+
+
+_DECONTAM_SQL = r"""
+WITH bench_ids AS (
+    SELECT doc_id FROM documents
+    WHERE (('0x' || substr(md5('bench:' || doc_id), 1, 15))::BIGINT % 10000) < 500
+), ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM ws) WHERE s IS NOT NULL AND s <> ''
+),
+bench_h AS (
+    SELECT DISTINCT ('0x' || substr(md5(s), 1, 15))::BIGINT AS bh
+    FROM sh WHERE doc_id IN (SELECT doc_id FROM bench_ids)
+),
+train_sh AS (
+    SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+    FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids)
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train_sh GROUP BY 1),
+matched AS (
+    SELECT t.doc_id, COUNT(*) AS n_matched
+    FROM train_sh t JOIN bench_h ON t.h = bh GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(n_matched, 0) AS BIGINT) AS n_matched,
+       CASE WHEN COALESCE(n_shingles, 0) > 0
+            THEN ROUND(COALESCE(n_matched, 0) * 1.0 / n_shingles, 4)
+            ELSE 0.0 END AS containment,
+       (CASE WHEN COALESCE(n_shingles, 0) > 0
+             THEN ROUND(COALESCE(n_matched, 0) * 1.0 / n_shingles, 4)
+             ELSE 0.0 END) >= 0.2 AS contaminated
+FROM (SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids)) d
+LEFT JOIN totals USING (doc_id)
+LEFT JOIN matched USING (doc_id)
+"""
+
+QUERIES["corpus_decontaminate"] = corpus_decontaminate
+ORACLES["corpus_decontaminate"] = _DECONTAM_SQL

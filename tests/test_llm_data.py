@@ -258,3 +258,30 @@ def test_frame_sample_layout_and_edges(spark):
     with contextlib.redirect_stdout(buf):
         frame_sample(df).explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_ngram_containment_semantics(spark):
+    from test_flink_spark.operators.decontam import ngram_containment
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id LONG, text STRING"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),     # exact copy -> 1.0
+            (2, "alpha beta gamma zeta eta theta"),    # 1 of 4 shingles shared
+            (3, "totally different words entirely here"),  # disjoint -> 0.0
+            (4, "too short"),                          # < n words -> no shingles
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in ngram_containment(train, bench, n=3, flag_threshold=0.5).collect()
+    }
+    assert rows[1]["containment"] == 1.0 and rows[1]["contaminated"]
+    assert rows[2]["n_shingles"] == 4 and rows[2]["n_matched"] == 1
+    assert rows[2]["containment"] == 0.25 and not rows[2]["contaminated"]
+    assert rows[3]["n_matched"] == 0 and rows[3]["containment"] == 0.0
+    assert rows[4]["n_shingles"] == 0 and rows[4]["containment"] == 0.0
+    assert set(rows) == {1, 2, 3, 4}  # every train doc present, bench absent
