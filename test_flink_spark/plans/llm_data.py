@@ -1103,3 +1103,67 @@ LEFT JOIN matched USING (doc_id)
 
 QUERIES["corpus_decontaminate"] = corpus_decontaminate
 ORACLES["corpus_decontaminate"] = _DECONTAM_SQL
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (operators/redact.py)
+# ---------------------------------------------------------------------------
+
+def corpus_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus.  The synthetic documents contain no real
+    PII, so the query first injects deterministic doc_id-derived PII spans
+    (email / phone / IP / SSN shapes on residue-class subsets) and then
+    redacts — the differential test exercises every pattern and the full
+    redacted text, not a vacuous all-zeros pass.  The operator itself is a
+    pure expression chain (no UDF, no shuffle): scan-speed at 100 TB."""
+    from ..operators.redact import redact_pii
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    s = did.cast("string")
+    last4 = F.lpad((did % 10000).cast("string"), 4, "0")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.concat(F.lit(" contact user"), s, F.lit("@example.com")))
+        .otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.concat(F.lit(" call (555) 010-"), last4))
+        .otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.concat(F.lit(" host 10.0."), (did % 256).cast("string"), F.lit(".1")))
+        .otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.concat(F.lit(" id 123-45-"), last4))
+        .otherwise(F.lit("")),
+    )
+    return redact_pii(docs.withColumn("text", aug))
+
+
+def _pii_sql() -> str:
+    from ..operators.redact import redact_oracle_exprs
+
+    exprs = redact_oracle_exprs("text")
+    cols = ",\n       ".join(f"{e} AS {name}" for name, e in exprs.items())
+    return f"""
+WITH aug AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' call (555) 010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' host 10.0.' || (doc_id % 256)::VARCHAR || '.1'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' id 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                   ELSE '' END AS text
+    FROM documents
+)
+SELECT doc_id,
+       {cols}
+FROM aug
+"""
+
+
+QUERIES["corpus_pii_redaction"] = corpus_pii_redaction
+ORACLES["corpus_pii_redaction"] = _pii_sql()

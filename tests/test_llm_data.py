@@ -285,3 +285,26 @@ def test_ngram_containment_semantics(spark):
     assert rows[3]["n_matched"] == 0 and rows[3]["containment"] == 0.0
     assert rows[4]["n_shingles"] == 0 and rows[4]["containment"] == 0.0
     assert set(rows) == {1, 2, 3, 4}  # every train doc present, bench absent
+
+
+def test_redact_pii_patterns_and_order(spark):
+    from test_flink_spark.operators.redact import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x.io and b@y.co.uk twice"),
+            (2, "ssn 123-45-6789 then phone (555) 010-1234"),
+            (3, "server 192.168.1.1  has   spaces\tand tabs"),
+            (4, "nothing sensitive here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert rows[1]["n_email"] == 2 and "<EMAIL>" in rows[1]["clean_text"]
+    assert "@" not in rows[1]["clean_text"]
+    # SSN must be taken by the SSN pattern, not half-eaten by phone
+    assert rows[2]["n_ssn"] == 1 and rows[2]["n_phone"] == 1
+    assert rows[2]["clean_text"] == "ssn <SSN> then phone <PHONE>"
+    assert rows[3]["n_ipv4"] == 1
+    assert "  " not in rows[3]["clean_text"] and "\t" not in rows[3]["clean_text"]
+    assert rows[4]["total_redactions"] == 0 and rows[4]["clean_text"] == "nothing sensitive here"
