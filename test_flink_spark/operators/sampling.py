@@ -83,3 +83,119 @@ def split_oracle_sql(
         f"CASE WHEN {bucket} < {train_hi} THEN 'train' "
         f"WHEN {bucket} < {val_hi} THEN 'val' ELSE 'test' END"
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-temperature mixing
+# ---------------------------------------------------------------------------
+#
+# Pretraining corpora are mixed by sampling each source at a rate
+# proportional to count**alpha (alpha < 1 up-weights small domains —
+# "temperature sampling", the standard mix-rebalancing step).  The
+# arithmetic here is deliberately INTEGER-EXACT at alpha = 0.5:
+# w = floor(sqrt(n)) (sqrt is IEEE correctly-rounded in both the JVM and
+# DuckDB, floor makes it an integer), and every subsequent step is bigint
+# multiply / integral divide — so per-source thresholds, and therefore
+# every sampled document, reproduce bit-for-bit across engines with no
+# float fold-order hazard.  At 100 TB the plan is: one tiny per-source
+# aggregate (|sources| rows), a broadcast join of the thresholds back onto
+# the corpus, and a shuffle-free hash-threshold filter — the corpus itself
+# is touched by exactly one narrow pass.
+
+
+def temperature_thresholds(
+    df: DataFrame,
+    source_col: str = "source",
+    target_frac: float = 0.5,
+    buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Per-source sampling plan: ``(source, n_docs, weight, target_docs,
+    threshold)``.  ``weight = floor(sqrt(n_docs))`` (temperature
+    alpha=0.5); ``target_docs = (T * weight) div W`` where
+    ``T = floor(target_frac * total)`` and ``W = sum(weight)``;
+    ``threshold = min(buckets, (target_docs * buckets) div n_docs)`` is the
+    hash-bucket cutoff that realizes the target rate."""
+    if not 0.0 < target_frac <= 1.0:
+        raise ValueError(f"target_frac must be in (0, 1], got {target_frac}")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    # |sources| rows — the single-partition window reads post-aggregation
+    # input, never the corpus (same bounded shape as corpus_mix_report)
+    w = Window.partitionBy()
+    return (
+        counts.withColumn("weight", F.floor(F.sqrt(F.col("n_docs"))).cast("long"))
+        .withColumn("w_total", F.sum("weight").over(w))
+        .withColumn(
+            "t_total",
+            F.floor(F.lit(target_frac) * F.sum("n_docs").over(w)).cast("long"),
+        )
+        .selectExpr(
+            source_col,
+            "n_docs",
+            "weight",
+            "(t_total * weight) div w_total AS target_docs",
+            f"least(CAST({buckets} AS BIGINT),"
+            f" (((t_total * weight) div w_total) * {buckets}) div n_docs)"
+            " AS threshold",
+        )
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    target_frac: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Sample each source at its temperature rate — deterministic (hash
+    threshold, stable under retries) and engine-reproducible.  Thresholds
+    are |sources| rows, broadcast onto the corpus; the filter is a narrow
+    codegen-fused pass."""
+    from pyspark.sql.functions import broadcast
+
+    th = temperature_thresholds(df, source_col, target_frac)
+    return (
+        df.join(
+            broadcast(th.select(source_col, "threshold")), on=source_col, how="inner"
+        )
+        .filter(hash_bucket(F.col(id_col), salt) < F.col("threshold"))
+        .drop("threshold")
+    )
+
+
+def temperature_oracle_cte(
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    target_frac: float = 0.5,
+    salt: str = "temp",
+    table: str = "documents",
+    buckets: int = N_BUCKETS,
+) -> str:
+    """DuckDB CTE body reproducing ``temperature_thresholds`` +
+    ``temperature_sample`` counts bit-for-bit (defines ``th`` with the
+    per-source plan and ``sampled`` with the surviving rows)."""
+    return f"""
+c AS (SELECT {source_col}, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM {table} GROUP BY 1),
+t AS (SELECT {source_col}, n_docs,
+             CAST(floor(sqrt(n_docs)) AS BIGINT) AS weight,
+             CAST(SUM(CAST(floor(sqrt(n_docs)) AS BIGINT)) OVER () AS BIGINT)
+                 AS w_total,
+             CAST(floor({target_frac} * SUM(n_docs) OVER ()) AS BIGINT) AS t_total
+      FROM c),
+th AS (SELECT {source_col}, n_docs, weight,
+              CAST((t_total * weight) // w_total AS BIGINT) AS target_docs,
+              CAST(LEAST(CAST({buckets} AS BIGINT),
+                    (((t_total * weight) // w_total) * {buckets}) // n_docs)
+                  AS BIGINT) AS threshold
+       FROM t),
+sampled AS (
+    SELECT d.* FROM {table} d
+    JOIN th ON d.{source_col} = th.{source_col}
+    WHERE (('0x' || substr(md5('{salt}:' || d.{id_col}), 1, 15))::BIGINT
+           % {buckets}) < th.threshold
+)"""

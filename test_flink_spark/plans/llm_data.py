@@ -1167,3 +1167,50 @@ FROM aug
 
 QUERIES["corpus_pii_redaction"] = corpus_pii_redaction
 ORACLES["corpus_pii_redaction"] = _pii_sql()
+
+
+# ---------------------------------------------------------------------------
+# Domain-temperature mixing (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled domain mix (alpha=0.5) keyed by ``lang`` — the
+    skewed domain in this corpus (en dominates ~2-3x), so the flattening
+    is visible: per-domain plan (n_docs, weight, target_docs, threshold)
+    joined with the realized sample counts.  Integer-exact end to end —
+    see operators/sampling.py::temperature_thresholds — so the oracle
+    reproduces every threshold AND every sampled document bit-for-bit.
+    Scale shape: two |domains|-row aggregates, one broadcast join, one
+    narrow corpus pass."""
+    from ..operators.sampling import temperature_sample, temperature_thresholds
+
+    docs = _docs(spark, sf_dir)
+    th = temperature_thresholds(docs, "lang", target_frac=0.5)
+    sampled = (
+        temperature_sample(docs, "lang", "doc_id", target_frac=0.5)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )
+    return (
+        th.join(sampled, on="lang", how="left")
+        .withColumn("n_sampled", F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long"))
+        .orderBy("lang")
+    )
+
+
+def _temperature_sql() -> str:
+    from ..operators.sampling import temperature_oracle_cte
+
+    return f"""
+WITH {temperature_oracle_cte(source_col="lang")},
+s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
+      FROM sampled GROUP BY 1)
+SELECT th.lang, th.n_docs, th.weight, th.target_docs, th.threshold,
+       CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM th LEFT JOIN s USING (lang)
+ORDER BY th.lang
+"""
+
+
+QUERIES["corpus_temperature_mix"] = corpus_temperature_mix
+ORACLES["corpus_temperature_mix"] = _temperature_sql()

@@ -129,3 +129,39 @@ def test_pack_by_token_budget_semantics(spark):
     assert ids == sorted(ids)
     with pytest.raises(ValueError):
         pack_by_token_budget(chunks, budget=0)
+
+
+def test_temperature_mix_flattens_skew(spark):
+    """alpha=0.5 weighting must sample the dominant domain at a LOWER
+    rate than the rare one, while keeping the total near target_frac."""
+    from test_flink_spark.operators.sampling import (
+        temperature_sample,
+        temperature_thresholds,
+    )
+
+    rows = [(f"d{i}", "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id STRING, source STRING")
+    th = {r["source"]: r.asDict() for r in temperature_thresholds(df).collect()}
+    # isqrt weights: big=30, small=10 -> rates 375/900 vs 125/100 (capped)
+    assert th["big"]["weight"] == 30 and th["small"]["weight"] == 10
+    assert th["small"]["threshold"] == 10_000  # rare domain fully kept
+    assert th["big"]["threshold"] < 5_000  # dominant domain down-sampled
+    sampled = temperature_sample(df)
+    by_src = {
+        r["source"]: r["n"]
+        for r in sampled.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src["small"] == 100  # threshold 10000 keeps everything
+    # realized big-domain rate tracks its threshold (hash noise ~ +-2%)
+    assert abs(by_src["big"] / 900 - th["big"]["threshold"] / 10_000) < 0.05
+
+
+def test_temperature_sample_is_deterministic_and_subset(spark):
+    from test_flink_spark.operators.sampling import temperature_sample
+
+    rows = [(f"d{i}", f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id STRING, source STRING")
+    a = {r["doc_id"] for r in temperature_sample(df).collect()}
+    b = {r["doc_id"] for r in temperature_sample(df.repartition(7)).collect()}
+    assert a == b  # stable under re-partitioning
+    assert a <= {r[0] for r in rows}
