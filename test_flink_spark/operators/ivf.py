@@ -1,0 +1,281 @@
+"""IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+scale path for similarity search, complementing the random-hyperplane LSH
+variant in ``similarity.py``.
+
+An IVF index is k-means in two phases: TRAIN a small codebook of centroids,
+then ASSIGN every corpus vector to its nearest centroid (its "inverted
+list").  A query probes only the ``nprobe`` nearest lists and reranks
+exactly inside them — candidate volume drops from N to ~N·nprobe/k.
+
+The 100 TB shape, and how this implementation keeps it:
+
+- **Training never shuffles the corpus.**  Each Lloyd iteration is one
+  narrow assignment pass (centroids broadcast into the plan as literal
+  arrays — k·dim ints, far below any broadcast threshold) followed by one
+  groupBy(cluster) aggregate whose state is k rows × dim running sums
+  (map-side partials, ~k·dim longs per task).  The k summary rows come back
+  to the driver — the sanctioned tiny-scalar pattern (cf. the TF-IDF doc
+  count) — never the vectors.  On a real corpus you train on a
+  deterministic hash sample (``train_frac``) and assign the full corpus
+  once: standard IVF practice.
+- **Search shuffles candidates, not the corpus.**  Probing is an equality
+  join on the cluster id between the (tiny, broadcast) exploded query×probe
+  set and the assignments — never a cross product.
+- **Every step is integer-exact**, so the DuckDB oracle replays the WHOLE
+  algorithm — quantization, md5-ordered seeding, each unrolled Lloyd
+  iteration, probing, rerank — bit-for-bit.  Vectors are fixed-point
+  quantized (``floor(x·10^6)``: floor is unambiguous where round's
+  half-way rule is not); distances are integer squared-L2 (associative
+  adds — no float fold-order hazard); centroid updates are
+  ``floor(sum/count)`` where the double quotient of exact <2^53 integers
+  is correctly rounded in the JVM, DuckDB, and CPython alike.  Ties in
+  assignment and ranking break on the lower centroid / neighbor id.
+
+Quantization costs ~1e-6 relative precision — irrelevant for neighbor
+retrieval and the price of an engine-reproducible ANN, which neither LSH
+table in this repo could offer (their float bucketing is rows-only-checked).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000
+
+
+def quantize(vec: Column) -> Column:
+    """array<float> -> fixed-point array<bigint>: floor(x * 10^6)."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(float(QUANT))).cast("long")
+    )
+
+
+def _sq_dist_lit(vec: Column, centroid: list[int]) -> Column:
+    """Integer squared L2 distance from a quantized vector column to a
+    literal centroid (broadcast into the plan — no join)."""
+    c = F.array(*[F.lit(int(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Integer squared L2 distance between two quantized vector columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_cluster(vec: Column, centroids: list[list[int]]) -> Column:
+    """Index of the nearest centroid; ties -> lowest index (matches the
+    oracle's ``ORDER BY dist, cid`` row_number)."""
+    dists = F.array(*[_sq_dist_lit(vec, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+
+
+def ivf_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    seed: str = "ivf",
+    train_frac: float = 1.0,
+) -> list[list[int]]:
+    """Deterministic integer Lloyd's: returns the k quantized centroids.
+
+    Seeding: the k vectors with the smallest ``md5(seed ':' id)`` (hash
+    order = reproducible pseudo-random, cluster id = rank).  Each iteration
+    assigns against literal centroids (narrow pass) and aggregates k rows
+    of per-dimension sums; only those k rows reach the driver.
+    ``train_frac`` trains on a deterministic hash sample — at corpus scale
+    the codebook needs a sample, not the corpus.
+    """
+    from .sampling import hash_bucket
+
+    q = df.select(F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv"))
+    if train_frac < 1.0:
+        q = q.filter(
+            hash_bucket(F.col("vid"), f"{seed}-train") < round(train_frac * 10_000)
+        )
+    seeds = (
+        q.withColumn(
+            "h", F.md5(F.concat(F.lit(f"{seed}:"), F.col("vid").cast("string")))
+        )
+        .orderBy("h", "vid")  # TakeOrdered(k) — no global sort materializes
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(r["qv"]) for r in seeds]
+    for _ in range(iters):
+        assigned = q.withColumn("cluster", _argmin_cluster(F.col("qv"), centroids))
+        sums = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        updated = {
+            int(r["cluster"]): [math.floor(r[f"s{i}"] / r["n"]) for i in range(dim)]
+            for r in sums
+        }
+        # empty clusters keep their previous centroid
+        centroids = [updated.get(cid, c) for cid, c in enumerate(centroids)]
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The inverted file: ``(vec_id, qv, cluster)`` — one narrow pass."""
+    return df.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    ).withColumn("cluster", _argmin_cluster(F.col("cv"), centroids))
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[int]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest inverted lists per query, exact
+    integer-L2 rerank inside them: ``(query_id, neighbor_id, dist, rank)``.
+
+    The query side (queries × nprobe rows) is broadcast into an equality
+    join on cluster id — candidates shuffle, the corpus never does.
+    """
+    inv = ivf_assign(corpus, centroids, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    # (dist, cid) structs sort by dist then cid — deterministic probe order
+    probe_arr = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        _sq_dist_lit(F.col("qv"), c).alias("d"),
+                        F.lit(cid).cast("long").alias("cid"),
+                    )
+                    for cid, c in enumerate(centroids)
+                ]
+            )
+        ),
+        1,
+        nprobe,
+    )
+    probes = q.withColumn(
+        "cluster", F.explode(F.transform(probe_arr, lambda s: s["cid"]))
+    )
+    cands = inv.join(F.broadcast(probes), on="cluster").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        sq_dist(F.col("qv"), F.col("cv")).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivf_oracle_sql(
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    seed: str = "ivf",
+    topk: int = 5,
+    nprobe: int = 2,
+    query_pred: str = "vec_id < 20",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB SQL replaying the full IVF algorithm (train + assign + probe
+    + rerank) with the Lloyd iterations unrolled as CTEs — bit-identical
+    to the Spark implementation by construction (see module docstring)."""
+    rng = f"range(1, {dim + 1})"
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform({rng}, i -> "
+            f"({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+        )
+
+    parts = [
+        f"""
+qv AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+       FROM {table}),
+c0 AS (SELECT ROW_NUMBER() OVER (
+           ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cid, v
+       FROM qv
+       QUALIFY cid < {k})"""
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        a, u, c = f"a{it}", f"u{it}", f"c{it}"
+        parts.append(
+            f"""
+{a} AS (SELECT vec_id, v, cid FROM (
+        SELECT q.vec_id, q.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {dist('q.v', 'c.v')}, c.cid) AS rn
+        FROM qv q CROSS JOIN {prev} c) WHERE rn = 1),
+{u} AS (SELECT cid, list(ci ORDER BY i) AS v FROM (
+        SELECT cid, i,
+               CAST(floor(SUM(v[i]) * 1.0 / COUNT(*)) AS BIGINT) AS ci
+        FROM {a}, {rng} t(i) GROUP BY cid, i) GROUP BY cid),
+{c} AS (SELECT p.cid, COALESCE(u.v, p.v) AS v
+        FROM {prev} p LEFT JOIN {u} u USING (cid))"""
+        )
+        prev = c
+    parts.append(
+        f"""
+inv AS (SELECT vec_id AS neighbor_id, v AS cv, cid AS cluster FROM (
+        SELECT q.vec_id, q.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {dist('q.v', 'c.v')}, c.cid) AS rn
+        FROM qv q CROSS JOIN {prev} c) WHERE rn = 1),
+probes AS (SELECT query_id, qv2 AS qv, cid AS cluster FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv2, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {dist('q.v', 'c.v')}, c.cid) AS rn
+        FROM (SELECT * FROM qv WHERE {query_pred}) q
+        CROSS JOIN {prev} c) WHERE rn <= {nprobe}),
+scored AS (SELECT p.query_id, i.neighbor_id,
+                  {dist('p.qv', 'i.cv')} AS dist
+           FROM probes p JOIN inv i ON p.cluster = i.cluster
+           WHERE i.neighbor_id <> p.query_id)"""
+    )
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT query_id, neighbor_id, dist,
+       CAST(rn AS BIGINT) AS rank
+FROM (SELECT query_id, neighbor_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY dist, neighbor_id) AS rn
+      FROM scored)
+WHERE rn <= {topk}
+"""

@@ -1214,3 +1214,35 @@ ORDER BY th.lang
 
 QUERIES["corpus_temperature_mix"] = corpus_temperature_mix
 ORACLES["corpus_temperature_mix"] = _temperature_sql()
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (operators/ivf.py) — coarse-quantizer scale path, integer-exact
+# ---------------------------------------------------------------------------
+
+def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN: deterministic integer k-means codebook (k=8,
+    2 Lloyd iterations, md5-ordered seeding), nprobe=2 probing, exact
+    integer-L2 rerank.  Unlike the LSH ANN (rows-only), the ENTIRE
+    algorithm is replayed by the DuckDB oracle — every centroid, every
+    assignment, every distance, bit-for-bit (operators/ivf.py docstring
+    explains the integer-exactness argument).  Recall vs exact top-k is
+    pytest-measured in tests/test_llm_data.py."""
+    from ..operators.ivf import ivf_ann_topk, ivf_train
+
+    emb = _emb(spark, sf_dir)
+    centroids = ivf_train(emb, k=8, iters=2, dim=EMB_DIM)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_ann_topk(emb, queries, centroids, k=5, nprobe=2).select(
+        "query_id", "neighbor_id", "dist", "rank"
+    )
+
+
+def _ivf_sql() -> str:
+    from ..operators.ivf import ivf_oracle_sql
+
+    return ivf_oracle_sql(k=8, iters=2, dim=EMB_DIM, topk=5, nprobe=2)
+
+
+QUERIES["embedding_ivf_ann"] = embedding_ivf_ann
+ORACLES["embedding_ivf_ann"] = _ivf_sql()

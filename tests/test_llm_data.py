@@ -308,3 +308,32 @@ def test_redact_pii_patterns_and_order(spark):
     assert rows[3]["n_ipv4"] == 1
     assert "  " not in rows[3]["clean_text"] and "\t" not in rows[3]["clean_text"]
     assert rows[4]["total_redactions"] == 0 and rows[4]["clean_text"] == "nothing sensitive here"
+
+
+def test_ivf_ann_recall_and_determinism(spark):
+    """IVF with nprobe=2 of k=4 lists must beat the trivial floor on
+    recall@3 vs exact top-k (L2 on the same quantized vectors), and the
+    whole pipeline must be invariant to input partitioning."""
+    from test_flink_spark.operators.ivf import ivf_ann_topk, ivf_assign, ivf_train
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    centroids = ivf_train(emb, k=4, iters=2, dim=64)
+    assert len(centroids) == 4 and all(len(c) == 64 for c in centroids)
+
+    approx = ivf_ann_topk(emb, queries, centroids, k=3, nprobe=2).collect()
+    # exact = same integer-L2 metric, all clusters probed
+    exact = ivf_ann_topk(emb, queries, centroids, k=3, nprobe=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    hits = exact_set & {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(hits) / len(exact_set)
+    assert recall > 0.4, f"IVF recall collapsed: {recall}"
+
+    c2 = ivf_train(emb.repartition(13), k=4, iters=2, dim=64)
+    assert c2 == centroids, "training must not depend on partitioning"
+
+    inv = ivf_assign(emb, centroids)
+    sizes = {r["cluster"]: r["n"] for r in
+             inv.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
+    assert sum(sizes.values()) == emb.count()
+    assert len(sizes) >= 2, "k-means degenerated to a single cluster"
