@@ -1077,3 +1077,42 @@ GROUP BY 1
 
 QUERIES["banded_proximity_counts"] = banded_proximity_counts
 ORACLES["banded_proximity_counts"] = _BANDED_PROX_SQL
+
+
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer revenue via lineitem ⨝ orders read from BUCKETED tables
+    co-partitioned on the order key (sources/bucketed.py) — the join itself
+    runs with zero Exchanges (pinned by
+    tests/test_joins.py::test_bucketed_join_is_shuffle_free); only the
+    final per-customer aggregate shuffles, and only its partials.  Results
+    are identical to the plain-parquet join, which is the oracle.  Revenue
+    in integer cents (floor), the repo's float-free money convention."""
+    from ..sources.bucketed import bucketed_lineitem_orders
+
+    li, orders = bucketed_lineitem_orders(spark, sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+_BUCKETED_REV_SQL = """
+SELECT o_custkey,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+QUERIES["bucketed_join_revenue"] = bucketed_join_revenue
+ORACLES["bucketed_join_revenue"] = _BUCKETED_REV_SQL

@@ -109,3 +109,38 @@ def test_banded_interval_join_equals_naive(spark):
         banded_interval_join(left, right, "t", "s", "e", 0)
     with _pytest.raises(ValueError):
         banded_interval_join(left, right, "t", "s", "e", 10_000, how="left")
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Tables bucketed on the join key with equal bucket counts must join
+    with ZERO Exchanges (the write-time shuffle amortization the layout
+    exists for) and bucketed scans on both sides."""
+    import contextlib
+    import io
+
+    from test_flink_spark.sources.bucketed import bucketed_lineitem_orders
+
+    li, orders = bucketed_lineitem_orders(spark, "/root/testdata/sf0.001")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_custkey"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, f"bucketed join shuffled:\n{plan}"
+        assert plan.count("Bucketed: true") == 2, f"scan not bucketed:\n{plan}"
+        # bucket-sorted files let the merge skip nothing correctness-wise;
+        # row parity against the plain parquet join:
+        from test_flink_spark.schemas import load_table
+
+        plain = load_table(spark, "/root/testdata/sf0.001", "lineitem").join(
+            load_table(spark, "/root/testdata/sf0.001", "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
