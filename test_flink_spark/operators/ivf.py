@@ -200,19 +200,7 @@ def ivf_ann_topk(
     )
 
 
-def ivf_oracle_sql(
-    k: int = 8,
-    iters: int = 2,
-    dim: int = 64,
-    seed: str = "ivf",
-    topk: int = 5,
-    nprobe: int = 2,
-    query_pred: str = "vec_id < 20",
-    table: str = "embeddings",
-) -> str:
-    """DuckDB SQL replaying the full IVF algorithm (train + assign + probe
-    + rerank) with the Lloyd iterations unrolled as CTEs — bit-identical
-    to the Spark implementation by construction (see module docstring)."""
+def _oracle_dist(dim: int):
     rng = f"range(1, {dim + 1})"
 
     def dist(a: str, b: str) -> str:
@@ -220,6 +208,22 @@ def ivf_oracle_sql(
             f"CAST(list_sum(list_transform({rng}, i -> "
             f"({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
         )
+
+    return dist
+
+
+def ivf_cte_body(
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    seed: str = "ivf",
+    table: str = "embeddings",
+) -> tuple[str, str]:
+    """DuckDB CTE chain replaying train + full-corpus assignment, ending in
+    ``inv(neighbor_id, cv, cluster)``.  Returns (cte_body, final_centroid
+    CTE name) so callers can keep composing (probe/search, SemDedup)."""
+    dist = _oracle_dist(dim)
+    rng = f"range(1, {dim + 1})"
 
     parts = [
         f"""
@@ -256,21 +260,38 @@ inv AS (SELECT vec_id AS neighbor_id, v AS cv, cid AS cluster FROM (
         SELECT q.vec_id, q.v, c.cid,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
                    ORDER BY {dist('q.v', 'c.v')}, c.cid) AS rn
-        FROM qv q CROSS JOIN {prev} c) WHERE rn = 1),
+        FROM qv q CROSS JOIN {prev} c) WHERE rn = 1)"""
+    )
+    return ",".join(parts), prev
+
+
+def ivf_oracle_sql(
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    seed: str = "ivf",
+    topk: int = 5,
+    nprobe: int = 2,
+    query_pred: str = "vec_id < 20",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB SQL replaying the full IVF algorithm (train + assign + probe
+    + rerank) with the Lloyd iterations unrolled as CTEs — bit-identical
+    to the Spark implementation by construction (see module docstring)."""
+    dist = _oracle_dist(dim)
+    body, final_c = ivf_cte_body(k, iters, dim, seed, table)
+    return f"""
+WITH {body},
 probes AS (SELECT query_id, qv2 AS qv, cid AS cluster FROM (
         SELECT q.vec_id AS query_id, q.v AS qv2, c.cid,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
                    ORDER BY {dist('q.v', 'c.v')}, c.cid) AS rn
         FROM (SELECT * FROM qv WHERE {query_pred}) q
-        CROSS JOIN {prev} c) WHERE rn <= {nprobe}),
+        CROSS JOIN {final_c} c) WHERE rn <= {nprobe}),
 scored AS (SELECT p.query_id, i.neighbor_id,
                   {dist('p.qv', 'i.cv')} AS dist
            FROM probes p JOIN inv i ON p.cluster = i.cluster
-           WHERE i.neighbor_id <> p.query_id)"""
-    )
-    body = ",".join(parts)
-    return f"""
-WITH {body}
+           WHERE i.neighbor_id <> p.query_id)
 SELECT query_id, neighbor_id, dist,
        CAST(rn AS BIGINT) AS rank
 FROM (SELECT query_id, neighbor_id, dist,
@@ -278,4 +299,70 @@ FROM (SELECT query_id, neighbor_id, dist,
                  ORDER BY dist, neighbor_id) AS rn
       FROM scored)
 WHERE rn <= {topk}
+"""
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[int]],
+    tau: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDedup: drop every vector with a LOWER-id semantic duplicate
+    (integer squared-L2 <= ``tau``) in the SAME inverted list —
+    ``(vec_id, cluster, keep)`` for every input vector.
+
+    Pairing is confined within clusters, so the work is O(n·B) for bounded
+    cluster size B, exactly the blocked near-dup argument: at corpus scale
+    k grows with n (k ~ n/B) and the codebook trains on a sample.  The
+    min-id-canonical rule is the same convention as ``dedup_exact``; unlike
+    greedy sequential SemDedup it is order-free, which is what makes it
+    both distributable and engine-reproducible."""
+    inv = ivf_assign(df, centroids, id_col, vec_col)
+    a = inv.select(
+        F.col("neighbor_id").alias("id_a"), F.col("cv").alias("va"), "cluster"
+    )
+    b = inv.select(
+        F.col("neighbor_id").alias("id_b"), F.col("cv").alias("vb"), "cluster"
+    )
+    dropped = (
+        a.join(b, on="cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(sq_dist(F.col("va"), F.col("vb")) <= F.lit(int(tau)))
+        .select(F.col("id_b").alias("neighbor_id"))
+        .distinct()
+    )
+    return (
+        inv.join(dropped.withColumn("dup", F.lit(True)), on="neighbor_id", how="left")
+        .select(
+            F.col("neighbor_id").alias(id_col),
+            "cluster",
+            F.coalesce(~F.col("dup"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def semdedup_oracle_sql(
+    tau: int,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    seed: str = "ivf",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB replay of ``semantic_dedup`` on top of the shared IVF CTEs."""
+    dist = _oracle_dist(dim)
+    body, _ = ivf_cte_body(k, iters, dim, seed, table)
+    return f"""
+WITH {body},
+dropped AS (
+    SELECT DISTINCT b.neighbor_id
+    FROM inv a JOIN inv b
+      ON a.cluster = b.cluster AND a.neighbor_id < b.neighbor_id
+    WHERE {dist('a.cv', 'b.cv')} <= {int(tau)}
+)
+SELECT i.neighbor_id AS vec_id, i.cluster,
+       d.neighbor_id IS NULL AS keep
+FROM inv i LEFT JOIN dropped d ON i.neighbor_id = d.neighbor_id
 """

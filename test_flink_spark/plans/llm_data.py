@@ -1246,3 +1246,30 @@ def _ivf_sql() -> str:
 
 QUERIES["embedding_ivf_ann"] = embedding_ivf_ann
 ORACLES["embedding_ivf_ann"] = _ivf_sql()
+
+
+_SEMDEDUP_TAU = 1_350_000_000_000  # ~p1 of within-cluster sq-L2 at sf0.01
+
+
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup: semantic near-duplicate removal inside IVF clusters —
+    every vector with a lower-id neighbor at integer sq-L2 <= tau in its
+    inverted list is dropped (min-id canonical, order-free).  Work is
+    O(n·B) for bounded cluster size B; the codebook is the same
+    deterministic integer k-means as embedding_ivf_ann, so the ENTIRE
+    pipeline — training included — is replayed by the DuckDB oracle."""
+    from ..operators.ivf import ivf_train, semantic_dedup
+
+    emb = _emb(spark, sf_dir)
+    centroids = ivf_train(emb, k=8, iters=2, dim=EMB_DIM)
+    return semantic_dedup(emb, centroids, tau=_SEMDEDUP_TAU)
+
+
+def _semdedup_sql() -> str:
+    from ..operators.ivf import semdedup_oracle_sql
+
+    return semdedup_oracle_sql(tau=_SEMDEDUP_TAU, k=8, iters=2, dim=EMB_DIM)
+
+
+QUERIES["embedding_semdedup"] = embedding_semdedup
+ORACLES["embedding_semdedup"] = _semdedup_sql()

@@ -337,3 +337,26 @@ def test_ivf_ann_recall_and_determinism(spark):
              inv.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
     assert sum(sizes.values()) == emb.count()
     assert len(sizes) >= 2, "k-means degenerated to a single cluster"
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    """Planted exact-duplicate vectors must be dropped in favor of the
+    lowest id; distinct vectors survive."""
+    from test_flink_spark.operators.ivf import ivf_train, semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings")
+    # plant: vec 9001/9002 duplicate vec_id 0's embedding
+    v0 = emb.filter(F.col("vec_id") == 0)
+    clones = v0.select(
+        F.explode(F.array(F.lit(9001), F.lit(9002))).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    df = emb.unionByName(clones)
+    cents = ivf_train(df, k=4, iters=2, dim=64)
+    out = {r["vec_id"]: r["keep"] for r in semantic_dedup(df, cents, tau=0).collect()}
+    assert out[0] is True  # canonical (lowest id) survives
+    assert out[9001] is False and out[9002] is False  # clones dropped
+    assert len(out) == df.count()  # report covers every vector
+    # tau=0 must not drop anything without an exact twin
+    assert sum(not k for k in out.values()) == 2
