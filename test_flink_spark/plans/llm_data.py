@@ -1220,6 +1220,23 @@ ORACLES["corpus_temperature_mix"] = _temperature_sql()
 # IVF ANN (operators/ivf.py) — coarse-quantizer scale path, integer-exact
 # ---------------------------------------------------------------------------
 
+# embedding_ivf_ann and embedding_semdedup share one codebook: training is
+# deterministic in (input, k, iters, seed), so one codebook per
+# (application, sf_dir) — the write-once model the IVF layout implies.
+_IVF_CENTROIDS_CACHE: dict[tuple, list] = {}
+
+
+def _shared_ivf_centroids(spark: SparkSession, sf_dir: str) -> list:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cents = _IVF_CENTROIDS_CACHE.get(key)
+    if cents is None:
+        from ..operators.ivf import ivf_train
+
+        cents = ivf_train(_emb(spark, sf_dir), k=8, iters=2, dim=EMB_DIM)
+        _IVF_CENTROIDS_CACHE[key] = cents
+    return cents
+
+
 def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate NN: deterministic integer k-means codebook (k=8,
     2 Lloyd iterations, md5-ordered seeding), nprobe=2 probing, exact
@@ -1228,10 +1245,10 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, every distance, bit-for-bit (operators/ivf.py docstring
     explains the integer-exactness argument).  Recall vs exact top-k is
     pytest-measured in tests/test_llm_data.py."""
-    from ..operators.ivf import ivf_ann_topk, ivf_train
+    from ..operators.ivf import ivf_ann_topk
 
     emb = _emb(spark, sf_dir)
-    centroids = ivf_train(emb, k=8, iters=2, dim=EMB_DIM)
+    centroids = _shared_ivf_centroids(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
     return ivf_ann_topk(emb, queries, centroids, k=5, nprobe=2).select(
         "query_id", "neighbor_id", "dist", "rank"
@@ -1258,10 +1275,10 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n·B) for bounded cluster size B; the codebook is the same
     deterministic integer k-means as embedding_ivf_ann, so the ENTIRE
     pipeline — training included — is replayed by the DuckDB oracle."""
-    from ..operators.ivf import ivf_train, semantic_dedup
+    from ..operators.ivf import semantic_dedup
 
     emb = _emb(spark, sf_dir)
-    centroids = ivf_train(emb, k=8, iters=2, dim=EMB_DIM)
+    centroids = _shared_ivf_centroids(spark, sf_dir)
     return semantic_dedup(emb, centroids, tau=_SEMDEDUP_TAU)
 
 
