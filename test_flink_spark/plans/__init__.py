@@ -24,10 +24,11 @@ from . import llm_data, reference_queries, relational, tpch_extra
 # BASELINE.json north star), then the relational superset. Queries named in
 # _PROMOTED jump ahead of the rest of their module so fresh fixes get a
 # driver-verified row (r2's only hash-fail was json_props_aggregate; its
-# dtype fix must be driver-visible). Everything outside the window is still
-# value-hash-checked locally by tools/check_oracle.py.
+# dtype fix must be driver-visible; r3 adds the new bucketed-join query so
+# its first driver check lands this round). Everything outside the window
+# is still value-hash-checked locally by tools/check_oracle.py.
 _MODULE_ORDER = (reference_queries, llm_data, relational, tpch_extra)
-_PROMOTED = ("json_props_aggregate",)
+_PROMOTED = ("json_props_aggregate", "bucketed_join_revenue")
 
 
 def _ordered(attr):
