@@ -1290,3 +1290,46 @@ def _semdedup_sql() -> str:
 
 QUERIES["embedding_semdedup"] = embedding_semdedup
 ORACLES["embedding_semdedup"] = _semdedup_sql()
+
+
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length governance histogram: log2 bins of whitespace token
+    counts with per-bin doc count and token mass.  floor(log2(n)) over
+    integer n is engine-stable (n is never within float noise of a power
+    of two unless it IS one, where log2 is exact in both engines).  Narrow
+    projection + one k-bin aggregate — free at any scale."""
+    from ..operators.text import words
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_tokens", F.size(words(F.col("text"))).cast("long")
+    )
+    return (
+        docs.withColumn(
+            "len_bin",
+            F.floor(F.log2(F.greatest(F.col("n_tokens"), F.lit(1)))).cast("long"),
+        )
+        .groupBy("len_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )
+
+
+_LENGTH_HIST_SQL = r"""
+WITH d AS (
+    SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT CAST(floor(log2(greatest(n_tokens, 1))) AS BIGINT) AS len_bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM d GROUP BY 1
+"""
+
+QUERIES["corpus_length_histogram"] = corpus_length_histogram
+ORACLES["corpus_length_histogram"] = _LENGTH_HIST_SQL

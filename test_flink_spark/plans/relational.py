@@ -1116,3 +1116,37 @@ GROUP BY 1
 
 QUERIES["bucketed_join_revenue"] = bucketed_join_revenue
 ORACLES["bucketed_join_revenue"] = _BUCKETED_REV_SQL
+
+
+def percentile_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) of event value per
+    type: Spark's ``percentile`` and DuckDB's ``quantile_cont`` both
+    interpolate linearly at rank p·(n-1), so the values agree to float
+    noise and ROUND(_, 4) pins them.  Exact percentiles sort each group —
+    the approx_aggregates query carries the sketch the 100 TB path uses;
+    this is its exact twin (same pairing as count_distinct_exact)."""
+    ev = _t(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit([0.5, 0.9, 0.99])).alias("pcts"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return pct.select(
+        "event_type",
+        F.round(F.col("pcts")[0], 4).alias("p50"),
+        F.round(F.col("pcts")[1], 4).alias("p90"),
+        F.round(F.col("pcts")[2], 4).alias("p99"),
+        "n",
+    )
+
+
+_PERCENTILE_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+QUERIES["percentile_value_by_type"] = percentile_value_by_type
+ORACLES["percentile_value_by_type"] = _PERCENTILE_SQL
