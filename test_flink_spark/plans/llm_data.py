@@ -1182,17 +1182,38 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces every threshold AND every sampled document bit-for-bit.
     Scale shape: two |domains|-row aggregates, one broadcast join, one
     narrow corpus pass."""
-    from ..operators.sampling import temperature_sample, temperature_thresholds
+    from ..operators.sampling import hash_bucket, temperature_thresholds
 
     docs = _docs(spark, sf_dir)
-    th = temperature_thresholds(docs, "lang", target_frac=0.5)
+    # thresholds are |domains| rows: collect once (sanctioned tiny-scalar
+    # pattern, cf. the IVF codebook) and inline the cutoffs as a literal
+    # map — otherwise the un-shareable thresholds subplan would re-scan
+    # the corpus for each of its two consumers (report + sample).
+    th_rows = sorted(
+        temperature_thresholds(docs, "lang", target_frac=0.5).collect(),
+        key=lambda r: r["lang"],
+    )
+    cutoff = F.create_map(
+        *[
+            F.lit(v)
+            for r in th_rows
+            for v in (r["lang"], int(r["threshold"]))
+        ]
+    )
     sampled = (
-        temperature_sample(docs, "lang", "doc_id", target_frac=0.5)
+        docs.filter(hash_bucket(F.col("doc_id"), "temp") < cutoff[F.col("lang")])
         .groupBy("lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
     )
+    report = spark.createDataFrame(
+        [
+            (r["lang"], r["n_docs"], r["weight"], r["target_docs"], r["threshold"])
+            for r in th_rows
+        ],
+        "lang STRING, n_docs BIGINT, weight BIGINT, target_docs BIGINT, threshold BIGINT",
+    )
     return (
-        th.join(sampled, on="lang", how="left")
+        report.join(sampled, on="lang", how="left")
         .withColumn("n_sampled", F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long"))
         .orderBy("lang")
     )

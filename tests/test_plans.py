@@ -146,9 +146,9 @@ def test_every_registered_query_plan_is_scale_clean(spark):
     # A global window is sanctioned ONLY over provably-bounded input:
     # corpus_mix_report's token_share window reads post-aggregation rows
     # (~|sources × langs|), not the corpus.
-    # corpus_temperature_mix's windows likewise read a per-domain aggregate
-    # (~|langs| rows), never the corpus.
-    global_window_allowed = {"corpus_mix_report", "corpus_temperature_mix"}
+    # (corpus_temperature_mix's bounded global window lives in its driver-
+    # side thresholds job, not the registered plan, so no allowance needed.)
+    global_window_allowed = {"corpus_mix_report"}
     forbidden = ("CartesianProduct", "BatchEvalPython")
     offenders = {}
     for name, fn in entry.queries().items():
