@@ -51,15 +51,29 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Quality signals: token count, mean word length, stopword ratio,
-    distinct-word ratio (lexical diversity).  Explode + groupBy — one shuffle
-    keyed by doc id, partial-aggregated map-side."""
-    w = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
-    stop = F.when(F.col("w").isin(*STOPWORDS_EN), 1).otherwise(0)
-    return w.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.avg(F.length("w")), 4).alias("avg_word_len"),
-        F.round(F.avg(stop), 4).alias("stopword_ratio"),
-        F.round(F.countDistinct("w") / F.count(F.lit(1)), 4).alias("distinct_ratio"),
+    distinct-word ratio (lexical diversity).
+
+    Pure array expressions over the tokenized text — ZERO shuffle (the
+    r2 explode+groupBy form re-keyed every token of the corpus: the
+    whole 100 TB crossed the network to compute per-doc ratios), and
+    because nothing aggregates across rows it also composes unchanged
+    over readStream (the explode form's countDistinct is unsupported on
+    streams).  Arithmetic parity with the per-token oracle: token-length
+    and stopword sums are exact integers, so sum/n divides identically
+    to AVG in DuckDB."""
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    total_len = F.aggregate(
+        F.transform(ws, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS_EN)))
+    n_distinct = F.size(F.array_distinct(ws))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(total_len / n, 4).alias("avg_word_len"),
+        F.round(n_stop / n, 4).alias("stopword_ratio"),
+        F.round(n_distinct / n, 4).alias("distinct_ratio"),
     )
 
 

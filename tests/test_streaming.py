@@ -350,3 +350,48 @@ def test_update_mode_emits_revisions(spark, tmpdirs):
     assert (100, 1) in first
     # the revised count for item 100 was re-emitted in the second batch
     assert (100, 2) in all_rows
+
+
+def test_streaming_quality_curation_matches_batch(spark, tmpdirs):
+    """The LLM-data text operators are plain Catalyst expressions, so the
+    SAME quality-score + filter composition runs unchanged over
+    readStream: a streamed corpus filtered in update mode must agree row
+    for row with the batch operator on identical input (curation as a
+    stream — how a 100 TB ingest pipeline scores docs on arrival)."""
+    import json
+
+    from test_flink_spark.operators.text import quality_scores
+
+    src = tmpdirs / "docs_src"
+    src.mkdir()
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "spam spam spam spam spam spam spam spam"),
+        (3, "a of to in and the the a of in to and"),
+        (4, "informative prose with reasonably diverse vocabulary here"),
+    ]
+    lines = [json.dumps({"doc_id": i, "text": t}) for i, t in docs]
+    (src / "b1.jsonl").write_text("\n".join(lines) + "\n")
+
+    schema = "doc_id LONG, text STRING"
+    stream = spark.readStream.schema(schema).json(str(src))
+    scored = quality_scores(stream)  # identical call as batch
+    q = start_memory(scored, "stream_quality", str(tmpdirs / "ckpt_q"), mode="update")
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: r for r in spark.table("stream_quality").collect()}
+    finally:
+        q.stop()
+    batch = {
+        r["doc_id"]: r
+        for r in quality_scores(spark.createDataFrame(docs, schema)).collect()
+    }
+    assert set(got) == set(batch)
+    for d in got:
+        assert got[d]["n_tokens"] == batch[d]["n_tokens"]
+        assert abs(got[d]["distinct_ratio"] - batch[d]["distinct_ratio"]) < 1e-9
+        assert abs(got[d]["stopword_ratio"] - batch[d]["stopword_ratio"]) < 1e-9
+    # and the curation predicate keeps/drops the same docs either way
+    keep_stream = {d for d in got if got[d]["distinct_ratio"] >= 0.5}
+    keep_batch = {d for d in batch if batch[d]["distinct_ratio"] >= 0.5}
+    assert keep_stream == keep_batch and 2 not in keep_stream
