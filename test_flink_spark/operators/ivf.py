@@ -1,6 +1,9 @@
 """IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
 scale path for similarity search, complementing the random-hyperplane LSH
-variant in ``similarity.py``.
+variant in ``similarity.py``.  (Public-literature lineage: the IVF/coarse-
+quantizer design of Sivic & Zisserman's "Video Google" and Jégou et al.'s
+IVFADC, here without the product-quantization residual step; the
+``semantic_dedup`` consumer follows Abbas et al., "SemDeDup", 2023.)
 
 An IVF index is k-means in two phases: TRAIN a small codebook of centroids,
 then ASSIGN every corpus vector to its nearest centroid (its "inverted

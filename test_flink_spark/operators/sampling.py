@@ -91,7 +91,9 @@ def split_oracle_sql(
 #
 # Pretraining corpora are mixed by sampling each source at a rate
 # proportional to count**alpha (alpha < 1 up-weights small domains —
-# "temperature sampling", the standard mix-rebalancing step).  The
+# "temperature sampling", the standard mix-rebalancing step; cf. the
+# exponentially-smoothed multilingual sampling of XLM-R / mBERT and the
+# domain-weight tuning literature, e.g. DoReMi).  The
 # arithmetic here is deliberately INTEGER-EXACT at alpha = 0.5:
 # w = floor(sqrt(n)) (sqrt is IEEE correctly-rounded in both the JVM and
 # DuckDB, floor makes it an integer), and every subsequent step is bigint

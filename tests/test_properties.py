@@ -208,3 +208,34 @@ def test_asof_join_directions_match_pandas(spark, left_rows, right_rows, directi
     exp_df = pd.merge_asof(lp, rp, on="t", by="k", direction=direction, **kwargs)
     exp = {int(r.id): (None if pd.isna(r.v) else float(r.v)) for r in exp_df.itertuples()}
     assert got == exp
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=400), min_size=2, max_size=6)
+)
+def test_temperature_thresholds_invariants(spark, counts):
+    """For ANY source-size multiset: Σ target_docs never exceeds the
+    budget T; per-source target rates are monotone DECREASING in source
+    size (alpha<1 flattening); thresholds stay within [0, buckets]."""
+    from test_flink_spark.operators.sampling import temperature_thresholds
+
+    rows = [
+        (f"d{s}_{i}", f"s{s}") for s, n in enumerate(counts) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id STRING, source STRING")
+    th = {r["source"]: r for r in temperature_thresholds(df, target_frac=0.5).collect()}
+    total = sum(counts)
+    t_budget = int(0.5 * total)
+    assert sum(r["target_docs"] for r in th.values()) <= t_budget
+    for r in th.values():
+        assert 0 <= r["threshold"] <= 10_000
+    # alpha=0.5: target rate m/n ~ 1/sqrt(n) -> bigger sources get smaller
+    # rates (ties in weight can equalize, so compare only strictly-bigger
+    # sources whose isqrt weights actually differ)
+    rates = sorted(
+        ((r["n_docs"], r["weight"], r["target_docs"] / r["n_docs"]) for r in th.values())
+    )
+    for (n1, w1, r1), (n2, w2, r2) in zip(rates, rates[1:]):
+        if n2 > n1 and w2 > w1:
+            assert r2 <= r1 + 1e-9, f"rate not flattening: n={n1}->{n2}, rate={r1}->{r2}"
