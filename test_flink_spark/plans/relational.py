@@ -1150,3 +1150,81 @@ FROM events GROUP BY 1
 
 QUERIES["percentile_value_by_type"] = percentile_value_by_type
 ORACLES["percentile_value_by_type"] = _PERCENTILE_SQL
+
+
+def lateral_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (SQL-surface superset): top-2 orders by
+    price per customer — the per-group top-k shape expressed as the
+    standard SQL idiom instead of a rank window.  Catalyst rewrites the
+    correlated LIMIT into a ranked join, so the plan is the same
+    shuffle-once shape the window form gets.  Money in floor-cents."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__cust_lat")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__ord_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey,
+               CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM __cust_lat c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM __ord_lat
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        """
+    )
+
+
+_LATERAL_TOP_SQL = """
+SELECT c.c_custkey, o.o_orderkey,
+       CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS price_cents
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+"""
+
+QUERIES["lateral_top_orders_per_customer"] = lateral_top_orders_per_customer
+ORACLES["lateral_top_orders_per_customer"] = _LATERAL_TOP_SQL
+
+
+def json_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-input robustness audit: a deterministic 1-in-7 slice of
+    events.props is truncated mid-object and 1-in-13 replaced with
+    non-JSON (real pipelines see both).  `from_json` yields NULL for
+    unparseable input (PERMISSIVE semantics) — count the damage per
+    event_type instead of failing the job.  The oracle detects the same
+    rows via json_valid()."""
+    ev = _t(spark, sf_dir, "events")
+    dirty = F.when(
+        F.col("event_id") % 13 == 0, F.lit("not json at all")
+    ).when(
+        F.col("event_id") % 7 == 0, F.substring(F.col("props"), 1, 5)
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(dirty, "map<string,string>")
+    return (
+        ev.select("event_type", parsed.isNull().cast("long").alias("bad"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum("bad").cast("long").alias("n_malformed"),
+            F.round(F.sum("bad") / F.count(F.lit(1)), 4).alias("malformed_rate"),
+        )
+    )
+
+
+_JSON_MALFORMED_SQL = """
+WITH d AS (
+    SELECT event_type,
+           CASE WHEN event_id % 13 = 0 THEN 'not json at all'
+                WHEN event_id % 7 = 0 THEN substring(props, 1, 5)
+                ELSE props END AS props
+    FROM events
+)
+SELECT event_type, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_malformed,
+       ROUND(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) * 1.0
+             / COUNT(*), 4) AS malformed_rate
+FROM d GROUP BY 1
+"""
+
+QUERIES["json_malformed_audit"] = json_malformed_audit
+ORACLES["json_malformed_audit"] = _JSON_MALFORMED_SQL
