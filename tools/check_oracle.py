@@ -8,6 +8,7 @@ Usage: python tools/check_oracle.py [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -31,7 +32,7 @@ def main() -> int:
     import __spark_entry__ as entry
     from test_flink_spark.session import get_spark
 
-    sf_dir = "/root/testdata/sf0.01"
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
     only = set(sys.argv[1:])
 
     spark = get_spark("oracle-check", shuffle_partitions=8)
