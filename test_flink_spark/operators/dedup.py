@@ -358,3 +358,62 @@ def duplicate_clusters(
     if prev is not None:
         prev.unpersist()
     return out
+
+
+def minhash_signature_expr(
+    text_col: Column, num_perm: int = 16, shingle_n: int = 3
+) -> Column:
+    """The MinHash signature as ONE array expression — no explode, no
+    groupBy, no shuffle: shingle set, base 60-bit md5 hash, and the
+    num_perm affine mins all happen inside higher-order functions on the
+    row.  Bit-identical to ``minhash_signatures`` (same shingle
+    derivation, same ``_h60`` base hash, same coefficients); docs with no
+    shingles yield an empty-signature NULL array_min — callers filter on
+    ``size(words) >= shingle_n``.
+
+    This is the form that composes over readStream (aggregations cannot
+    precede a stateful operator) and the cheapest batch form (narrow pass
+    vs the groupBy's O(docs × perms) shuffle)."""
+    from .text import words as _words
+
+    ws = _words(text_col)
+    idx = F.when(
+        F.size(ws) >= shingle_n,
+        F.sequence(F.lit(1), F.size(ws) - (shingle_n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.array_distinct(
+        F.filter(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, shingle_n))),
+            lambda g: g != "",
+        )
+    )
+    hs = F.transform(grams, lambda g: _h60(g) % MINHASH_MOD)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_MOD)
+            )
+            for a, b in minhash_coeffs(num_perm)
+        ]
+    )
+
+
+def band_keys_expr(signature: Column, num_perm: int = 16, bands: int = 4) -> Column:
+    """array<struct<band:int, band_key:string>> from a signature array —
+    same md5-of-slice band key as ``minhash_lsh_pairs``."""
+    rows_per_band = num_perm // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda band: F.struct(
+            band.cast("int").alias("band"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(signature, band * rows_per_band + 1, rows_per_band),
+                        lambda h: h.cast("string"),
+                    ),
+                    ":",
+                )
+            ).alias("band_key"),
+        ),
+    )

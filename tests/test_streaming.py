@@ -395,3 +395,59 @@ def test_streaming_quality_curation_matches_batch(spark, tmpdirs):
     keep_stream = {d for d in got if got[d]["distinct_ratio"] >= 0.5}
     keep_batch = {d for d in batch if batch[d]["distinct_ratio"] >= 0.5}
     assert keep_stream == keep_batch and 2 not in keep_stream
+
+
+def test_streaming_minhash_matches_batch_candidates(spark, tmpdirs):
+    """Streaming MinHash-LSH must surface EXACTLY the batch operator's
+    candidate pair set on identical input (signatures are the same
+    expression; the stateful buckets replay the batch band self-join
+    incrementally), including pairs split across micro-batches."""
+    import json
+
+    from test_flink_spark.operators.dedup import minhash_lsh_pairs
+    from test_flink_spark.schemas import load_table
+    from test_flink_spark.streaming.minhash_dedup import streaming_minhash_pairs
+    from test_flink_spark.streaming.watermarks import bounded_lateness_watermark
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    rows = docs.collect()
+    batch_pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert batch_pairs, "fixture corpus has no near-dup candidates"
+
+    src = tmpdirs / "mh_src"
+    src.mkdir()
+    # two micro-batches: pairs whose members arrive in different batches
+    # must still be emitted (state carries the first member)
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        lines = [
+            json.dumps(
+                {"doc_id": r["doc_id"], "text": r["text"], "t": 1_000_000 + i}
+            )
+            for r in chunk
+        ]
+        (src / f"b{i}.jsonl").write_text("\n".join(lines) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING, t BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.timestamp_seconds(F.col("t")))
+    )
+    stream = bounded_lateness_watermark(stream, "ts", "10 minutes")
+    pairs = streaming_minhash_pairs(stream)
+    q = start_memory(pairs, "mh_stream", str(tmpdirs / "mh_ckpt"), mode="append")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["id_a"], r["id_b"]) for r in spark.table("mh_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch_pairs, (
+        f"missing={sorted(batch_pairs - got)[:5]} extra={sorted(got - batch_pairs)[:5]}"
+    )
