@@ -154,7 +154,15 @@ def minhash_signatures(
 
     Shuffle profile: ONE groupBy(doc) with num_perm min-aggregates — no
     row blowup; partial mins combine map-side, so shuffle volume is
-    O(docs × num_perm) ints regardless of shingle count.
+    O(docs × num_perm) ints regardless of shingle count.  MEASURED
+    (sf0.1, warm): this Tungsten-aggregate form runs ~1.5 s; the
+    shuffle-free ``minhash_signature_expr`` array-fold form 8-12 s —
+    nested higher-order lambdas evaluate interpreted with per-element
+    array allocation, so the shuffle it saves costs 5× more than it
+    returns.  The expression form exists for streaming, where an
+    aggregation upstream of a stateful operator is illegal and
+    per-micro-batch volumes are small (streaming/minhash_dedup.py); a
+    parity pytest pins the two forms bit-identical.
     """
     sh = shingles(df, text_col, id_col, shingle_n)
     base = sh.select(
@@ -372,8 +380,10 @@ def minhash_signature_expr(
     ``size(words) >= shingle_n``.
 
     This is the form that composes over readStream (aggregations cannot
-    precede a stateful operator) and the cheapest batch form (narrow pass
-    vs the groupBy's O(docs × perms) shuffle)."""
+    precede a stateful operator).  It is NOT the batch form: nested
+    higher-order lambdas evaluate interpreted (measured 8-12 s vs the
+    Tungsten groupBy's ~1.5 s at sf0.1 — see minhash_signatures), so use
+    it only where streaming semantics force it."""
     from .text import words as _words
 
     ws = _words(text_col)
@@ -388,13 +398,27 @@ def minhash_signature_expr(
         )
     )
     hs = F.transform(grams, lambda g: _h60(g) % MINHASH_MOD)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_MOD)
-            )
-            for a, b in minhash_coeffs(num_perm)
-        ]
+    # ONE fold over the shingle hashes updating all num_perm mins at once.
+    # The naive form — num_perm separate array_min(transform(hs, ...)) —
+    # re-evaluates hs (an md5 per shingle) once PER PERMUTATION after
+    # Catalyst collapses the projections: measured 11-15 s vs ~1.5 s at
+    # sf0.1.  Here hs is an aggregate() argument, evaluated once per row.
+    coeffs = minhash_coeffs(num_perm)
+    a_arr = F.array(*[F.lit(a) for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b) for _, b in coeffs])
+    ab = F.arrays_zip(a_arr.alias("a"), b_arr.alias("b"))
+    init = F.array_repeat(F.lit(MINHASH_MOD).cast("long"), num_perm)
+    folded = F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda m, c: F.least(m, (c["a"] * h + c["b"]) % MINHASH_MOD)
+        ),
+    )
+    # no shingles -> NULL signature (callers filter), matching the
+    # explode+groupBy form which simply had no row to aggregate
+    return F.when(F.size(grams) > 0, folded).otherwise(
+        F.lit(None).cast("array<long>")
     )
 
 

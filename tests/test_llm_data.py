@@ -360,3 +360,34 @@ def test_semantic_dedup_drops_planted_duplicates(spark):
     assert len(out) == df.count()  # report covers every vector
     # tau=0 must not drop anything without an exact twin
     assert sum(not k for k in out.values()) == 2
+
+
+def test_minhash_expression_matches_groupby_form(spark):
+    """The shuffle-free signature expression must be bit-identical to the
+    r2 explode+groupBy construction it replaced (same shingles, base
+    hash, and affine mins)."""
+    from pyspark.sql import functions as F2
+
+    from test_flink_spark.operators.dedup import (
+        MINHASH_MOD,
+        _h60,
+        minhash_coeffs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    got = {r["doc_id"]: list(r["signature"]) for r in minhash_signatures(docs).collect()}
+    base = shingles(docs).select(
+        F2.col("doc_id"), (_h60(F2.col("shingle")) % MINHASH_MOD).alias("h")
+    )
+    ref = base.groupBy("doc_id").agg(
+        *[
+            F2.min((F2.lit(a) * F2.col("h") + F2.lit(b)) % MINHASH_MOD).alias(f"h{p}")
+            for p, (a, b) in enumerate(minhash_coeffs(16))
+        ]
+    )
+    want = {
+        r["doc_id"]: [r[f"h{p}"] for p in range(16)] for r in ref.collect()
+    }
+    assert got == want
