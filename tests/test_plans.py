@@ -161,3 +161,52 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, f"scale-unclean plans: {offenders}"
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling is ON fleet-wide (session.py) and actually
+    fires: a join where one key owns ~95% of rows must be split into
+    multiple tasks by AQE (isSkew=true in the final adaptive plan) once
+    the skewed partition crosses the configured thresholds.  This is the
+    JOIN half of the skew story; aggregation skew needs the explicit salt
+    (operators/skew.py), which AQE does not cover."""
+    from pyspark.sql import functions as F
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("pad"),
+        )
+        small = spark.range(5_000).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        # keep pad flowing through the join: skew detection reads the
+        # COMPRESSED shuffle-block sizes, and a pruned constant-key-only
+        # row compresses below any threshold
+        joined = big.join(small, on="k").select(
+            F.sum(F.length("pad")).alias("bytes")
+        )
+        # run THIS DataFrame's QueryExecution to finalize its adaptive plan
+        # (a .write would execute a fresh QueryExecution and leave this one
+        # isFinalPlan=false)
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isSkew=true" in plan or "skew=true" in plan, (
+            f"AQE did not mark the skewed partition:\n{plan[:2000]}"
+        )
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
