@@ -238,3 +238,44 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(norm).alias("fp_md5"),
         rolling.alias("fp_rolling"),
     )
+
+
+def dedup_blocks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_words: int = 8,
+) -> DataFrame:
+    """Intra-document block dedup (the paragraph/line-level pass of
+    CCNet/RefinedWeb-style pipelines, at fixed ``block_words``-word
+    granularity since this corpus has no sentence punctuation): drop every
+    repeated block, keeping first occurrences in order.
+
+    Pure array expressions — zero shuffle, composes over readStream.  The
+    first-occurrence filter is ``array_position(blocks, x) == i+1``
+    (1-based first index), which DuckDB mirrors exactly with
+    ``list_position(blocks, x) = i`` (its lambda index is already
+    1-based); per-doc cost is O(blocks²) string compares on a bounded
+    block count.  Emits the cleaned text plus block counts so the drop
+    rate is auditable."""
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    nb = F.ceil(n / F.lit(float(block_words))).cast("int")
+    idx = F.when(n > 0, F.sequence(F.lit(0), nb - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    blocks = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(ws, i * block_words + 1, block_words))
+    )
+    kept = F.filter(
+        blocks, lambda x, i: F.array_position(blocks, x) == i + F.lit(1)
+    )
+    return df.select(
+        F.col(id_col),
+        nb.cast("long").alias("n_blocks"),
+        F.size(kept).cast("long").alias("n_unique_blocks"),
+        F.when(nb > 0, F.round(1 - F.size(kept) / nb, 4))
+        .otherwise(F.lit(0.0))
+        .alias("dropped_ratio"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

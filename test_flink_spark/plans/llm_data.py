@@ -1354,3 +1354,69 @@ FROM d GROUP BY 1
 
 QUERIES["corpus_length_histogram"] = corpus_length_histogram
 ORACLES["corpus_length_histogram"] = _LENGTH_HIST_SQL
+
+
+def doc_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc block dedup (operators/text.py::dedup_blocks) over a
+    corpus with planted repetition: every 4th doc is rebuilt as
+    [first 16 words] + [first 8 words again] — an exact repeated 8-word
+    block the operator must drop; other docs pass through (their natural
+    exact-block repeats, if any, are also dropped).  Zero-shuffle narrow
+    pass; oracle replays the block split + first-occurrence filter."""
+    from ..operators.text import dedup_blocks, words
+
+    docs = _docs(spark, sf_dir)
+    ws = words(F.col("text"))
+    planted = F.concat_ws(
+        " ",
+        F.concat_ws(" ", F.slice(ws, 1, 16)),
+        F.concat_ws(" ", F.slice(ws, 1, 8)),
+    )
+    dirty = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 4 == 0, planted).otherwise(F.col("text"))
+    )
+    return dedup_blocks(dirty)
+
+
+_BLOCK_DEDUP_SQL = r"""
+WITH base AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws0, text
+    FROM documents
+),
+dirty AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0
+                THEN array_to_string(ws0[1:16], ' ') || ' ' ||
+                     array_to_string(ws0[1:8], ' ')
+                ELSE text END AS text
+    FROM base
+),
+b AS (
+    SELECT doc_id,
+           string_split_regex(trim(text), '\s+') AS ws,
+           CAST(ceil(len(string_split_regex(trim(text), '\s+')) / 8.0) AS INT)
+               AS nb
+    FROM dirty
+),
+blk AS (
+    SELECT doc_id, nb,
+           list_transform(range(0, nb),
+               i -> array_to_string(ws[i*8+1 : i*8+8], ' ')) AS blocks
+    FROM b
+),
+k AS (
+    SELECT doc_id, nb,
+           list_filter(blocks, (x, i) -> list_position(blocks, x) = i) AS kept
+    FROM blk
+)
+SELECT doc_id,
+       CAST(nb AS BIGINT) AS n_blocks,
+       CAST(len(kept) AS BIGINT) AS n_unique_blocks,
+       CASE WHEN nb > 0 THEN ROUND(1 - len(kept) * 1.0 / nb, 4) ELSE 0.0 END
+           AS dropped_ratio,
+       array_to_string(kept, ' ') AS clean_text
+FROM k
+"""
+
+QUERIES["doc_block_dedup"] = doc_block_dedup
+ORACLES["doc_block_dedup"] = _BLOCK_DEDUP_SQL

@@ -165,3 +165,22 @@ def test_temperature_sample_is_deterministic_and_subset(spark):
     b = {r["doc_id"] for r in temperature_sample(df.repartition(7)).collect()}
     assert a == b  # stable under re-partitioning
     assert a <= {r[0] for r in rows}
+
+
+def test_dedup_blocks_drops_repeats_preserves_order(spark):
+    from test_flink_spark.operators.text import dedup_blocks
+
+    a = " ".join(f"w{i}" for i in range(8))
+    b = " ".join(f"x{i}" for i in range(8))
+    rows = [
+        (1, f"{a} {b} {a}"),          # block A repeated -> dropped
+        (2, f"{b} {a}"),              # no repeats -> untouched
+        (3, "short text"),            # single partial block
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in dedup_blocks(df).collect()}
+    assert out[1]["n_blocks"] == 3 and out[1]["n_unique_blocks"] == 2
+    assert out[1]["clean_text"] == f"{a} {b}"  # first occurrences, in order
+    assert out[2]["clean_text"] == f"{b} {a}"
+    assert out[3]["n_blocks"] == 1 and out[3]["clean_text"] == "short text"
+    assert abs(out[1]["dropped_ratio"] - round(1 - 2 / 3, 4)) < 1e-9
