@@ -451,3 +451,38 @@ def test_streaming_minhash_matches_batch_candidates(spark, tmpdirs):
     assert got == batch_pairs, (
         f"missing={sorted(batch_pairs - got)[:5]} extra={sorted(got - batch_pairs)[:5]}"
     )
+
+
+def test_streaming_state_metrics_expose_watermark_drops(spark, tmpdirs):
+    """Operational observability: the progress metrics of a bounded-state
+    dedup stream must report (a) rows actually dropped as late by the
+    watermark and (b) state rows removed by eviction — the two numbers an
+    operator watches to confirm state is bounded in production."""
+    from test_flink_spark.functions.parsing import parse_user_behavior
+    from test_flink_spark.streaming.dedup import streaming_exact_dedup
+    from test_flink_spark.streaming.watermarks import bounded_lateness_watermark
+
+    src = tmpdirs / "metrics_src"
+    src.mkdir()
+    ckpt = str(tmpdirs / "metrics_ckpt")
+    _write_lines(src, "b1.csv", ["1,100,10,pv,3600", "2,100,10,pv,3700"])
+    stream = text_lines(spark, str(src), streaming=True)
+    parsed = bounded_lateness_watermark(parse_user_behavior(stream), "ts", "10 minutes")
+    deduped = streaming_exact_dedup(parsed, ["user_id", "item_id", "ts"])
+    q = start_memory(deduped, "metrics_test", ckpt)
+    try:
+        q.processAllAvailable()
+        # jump the watermark far ahead, then replay a now-late row
+        _write_lines(src, "b2.csv", ["9,999,10,pv,90000"])
+        q.processAllAvailable()
+        _write_lines(src, "b3.csv", ["1,100,10,pv,3600"])
+        q.processAllAvailable()
+        progress = q.recentProgress
+    finally:
+        q.stop()
+    ops = [p["stateOperators"][0] for p in progress if p.get("stateOperators")]
+    assert ops, "no stateOperators metrics reported"
+    dropped = sum(op.get("numRowsDroppedByWatermark", 0) for op in ops)
+    evicted = sum(op.get("numRowsRemoved", 0) for op in ops)
+    assert dropped >= 1, f"late replay not counted as watermark-dropped: {ops[-1]}"
+    assert evicted >= 1, f"watermark advance evicted no state rows: {ops[-1]}"
