@@ -1420,3 +1420,86 @@ FROM k
 
 QUERIES["doc_block_dedup"] = doc_block_dedup
 ORACLES["doc_block_dedup"] = _BLOCK_DEDUP_SQL
+
+
+# ---------------------------------------------------------------------------
+# Capstone: the full dataset build as one composed plan
+# ---------------------------------------------------------------------------
+
+def corpus_build_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-dataset build — the whole pipeline a 100 TB
+    pretraining run executes, composed as one declarative plan:
+
+        curate (quality ∘ repetition ∘ near-dup canonical)
+          → chunk (32/24 token windows)
+          → pack (256-token budget within 64 hash shards)
+          → split (hash train/val/test, keyed by DOC so every chunk of a
+            document lands in the same split — eval-set hygiene)
+
+    Everything after the shared dedup checkpoint is a single Catalyst
+    plan: the curation filters push into the chunk scan, packing windows
+    per shard, and the split is a pure projection.  The oracle replays
+    the entire composition in SQL."""
+    from ..operators.sampling import hash_bucket, train_val_test_split
+    from ..operators.text import chunk_token_windows, pack_by_token_budget
+
+    docs = _docs(spark, sf_dir)
+    kept = corpus_curation_strict(spark, sf_dir).select("doc_id")
+    curated = docs.join(kept, "doc_id")
+    chunks = chunk_token_windows(curated, chunk_size=32, stride=24).withColumn(
+        "pack_shard", hash_bucket(F.col("doc_id"), "pack", _PACK_SHARDS)
+    )
+    packed = pack_by_token_budget(chunks, budget=256, partition_cols=("pack_shard",))
+    return train_val_test_split(packed, id_col="doc_id")
+
+
+def _build_dataset_sql() -> str:
+    from ..operators.sampling import split_oracle_sql
+
+    strict = _curation_strict_sql().strip()
+    shard = (
+        f"(('0x' || substr(md5('pack:' || doc_id), 1, 15))::BIGINT"
+        f" % {_PACK_SHARDS})"
+    )
+    return rf"""
+WITH curated AS ({strict}),
+cur_docs AS (
+    SELECT d.doc_id, d.text FROM documents d
+    JOIN curated USING (doc_id)
+),
+w AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM cur_docs
+),
+n AS (
+    SELECT doc_id, ws,
+           CAST(1 + ceil(greatest(len(ws) - 32, 0) / 24.0) AS BIGINT) AS n_chunks
+    FROM w
+),
+idx AS (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS chunk_idx FROM n),
+chunks AS (
+    SELECT doc_id, chunk_idx,
+           CAST(len(ws[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS BIGINT)
+               AS n_chunk_tokens
+    FROM idx
+),
+s AS (
+    SELECT doc_id, chunk_idx, n_chunk_tokens, {shard} AS pack_shard
+    FROM chunks
+),
+c AS (
+    SELECT pack_shard, doc_id, chunk_idx, n_chunk_tokens,
+           SUM(n_chunk_tokens) OVER (PARTITION BY pack_shard
+               ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_chunk_tokens AS excl
+    FROM s
+)
+SELECT pack_shard, doc_id, chunk_idx, n_chunk_tokens,
+       CAST(floor(excl / 256.0) AS BIGINT) AS pack_id,
+       {split_oracle_sql()} AS split
+FROM c
+"""
+
+
+QUERIES["corpus_build_dataset"] = corpus_build_dataset
+ORACLES["corpus_build_dataset"] = _build_dataset_sql()
