@@ -95,14 +95,27 @@ def split_oracle_sql(
 # exponentially-smoothed multilingual sampling of XLM-R / mBERT and the
 # domain-weight tuning literature, e.g. DoReMi).  The
 # arithmetic here is deliberately INTEGER-EXACT at alpha = 0.5:
-# w = floor(sqrt(n)) (sqrt is IEEE correctly-rounded in both the JVM and
-# DuckDB, floor makes it an integer), and every subsequent step is bigint
+# w = floor(1000 * sqrt(n)) (sqrt is IEEE correctly-rounded in both the
+# JVM and DuckDB, the *1000.0 multiply is a single correctly-rounded IEEE
+# op, floor makes it an integer), and every subsequent step is bigint
 # multiply / integral divide — so per-source thresholds, and therefore
 # every sampled document, reproduce bit-for-bit across engines with no
-# float fold-order hazard.  At 100 TB the plan is: one tiny per-source
-# aggregate (|sources| rows), a broadcast join of the thresholds back onto
-# the corpus, and a shuffle-free hash-threshold filter — the corpus itself
-# is touched by exactly one narrow pass.
+# float fold-order hazard.
+#
+# Why the 1000x scale (round-3 defect, caught by the Hypothesis property
+# test): with w = floor(sqrt(n)) the realized rate w/n jumps UP at every
+# perfect square (n=100 -> 10/100 = 0.100 > 9/91 = 0.0989), so a LARGER
+# source could sample at a HIGHER rate than a smaller one — the opposite
+# of alpha<1 flattening.  Scaling to w = floor(1000*sqrt(n)) bounds the
+# quantization to 1e-3 relative: w/n is provably non-increasing for all
+# n <= 250_000 (floor(S*sqrt(n))/n can only invert once n > (S/2)^2) and
+# within 1/1000 relative beyond.  The scale also respects int64: the
+# widest product is t_total*weight <= (total/2) * 1000*sqrt(n_max), which
+# stays under 2^63 for corpora up to ~7e10 documents (100 TB at ~2 KB/doc
+# is ~5e10 — inside the envelope).  At 100 TB the plan is: one tiny
+# per-source aggregate (|sources| rows), a broadcast join of the
+# thresholds back onto the corpus, and a shuffle-free hash-threshold
+# filter — the corpus itself is touched by exactly one narrow pass.
 
 
 def temperature_thresholds(
@@ -112,8 +125,9 @@ def temperature_thresholds(
     buckets: int = N_BUCKETS,
 ) -> DataFrame:
     """Per-source sampling plan: ``(source, n_docs, weight, target_docs,
-    threshold)``.  ``weight = floor(sqrt(n_docs))`` (temperature
-    alpha=0.5); ``target_docs = (T * weight) div W`` where
+    threshold)``.  ``weight = floor(1000 * sqrt(n_docs))`` (temperature
+    alpha=0.5, 1000x-scaled so w/n is monotone non-increasing — see module
+    note); ``target_docs = (T * weight) div W`` where
     ``T = floor(target_frac * total)`` and ``W = sum(weight)``;
     ``threshold = min(buckets, (target_docs * buckets) div n_docs)`` is the
     hash-bucket cutoff that realizes the target rate."""
@@ -128,7 +142,10 @@ def temperature_thresholds(
     # input, never the corpus (same bounded shape as corpus_mix_report)
     w = Window.partitionBy()
     return (
-        counts.withColumn("weight", F.floor(F.sqrt(F.col("n_docs"))).cast("long"))
+        counts.withColumn(
+            "weight",
+            F.floor(F.lit(1000.0) * F.sqrt(F.col("n_docs"))).cast("long"),
+        )
         .withColumn("w_total", F.sum("weight").over(w))
         .withColumn(
             "t_total",
@@ -184,9 +201,9 @@ def temperature_oracle_cte(
 c AS (SELECT {source_col}, CAST(COUNT(*) AS BIGINT) AS n_docs
       FROM {table} GROUP BY 1),
 t AS (SELECT {source_col}, n_docs,
-             CAST(floor(sqrt(n_docs)) AS BIGINT) AS weight,
-             CAST(SUM(CAST(floor(sqrt(n_docs)) AS BIGINT)) OVER () AS BIGINT)
-                 AS w_total,
+             CAST(floor(1000.0 * sqrt(n_docs)) AS BIGINT) AS weight,
+             CAST(SUM(CAST(floor(1000.0 * sqrt(n_docs)) AS BIGINT)) OVER ()
+                  AS BIGINT) AS w_total,
              CAST(floor({target_frac} * SUM(n_docs) OVER ()) AS BIGINT) AS t_total
       FROM c),
 th AS (SELECT {source_col}, n_docs, weight,
