@@ -221,10 +221,16 @@ def ivf_cte_body(
     dim: int = 64,
     seed: str = "ivf",
     table: str = "embeddings",
+    train_frac: float = 1.0,
 ) -> tuple[str, str]:
     """DuckDB CTE chain replaying train + full-corpus assignment, ending in
     ``inv(neighbor_id, cv, cluster)``.  Returns (cte_body, final_centroid
-    CTE name) so callers can keep composing (probe/search, SemDedup)."""
+    CTE name) so callers can keep composing (probe/search, SemDedup).
+
+    ``train_frac`` mirrors ``ivf_train``'s deterministic hash-bucket
+    training sample (same md5 bucket arithmetic), so the replay guarantee
+    holds for sampled training too: seeding and the Lloyd iterations run
+    on the sample, the final ``inv`` assignment on the full corpus."""
     dist = _oracle_dist(dim)
     rng = f"range(1, {dim + 1})"
 
@@ -232,13 +238,27 @@ def ivf_cte_body(
         f"""
 qv AS (SELECT vec_id, list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
-       FROM {table}),
+       FROM {table})"""
+    ]
+    train = "qv"
+    if train_frac < 1.0:
+        # same bucket arithmetic as sampling.hash_bucket(vid, seed+'-train')
+        cutoff = round(train_frac * 10_000)
+        parts.append(
+            f"""
+tq AS (SELECT vec_id, v FROM qv
+       WHERE (('0x' || substr(md5('{seed}-train:' || CAST(vec_id AS VARCHAR)),
+               1, 15))::BIGINT % 10000) < {cutoff})"""
+        )
+        train = "tq"
+    parts.append(
+        f"""
 c0 AS (SELECT ROW_NUMBER() OVER (
            ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
            AS cid, v
-       FROM qv
+       FROM {train}
        QUALIFY cid < {k})"""
-    ]
+    )
     prev = "c0"
     for it in range(1, iters + 1):
         a, u, c = f"a{it}", f"u{it}", f"c{it}"
@@ -248,7 +268,7 @@ c0 AS (SELECT ROW_NUMBER() OVER (
         SELECT q.vec_id, q.v, c.cid,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
                    ORDER BY {dist('q.v', 'c.v')}, c.cid) AS rn
-        FROM qv q CROSS JOIN {prev} c) WHERE rn = 1),
+        FROM {train} q CROSS JOIN {prev} c) WHERE rn = 1),
 {u} AS (SELECT cid, list(ci ORDER BY i) AS v FROM (
         SELECT cid, i,
                CAST(floor(SUM(v[i]) * 1.0 / COUNT(*)) AS BIGINT) AS ci
@@ -277,12 +297,13 @@ def ivf_oracle_sql(
     nprobe: int = 2,
     query_pred: str = "vec_id < 20",
     table: str = "embeddings",
+    train_frac: float = 1.0,
 ) -> str:
     """DuckDB SQL replaying the full IVF algorithm (train + assign + probe
     + rerank) with the Lloyd iterations unrolled as CTEs — bit-identical
     to the Spark implementation by construction (see module docstring)."""
     dist = _oracle_dist(dim)
-    body, final_c = ivf_cte_body(k, iters, dim, seed, table)
+    body, final_c = ivf_cte_body(k, iters, dim, seed, table, train_frac)
     return f"""
 WITH {body},
 probes AS (SELECT query_id, qv2 AS qv, cid AS cluster FROM (

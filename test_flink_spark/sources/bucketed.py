@@ -73,7 +73,13 @@ def bucketed_lineitem_orders(
     key = (spark.sparkContext.applicationId, sf_dir, n_buckets)
     names = _BUCKETED_CACHE.get(key)
     if names is None:
-        suffix = abs(hash(key)) % 10_000_000
+        # stable digest, NOT builtin hash(): PYTHONHASHSEED randomizes
+        # hash() per process, which would mint fresh table/dir names every
+        # run (DROP TABLE / overwrite never reclaims earlier copies) and a
+        # cross-key collision could silently alias two different datasets
+        import hashlib
+
+        suffix = hashlib.md5(repr(key).encode()).hexdigest()[:8]
         li_name = f"li_bucketed_{suffix}"
         o_name = f"orders_bucketed_{suffix}"
         base = os.path.join(

@@ -54,6 +54,11 @@ STATE_SCHEMA = StructType(
     [
         StructField("ids", ArrayType(LongType())),
         StructField("band_key", StringType()),  # key echo for debuggability
+        # running max event time across ALL batches seen by this bucket —
+        # the timeout must never move backward when a later micro-batch
+        # carries older (still on-time) events, or the realized TTL would
+        # undercut the documented "ttl past the newest member's event time"
+        StructField("max_ts_ms", LongType()),
     ]
 )
 
@@ -71,8 +76,9 @@ def _bucket_func(ttl_ms: int):
             yield _EMPTY
             return
         known: list[int] = list(state.get[0]) if state.exists else []
+        stored_max: int = int(state.get[2]) if state.exists else 0
         arrived: list[int] = []
-        max_ts_ms = 0
+        max_ts_ms = stored_max
         for pdf in pdfs:
             arrived.extend(int(x) for x in pdf["doc_id"].tolist())
             if len(pdf):
@@ -85,7 +91,7 @@ def _bucket_func(ttl_ms: int):
                 pairs.append((min(a, b), max(a, b)))
             for b2 in fresh[i + 1 :]:
                 pairs.append((b, b2))
-        state.update((known + fresh, str(key[1])))
+        state.update((known + fresh, str(key[1]), max_ts_ms))
         state.setTimeoutTimestamp(max_ts_ms + ttl_ms)
         if pairs:
             yield pd.DataFrame(pairs, columns=["id_a", "id_b"])

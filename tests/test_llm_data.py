@@ -362,32 +362,70 @@ def test_semantic_dedup_drops_planted_duplicates(spark):
     assert sum(not k for k in out.values()) == 2
 
 
+def test_ivf_train_frac_oracle_parity(spark):
+    """``train_frac < 1.0`` must keep the bit-for-bit replay guarantee:
+    the DuckDB CTE chain (with the same hash-bucket training filter) must
+    land on exactly the Spark centroids."""
+    import duckdb
+
+    from test_flink_spark.operators.ivf import ivf_cte_body, ivf_train
+
+    emb = load_table(spark, SF, "embeddings")
+    spark_cents = ivf_train(emb, k=4, iters=2, dim=64, train_frac=0.5)
+
+    body, final_c = ivf_cte_body(k=4, iters=2, dim=64, train_frac=0.5)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    rows = con.execute(
+        f"WITH {body} SELECT cid, v FROM {final_c} ORDER BY cid"
+    ).fetchall()
+    oracle_cents = [list(v) for _, v in rows]
+    assert oracle_cents == spark_cents
+    # and the sample is a strict, non-trivial subset
+    n = emb.count()
+    from test_flink_spark.operators.sampling import hash_bucket
+
+    n_train = emb.filter(hash_bucket(F.col("vec_id"), "ivf-train") < 5000).count()
+    assert 0 < n_train < n
+
+
 def test_minhash_expression_matches_groupby_form(spark):
-    """The shuffle-free signature expression must be bit-identical to the
-    r2 explode+groupBy construction it replaced (same shingles, base
-    hash, and affine mins)."""
+    """The shuffle-free ``minhash_signature_expr`` (the streaming form)
+    must be bit-identical to the batch explode+groupBy
+    ``minhash_signatures`` on every doc that has a signature in both —
+    this is the parity claim the dedup module docstring makes.  Docs with
+    fewer words than shingle_n have no rows in the groupBy form and a
+    NULL signature in the expression form; both sets must agree on which
+    docs those are."""
     from pyspark.sql import functions as F2
 
     from test_flink_spark.operators.dedup import (
-        MINHASH_MOD,
-        _h60,
-        minhash_coeffs,
+        minhash_signature_expr,
         minhash_signatures,
-        shingles,
     )
+    from test_flink_spark.operators.text import words
 
     docs = load_table(spark, SF, "documents")
-    got = {r["doc_id"]: list(r["signature"]) for r in minhash_signatures(docs).collect()}
-    base = shingles(docs).select(
-        F2.col("doc_id"), (_h60(F2.col("shingle")) % MINHASH_MOD).alias("h")
-    )
-    ref = base.groupBy("doc_id").agg(
-        *[
-            F2.min((F2.lit(a) * F2.col("h") + F2.lit(b)) % MINHASH_MOD).alias(f"h{p}")
-            for p, (a, b) in enumerate(minhash_coeffs(16))
-        ]
-    )
-    want = {
-        r["doc_id"]: [r[f"h{p}"] for p in range(16)] for r in ref.collect()
+    got = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_signatures(docs).collect()
     }
-    assert got == want
+    expr_rows = docs.select(
+        "doc_id",
+        minhash_signature_expr(F2.col("text")).alias("signature"),
+        (F2.size(words(F2.col("text"))) >= 3).alias("has_shingles"),
+    ).collect()
+    want = {
+        r["doc_id"]: list(r["signature"])
+        for r in expr_rows
+        if r["signature"] is not None
+    }
+    # expression form yields NULL exactly where the groupBy form has no row
+    assert {r["doc_id"] for r in expr_rows if r["signature"] is None} == (
+        {r["doc_id"] for r in expr_rows} - set(got)
+    )
+    # and where the groupBy row exists it has shingles per the words() gate
+    assert all(r["has_shingles"] for r in expr_rows if r["doc_id"] in got)
+    assert got == want and len(got) > 0
