@@ -23,12 +23,18 @@ from . import llm_data, reference_queries, relational, tpch_extra
 # 7 reference queries come first, then the LLM-data flagships (the
 # BASELINE.json north star), then the relational superset. Queries named in
 # _PROMOTED jump ahead of the rest of their module so fresh fixes get a
-# driver-verified row (r2's only hash-fail was json_props_aggregate; its
-# dtype fix must be driver-visible; r3 adds the new bucketed-join query so
-# its first driver check lands this round). Everything outside the window
-# is still value-hash-checked locally by tools/check_oracle.py.
+# driver-verified row (r4 promotes every query whose code changed this
+# round: the temperature-weight rescale, the new lsh_ann algorithm-replay
+# oracle, the rewritten block-dedup expression, and the real-decode
+# multimodal features). Everything outside the window is still
+# value-hash-checked locally by tools/check_oracle.py.
 _MODULE_ORDER = (reference_queries, llm_data, relational, tpch_extra)
-_PROMOTED = ("json_props_aggregate", "bucketed_join_revenue")
+_PROMOTED = (
+    "corpus_temperature_mix",
+    "embedding_lsh_ann",
+    "doc_block_dedup",
+    "multimodal_decode_features",
+)
 
 
 def _ordered(attr):

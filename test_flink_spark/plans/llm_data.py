@@ -366,19 +366,78 @@ WHERE ROUND({cos}, 4) >= 0.35
 """
 
 
+_ANN_PLANES = 4
+_ANN_TABLES = 8
+
+
 def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH — 4 planes × 8 OR-amplified
-    tables (~0.63 recall@5 on this corpus, pytest-measured vs exact top-k;
-    engine-specific candidate generation → rows-only check).  With weakly
-    clustered embeddings (max pairwise cosine ≈ 0.5 here) per-plane
-    collision prob is ~0.6, so recall comes from table count, not plane
-    count — at 100 TB this is the knob that trades candidate volume for
-    recall."""
+    tables (~0.63 recall@5 on this corpus, pytest-measured vs exact top-k).
+    With weakly clustered embeddings (max pairwise cosine ≈ 0.5 here)
+    per-plane collision prob is ~0.6, so recall comes from table count, not
+    plane count — at 100 TB this is the knob that trades candidate volume
+    for recall.  The oracle replays the whole ALGORITHM in SQL (md5-seeded
+    planes → sign buckets → distinct bucket-collision candidates → exact
+    rerank → rank window), the same discipline as embedding_near_dup_lsh —
+    every emitted neighbor AND every recall miss is verified bit-for-bit."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
     return lsh_bucket_topk(
-        emb, queries, dim=EMB_DIM, k=5, n_planes=4, n_tables=8
+        emb, queries, dim=EMB_DIM, k=5, n_planes=_ANN_PLANES, n_tables=_ANN_TABLES
     ).select("query_id", "neighbor_id", "sim", "rank")
+
+
+def _lsh_ann_sql() -> str:
+    """DuckDB replica of lsh_bucket_topk at the registered parameter point:
+    identical hyperplanes (md5-seeded floats, emitted as literals), identical
+    ascending-dimension dot-product folds (see _DOT — sign bits cannot flip
+    between engines), DISTINCT over the per-table candidate union (the
+    dropDuplicates), then the same ROUND(…,4)/neighbor-id rank window as
+    the exact top-k oracle."""
+    from ..operators.similarity import hyperplanes_seeded
+
+    rows = []
+    for t in range(_ANN_TABLES):
+        planes = hyperplanes_seeded(EMB_DIM, _ANN_PLANES, seed=t)
+        for p, coefs in enumerate(planes):
+            lit = ", ".join(repr(c) for c in coefs)
+            rows.append(f"({t}, {p}, [{lit}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    dot = _DOT.format(a="v.embedding", b="pl.coefs", d=EMB_DIM + 1)
+    cos = _cos_sql("va.embedding", "vb.embedding")
+    return f"""
+WITH planes(t, p, coefs) AS (VALUES
+{values}
+),
+v AS (SELECT vec_id, embedding FROM embeddings),
+dots AS (
+    SELECT v.vec_id, pl.t, pl.p, {dot} AS dot
+    FROM v CROSS JOIN planes pl
+),
+bk AS (
+    SELECT vec_id, t,
+           CAST(SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+    FROM dots GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+    WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+),
+s AS (
+    SELECT cand.query_id, cand.neighbor_id, ROUND({cos}, 4) AS sim
+    FROM cand
+    JOIN embeddings va ON va.vec_id = cand.query_id
+    JOIN embeddings vb ON vb.vec_id = cand.neighbor_id
+),
+r AS (
+    SELECT query_id, neighbor_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM s
+)
+SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -461,8 +520,9 @@ ORACLES = {
     "embedding_cosine_topk": _topk_sql(),
     "embedding_near_dup": _near_dup_sql(),
     "embedding_near_dup_lsh": _near_dup_lsh_sql(),
+    "embedding_lsh_ann": _lsh_ann_sql(),
     "multimodal_media_stats": _MEDIA_STATS_SQL,
-    # embedding_lsh_ann, multimodal_decode_features: engine-specific → rows-only
+    # multimodal_decode_features: deterministic-fake decode → rows-only
 }
 
 
