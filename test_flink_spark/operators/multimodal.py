@@ -134,6 +134,138 @@ def decode_stub(
     return cols.mapInPandas(decode, DECODED_SCHEMA)
 
 
+WAV_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("bits_per_sample", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("amp_sum", LongType()),
+        StructField("amp_max", LongType()),
+    ]
+)
+
+
+def wav_wrap(
+    df: DataFrame,
+    payload_col: str = "payload",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Wrap a raw byte column as a canonical mono 8-bit PCM WAV file
+    (44-byte RIFF header + data chunk) — pure JVM binary construction, no
+    Python.  Only the two length fields vary per row; they are assembled
+    little-endian from ``octet_length`` via hex/unhex byte arithmetic, the
+    rest of the header is one binary literal.  This is the fixture side of
+    the REAL decode path (``decode_wav``): at 100 TB the wrap is a narrow
+    codegen-fused projection."""
+    import struct as _struct
+
+    data_len = F.octet_length(F.col(payload_col)).cast("long")
+
+    def le4(x):  # little-endian uint32 → 4 raw bytes
+        return F.unhex(
+            F.concat(
+                *[
+                    F.lpad(F.hex(F.floor(x / (256**i)).cast("long") % 256), 2, "0")
+                    for i in range(4)
+                ]
+            )
+        )
+
+    # "WAVE" + canonical fmt chunk (PCM, mono, 8-bit) + "data" magic
+    static_mid = b"WAVEfmt " + _struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 1 * 1, 1, 8
+    ) + b"data"
+    return df.withColumn(
+        payload_col,
+        F.concat(
+            F.lit(b"RIFF"),
+            le4(data_len + 36),  # RIFF chunk size = 36 + data bytes
+            F.lit(static_mid),
+            le4(data_len),
+            F.col(payload_col),
+        ),
+    )
+
+
+def decode_wav(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    modality_col: str = "modality",
+) -> DataFrame:
+    """REAL, dependency-free media decode (not the stub): parse canonical
+    RIFF/WAVE PCM — validate the RIFF/WAVE/fmt/data magics, unpack the
+    44-byte header (``struct``), slice the PCM frame and compute
+    integer-exact amplitude stats with numpy.  Supports 8-bit (unsigned)
+    and 16-bit (signed LE) PCM, any channel count, rejecting anything
+    non-canonical loudly (a training pipeline must quarantine undecodable
+    media, not emit garbage features).
+
+    Runs as Arrow-batched ``mapInPandas`` like every decode stage here;
+    parity with Python's stdlib ``wave`` module is pinned by a pytest, and
+    the registered query's DuckDB oracle independently recomputes header
+    fields + amplitude stats from the pre-wrap source bytes — a full
+    construct→decode roundtrip check."""
+    import struct as _struct
+
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mod, raw in zip(
+                pdf[id_col], pdf[modality_col], pdf[payload_col]
+            ):
+                b = bytes(raw)
+                if (
+                    len(b) < 44
+                    or b[:4] != b"RIFF"
+                    or b[8:12] != b"WAVE"
+                    or b[12:16] != b"fmt "
+                ):
+                    raise ValueError(f"not a RIFF/WAVE payload (media_id={mid})")
+                fmt_size, audio_fmt, ch, sr, _rate, _align, bits = _struct.unpack(
+                    "<IHHIIHH", b[16:36]
+                )
+                if fmt_size != 16 or audio_fmt != 1:
+                    raise ValueError(
+                        f"only canonical PCM supported (media_id={mid})"
+                    )
+                if b[36:40] != b"data":
+                    raise ValueError(f"missing data chunk (media_id={mid})")
+                n_bytes = _struct.unpack("<I", b[40:44])[0]
+                if len(b) < 44 + n_bytes:
+                    raise ValueError(f"truncated data chunk (media_id={mid})")
+                data = np.frombuffer(b, np.uint8, count=n_bytes, offset=44)
+                if bits == 8:
+                    samples = data.astype(np.int64)
+                elif bits == 16:
+                    samples = np.frombuffer(data.tobytes(), "<i2").astype(np.int64)
+                else:
+                    raise ValueError(f"unsupported bit depth {bits}")
+                rows.append(
+                    (
+                        mid,
+                        mod,
+                        ch,
+                        sr,
+                        bits,
+                        len(samples) // max(ch, 1),
+                        int(samples.sum()),
+                        int(samples.max()) if len(samples) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_DECODED_SCHEMA.fields]
+            )
+
+    cols = df.select(id_col, modality_col, payload_col)
+    return cols.mapInPandas(decode, WAV_DECODED_SCHEMA)
+
+
 def chunk_payload(
     df: DataFrame,
     chunk_chars: int = 256,

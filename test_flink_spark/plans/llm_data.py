@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash
-from ..operators.multimodal import decode_stub, media_stats
+from ..operators.multimodal import media_stats
 from ..operators.similarity import (
     cosine_topk,
     lsh_bucket_topk,
@@ -479,16 +479,60 @@ FROM documents GROUP BY 1
 
 
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode plumbing with the deterministic fake
-    decoder (real decode is a marked NotImplementedError stub) — engine-
-    specific features → rows-only check."""
-    decoded = decode_stub(_media(spark, sf_dir), fake=True)
+    """REAL dependency-free media decode with a full value-hash oracle
+    (r3 VERDICT #6; this row was rows-only while decode was the fake stub).
+    Payloads are wrapped as canonical mono 8-bit PCM WAV by pure JVM binary
+    construction (operators/multimodal.py::wav_wrap), then decoded by an
+    actual RIFF parser (decode_wav: magic validation, struct header unpack,
+    numpy PCM stats).  The oracle recomputes the expected header fields and
+    integer amplitude stats independently from the pre-wrap source text
+    (ASCII corpus: ord(char) == byte) — a construct→decode roundtrip check;
+    stdlib-``wave`` parity is pinned separately in pytest."""
+    from ..operators.multimodal import decode_wav, wav_wrap
+
+    decoded = decode_wav(wav_wrap(_media(spark, sf_dir)))
     return decoded.select(
         "media_id",
         "modality",
-        "n_bytes",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
+        "n_channels",
+        "sample_rate",
+        "bits_per_sample",
+        "n_samples",
+        "amp_sum",
+        "amp_max",
+        F.when(
+            F.col("n_samples") > 0,
+            F.round(F.col("amp_sum") / F.col("n_samples"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("amp_mean"),
     )
+
+
+_DECODE_WAV_SQL = """
+WITH amps AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           CAST(length(text) AS BIGINT) AS n_samples,
+           CAST(list_aggregate(list_transform(range(1, length(text) + 1),
+                i -> ord(substr(text, i, 1))), 'sum') AS BIGINT) AS amp_sum,
+           CAST(list_aggregate(list_transform(range(1, length(text) + 1),
+                i -> ord(substr(text, i, 1))), 'max') AS BIGINT) AS amp_max
+    FROM documents
+)
+SELECT doc_id AS media_id, modality,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(8 AS BIGINT) AS bits_per_sample,
+       n_samples,
+       CASE WHEN n_samples > 0 THEN amp_sum ELSE 0 END AS amp_sum,
+       CASE WHEN n_samples > 0 THEN amp_max ELSE 0 END AS amp_max,
+       CASE WHEN n_samples > 0 THEN ROUND(amp_sum / n_samples, 6)
+            ELSE 0.0 END AS amp_mean
+FROM amps
+"""
 
 
 QUERIES = {
@@ -522,7 +566,7 @@ ORACLES = {
     "embedding_near_dup_lsh": _near_dup_lsh_sql(),
     "embedding_lsh_ann": _lsh_ann_sql(),
     "multimodal_media_stats": _MEDIA_STATS_SQL,
-    # multimodal_decode_features: deterministic-fake decode → rows-only
+    "multimodal_decode_features": _DECODE_WAV_SQL,
 }
 
 

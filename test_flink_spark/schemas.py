@@ -169,4 +169,11 @@ def load_table(spark, sf_dir: str, name: str):
 
         # integer `div`, not `/` — double division loses precision on int64 ns
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
+        from pyspark.sql import functions as F
+
+        # Session whose inferTimestampNTZ conf we couldn't set (external
+        # driver session): normalize NTZ → session-tz (UTC) timestamp so
+        # epoch functions apply; wall-clock fields are unchanged.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -32,6 +32,11 @@ RUNTIME_CONFS = {
     # refuses by default; read the raw int64 and normalize in load_table
     # (schemas.py) — lossless down to the microsecond Spark works in.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Round-4 testdata switched events.ts to TIMESTAMP(MICROS) without the
+    # UTC annotation; Spark 4 would infer TIMESTAMP_NTZ, which epoch
+    # functions (unix_millis etc.) reject.  Read it as session-tz TIMESTAMP
+    # (UTC above) — identical epoch values, same as the DuckDB oracle.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

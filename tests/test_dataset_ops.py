@@ -142,8 +142,9 @@ def test_temperature_mix_flattens_skew(spark):
     rows = [(f"d{i}", "big" if i < 900 else "small") for i in range(1000)]
     df = spark.createDataFrame(rows, "doc_id STRING, source STRING")
     th = {r["source"]: r.asDict() for r in temperature_thresholds(df).collect()}
-    # isqrt weights: big=30, small=10 -> rates 375/900 vs 125/100 (capped)
-    assert th["big"]["weight"] == 30 and th["small"]["weight"] == 10
+    # 1000x-scaled weights: big=30000, small=10000 -> targets 375/900 vs
+    # 125/100 (capped); thresholds unchanged vs the unscaled form
+    assert th["big"]["weight"] == 30_000 and th["small"]["weight"] == 10_000
     assert th["small"]["threshold"] == 10_000  # rare domain fully kept
     assert th["big"]["threshold"] < 5_000  # dominant domain down-sampled
     sampled = temperature_sample(df)

@@ -81,6 +81,67 @@ def test_multimodal_fake_decode_deterministic(spark):
     assert len(out1[1][1]) == 8
 
 
+def test_wav_wrap_decode_roundtrip_and_stdlib_parity(spark):
+    """wav_wrap's JVM-built container must be a VALID WAV file: parse every
+    wrapped payload with Python's stdlib wave module and assert decode_wav
+    reports identical header fields + sample count, plus exact amplitude
+    stats recomputed from the raw bytes."""
+    import io
+    import wave
+
+    from test_flink_spark.operators.multimodal import decode_wav, wav_wrap
+
+    payloads = [b"hello world", b"a", bytes(range(200)), b"x" * 1000]
+    df = spark.createDataFrame(
+        [(i, "audio", bytearray(p)) for i, p in enumerate(payloads)],
+        "media_id LONG, modality STRING, payload BINARY",
+    )
+    wrapped = {r["media_id"]: bytes(r["payload"]) for r in wav_wrap(df).collect()}
+    decoded = {r["media_id"]: r.asDict() for r in decode_wav(wav_wrap(df)).collect()}
+    for i, p in enumerate(payloads):
+        with wave.open(io.BytesIO(wrapped[i])) as w:
+            assert w.getnchannels() == decoded[i]["n_channels"] == 1
+            assert w.getframerate() == decoded[i]["sample_rate"] == 8000
+            assert w.getsampwidth() * 8 == decoded[i]["bits_per_sample"] == 8
+            assert w.getnframes() == decoded[i]["n_samples"] == len(p)
+            assert w.readframes(w.getnframes()) == p
+        assert decoded[i]["amp_sum"] == sum(p)
+        assert decoded[i]["amp_max"] == max(p)
+
+
+def test_decode_wav_16bit_stereo_and_rejects_garbage(spark):
+    """decode_wav handles files it did not build (stdlib-wave-written 16-bit
+    stereo PCM) and quarantines non-WAV payloads loudly."""
+    import io
+    import struct
+    import wave
+
+    from test_flink_spark.operators.multimodal import decode_wav
+
+    samples = [0, 1000, -1000, 32767, -32768, 7, -7, 250]  # 4 frames x 2 ch
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(struct.pack("<8h", *samples))
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(buf.getvalue()))],
+        "media_id LONG, modality STRING, payload BINARY",
+    )
+    r = decode_wav(df).collect()[0]
+    assert r["n_channels"] == 2 and r["sample_rate"] == 44100
+    assert r["bits_per_sample"] == 16 and r["n_samples"] == 4
+    assert r["amp_sum"] == sum(samples) and r["amp_max"] == max(samples)
+
+    bad = spark.createDataFrame(
+        [(2, "audio", bytearray(b"definitely not a wav file, but 44+ bytes long..."))],
+        "media_id LONG, modality STRING, payload BINARY",
+    )
+    with pytest.raises(Exception, match="RIFF|WAVE"):
+        decode_wav(bad).collect()
+
+
 def test_jaccard_stop_shingle_cap(spark):
     """max_doc_freq drops boilerplate shingles from candidate generation:
     docs sharing ONLY a ubiquitous shingle stop pairing; genuinely similar
