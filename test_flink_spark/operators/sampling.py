@@ -186,6 +186,91 @@ def temperature_sample(
     )
 
 
+def epoch_upsample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    max_epochs: float = 4.0,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Balance-to-largest upsampling — the complement of
+    ``temperature_sample``: each source is repeated until it matches the
+    LARGEST source's document count, capped at ``max_epochs`` (the standard
+    guard against degenerate repetition of tiny domains; repeating data
+    beyond a few epochs measurably degrades models — cf. the data-
+    constrained scaling literature, e.g. Muennighoff et al. 2023).
+
+    Integer-exact plan: per-source ``epochs_milli = min(max_epochs*1000,
+    (n_max * 1000) div n)`` (thousandths of an epoch); every doc gets
+    ``epochs_milli div 1000`` full copies, plus one extra iff its hash
+    bucket (mod 1000) falls under ``epochs_milli % 1000`` — deterministic,
+    retry-stable, engine-reproducible.  Output: one row per (doc, epoch)
+    with a 0-based ``epoch`` index.
+
+    Scale: one tiny per-source aggregate (|sources| rows) broadcast back,
+    then a narrow explode — the corpus is scanned once; output volume is
+    the deliberate product of the mix plan (bounded by max_epochs)."""
+    if max_epochs < 1.0:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    cap_milli = round(max_epochs * 1000)
+    # The per-source plan is |sources| rows: collect it (sanctioned
+    # tiny-scalar pattern, cf. the IVF codebook / temperature cutoffs) and
+    # inline the milli-epoch counts as a literal map — pure Python integer
+    # arithmetic is exact and identical to the oracle's bigint `//`, and
+    # the corpus-side plan stays a narrow windowless explode.
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_max = max(counts.values())
+    milli = {s: min(cap_milli, (n_max * 1000) // n) for s, n in counts.items()}
+    milli_map = F.create_map(
+        *[F.lit(v) for s in sorted(milli) for v in (s, milli[s])]
+    )
+    em = milli_map[F.col(source_col)].cast("long")
+    n_copies = F.floor(em / F.lit(1000)).cast("long") + (
+        hash_bucket(F.col(id_col), salt, 1000) < em % 1000
+    ).cast("long")
+    # generators can't be nested in expressions — emit the 0-based epoch
+    # index directly from the sequence (n_copies >= 1 always: the largest
+    # source has ratio 1.0 -> epochs_milli >= 1000)
+    return df.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), (n_copies - 1).cast("int")))
+    ).withColumn("epoch", F.col("epoch").cast("long"))
+
+
+def epoch_oracle_cte(
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    max_epochs: float = 4.0,
+    salt: str = "epoch",
+    table: str = "documents",
+) -> str:
+    """DuckDB CTE body reproducing ``epoch_upsample`` bit-for-bit (defines
+    ``up`` with one row per (doc, epoch))."""
+    cap_milli = round(max_epochs * 1000)
+    return f"""
+ec AS (SELECT {source_col}, CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM {table} GROUP BY 1),
+eplan AS (SELECT {source_col},
+                 LEAST(CAST({cap_milli} AS BIGINT),
+                       (n_docs_max * 1000) // n_docs) AS epochs_milli
+          FROM (SELECT {source_col}, n_docs,
+                       MAX(n_docs) OVER () AS n_docs_max FROM ec)),
+up AS (
+    SELECT d.*, CAST(g.epoch AS BIGINT) AS epoch
+    FROM {table} d
+    JOIN eplan ON d.{source_col} = eplan.{source_col}
+    CROSS JOIN LATERAL (
+        SELECT unnest(range(0,
+            (epochs_milli // 1000)
+            + CASE WHEN (('0x' || substr(md5('{salt}:' || d.{id_col}), 1, 15))::BIGINT
+                         % 1000) < epochs_milli % 1000
+                   THEN 1 ELSE 0 END)) AS epoch
+    ) g
+)"""
+
+
 def temperature_oracle_cte(
     source_col: str = "source",
     id_col: str = "doc_id",

@@ -240,6 +240,69 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Named-rule document filter in the style of the Gopher quality rules
+    (Rae et al. 2021, §A1.1) / C4 heuristics: per-document rule columns
+    plus the conjunctive ``passes`` flag, so a pipeline can both filter
+    and audit WHICH rule rejected each doc.
+
+    Rules (each a boolean column):
+    - ``rule_word_count``:   min_words <= n_words <= max_words
+    - ``rule_mean_len``:     min_mean_len <= mean word length <= max_mean_len
+    - ``rule_symbol``:       (#-chars + ellipses) / n_words <= max_symbol_ratio
+    - ``rule_alpha``:        frac of words containing a letter >= min_alpha_frac
+    - ``rule_stopwords``:    >= min_stopwords stopword occurrences
+
+    Pure array/regexp expressions — ZERO shuffle, codegen-fused, composes
+    over readStream; one narrow pass at 100 TB.  Ratios are rounded to 4
+    before comparison so rule outcomes are engine-reproducible (the DuckDB
+    oracle rounds identically)."""
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    total_len = F.aggregate(F.transform(ws, F.length), F.lit(0), lambda a, x: a + x)
+    mean_len = F.round(total_len / n, 4)
+    t = F.col(text_col)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = F.floor(
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    )
+    symbol_ratio = F.round((n_hash + n_ellipsis) / n, 4)
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.round(n_alpha / n, 4)
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS_EN)))
+    rules = {
+        "rule_word_count": (n >= min_words) & (n <= max_words),
+        "rule_mean_len": (mean_len >= min_mean_len) & (mean_len <= max_mean_len),
+        "rule_symbol": symbol_ratio <= max_symbol_ratio,
+        "rule_alpha": alpha_frac >= min_alpha_frac,
+        "rule_stopwords": n_stop >= min_stopwords,
+    }
+    passes = F.lit(True)
+    for c in rules.values():
+        passes = passes & c
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+        *[c.cast("boolean").alias(name) for name, c in rules.items()],
+        passes.cast("boolean").alias("passes"),
+    )
+
+
 def dedup_blocks(
     df: DataFrame,
     text_col: str = "text",

@@ -34,6 +34,10 @@ _PROMOTED = (
     "embedding_lsh_ann",
     "doc_block_dedup",
     "multimodal_decode_features",
+    # new in r4 — never driver-seen before
+    "corpus_span_dedup",
+    "text_gopher_rules",
+    "corpus_epoch_mix",
 )
 
 

@@ -1607,3 +1607,124 @@ FROM c
 
 QUERIES["corpus_build_dataset"] = corpus_build_dataset
 ORACLES["corpus_build_dataset"] = _build_dataset_sql()
+
+
+# ---------------------------------------------------------------------------
+# Cross-document exact span dedup (operators/span_dedup.py)
+# ---------------------------------------------------------------------------
+
+def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring scoring (operators/span_dedup.py): every 5-word
+    span occurring in 2+ docs is charged to every doc except its min-id
+    owner; docs above 50% borrowed spans are flagged.  Inverted-index
+    shuffle on 60-bit span hashes only — no text crosses the network."""
+    from ..operators.span_dedup import span_ownership
+
+    return span_ownership(_docs(spark, sf_dir), span_words=5, flag_threshold=0.5)
+
+
+def _span_dedup_sql() -> str:
+    from ..operators.span_dedup import span_ownership_oracle_sql
+
+    return span_ownership_oracle_sql(span_words=5, flag_threshold=0.5)
+
+
+QUERIES["corpus_span_dedup"] = corpus_span_dedup
+ORACLES["corpus_span_dedup"] = _span_dedup_sql()
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (operators/text.py::gopher_quality_flags)
+# ---------------------------------------------------------------------------
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-rule quality filter (Gopher §A1.1 / C4 heuristics) with
+    per-rule audit columns.  The synthetic corpus has no symbol noise, so
+    docs on residue class ``doc_id % 7 == 0`` get a deterministic planted
+    ``" ### ... #"`` tail first — the differential test then exercises the
+    symbol rule's reject path too (same planting in the oracle).  Pure
+    zero-shuffle expressions."""
+    from ..operators.text import gopher_quality_flags
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" ### ... #"))
+        ).otherwise(F.col("text")),
+    )
+    return gopher_quality_flags(docs, min_words=40)
+
+
+_GOPHER_SQL = r"""
+WITH planted AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' ### ... #' ELSE text END AS text
+    FROM documents
+), w AS (
+    SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ws FROM planted
+), m AS (
+    SELECT doc_id, text, ws,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           ROUND(list_aggregate(list_transform(ws, x -> length(x)), 'sum')
+                 * 1.0 / len(ws), 4) AS mean_word_len,
+           ROUND((length(text) - length(replace(text, '#', ''))
+                  + floor((length(text) - length(replace(text, '...', ''))) / 3))
+                 * 1.0 / len(ws), 4) AS symbol_ratio,
+           ROUND(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                 * 1.0 / len(ws), 4) AS alpha_frac,
+           CAST(len(list_filter(ws,
+                x -> x IN ('the','a','of','and','to','in'))) AS BIGINT)
+               AS n_stopwords
+    FROM w
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stopwords,
+       (n_words >= 40 AND n_words <= 100000) AS rule_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS rule_mean_len,
+       (symbol_ratio <= 0.1) AS rule_symbol,
+       (alpha_frac >= 0.8) AS rule_alpha,
+       (n_stopwords >= 2) AS rule_stopwords,
+       ((n_words >= 40 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND (symbol_ratio <= 0.1)
+        AND (alpha_frac >= 0.8)
+        AND (n_stopwords >= 2)) AS passes
+FROM m
+"""
+
+QUERIES["text_gopher_rules"] = text_gopher_rules
+ORACLES["text_gopher_rules"] = _GOPHER_SQL
+
+
+# ---------------------------------------------------------------------------
+# Epoch upsampling mix (operators/sampling.py::epoch_upsample)
+# ---------------------------------------------------------------------------
+
+def corpus_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance-to-largest upsampling: small sources are repeated (capped at
+    2.5 epochs) to match the largest source — the up-sampling complement of
+    ``corpus_temperature_mix``.  Verified on the per-(source, epoch) doc
+    counts, which pins every fractional-epoch hash decision without hashing
+    a corpus-sized result."""
+    from ..operators.sampling import epoch_upsample
+
+    up = epoch_upsample(_docs(spark, sf_dir), max_epochs=2.5)
+    return up.groupBy("source", "epoch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
+
+
+def _epoch_mix_sql() -> str:
+    from ..operators.sampling import epoch_oracle_cte
+
+    return f"""
+WITH {epoch_oracle_cte(max_epochs=2.5).strip().lstrip()}
+SELECT source, epoch, COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM up GROUP BY 1, 2
+"""
+
+
+QUERIES["corpus_epoch_mix"] = corpus_epoch_mix
+ORACLES["corpus_epoch_mix"] = _epoch_mix_sql()

@@ -185,3 +185,45 @@ def test_dedup_blocks_drops_repeats_preserves_order(spark):
     assert out[2]["clean_text"] == f"{b} {a}"
     assert out[3]["n_blocks"] == 1 and out[3]["clean_text"] == "short text"
     assert abs(out[1]["dropped_ratio"] - round(1 - 2 / 3, 4)) < 1e-9
+
+
+def test_epoch_upsample_balances_to_largest(spark):
+    from test_flink_spark.operators.sampling import epoch_upsample, hash_bucket
+
+    rows = [(i, "big" if i < 100 else "small") for i in range(140)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    up = epoch_upsample(df, max_epochs=4.0)
+    per_doc = {
+        (r["doc_id"]): r["n"]
+        for r in up.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    # big source (the largest): exactly one epoch each
+    assert all(per_doc[i] == 1 for i in range(100))
+    # small source: 100_000 div 40 = 2500 milli-epochs -> 2 copies + 50% extra
+    extra = {
+        r["doc_id"]
+        for r in df.filter("source = 'small'")
+        .filter(hash_bucket(F.col("doc_id"), "epoch", 1000) < 500)
+        .collect()
+    }
+    for i in range(100, 140):
+        assert per_doc[i] == (3 if i in extra else 2)
+    # epoch indices are contiguous from 0
+    eps = up.filter("doc_id = 120").select("epoch").collect()
+    assert sorted(r["epoch"] for r in eps) == list(range(per_doc[120]))
+
+
+def test_epoch_upsample_cap_and_determinism(spark):
+    from test_flink_spark.operators.sampling import epoch_upsample
+
+    rows = [(i, "big" if i < 1000 else "tiny") for i in range(1004)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    up = epoch_upsample(df, max_epochs=2.5)
+    n_tiny = up.filter("source = 'tiny'").count()
+    # uncapped ratio would be 250 epochs; the cap holds at <= 2.5 per doc
+    assert n_tiny <= 3 * 4 and n_tiny >= 2 * 4
+    a = sorted(up.collect())
+    b = sorted(epoch_upsample(df.repartition(5), max_epochs=2.5).collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        epoch_upsample(df, max_epochs=0.5)

@@ -490,3 +490,54 @@ def test_minhash_expression_matches_groupby_form(spark):
     # and where the groupBy row exists it has shingles per the words() gate
     assert all(r["has_shingles"] for r in expr_rows if r["doc_id"] in got)
     assert got == want and len(got) > 0
+
+
+def test_span_ownership_first_doc_keeps(spark):
+    """Of k copies of a duplicated span, the min-id doc is charged nothing
+    and every later doc is charged; unique and too-short docs score 0."""
+    from test_flink_spark.operators.span_dedup import span_ownership
+
+    rows = [
+        (0, "a b c d e f"),          # owner of every shared span
+        (1, "a b c d e f"),          # exact copy -> all spans borrowed
+        (2, "x y z a b c"),          # shares one 3-span (a b c) with doc 0
+        (3, "p q"),                  # shorter than span_words -> no spans
+        (4, "u v w u v w u v w"),    # self-repeats only -> owns its spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r.asDict() for r in span_ownership(df, span_words=3).collect()}
+    assert len(out) == 5  # every doc present, including the span-less one
+    assert out[0]["n_spans"] == 4 and out[0]["n_dup_spans"] == 0
+    assert out[1]["n_spans"] == 4 and out[1]["n_dup_spans"] == 4
+    assert out[1]["dup_frac"] == 1.0 and out[1]["flagged"]
+    assert out[2]["n_spans"] == 4 and out[2]["n_dup_spans"] == 1
+    assert out[2]["dup_frac"] == 0.25 and not out[2]["flagged"]
+    assert out[3]["n_spans"] == 0 and out[3]["dup_frac"] == 0.0
+    assert not out[3]["flagged"]
+    # distinct-span semantics: doc 4's repeated "u v w" collapses; all owned
+    assert out[4]["n_dup_spans"] == 0 and not out[4]["flagged"]
+
+
+def test_gopher_rules_each_rule_rejects(spark):
+    from test_flink_spark.operators.text import gopher_quality_flags
+
+    good = "the quick brown fox jumps over a lazy dog of means and ends to win in style"
+    docs = [
+        (0, good),                                  # passes all
+        (1, "the a of"),                            # word count
+        (2, "a b c d e f g h i j the of"),          # mean word len < 3
+        (3, good + " # # # # # # # # # # # # #"),   # symbol ratio
+        (4, "1 2 3 4 5 6 7 8 9 10 11 12 the of"),   # alpha frac
+        (5, "quick brown fox jumps over lazy dog"), # stopwords
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality_flags(df, min_words=10).collect()
+    }
+    assert out[0]["passes"]
+    assert not out[1]["rule_word_count"] and not out[1]["passes"]
+    assert not out[2]["rule_mean_len"] and not out[2]["passes"]
+    assert not out[3]["rule_symbol"] and not out[3]["passes"]
+    assert not out[4]["rule_alpha"] and not out[4]["passes"]
+    assert not out[5]["rule_stopwords"] and not out[5]["passes"]
