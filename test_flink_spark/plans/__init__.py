@@ -38,6 +38,7 @@ _PROMOTED = (
     "corpus_span_dedup",
     "text_gopher_rules",
     "corpus_epoch_mix",
+    "text_lm_surprisal",
 )
 
 

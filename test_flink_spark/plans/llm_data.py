@@ -1728,3 +1728,37 @@ FROM up GROUP BY 1, 2
 
 QUERIES["corpus_epoch_mix"] = corpus_epoch_mix
 ORACLES["corpus_epoch_mix"] = _epoch_mix_sql()
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM surprisal scoring (operators/lm_score.py)
+# ---------------------------------------------------------------------------
+
+def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: every doc scored by quantized
+    unigram cross-entropy (integer log2 buckets — engine-exact, no float
+    logs) against a deterministic 20% hash slice of the corpus as the
+    reference LM.  One vocab aggregate over the slice, then a single
+    broadcast-join corpus pass."""
+    from ..operators.lm_score import unigram_surprisal_scores
+    from ..operators.sampling import hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(hash_bucket(F.col("doc_id"), "lmref") < 2000)
+    return unigram_surprisal_scores(docs, ref, flag_high=14.0)
+
+
+def _lm_surprisal_sql() -> str:
+    from ..operators.lm_score import unigram_surprisal_oracle_sql
+
+    return unigram_surprisal_oracle_sql(
+        ref_filter=(
+            "(('0x' || substr(md5('lmref:' || doc_id), 1, 15))::BIGINT"
+            " % 10000) < 2000"
+        ),
+        flag_high=14.0,
+    )
+
+
+QUERIES["text_lm_surprisal"] = text_lm_surprisal
+ORACLES["text_lm_surprisal"] = _lm_surprisal_sql()

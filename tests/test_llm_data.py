@@ -541,3 +541,46 @@ def test_gopher_rules_each_rule_rejects(spark):
     assert not out[3]["rule_symbol"] and not out[3]["passes"]
     assert not out[4]["rule_alpha"] and not out[4]["passes"]
     assert not out[5]["rule_stopwords"] and not out[5]["passes"]
+
+
+def test_unigram_surprisal_buckets_exact(spark):
+    """Hand-computed integer log2 buckets: reference = 8 'the' + 4 'cat' +
+    2 'sat' + 2 'mat' (total 16) -> buckets the=1, cat=2, sat=3, mat=3;
+    OOV scores floor(log2(16)) + 1 = 5 bits."""
+    from test_flink_spark.operators.lm_score import unigram_surprisal_scores
+
+    ref = spark.createDataFrame(
+        [(100, "the the the the the the the the cat cat cat cat sat sat mat mat")],
+        "doc_id LONG, text STRING",
+    )
+    score = spark.createDataFrame(
+        [
+            (0, "the the cat"),        # (1+1+2)/3
+            (1, "zorp the"),           # (5+1)/2 = 3.0, one OOV
+            (2, "zorp blix qux"),      # all OOV -> 5.0
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r.asDict() for r in unigram_surprisal_scores(score, ref).collect()}
+    assert out[0]["sum_bits"] == 4 and out[0]["mean_bits"] == round(4 / 3, 4)
+    assert out[0]["n_oov"] == 0
+    assert out[1]["sum_bits"] == 6 and out[1]["mean_bits"] == 3.0
+    assert out[1]["n_oov"] == 1
+    assert out[2]["sum_bits"] == 15 and out[2]["mean_bits"] == 5.0
+    assert out[2]["n_oov"] == 3 and not out[2]["flagged"]
+
+
+def test_unigram_surprisal_flags_gibberish_tail(spark):
+    from test_flink_spark.operators.lm_score import unigram_surprisal_scores
+
+    ref = spark.createDataFrame(
+        [(i, "common words repeated everywhere always") for i in range(50)],
+        "doc_id LONG, text STRING",
+    )
+    score = spark.createDataFrame(
+        [(0, "common words repeated"), (1, "xq zv wk jn qp mz")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r.asDict() for r in unigram_surprisal_scores(score, ref, flag_high=5.0).collect()}
+    assert not out[0]["flagged"] and out[1]["flagged"]
+    assert out[1]["n_oov"] == 6
