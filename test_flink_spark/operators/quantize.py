@@ -1,0 +1,84 @@
+"""Embedding quantization — the storage/bandwidth lever of a 100 TB vector
+corpus: symmetric per-vector int8 quantization (the faiss/SQ8-style scalar
+quantizer) shrinks float32 embeddings 4x before they are shuffled, joined,
+or sunk, at a reconstruction error small enough for candidate generation
+(rerank still reads the float source).
+
+Engine-exact rounding: ``round()`` half-even/half-away conventions differ
+across engines, so quantization uses an EXPLICIT round-half-away-from-zero
+built from IEEE-deterministic primitives:
+
+    q_i = sign(v_i) * floor(127 * |v_i| / scale + 0.5),  scale = max_i |v_i|
+
+float32 inputs promote exactly to double; multiply/divide/floor are
+correctly-rounded IEEE ops in both the JVM and DuckDB, so every quantized
+code — and therefore the reconstruction-error report — reproduces
+bit-for-bit (same pattern as the IVF fixed-point oracle, ivf.py).
+
+All pure array expressions: zero shuffle, codegen-fused, composes over
+readStream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _q8(v: Column, scale: Column) -> Column:
+    """Round-half-away int8 code for one component (engine-exact)."""
+    mag = F.floor(F.abs(v) * F.lit(127.0) / scale + F.lit(0.5))
+    return (F.signum(v) * mag).cast("int")
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``(id_col, scale, codes)``
+    with ``codes[i] = sign(v_i) * floor(127 |v_i| / scale + 0.5)`` and
+    ``scale`` the vector's max |component|.  All-zero vectors quantize to
+    all-zero codes with scale 0 (guarded division)."""
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, F.abs))
+    safe = F.when(scale > 0, scale).otherwise(F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        scale.cast("double").alias("scale"),
+        F.transform(v, lambda x: _q8(x.cast("double"), safe)).alias("codes"),
+    )
+
+
+def dequantize_error_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Quantize → dequantize → per-vector reconstruction error, the
+    acceptance gate for turning quantization on in a pipeline:
+    ``(id_col, dim, scale, max_abs_err_q, sum_abs_err_q)`` where errors are
+    reported in QUANTIZED-GRID units (err * 127 / scale — exact integer
+    comparisons against the 0.5-code bound) so the differential check is
+    integer-robust.  ``max_abs_err_q <= 0.5`` for every vector by
+    construction; the oracle re-verifies it."""
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, F.abs))
+    safe = F.when(scale > 0, scale).otherwise(F.lit(1.0))
+    # per-component |error| in grid units: |127*v/scale - q|
+    err_q = F.transform(
+        v,
+        lambda x: F.abs(
+            x.cast("double") * F.lit(127.0) / safe
+            - _q8(x.cast("double"), safe).cast("double")
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(v).cast("long").alias("dim"),
+        F.round(scale.cast("double"), 6).alias("scale"),
+        F.round(F.array_max(err_q), 4).alias("max_abs_err_q"),
+        F.round(
+            F.aggregate(err_q, F.lit(0.0), lambda a, x: a + x), 2
+        ).alias("sum_abs_err_q"),
+    )

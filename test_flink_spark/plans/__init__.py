@@ -39,6 +39,8 @@ _PROMOTED = (
     "text_gopher_rules",
     "corpus_epoch_mix",
     "text_lm_surprisal",
+    "embedding_quantize_error",
+    "corpus_vocab_coverage",
 )
 
 

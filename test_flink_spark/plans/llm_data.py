@@ -1762,3 +1762,113 @@ def _lm_surprisal_sql() -> str:
 
 QUERIES["text_lm_surprisal"] = text_lm_surprisal
 ORACLES["text_lm_surprisal"] = _lm_surprisal_sql()
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization (operators/quantize.py)
+# ---------------------------------------------------------------------------
+
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization acceptance report: dim,
+    scale, and reconstruction error in grid units for every embedding.
+    Zero-shuffle pure array expressions; the oracle replays the exact
+    round-half-away arithmetic (IEEE-deterministic, no round() divergence)
+    and re-verifies the 0.5-code error bound."""
+    from ..operators.quantize import dequantize_error_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dequantize_error_stats(emb)
+
+
+_QUANTIZE_SQL = """
+WITH q AS (
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           list_aggregate(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
+    FROM embeddings
+), e AS (
+    SELECT vec_id, dim, scale,
+           CASE WHEN scale > 0 THEN scale ELSE 1.0 END AS safe
+    FROM q
+), err AS (
+    SELECT e.vec_id, e.dim, e.scale,
+           list_transform(emb.embedding,
+               x -> abs(CAST(x AS DOUBLE) * 127.0 / e.safe
+                        - (CASE WHEN CAST(x AS DOUBLE) > 0 THEN 1.0
+                                WHEN CAST(x AS DOUBLE) < 0 THEN -1.0
+                                ELSE 0.0 END
+                           * floor(abs(CAST(x AS DOUBLE)) * 127.0 / e.safe
+                                   + 0.5)))) AS eq
+    FROM e JOIN embeddings emb USING (vec_id)
+)
+SELECT vec_id, dim,
+       ROUND(scale, 6) AS scale,
+       ROUND(list_aggregate(eq, 'max'), 4) AS max_abs_err_q,
+       ROUND(list_reduce(list_prepend(0.0, eq), (a, b) -> a + b), 2)
+           AS sum_abs_err_q
+FROM err
+"""
+
+QUERIES["embedding_quantize_error"] = embedding_quantize_error
+ORACLES["embedding_quantize_error"] = _QUANTIZE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage (tokenizer-budget planning)
+# ---------------------------------------------------------------------------
+
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 vocabulary coverage report: for each of the corpus's 50 most
+    frequent words (ties broken lexicographically), the cumulative fraction
+    of all token occurrences covered — the curve a tokenizer-vocab budget
+    is planned against.  The word-count aggregate shuffles once with
+    map-side partials; top-K is TakeOrderedAndProject (no global sort
+    materialization) and the K-row cumulative report is assembled
+    driver-side (sanctioned tiny collect, cf. temperature cutoffs)."""
+    from ..operators.text import words
+
+    K = 50
+    toks = _docs(spark, sf_dir).select(
+        F.explode(words(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    top = counts.orderBy(F.desc("cnt"), F.asc("w")).limit(K).collect()
+    import math
+
+    cum = 0
+    rows = []
+    for rank, r in enumerate(top, start=1):
+        cum += r["cnt"]
+        # round-half-AWAY like DuckDB/Spark ROUND (Python round() is
+        # half-even — a silent hash-mismatch trap on .5 boundaries)
+        cov = math.floor((cum / total) * 1e6 + 0.5) / 1e6
+        rows.append((rank, r["w"], r["cnt"], cum, cov))
+    return spark.createDataFrame(
+        rows, "rank BIGINT, word STRING, cnt BIGINT, cum_cnt BIGINT, coverage DOUBLE"
+    )
+
+
+_VOCAB_COVERAGE_SQL = r"""
+WITH toks AS (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+), c AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks WHERE w <> '' GROUP BY 1
+), t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+top AS (
+    SELECT w, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC) AS rank
+    FROM c ORDER BY cnt DESC, w ASC LIMIT 50
+)
+SELECT CAST(rank AS BIGINT) AS rank, w AS word, cnt,
+       CAST(SUM(cnt) OVER (ORDER BY rank
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cnt,
+       ROUND(SUM(cnt) OVER (ORDER BY rank
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            * 1.0 / t.total, 6) AS coverage
+FROM top CROSS JOIN t
+"""
+
+QUERIES["corpus_vocab_coverage"] = corpus_vocab_coverage
+ORACLES["corpus_vocab_coverage"] = _VOCAB_COVERAGE_SQL

@@ -584,3 +584,27 @@ def test_unigram_surprisal_flags_gibberish_tail(spark):
     out = {r["doc_id"]: r.asDict() for r in unigram_surprisal_scores(score, ref, flag_high=5.0).collect()}
     assert not out[0]["flagged"] and out[1]["flagged"]
     assert out[1]["n_oov"] == 6
+
+
+def test_quantize_int8_roundtrip_bound(spark):
+    """Codes are in [-127, 127], the max component hits ±127 exactly, and
+    reconstruction error never exceeds half a grid step."""
+    from test_flink_spark.operators.quantize import (
+        dequantize_error_stats,
+        quantize_int8,
+    )
+
+    rows = [
+        (0, [1.0, -0.5, 0.25, 0.0]),
+        (1, [-2.0, 2.0, 0.003, 1.999]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # all-zero vector: scale 0, codes 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    q = {r["vec_id"]: r.asDict() for r in quantize_int8(df).collect()}
+    assert q[0]["codes"] == [127, -64, 32, 0] and q[0]["scale"] == 1.0
+    assert q[1]["codes"][0] == -127 and q[1]["codes"][1] == 127
+    assert q[2]["codes"] == [0, 0, 0, 0] and q[2]["scale"] == 0.0
+    e = {r["vec_id"]: r.asDict() for r in dequantize_error_stats(df).collect()}
+    for vid in (0, 1, 2):
+        assert e[vid]["max_abs_err_q"] <= 0.5
+    assert e[2]["sum_abs_err_q"] == 0.0
