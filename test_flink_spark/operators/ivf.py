@@ -326,6 +326,219 @@ WHERE rn <= {topk}
 """
 
 
+def ivf_assign_sq8(
+    df: DataFrame,
+    centroids: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC-style compressed inverted file: each vector's RESIDUAL from
+    its centroid is quantized to int8 codes + one int64 scale —
+    ``(neighbor_id, cluster, scale, codes)``.  At 100 TB this is the
+    memory/bandwidth story of the index: dim bytes + 8 per vector instead
+    of 8·dim, so inverted lists stay executor-resident 8x longer.
+
+    Pure integer round-half-up (no floats anywhere):
+
+        scale = max_i |r_i|,   code_i = sign(r_i) * ((254|r_i| + scale)
+                                                     div (2·scale))
+
+    which is floor(127|r|/scale + 1/2) exactly — engine-reproducible by
+    construction."""
+    inv = ivf_assign(df, centroids, id_col, vec_col)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(int(v)) for v in c]) for c in centroids]
+    )
+    r = F.zip_with(
+        F.col("cv"),
+        F.element_at(cent_lit, (F.col("cluster") + 1).cast("int")),
+        lambda x, y: x - y,
+    )
+    scale = F.array_max(F.transform(r, F.abs))
+    safe = F.when(scale > 0, scale).otherwise(F.lit(1).cast("long"))
+    # sign(x) * ((254|x| + s) div (2s)).  floor of the double quotient is
+    # exact here: operands are exact <2^53 ints and the quotient's distance
+    # to any integer is >= 1/(2s) >> ulp, so floor(correctly-rounded a/b)
+    # == a div b for the non-negative operands involved.
+    codes = F.transform(
+        r,
+        lambda x: (
+            F.when(x > 0, F.lit(1)).when(x < 0, F.lit(-1)).otherwise(F.lit(0))
+        ).cast("long")
+        * F.floor((F.abs(x) * 254 + safe) / (safe * 2)).cast("long"),
+    )
+    return inv.select(
+        "neighbor_id",
+        "cluster",
+        scale.cast("long").alias("scale"),
+        codes.alias("codes"),
+    )
+
+
+def ivfadc_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[int]],
+    k: int = 5,
+    nprobe: int = 2,
+    refine: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN search over the COMPRESSED inverted file: candidates are scored
+    by integer squared-L2 against the code-reconstructed vectors
+    (asymmetric distance computation), only the top ``k·refine`` per query
+    survive to an exact rerank against the full-precision corpus —
+    ``(query_id, neighbor_id, dist, rank)``, dist exact.
+
+    Reconstruction stays integer-exact across engines: with shifted
+    non-negative codes ``c' = c + 127``,
+
+        v̂_i = centroid_i - scale + (c'_i · scale) div 127
+
+    equals ``centroid_i + floor(c_i·scale/127)`` (trunc == floor once the
+    operand is non-negative — the sign hazard between Spark's ``div`` and
+    DuckDB's ``//`` on negatives never arises).
+
+    Plan shape: identical probe join to ``ivf_ann_topk`` (candidates
+    shuffle, corpus doesn't), but the candidate stage moves 8x fewer bytes
+    and the exact-distance join touches only k·refine rows per query."""
+    inv8 = ivf_assign_sq8(corpus, centroids, id_col, vec_col)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(int(v)) for v in c]) for c in centroids]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    probe_arr = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        _sq_dist_lit(F.col("qv"), c).alias("d"),
+                        F.lit(cid).cast("long").alias("cid"),
+                    )
+                    for cid, c in enumerate(centroids)
+                ]
+            )
+        ),
+        1,
+        nprobe,
+    )
+    probes = q.withColumn(
+        "cluster", F.explode(F.transform(probe_arr, lambda s: s["cid"]))
+    )
+    cands = inv8.join(F.broadcast(probes), on="cluster").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cent = F.element_at(cent_lit, (F.col("cluster") + 1).cast("int"))
+    recon = F.zip_with(
+        cent,
+        F.col("codes"),
+        lambda ci, c: ci
+        - F.col("scale")
+        + F.floor(((c + 127) * F.col("scale")) / 127).cast("long"),
+    )
+    approx = cands.select(
+        "query_id",
+        "neighbor_id",
+        "qv",
+        sq_dist(F.col("qv"), recon).alias("adist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    survivors = approx.withColumn("arank", F.row_number().over(w)).filter(
+        F.col("arank") <= k * refine
+    )
+    exact = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    )
+    reranked = survivors.join(exact, on="neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        sq_dist(F.col("qv"), F.col("cv")).alias("dist"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return reranked.withColumn("rank", F.row_number().over(w2).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivfadc_oracle_sql(
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    seed: str = "ivf",
+    topk: int = 5,
+    nprobe: int = 2,
+    refine: int = 3,
+    query_pred: str = "vec_id < 20",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB replay of ``ivfadc_ann_topk``: shared IVF CTEs + residual
+    SQ8 codes + ADC candidate ranking + exact refine — bit-identical by
+    construction (integer round-half-up quantization, shifted-code
+    floor-division reconstruction, deterministic tie-breaks)."""
+    dist = _oracle_dist(dim)
+    rng = f"range(1, {dim + 1})"
+    body, final_c = ivf_cte_body(k, iters, dim, seed, table)
+    return f"""
+WITH {body},
+inv8 AS (
+    SELECT neighbor_id, cluster, scale,
+           list_transform({rng}, i ->
+               (CASE WHEN r[i] > 0 THEN 1 WHEN r[i] < 0 THEN -1 ELSE 0 END)
+               * ((254 * abs(r[i]) + safe) // (2 * safe))) AS codes
+    FROM (
+        SELECT i.neighbor_id, i.cluster,
+               list_transform({rng}, j -> i.cv[j] - c.v[j]) AS r,
+               list_aggregate(list_transform({rng}, j -> abs(i.cv[j] - c.v[j])),
+                              'max') AS scale,
+               greatest(list_aggregate(
+                   list_transform({rng}, j -> abs(i.cv[j] - c.v[j])), 'max'),
+                   1) AS safe
+        FROM inv i JOIN {final_c} c ON i.cluster = c.cid)
+),
+aprobes AS (SELECT query_id, qv2 AS qv, cid AS cluster FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv2, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {dist('q.v', 'c.v')}, c.cid) AS rn
+        FROM (SELECT * FROM qv WHERE {query_pred}) q
+        CROSS JOIN {final_c} c) WHERE rn <= {nprobe}),
+recon AS (
+    SELECT p.query_id, p.qv, i8.neighbor_id,
+           list_transform({rng}, j ->
+               c.v[j] - i8.scale
+               + ((i8.codes[j] + 127) * i8.scale) // 127) AS rv
+    FROM aprobes p
+    JOIN inv8 i8 ON p.cluster = i8.cluster
+    JOIN {final_c} c ON i8.cluster = c.cid
+    WHERE i8.neighbor_id <> p.query_id
+),
+survivors AS (
+    SELECT query_id, qv, neighbor_id FROM (
+        SELECT query_id, qv, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY {dist('qv', 'rv')}, neighbor_id) AS arank
+        FROM recon) WHERE arank <= {topk * refine}
+),
+rr AS (
+    SELECT s.query_id, s.neighbor_id,
+           {dist('s.qv', 'i.cv')} AS dist
+    FROM survivors s JOIN inv i ON s.neighbor_id = i.neighbor_id
+)
+SELECT query_id, neighbor_id, dist, CAST(rn AS BIGINT) AS rank
+FROM (SELECT query_id, neighbor_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY dist, neighbor_id) AS rn
+      FROM rr)
+WHERE rn <= {topk}
+"""
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: list[list[int]],

@@ -41,6 +41,7 @@ _PROMOTED = (
     "text_lm_surprisal",
     "embedding_quantize_error",
     "corpus_vocab_coverage",
+    "embedding_ivfadc_ann",
 )
 
 

@@ -1872,3 +1872,35 @@ FROM top CROSS JOIN t
 
 QUERIES["corpus_vocab_coverage"] = corpus_vocab_coverage
 ORACLES["corpus_vocab_coverage"] = _VOCAB_COVERAGE_SQL
+
+
+# ---------------------------------------------------------------------------
+# IVFADC ANN: compressed inverted lists + exact refine (operators/ivf.py)
+# ---------------------------------------------------------------------------
+
+def embedding_ivfadc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC-style ANN over int8-compressed inverted lists: residual SQ8
+    codes (8x smaller lists), integer asymmetric-distance candidate
+    ranking, exact rerank of the top k·refine survivors.  Shares the
+    deterministic integer codebook with embedding_ivf_ann, and like it the
+    ENTIRE pipeline — training, residual quantization, ADC scoring,
+    refine — is replayed bit-for-bit by the DuckDB oracle (pure integer
+    round-half-up codes + shifted-code floor-div reconstruction)."""
+    from ..operators.ivf import ivfadc_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    centroids = _shared_ivf_centroids(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivfadc_ann_topk(
+        emb, queries, centroids, k=5, nprobe=2, refine=3
+    ).select("query_id", "neighbor_id", "dist", "rank")
+
+
+def _ivfadc_sql() -> str:
+    from ..operators.ivf import ivfadc_oracle_sql
+
+    return ivfadc_oracle_sql(k=8, iters=2, dim=EMB_DIM, topk=5, nprobe=2, refine=3)
+
+
+QUERIES["embedding_ivfadc_ann"] = embedding_ivfadc_ann
+ORACLES["embedding_ivfadc_ann"] = _ivfadc_sql()

@@ -608,3 +608,31 @@ def test_quantize_int8_roundtrip_bound(spark):
     for vid in (0, 1, 2):
         assert e[vid]["max_abs_err_q"] <= 0.5
     assert e[2]["sum_abs_err_q"] == 0.0
+
+
+def test_ivfadc_refine_recovers_exact_ranks(spark):
+    """IVFADC's exact-refine stage must agree with plain IVF (same probes,
+    exact distances) on every candidate both retain: identical (query,
+    neighbor, dist) tuples wherever both produce a rank, and recall of the
+    ADC path vs full IVF top-5 >= 0.9 (compression only prunes, the refine
+    corrects approximate ordering)."""
+    from test_flink_spark.operators.ivf import ivf_ann_topk, ivf_train, ivfadc_ann_topk
+    from test_flink_spark.schemas import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cents = ivf_train(emb, k=4, iters=1, dim=64)
+    q = emb.filter("vec_id < 10")
+    ivf = {
+        (r["query_id"], r["neighbor_id"]): r["dist"]
+        for r in ivf_ann_topk(emb, q, cents, k=5, nprobe=2).collect()
+    }
+    adc = {
+        (r["query_id"], r["neighbor_id"]): r["dist"]
+        for r in ivfadc_ann_topk(emb, q, cents, k=5, nprobe=2, refine=3).collect()
+    }
+    for key, dist in adc.items():
+        if key in ivf:
+            assert ivf[key] == dist  # exact rerank distance, not approximate
+    hits = sum(1 for key in ivf if key in adc)
+    assert hits / len(ivf) >= 0.9
