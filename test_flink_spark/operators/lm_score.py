@@ -48,12 +48,19 @@ def unigram_surprisal_scores(
     id_col: str = "doc_id",
     flag_high: float = 14.0,
     broadcast_vocab: bool = True,
+    include_empty_docs: bool = True,
 ) -> DataFrame:
     """Score every doc in ``score_df`` against the unigram LM of
     ``ref_df``: ``(id_col, n_tokens, n_oov, sum_bits, mean_bits,
     flagged)``.  ``mean_bits`` is the quantized unigram cross-entropy in
     bits/word; docs above ``flag_high`` are flagged (the gibberish tail).
-    Token-less docs score 0 and are never flagged."""
+    Token-less docs score 0 and are never flagged.
+
+    ``include_empty_docs`` re-joins the input so zero-token docs appear in
+    the output; on a STREAMING ``score_df`` that re-join is a stream-stream
+    self-join (unsupported with the aggregation) — pass ``False`` and run
+    the per-doc aggregation in complete/update mode instead (token-bearing
+    docs only, which is every doc of a real corpus)."""
     ref_words = ref_df.select(F.explode(words(F.col(text_col))).alias("w")).filter(
         F.col("w") != ""
     )
@@ -89,6 +96,16 @@ def unigram_surprisal_scores(
             F.sum("bits").cast("long").alias("sum_bits"),
         )
     )
+    if not include_empty_docs:
+        return scored.select(
+            F.col(id_col),
+            "n_tokens",
+            "n_oov",
+            "sum_bits",
+            F.round(F.col("sum_bits") / F.col("n_tokens"), 4).alias("mean_bits"),
+        ).withColumn(
+            "flagged", (F.col("mean_bits") > flag_high).cast("boolean")
+        )
     out = score_df.select(F.col(id_col)).join(scored, id_col, "left_outer").select(
         F.col(id_col),
         F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),

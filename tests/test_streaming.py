@@ -486,3 +486,57 @@ def test_streaming_state_metrics_expose_watermark_drops(spark, tmpdirs):
     evicted = sum(op.get("numRowsRemoved", 0) for op in ops)
     assert dropped >= 1, f"late replay not counted as watermark-dropped: {ops[-1]}"
     assert evicted >= 1, f"watermark advance evicted no state rows: {ops[-1]}"
+
+
+def test_streaming_quality_filters_compose(spark, tmpdirs):
+    """The round-4 curation operators are stateless pure expressions (or
+    stream-static joins), so they must run UNCHANGED over readStream:
+    gopher_quality_flags composes in append mode; unigram_surprisal_scores
+    contains a per-doc aggregation, so on a stream it runs as a streaming
+    aggregation in COMPLETE mode over a stream-static vocab join — both
+    produce batch-identical rows."""
+    import json
+
+    from test_flink_spark.operators.lm_score import unigram_surprisal_scores
+    from test_flink_spark.operators.text import gopher_quality_flags
+    from test_flink_spark.sources.files import text_lines
+
+    docs = [
+        (0, "the quick brown fox jumps of the lazy dog in a field of rye"),
+        (1, "zorp blix qux"),
+        (2, "the a of and to in the a of and to in"),
+    ]
+    src = tmpdirs / "qsrc"
+    src.mkdir()
+    for i, (did, text) in enumerate(docs):
+        _write_lines(src, f"d{i}.jsonl", [json.dumps({"doc_id": did, "text": text})])
+    static = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    ref = static.filter("doc_id = 0")
+
+    stream = (
+        text_lines(spark, str(src), streaming=True)
+        .selectExpr(
+            "get_json_object(value, '$.doc_id') AS doc_id",
+            "get_json_object(value, '$.text') AS text",
+        )
+        .selectExpr("CAST(doc_id AS LONG) AS doc_id", "text")
+    )
+    gq = gopher_quality_flags(stream, min_words=5)
+    lm = unigram_surprisal_scores(stream, ref, flag_high=5.0, include_empty_docs=False)
+    q1 = start_memory(gq, "stream_gopher", str(tmpdirs / "ck1"))
+    q2 = start_memory(lm, "stream_lm", str(tmpdirs / "ck2"), mode="complete")
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        got_g = {r["doc_id"]: r.asDict() for r in spark.table("stream_gopher").collect()}
+        got_l = {r["doc_id"]: r.asDict() for r in spark.table("stream_lm").collect()}
+    finally:
+        q1.stop()
+        q2.stop()
+    want_g = {r["doc_id"]: r.asDict() for r in gopher_quality_flags(static, min_words=5).collect()}
+    want_l = {
+        r["doc_id"]: r.asDict()
+        for r in unigram_surprisal_scores(static, ref, flag_high=5.0, include_empty_docs=False).collect()
+    }
+    assert got_g == want_g
+    assert got_l == want_l
