@@ -42,6 +42,8 @@ _PROMOTED = (
     "embedding_quantize_error",
     "corpus_vocab_coverage",
     "embedding_ivfadc_ann",
+    "funnel_view_click_purchase",
+    "cohort_retention",
 )
 
 

@@ -1228,3 +1228,118 @@ FROM d GROUP BY 1
 
 QUERIES["json_malformed_audit"] = json_malformed_audit
 ORACLES["json_malformed_audit"] = _JSON_MALFORMED_SQL
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion + cohort retention (event analytics)
+# ---------------------------------------------------------------------------
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion: first view -> first click AFTER that
+    view -> first purchase AFTER that click, per user; output is the
+    bounded per-stage report (stage, n_users, conv_rate vs previous
+    stage).  Each stage is one conditional aggregation over events with
+    map-side partials and a broadcast join of the (|users|-row) prior
+    stage — the staged-min shape keeps ordering semantics exact without
+    any per-user sort or window.  Scale: three narrow aggregate passes;
+    no stage ever shuffles the event body."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ts_ms")
+    )
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts_ms").alias("t_view")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(views), "user_id")
+        .filter(F.col("ts_ms") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t_click"))
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(clicks), "user_id")
+        .filter(F.col("ts_ms") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t_buy"))
+    )
+    import math
+
+    def _r4(x: float) -> float:
+        # round-half-AWAY like DuckDB ROUND (Python round() is half-even)
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
+    n_view = views.count()
+    n_click = clicks.count()
+    n_buy = buys.count()
+    rows = [
+        (1, "view", n_view, 1.0),
+        (2, "click_after_view", n_click, _r4(n_click / n_view) if n_view else 0.0),
+        (3, "purchase_after_click", n_buy, _r4(n_buy / n_click) if n_click else 0.0),
+    ]
+    return spark.createDataFrame(
+        rows, "stage BIGINT, name STRING, n_users BIGINT, conv_rate DOUBLE"
+    )
+
+
+_FUNNEL_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+v AS (SELECT user_id, MIN(ts_ms) AS t_view FROM e
+      WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(ts_ms) AS t_click FROM e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND ts_ms > t_view GROUP BY 1),
+b AS (SELECT e.user_id, MIN(ts_ms) AS t_buy FROM e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND ts_ms > t_click GROUP BY 1),
+n AS (SELECT (SELECT COUNT(*) FROM v) AS n_view,
+             (SELECT COUNT(*) FROM c) AS n_click,
+             (SELECT COUNT(*) FROM b) AS n_buy)
+SELECT * FROM (
+    SELECT CAST(1 AS BIGINT) AS stage, 'view' AS name,
+           CAST(n_view AS BIGINT) AS n_users, 1.0 AS conv_rate FROM n
+    UNION ALL
+    SELECT 2, 'click_after_view', CAST(n_click AS BIGINT),
+           CASE WHEN n_view > 0 THEN ROUND(n_click * 1.0 / n_view, 4)
+                ELSE 0.0 END FROM n
+    UNION ALL
+    SELECT 3, 'purchase_after_click', CAST(n_buy AS BIGINT),
+           CASE WHEN n_click > 0 THEN ROUND(n_buy * 1.0 / n_click, 4)
+                ELSE 0.0 END FROM n)
+"""
+
+QUERIES["funnel_view_click_purchase"] = funnel_view_click_purchase
+ORACLES["funnel_view_click_purchase"] = _FUNNEL_SQL
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day
+    (cohort), counted distinct on each day offset 0..7 — the standard
+    product-analytics retention triangle.  One per-user min-day aggregate
+    joined back (broadcast: |users| rows), then one (cohort, offset)
+    count-distinct.  Day arithmetic is integer epoch-millis div — engine-
+    exact, no timezone/calendar dependence."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_millis(ts) div 86400000").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(F.broadcast(firsts), "user_id")
+        .withColumn("offset", F.col("day") - F.col("cohort_day"))
+        .filter(F.col("offset").between(0, 7))
+        .groupBy("cohort_day", "offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+_COHORT_SQL = """
+WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1)
+SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+       CAST(day - cohort_day AS BIGINT) AS "offset",
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM e JOIN f USING (user_id)
+WHERE day - cohort_day BETWEEN 0 AND 7
+GROUP BY 1, 2
+"""
+
+QUERIES["cohort_retention"] = cohort_retention
+ORACLES["cohort_retention"] = _COHORT_SQL
