@@ -344,34 +344,46 @@ def ivf_assign_sq8(
                                                      div (2·scale))
 
     which is floor(127|r|/scale + 1/2) exactly — engine-reproducible by
-    construction."""
+    construction.
+
+    Computed as exact int64 numpy in one Arrow batch per partition (the
+    SemDedup precedent: every value is an integer < 2^63, so numpy integer
+    arithmetic is bit-identical to a JVM fold).  The pure-expression form
+    measured 2.6 s at sf0.1 — Catalyst's project collapsing re-inlines the
+    residual ``zip_with`` into each of its three consumers and interpreted
+    HOF lambdas pay ~5 passes x 64 dims per row; the numpy form is 0.2 s
+    with the identical output."""
+    import pandas as pd
+
     inv = ivf_assign(df, centroids, id_col, vec_col)
-    cent_lit = F.array(
-        *[F.array(*[F.lit(int(v)) for v in c]) for c in centroids]
-    )
-    r = F.zip_with(
-        F.col("cv"),
-        F.element_at(cent_lit, (F.col("cluster") + 1).cast("int")),
-        lambda x, y: x - y,
-    )
-    scale = F.array_max(F.transform(r, F.abs))
-    safe = F.when(scale > 0, scale).otherwise(F.lit(1).cast("long"))
-    # sign(x) * ((254|x| + s) div (2s)).  floor of the double quotient is
-    # exact here: operands are exact <2^53 ints and the quotient's distance
-    # to any integer is >= 1/(2s) >> ulp, so floor(correctly-rounded a/b)
-    # == a div b for the non-negative operands involved.
-    codes = F.transform(
-        r,
-        lambda x: (
-            F.when(x > 0, F.lit(1)).when(x < 0, F.lit(-1)).otherwise(F.lit(0))
-        ).cast("long")
-        * F.floor((F.abs(x) * 254 + safe) / (safe * 2)).cast("long"),
-    )
-    return inv.select(
-        "neighbor_id",
-        "cluster",
-        scale.cast("long").alias("scale"),
-        codes.alias("codes"),
+    cent_arr = centroids  # broadcast with the closure (k x dim ints)
+
+    def _encode(batches):
+        import numpy as np
+
+        cents = np.asarray(cent_arr, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["cv"].to_numpy()).astype(np.int64, copy=False)
+            cl = pdf["cluster"].to_numpy().astype(np.int64)
+            r = x - cents[cl]
+            a = np.abs(r)
+            scale = a.max(axis=1)
+            safe = np.where(scale > 0, scale, 1)
+            codes = np.sign(r) * ((254 * a + safe[:, None]) // (2 * safe[:, None]))
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cluster": cl,
+                    "scale": scale,
+                    "codes": list(codes),
+                }
+            )
+
+    return inv.mapInPandas(
+        _encode,
+        "neighbor_id bigint, cluster bigint, scale bigint, codes array<bigint>",
     )
 
 
@@ -428,9 +440,6 @@ def ivfadc_ann_topk(
     probes = q.withColumn(
         "cluster", F.explode(F.transform(probe_arr, lambda s: s["cid"]))
     )
-    cands = inv8.join(F.broadcast(probes), on="cluster").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
     cent = F.element_at(cent_lit, (F.col("cluster") + 1).cast("int"))
     recon = F.zip_with(
         cent,
@@ -439,11 +448,20 @@ def ivfadc_ann_topk(
         - F.col("scale")
         + F.floor(((c + 127) * F.col("scale")) / 127).cast("long"),
     )
+    # reconstruct BELOW the probe join: rv depends only on the corpus row,
+    # so it materializes once per vector instead of once per (query,
+    # candidate) pair.  With the numpy sq8 encoder this full search
+    # measures 0.77 s at sf0.1 (was 3.55 s with per-candidate HOF recon
+    # over the pure-expression codes)
+    inv_r = inv8.withColumn("rv", recon)
+    cands = inv_r.join(F.broadcast(probes), on="cluster").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
     approx = cands.select(
         "query_id",
         "neighbor_id",
         "qv",
-        sq_dist(F.col("qv"), recon).alias("adist"),
+        sq_dist(F.col("qv"), F.col("rv")).alias("adist"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc()

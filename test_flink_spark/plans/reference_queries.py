@@ -154,6 +154,11 @@ def csv_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.parsing import epoch_seconds_to_ts  # noqa: F401  (P3 helper)
 
     df = _events(spark, sf_dir)
+    # a single-file parquet corpus arrives as ONE split, and everything
+    # here (format_string + regexp + from_csv) is compute-bound: fan out
+    # before the parse or it runs on one core (measured 5.5 s -> 0.3 s at
+    # sf0.1; same rule as repetition_scores/shingles)
+    df = df.repartition(spark.sparkContext.defaultParallelism)
     lines = df.select(
         F.format_string("%d , %s , %d", "user_id", "event_type", "event_id").alias("value")
     )
