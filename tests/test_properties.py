@@ -238,4 +238,128 @@ def test_temperature_thresholds_invariants(spark, counts):
     )
     for (n1, w1, r1), (n2, w2, r2) in zip(rates, rates[1:]):
         if n2 > n1 and w2 > w1:
-            assert r2 <= r1 + 1e-9, f"rate not flattening: n={n1}->{n2}, rate={r1}->{r2}"
+            # the IDEAL rate w/(W·n)·t is non-increasing in n (weights are
+            # 1000x-scaled so weight quantization can't invert it for any
+            # n <= 250k), but realized target_docs = (t·w) div W floors —
+            # each side can lose up to one document, so the realized rate
+            # may wobble by 1/n.  Hypothesis found counts=[97,99]: ideal
+            # 0.49492 vs 0.49497 from a single floored doc.  Assert
+            # flattening up to that integer-doc quantization bound.
+            assert r2 <= r1 + 1.0 / n1 + 1.0 / n2 + 1e-9, (
+                f"rate not flattening: n={n1}->{n2}, rate={r1}->{r2}"
+            )
+            # and the ideal (un-floored) rates must be strictly monotone
+            ideal1, ideal2 = w1 / n1, w2 / n2
+            assert ideal2 <= ideal1 + 1e-12, (
+                f"ideal rate inverted: n={n1}->{n2}, w/n={ideal1}->{ideal2}"
+            )
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(list("abcd")), min_size=1, max_size=12).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_span_ownership_invariants(spark, texts):
+    """For every random corpus: span counts bound dup counts; dup_frac in
+    [0,1]; identical texts are fully charged to exactly one owner (the
+    min id); and the span-less short docs never flag."""
+    from test_flink_spark.operators.span_dedup import span_ownership
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r.asDict() for r in span_ownership(df, span_words=3).collect()}
+    assert set(out) == set(range(len(texts)))  # every doc present
+    first_by_text: dict[str, int] = {}
+    for i, t in enumerate(texts):
+        norm = " ".join(t.split())
+        first_by_text.setdefault(norm, i)
+    for i, t in enumerate(texts):
+        r = out[i]
+        assert 0 <= r["n_dup_spans"] <= r["n_spans"]
+        assert 0.0 <= r["dup_frac"] <= 1.0
+        n_words = len(t.split())
+        if n_words < 3:
+            assert r["n_spans"] == 0 and not r["flagged"]
+        norm = " ".join(t.split())
+        if first_by_text[norm] == i:
+            continue
+        # exact copy of an earlier doc: every span is borrowed
+        if r["n_spans"] > 0:
+            assert r["n_dup_spans"] == r["n_spans"] and r["dup_frac"] == 1.0
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-8.0, max_value=8.0, allow_nan=False, allow_infinity=False,
+                width=32,
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_quantize_int8_invariants(spark, vecs):
+    """Codes stay in [-127,127]; the max-|component| hits ±127 unless the
+    vector is all-zero; grid error never exceeds half a code."""
+    from test_flink_spark.operators.quantize import (
+        dequantize_error_stats,
+        quantize_int8,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    q = {r["vec_id"]: r.asDict() for r in quantize_int8(df).collect()}
+    e = {r["vec_id"]: r.asDict() for r in dequantize_error_stats(df).collect()}
+    for i, v in enumerate(vecs):
+        codes = q[i]["codes"]
+        assert all(-127 <= c <= 127 for c in codes)
+        if any(x != 0.0 for x in v):
+            assert max(abs(c) for c in codes) == 127
+        else:
+            assert codes == [0] * len(v)
+        assert e[i]["max_abs_err_q"] <= 0.5
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=60), min_size=2, max_size=4),
+    cap=st.sampled_from([1.0, 1.5, 2.5, 4.0]),
+)
+def test_epoch_upsample_invariants(spark, counts, cap):
+    """Per-doc copies are within [floor(e), ceil(e)] of the source's
+    milli-epoch plan; the largest source gets exactly 1 copy per doc; and
+    output never exceeds cap x input per source."""
+    from test_flink_spark.operators.sampling import epoch_upsample
+
+    rows = []
+    base = 0
+    for s, n in enumerate(counts):
+        rows += [(base + j, f"s{s}") for j in range(n)]
+        base += n
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    up = epoch_upsample(df, max_epochs=cap)
+    per_source = {
+        r["source"]: r["n"]
+        for r in up.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n_max = max(counts)
+    for s, n in enumerate(counts):
+        milli = min(round(cap * 1000), (n_max * 1000) // n)
+        # every doc independently gets floor(e) or ceil(e) copies — the
+        # per-SOURCE bound is n*floor(e)..n*ceil(e), not ceil(n*e)
+        lo = (milli // 1000) * n
+        hi = (milli // 1000 + (1 if milli % 1000 else 0)) * n
+        assert lo <= per_source[f"s{s}"] <= hi
+        if n == n_max:
+            assert per_source[f"s{s}"] == n
