@@ -186,6 +186,53 @@ def temperature_sample(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Explicit-rate stratified sampling: keep each stratum at its own
+    rate (strata absent from ``rates`` use ``default_rate``) — the
+    hand-tuned-mix counterpart to the data-driven ``temperature_sample`` /
+    ``epoch_upsample``.  Same deterministic hash-threshold machinery:
+    stable under retries and re-partitioning, nested across rates, and a
+    pure shuffle-free projection (the rates map inlines as a literal
+    CASE — no join at all)."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    cutoff = F.lit(round(default_rate * N_BUCKETS))
+    for s in sorted(rates):
+        cutoff = F.when(
+            F.col(strata_col) == s, F.lit(round(rates[s] * N_BUCKETS))
+        ).otherwise(cutoff)
+    return df.filter(hash_bucket(F.col(id_col), salt) < cutoff)
+
+
+def stratified_oracle_pred(
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "strat",
+) -> str:
+    """DuckDB WHERE-clause predicate reproducing ``stratified_sample``."""
+    branches = "".join(
+        f"WHEN {strata_col} = '{s}' THEN {round(rates[s] * N_BUCKETS)} "
+        for s in sorted(rates)
+    )
+    cutoff = f"CASE {branches}ELSE {round(default_rate * N_BUCKETS)} END"
+    return (
+        f"(('0x' || substr(md5('{salt}:' || {id_col}), 1, 15))::BIGINT"
+        f" % {N_BUCKETS}) < ({cutoff})"
+    )
+
+
 def epoch_upsample(
     df: DataFrame,
     source_col: str = "source",

@@ -44,6 +44,8 @@ _PROMOTED = (
     "embedding_ivfadc_ann",
     "funnel_view_click_purchase",
     "cohort_retention",
+    "pattern_view_then_click",
+    "corpus_stratified_sample",
 )
 
 

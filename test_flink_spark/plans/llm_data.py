@@ -1730,6 +1730,31 @@ QUERIES["corpus_epoch_mix"] = corpus_epoch_mix
 ORACLES["corpus_epoch_mix"] = _epoch_mix_sql()
 
 
+_STRAT_RATES = {"en": 0.25, "de": 0.75}
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-tuned per-stratum sampling (en 25%, de 75%, rest 100%) — the
+    explicit-rates mixing knob.  Pure shuffle-free projection (the rates
+    inline as a literal CASE); verified on the full sampled rows, so every
+    per-document hash decision is hash-checked."""
+    from ..operators.sampling import stratified_sample
+
+    out = stratified_sample(_docs(spark, sf_dir), _STRAT_RATES, strata_col="lang")
+    return out.select("doc_id", "lang", "source")
+
+
+def _strat_sql() -> str:
+    from ..operators.sampling import stratified_oracle_pred
+
+    pred = stratified_oracle_pred(_STRAT_RATES, strata_col="lang")
+    return f"SELECT doc_id, lang, source FROM documents WHERE {pred}"
+
+
+QUERIES["corpus_stratified_sample"] = corpus_stratified_sample
+ORACLES["corpus_stratified_sample"] = _strat_sql()
+
+
 # ---------------------------------------------------------------------------
 # Unigram LM surprisal scoring (operators/lm_score.py)
 # ---------------------------------------------------------------------------

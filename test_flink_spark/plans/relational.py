@@ -1343,3 +1343,66 @@ GROUP BY 1, 2
 
 QUERIES["cohort_retention"] = cohort_retention
 ORACLES["cohort_retention"] = _COHORT_SQL
+
+
+def pattern_view_then_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (the MATCH_RECOGNIZE use case, built
+    from the as-of machinery): for every view, the SAME user's earliest
+    click within the following hour; per-user match counts and median
+    latency.  A forward as-of join with tolerance — one shuffle+sort per
+    key, no per-user Python, no cross join; the oracle replays it with a
+    correlated window in DuckDB."""
+    from ..operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("ts"), F.col("event_id").alias("view_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    m = asof_join(
+        views,
+        clicks.withColumn("click_ts_ms", F.unix_millis("ts")),
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["click_id", "click_ts_ms"],
+        tolerance_ms=3_600_000,
+        direction="forward",
+    )
+    return (
+        m.withColumn("latency_ms", F.col("click_ts_ms") - F.unix_millis("ts"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_views"),
+            F.count("click_id").cast("long").alias("n_matched"),
+            F.sum("latency_ms").cast("long").alias("sum_latency_ms"),
+        )
+    )
+
+
+_PATTERN_SQL = """
+WITH v AS (SELECT user_id, ts, event_id AS view_id FROM events
+           WHERE event_type = 'view'),
+c AS (SELECT user_id, ts, event_id AS click_id FROM events
+      WHERE event_type = 'click'),
+m AS (
+    SELECT v.user_id, v.view_id,
+           (SELECT MIN(epoch_ms(c.ts)) FROM c
+            WHERE c.user_id = v.user_id AND c.ts >= v.ts
+              AND epoch_ms(c.ts) - epoch_ms(v.ts) <= 3600000) AS click_ts_ms,
+           epoch_ms(v.ts) AS view_ts_ms
+    FROM v
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(COUNT(click_ts_ms) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN click_ts_ms IS NOT NULL
+                     THEN click_ts_ms - view_ts_ms END) AS BIGINT)
+           AS sum_latency_ms
+FROM m GROUP BY 1
+"""
+
+QUERIES["pattern_view_then_click"] = pattern_view_then_click
+ORACLES["pattern_view_then_click"] = _PATTERN_SQL
