@@ -46,6 +46,7 @@ _PROMOTED = (
     "cohort_retention",
     "pattern_view_then_click",
     "corpus_stratified_sample",
+    "embedding_cluster_purity",
 )
 
 

@@ -1755,6 +1755,69 @@ QUERIES["corpus_stratified_sample"] = corpus_stratified_sample
 ORACLES["corpus_stratified_sample"] = _strat_sql()
 
 
+def embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised-vs-labels diagnostic: the IVF k-means clusters crossed
+    with the embeddings' ground-truth labels — per-cluster size, majority
+    label, and purity (majority count / size, ties -> lower label).  The
+    standard clustering-quality report, and free on top of the shared
+    codebook: one assignment pass + a k x |labels| contingency aggregate;
+    the DuckDB oracle replays training + assignment + the argmax."""
+    from ..operators.ivf import ivf_assign
+
+    emb = _emb(spark, sf_dir)
+    centroids = _shared_ivf_centroids(spark, sf_dir)
+    inv = ivf_assign(emb, centroids)
+    cont = (
+        inv.join(emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        cont.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size", F.sum("n").over(W.partitionBy("cluster")).cast("long")
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            "cluster_size",
+            F.col("label").cast("long").alias("majority_label"),
+            F.col("n").alias("majority_n"),
+            F.round(F.col("n") / F.col("cluster_size"), 4).alias("purity"),
+        )
+    )
+
+
+def _cluster_purity_sql() -> str:
+    from ..operators.ivf import ivf_cte_body
+
+    body, _ = ivf_cte_body(k=8, iters=2, dim=EMB_DIM)
+    return f"""
+WITH {body},
+cont AS (
+    SELECT i.cluster, e.label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM inv i JOIN embeddings e ON i.neighbor_id = e.vec_id
+    GROUP BY 1, 2
+)
+SELECT cluster, cluster_size, majority_label, majority_n,
+       ROUND(majority_n * 1.0 / cluster_size, 4) AS purity
+FROM (
+    SELECT cluster, label AS majority_label, n AS majority_n,
+           ROW_NUMBER() OVER (PARTITION BY cluster
+               ORDER BY n DESC, label ASC) AS rn,
+           CAST(SUM(n) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+    FROM cont)
+WHERE rn = 1
+"""
+
+
+QUERIES["embedding_cluster_purity"] = embedding_cluster_purity
+ORACLES["embedding_cluster_purity"] = _cluster_purity_sql()
+
+
 # ---------------------------------------------------------------------------
 # Unigram LM surprisal scoring (operators/lm_score.py)
 # ---------------------------------------------------------------------------

@@ -162,3 +162,40 @@ def test_upsert_writer_stages_before_merge_and_closes_connection():
     except RuntimeError:
         pass
     assert conn.close.called
+
+
+def test_format_roundtrips_preserve_rows(spark, tmp_path):
+    """Every batch file format the engine writes must read back losslessly:
+    parquet/ORC preserve schema exactly; CSV/JSON roundtrip values through
+    an explicit read schema (their on-disk form is untyped/stringly)."""
+    from test_flink_spark.sinks.files import (
+        write_csv,
+        write_json,
+        write_orc,
+        write_parquet,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -0.25), (3, None, 0.0)],
+        "id LONG, name STRING, score DOUBLE",
+    )
+    want = sorted((r["id"], r["name"], r["score"]) for r in df.collect())
+
+    write_parquet(df, str(tmp_path / "p"))
+    assert sorted(
+        (r["id"], r["name"], r["score"]) for r in spark.read.parquet(str(tmp_path / "p")).collect()
+    ) == want
+    assert dict(spark.read.parquet(str(tmp_path / "p")).dtypes) == dict(df.dtypes)
+
+    write_orc(df, str(tmp_path / "o"))
+    got_orc = spark.read.orc(str(tmp_path / "o"))
+    assert sorted((r["id"], r["name"], r["score"]) for r in got_orc.collect()) == want
+    assert dict(got_orc.dtypes) == dict(df.dtypes)
+
+    write_json(df, str(tmp_path / "j"))
+    got_j = spark.read.schema(df.schema).json(str(tmp_path / "j"))
+    assert sorted((r["id"], r["name"], r["score"]) for r in got_j.collect()) == want
+
+    write_csv(df, str(tmp_path / "c"))
+    got_c = spark.read.schema(df.schema).option("header", "true").csv(str(tmp_path / "c"))
+    assert sorted((r["id"], r["name"], r["score"]) for r in got_c.collect()) == want
