@@ -149,6 +149,41 @@ def ivf_assign(
     ).withColumn("cluster", _argmin_cluster(F.col("cv"), centroids))
 
 
+def _probe_clusters(
+    queries: DataFrame,
+    centroids: list[list[int]],
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, qv, cluster) — each query exploded to its ``nprobe``
+    nearest centroids.  (dist, cid) structs sort by dist then cid, so the
+    probe order (and therefore the candidate set) is deterministic and
+    matches the oracle's ``ORDER BY dist, cid`` row_number; shared by both
+    ANN variants so the tie-break discipline can never diverge."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    probe_arr = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        _sq_dist_lit(F.col("qv"), c).alias("d"),
+                        F.lit(cid).cast("long").alias("cid"),
+                    )
+                    for cid, c in enumerate(centroids)
+                ]
+            )
+        ),
+        1,
+        nprobe,
+    )
+    return q.withColumn(
+        "cluster", F.explode(F.transform(probe_arr, lambda s: s["cid"]))
+    )
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -165,28 +200,7 @@ def ivf_ann_topk(
     join on cluster id — candidates shuffle, the corpus never does.
     """
     inv = ivf_assign(corpus, centroids, id_col, vec_col)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
-    )
-    # (dist, cid) structs sort by dist then cid — deterministic probe order
-    probe_arr = F.slice(
-        F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        _sq_dist_lit(F.col("qv"), c).alias("d"),
-                        F.lit(cid).cast("long").alias("cid"),
-                    )
-                    for cid, c in enumerate(centroids)
-                ]
-            )
-        ),
-        1,
-        nprobe,
-    )
-    probes = q.withColumn(
-        "cluster", F.explode(F.transform(probe_arr, lambda s: s["cid"]))
-    )
+    probes = _probe_clusters(queries, centroids, nprobe, id_col, vec_col)
     cands = inv.join(F.broadcast(probes), on="cluster").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -419,27 +433,7 @@ def ivfadc_ann_topk(
     cent_lit = F.array(
         *[F.array(*[F.lit(int(v)) for v in c]) for c in centroids]
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
-    )
-    probe_arr = F.slice(
-        F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        _sq_dist_lit(F.col("qv"), c).alias("d"),
-                        F.lit(cid).cast("long").alias("cid"),
-                    )
-                    for cid, c in enumerate(centroids)
-                ]
-            )
-        ),
-        1,
-        nprobe,
-    )
-    probes = q.withColumn(
-        "cluster", F.explode(F.transform(probe_arr, lambda s: s["cid"]))
-    )
+    probes = _probe_clusters(queries, centroids, nprobe, id_col, vec_col)
     cent = F.element_at(cent_lit, (F.col("cluster") + 1).cast("int"))
     recon = F.zip_with(
         cent,

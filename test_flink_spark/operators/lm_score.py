@@ -67,8 +67,11 @@ def unigram_surprisal_scores(
     vocab = ref_words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     # 1-row scalar (sanctioned tiny collect, cf. IVF codebook / temperature
     # cutoffs): the reference total, inlined as a literal so the scoring
-    # plan is a single pass
-    total = vocab.agg(F.sum("cnt")).collect()[0][0] or 0
+    # plan is a single pass.  Counted from ref_words directly — a plain
+    # count, no groupBy — so the vocab aggregation runs exactly once (in
+    # the scoring join); deriving it from `vocab` would re-execute the
+    # reference explode+groupBy a second time.
+    total = ref_words.count()
     if total == 0:
         raise ValueError("reference corpus has no tokens")
     # floor(log2(total div cnt)) via binary-string length — int64-exact in
@@ -96,31 +99,29 @@ def unigram_surprisal_scores(
             F.sum("bits").cast("long").alias("sum_bits"),
         )
     )
-    if not include_empty_docs:
-        return scored.select(
+    if include_empty_docs:
+        # re-join the input so zero-token docs appear (coalesce to 0)
+        scored = score_df.select(F.col(id_col)).join(scored, id_col, "left_outer").select(
             F.col(id_col),
-            "n_tokens",
-            "n_oov",
-            "sum_bits",
-            F.round(F.col("sum_bits") / F.col("n_tokens"), 4).alias("mean_bits"),
-        ).withColumn(
-            "flagged", (F.col("mean_bits") > flag_high).cast("boolean")
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.coalesce("sum_bits", F.lit(0)).cast("long").alias("sum_bits"),
         )
-    out = score_df.select(F.col(id_col)).join(scored, id_col, "left_outer").select(
+    # ONE shaping path for both modes, so rounding scale / zero-token
+    # default / flag semantics can never diverge between the batch and
+    # streaming (include_empty_docs=False) forms
+    return scored.select(
         F.col(id_col),
-        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-        F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
-        F.coalesce("sum_bits", F.lit(0)).cast("long").alias("sum_bits"),
+        "n_tokens",
+        "n_oov",
+        "sum_bits",
         F.when(
-            F.coalesce("n_tokens", F.lit(0)) > 0,
-            F.round(F.coalesce("sum_bits", F.lit(0)) / F.col("n_tokens"), 4),
+            F.col("n_tokens") > 0,
+            F.round(F.col("sum_bits") / F.col("n_tokens"), 4),
         )
         .otherwise(F.lit(0.0))
         .alias("mean_bits"),
-    )
-    return out.withColumn(
-        "flagged", (F.col("mean_bits") > flag_high).cast("boolean")
-    )
+    ).withColumn("flagged", (F.col("mean_bits") > flag_high).cast("boolean"))
 
 
 def unigram_surprisal_oracle_sql(

@@ -510,17 +510,26 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DECODE_WAV_SQL = """
-WITH amps AS (
+WITH hx AS (
+    -- BYTE-accurate, not char-accurate: the Spark path decodes UTF-8
+    -- bytes, so the oracle iterates the hex encoding two nibbles at a
+    -- time (a non-ASCII char is multiple samples, matching the decoder)
+    SELECT doc_id, hex(encode(text)) AS h,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+), amps AS (
     SELECT doc_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image'
                 WHEN doc_id % 3 = 1 THEN 'audio'
                 ELSE 'video' END AS modality,
-           CAST(length(text) AS BIGINT) AS n_samples,
-           CAST(list_aggregate(list_transform(range(1, length(text) + 1),
-                i -> ord(substr(text, i, 1))), 'sum') AS BIGINT) AS amp_sum,
-           CAST(list_aggregate(list_transform(range(1, length(text) + 1),
-                i -> ord(substr(text, i, 1))), 'max') AS BIGINT) AS amp_max
-    FROM documents
+           n_bytes AS n_samples,
+           CAST(list_aggregate(list_transform(range(1, n_bytes + 1),
+                i -> ('0x' || substr(h, 2*i - 1, 2))::BIGINT), 'sum')
+               AS BIGINT) AS amp_sum,
+           CAST(list_aggregate(list_transform(range(1, n_bytes + 1),
+                i -> ('0x' || substr(h, 2*i - 1, 2))::BIGINT), 'max')
+               AS BIGINT) AS amp_max
+    FROM hx
 )
 SELECT doc_id AS media_id, modality,
        CAST(1 AS BIGINT) AS n_channels,
@@ -1802,7 +1811,8 @@ cont AS (
     FROM inv i JOIN embeddings e ON i.neighbor_id = e.vec_id
     GROUP BY 1, 2
 )
-SELECT cluster, cluster_size, majority_label, majority_n,
+SELECT cluster, cluster_size,
+       CAST(majority_label AS BIGINT) AS majority_label, majority_n,
        ROUND(majority_n * 1.0 / cluster_size, 4) AS purity
 FROM (
     SELECT cluster, label AS majority_label, n AS majority_n,

@@ -1269,9 +1269,18 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round-half-AWAY like DuckDB ROUND (Python round() is half-even)
         return math.floor(x * 1e4 + 0.5) / 1e4
 
-    n_view = views.count()
-    n_click = clicks.count()
-    n_buy = buys.count()
+    # the staged frames are |users| rows but each embeds the previous
+    # stage's aggregation in its lineage — without persist, counting buys
+    # re-executes views/clicks and the events scan runs ~6x instead of 3x
+    views = views.persist()
+    clicks = clicks.persist()
+    try:
+        n_view = views.count()
+        n_click = clicks.count()
+        n_buy = buys.count()
+    finally:
+        views.unpersist()
+        clicks.unpersist()
     rows = [
         (1, "view", n_view, 1.0),
         (2, "click_after_view", n_click, _r4(n_click / n_view) if n_view else 0.0),

@@ -76,7 +76,17 @@ def _bucket_func(ttl_ms: int):
             yield _EMPTY
             return
         known: list[int] = list(state.get[0]) if state.exists else []
-        stored_max: int = int(state.get[2]) if state.exists else 0
+        # max_ts_ms was added to STATE_SCHEMA after the first release of
+        # this operator; a checkpoint written under the 2-field layout is
+        # NOT resumable against the 3-field schema (Spark rejects the
+        # state row at decode).  Guard the tuple access anyway for the
+        # in-between case of a null third field, and document the ops
+        # rule: a state-schema change requires a fresh checkpointLocation.
+        stored_max: int = (
+            int(state.get[2])
+            if state.exists and len(state.get) > 2 and state.get[2] is not None
+            else 0
+        )
         arrived: list[int] = []
         max_ts_ms = stored_max
         for pdf in pdfs:
