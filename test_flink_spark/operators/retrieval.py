@@ -1,0 +1,152 @@
+"""BM25 keyword retrieval over the document corpus.
+
+Okapi BM25 (k1 = 1.2, b = 0.75) with the Lucene-style non-negative idf
+``ln(1 + (N - df + 0.5) / (df + 0.5))`` — the standard first-stage sparse
+retriever a training-data pipeline pairs with the embedding ANN path
+(operators/similarity.py / ivf.py) for hybrid search and hard-negative
+mining.
+
+Spark-first shape and 100 TB posture:
+    - ONE corpus pass tokenizes and immediately filters to the query
+      vocabulary (`isin` on a literal set — codegen'd, pushes ahead of the
+      explode's output), so everything downstream is proportional to
+      *matching* (doc, term) pairs, not corpus size.
+    - Document length is computed in the same projection and carried
+      through the explode, so no second corpus scan and no doc-length
+      join: the per-(doc, term) groupBy recovers it with max(dl).
+    - N and avgdl are two scalars (one tiny agg, sanctioned collect —
+      cf. corpus_vocab_coverage); df is a per-term count over the already
+      tiny tf table, broadcast back.
+    - Ranking happens on the ROUNDED score with doc_id as tie-break, so
+      cross-engine float noise in ln()/division cannot reorder rows (same
+      convention as text_tfidf_top_terms).
+
+The paired DuckDB oracle (bm25_oracle_sql) reproduces the exact arithmetic:
+every float expression is written with identical literal forms and
+parenthesization in both dialects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import words
+
+K1 = 1.2
+B = 0.75
+
+
+def _dl_expr(text_col: str):
+    """Document length = count of non-empty whitespace tokens."""
+    return F.size(
+        F.filter(words(F.col(text_col)), lambda w: w != F.lit(""))
+    ).cast("long")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents per query term by BM25 score.
+
+    Returns (term, doc_id, tf, dl, score, rank) with rank <= k per term.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+
+    # Corpus scalars: N docs and average document length.  sum/count are
+    # exact bigints; the single Python float division is the same
+    # correctly-rounded IEEE op the oracle performs.
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(_dl_expr(text_col)).alias("s")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), stats["s"] / stats["n"]
+
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            _dl_expr(text_col).alias("dl"),
+            F.explode(words(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term").isin(list(query_terms)))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.max("dl").alias("dl"),
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(K1) * (
+        F.lit(1.0 - B) + F.lit(B) * (F.col("dl") / F.lit(avgdl))
+    )
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "term",
+        "doc_id",
+        "tf",
+        "dl",
+        F.round(idf * ((F.col("tf") * F.lit(K1 + 1.0)) / denom), 4).alias("score"),
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("term", "doc_id", "tf", "dl", "score", "rank")
+    )
+
+
+def bm25_oracle_sql(query_terms: Sequence[str], k: int = 10) -> str:
+    """DuckDB replica of bm25_topk over the `documents` view — identical
+    literal forms and parenthesization so doubles match bit-for-bit."""
+    in_list = ", ".join(f"'{t}'" for t in query_terms)
+    return rf"""
+WITH dl AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                w -> w <> '')) AS BIGINT) AS dl,
+           string_split_regex(trim(text), '\s+') AS ws
+    FROM documents
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dl
+),
+toks AS (
+    SELECT doc_id, dl, unnest(ws) AS term FROM dl
+),
+tf AS (
+    SELECT doc_id, term,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           CAST(MAX(dl) AS BIGINT) AS dl
+    FROM toks WHERE term IN ({in_list}) GROUP BY 1, 2
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+    SELECT tf.term, tf.doc_id, tf.tf, tf.dl,
+           ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * ((tf * {K1 + 1.0}) / (tf + {K1} * ({1.0 - B} + {B} * (dl / avgdl)))),
+                 4) AS score
+    FROM tf JOIN df USING (term) CROSS JOIN stats
+),
+ranked AS (
+    SELECT term, doc_id, tf, dl, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY term
+                                   ORDER BY score DESC, doc_id ASC) AS BIGINT)
+               AS rank
+    FROM scored
+)
+SELECT term, doc_id, tf, dl, score, rank FROM ranked WHERE rank <= {k}
+"""

@@ -47,6 +47,9 @@ _PROMOTED = (
     "pattern_view_then_click",
     "corpus_stratified_sample",
     "embedding_cluster_purity",
+    "text_bm25_topk",
+    "corpus_quality_classifier",
+    "corpus_dsir_weights",
 )
 
 

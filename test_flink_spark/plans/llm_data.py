@@ -2002,3 +2002,67 @@ def _ivfadc_sql() -> str:
 
 QUERIES["embedding_ivfadc_ann"] = embedding_ivfadc_ann
 ORACLES["embedding_ivfadc_ann"] = _ivfadc_sql()
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval + model-based scoring (operators/retrieval.py, importance.py)
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ("spark", "vector", "stream", "hash", "window")
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents per query term — the sparse first-stage
+    retriever paired with the ANN path for hybrid search / hard-negative
+    mining.  One corpus pass filtered to the query vocabulary; doc length
+    carried through the explode so there is no second scan (see
+    operators/retrieval.py)."""
+    from ..operators.retrieval import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_QUERY_TERMS, k=10)
+
+
+def _bm25_sql() -> str:
+    from ..operators.retrieval import bm25_oracle_sql
+
+    return bm25_oracle_sql(BM25_QUERY_TERMS, k=10)
+
+
+def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier (fastText-shaped): tokens →
+    md5 hashing-trick buckets → shipped-weight lookup → mean score + sign
+    label.  Integer-exact until one rounded division
+    (operators/importance.py)."""
+    from ..operators.importance import linear_quality_scores
+
+    return linear_quality_scores(_docs(spark, sf_dir))
+
+
+def _quality_classifier_sql() -> str:
+    from ..operators.importance import LINEAR_QUALITY_SQL
+
+    return LINEAR_QUALITY_SQL
+
+
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) of every document vs. the
+    `lang = 'en'` target slice: unigram log-likelihood ratios with add-one
+    smoothing, fixed-point quantized per term so all aggregation is
+    order-free bigint arithmetic (operators/importance.py)."""
+    from ..operators.importance import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir))
+
+
+def _dsir_sql() -> str:
+    from ..operators.importance import dsir_oracle_sql
+
+    return dsir_oracle_sql("en")
+
+
+QUERIES["text_bm25_topk"] = text_bm25_topk
+ORACLES["text_bm25_topk"] = _bm25_sql()
+QUERIES["corpus_quality_classifier"] = corpus_quality_classifier
+ORACLES["corpus_quality_classifier"] = _quality_classifier_sql()
+QUERIES["corpus_dsir_weights"] = corpus_dsir_weights
+ORACLES["corpus_dsir_weights"] = _dsir_sql()
