@@ -150,3 +150,84 @@ ranked AS (
 )
 SELECT term, doc_id, tf, dl, score, rank FROM ranked WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (hybrid retrieval ensemble)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    topk: int = 5,
+    k_const: int = RRF_K,
+    key_cols: Sequence[str] = ("query_id", "neighbor_id"),
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankers (Cormack et al., 2009):
+    score(q, d) = sum over rankers of 1 / (k + rank_r(d)), the standard
+    score-free way to ensemble a sparse and a dense retriever (or any two
+    rankers) — ranks are comparable where raw scores are not.
+
+    Exactly two contributions feed each (query, doc) pair and they are added
+    with one explicit `+` (no groupBy sum), so the double arithmetic is
+    order-free by construction.  Both inputs are already top-k tables —
+    everything here is post-retrieval and tiny; the full-outer join keeps
+    docs surfaced by only one ranker.
+
+    Returns (query_id, neighbor_id, rrf_score, rank) with rank <= topk.
+    """
+    keys = list(key_cols)
+    ar = a.select(*keys, F.col(rank_col).alias("rank_a"))
+    br = b.select(*keys, F.col(rank_col).alias("rank_b"))
+    fused = ar.join(br, on=keys, how="full_outer")
+    contrib_a = F.when(
+        F.col("rank_a").isNotNull(),
+        F.lit(1.0) / (F.col("rank_a") + F.lit(k_const)),
+    ).otherwise(F.lit(0.0))
+    contrib_b = F.when(
+        F.col("rank_b").isNotNull(),
+        F.lit(1.0) / (F.col("rank_b") + F.lit(k_const)),
+    ).otherwise(F.lit(0.0))
+    scored = fused.select(
+        *keys, F.round(contrib_a + contrib_b, 6).alias("rrf_score")
+    )
+    w = Window.partitionBy(keys[0]).orderBy(
+        F.col("rrf_score").desc(), F.col(keys[1]).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+    )
+
+
+def rrf_oracle_sql(
+    a_sql: str, b_sql: str, topk: int = 5, k_const: int = RRF_K
+) -> str:
+    """Compose two rankers' full oracle queries (each its own WITH..SELECT,
+    nested as CTE bodies) into the RRF fusion — the fused oracle replays
+    BOTH retrieval algorithms end-to-end, then the same coalesce/round
+    arithmetic as rrf_fuse."""
+    return f"""
+WITH ranker_a AS ({a_sql}),
+ranker_b AS ({b_sql}),
+fused AS (
+    SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+           COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+           ROUND(COALESCE(1.0 / (a.rank + {k_const}), 0.0)
+                 + COALESCE(1.0 / (b.rank + {k_const}), 0.0), 6) AS rrf_score
+    FROM ranker_a a FULL JOIN ranker_b b
+      ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, rrf_score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, neighbor_id ASC)
+                AS BIGINT) AS rank
+    FROM fused
+)
+SELECT query_id, neighbor_id, rrf_score, rank FROM ranked WHERE rank <= {topk}
+"""

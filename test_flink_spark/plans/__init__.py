@@ -50,6 +50,7 @@ _PROMOTED = (
     "text_bm25_topk",
     "corpus_quality_classifier",
     "corpus_dsir_weights",
+    "embedding_hybrid_rrf",
 )
 
 

@@ -2066,3 +2066,27 @@ QUERIES["corpus_quality_classifier"] = corpus_quality_classifier
 ORACLES["corpus_quality_classifier"] = _quality_classifier_sql()
 QUERIES["corpus_dsir_weights"] = corpus_dsir_weights
 ORACLES["corpus_dsir_weights"] = _dsir_sql()
+
+
+def embedding_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval rank fusion: reciprocal-rank fusion (RRF, k=60) of
+    the exact cosine ranker and the IVF ANN ranker over the same query set.
+    The production shape for ensembling a sparse and a dense retriever —
+    here both components are fully oracle-replayable, so the fused oracle
+    replays BOTH retrieval algorithms end-to-end and then the identical
+    coalesce/round arithmetic (operators/retrieval.py)."""
+    from ..operators.retrieval import rrf_fuse
+
+    dense = embedding_cosine_topk(spark, sf_dir)
+    ivf = embedding_ivf_ann(spark, sf_dir)
+    return rrf_fuse(dense, ivf, topk=5)
+
+
+def _hybrid_rrf_sql() -> str:
+    from ..operators.retrieval import rrf_oracle_sql
+
+    return rrf_oracle_sql(_topk_sql(), _ivf_sql(), topk=5)
+
+
+QUERIES["embedding_hybrid_rrf"] = embedding_hybrid_rrf
+ORACLES["embedding_hybrid_rrf"] = _hybrid_rrf_sql()

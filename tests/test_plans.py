@@ -142,6 +142,11 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         "q11_important_stock",  # 1-row global-total scalar join, same shape as q22
         "embedding_cosine_topk",
         "knn_label_vote",
+        # RRF fusion composes embedding_cosine_topk as its dense component —
+        # the inherited BNLJ is that same sanctioned broadcast-query-set
+        # baseline; the fusion stage itself is an equi-key full-outer join
+        # over two already-tiny top-k tables.
+        "embedding_hybrid_rrf",
     }
     # A global window is sanctioned ONLY over provably-bounded input:
     # corpus_mix_report's token_share window reads post-aggregation rows

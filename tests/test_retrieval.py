@@ -168,3 +168,77 @@ def test_dsir_fixed_point_is_order_free(spark):
         for r in dsir_weights(docs.repartition(7)).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+def _ranks(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id BIGINT, neighbor_id BIGINT, rank BIGINT"
+    )
+
+
+def test_rrf_consensus_beats_single_ranker(spark):
+    """A doc ranked by BOTH rankers outranks a doc that tops only one:
+    1/61 + 1/62 > 1/61 + 0."""
+    from test_flink_spark.operators.retrieval import rrf_fuse
+
+    a = _ranks(spark, [(1, 10, 1), (1, 11, 2)])
+    b = _ranks(spark, [(1, 10, 2), (1, 12, 1)])
+    out = {r["neighbor_id"]: r for r in rrf_fuse(a, b, topk=5).collect()}
+    assert out[10]["rank"] == 1  # consensus doc wins
+    assert out[10]["rrf_score"] > out[12]["rrf_score"]
+    assert out[10]["rrf_score"] > out[11]["rrf_score"]
+    # single-ranker docs keep their one contribution
+    assert abs(out[12]["rrf_score"] - round(1.0 / 61, 6)) < 1e-9
+    assert abs(out[11]["rrf_score"] - round(1.0 / 62, 6)) < 1e-9
+
+
+def test_rrf_topk_cap_and_tiebreak(spark):
+    from test_flink_spark.operators.retrieval import rrf_fuse
+
+    a = _ranks(spark, [(1, n, n) for n in range(1, 8)])
+    b = _ranks(spark, [(1, n, n) for n in range(1, 8)])
+    out = rrf_fuse(a, b, topk=3).collect()
+    assert sorted(r["rank"] for r in out) == [1, 2, 3]
+    # equal input ranks -> equal scores; neighbor_id ascending breaks ties
+    a2 = _ranks(spark, [(1, 20, 1), (1, 10, 1)])
+    b2 = _ranks(spark, [(2, 99, 1)])
+    out2 = rrf_fuse(a2.union(b2), b2.union(a2), topk=5).collect()
+    q1 = sorted(
+        (r for r in out2 if r["query_id"] == 1), key=lambda r: r["rank"]
+    )
+    assert [r["neighbor_id"] for r in q1] == [10, 20]
+
+
+def test_rrf_registered_query_fuses_component_rankers(spark):
+    """Fleet-level sanity at smoke SF: every fused row's contributions are
+    explainable from the two component rankers' output."""
+    from test_flink_spark.plans.llm_data import (
+        embedding_cosine_topk,
+        embedding_hybrid_rrf,
+        embedding_ivf_ann,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dense = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in embedding_cosine_topk(spark, sf).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in embedding_ivf_ann(spark, sf).collect()
+    }
+    fused = embedding_hybrid_rrf(spark, sf).collect()
+    assert fused
+    for r in fused:
+        key = (r["query_id"], r["neighbor_id"])
+        expect = 0.0
+        if key in dense:
+            expect += 1.0 / (60 + dense[key])
+        if key in ivf:
+            expect += 1.0 / (60 + ivf[key])
+        assert key in dense or key in ivf
+        assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9
