@@ -540,3 +540,44 @@ def test_streaming_quality_filters_compose(spark, tmpdirs):
     }
     assert got_g == want_g
     assert got_l == want_l
+
+
+def test_streaming_linear_quality_classifier_composes(spark, tmpdirs):
+    """linear_quality_scores is explode -> groupBy(doc_id): on a stream it
+    runs as a streaming aggregation in COMPLETE mode, unchanged — each
+    arriving document's tokens partial-aggregate map-side exactly like the
+    batch plan, so the model-based scorer drops into a streaming curation
+    pipeline as-is and produces batch-identical rows."""
+    import json
+
+    from test_flink_spark.operators.importance import linear_quality_scores
+    from test_flink_spark.sources.files import text_lines
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "zorp blix qux zorp"),
+        (2, "alpha beta gamma delta epsilon"),
+    ]
+    src = tmpdirs / "clsrc"
+    src.mkdir()
+    for i, (did, text) in enumerate(docs):
+        _write_lines(src, f"d{i}.jsonl", [json.dumps({"doc_id": did, "text": text})])
+    static = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+
+    stream = (
+        text_lines(spark, str(src), streaming=True)
+        .selectExpr(
+            "get_json_object(value, '$.doc_id') AS doc_id",
+            "get_json_object(value, '$.text') AS text",
+        )
+        .selectExpr("CAST(doc_id AS LONG) AS doc_id", "text")
+    )
+    scored = linear_quality_scores(stream)
+    q = start_memory(scored, "stream_cls", str(tmpdirs / "ckcls"), mode="complete")
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: r.asDict() for r in spark.table("stream_cls").collect()}
+    finally:
+        q.stop()
+    want = {r["doc_id"]: r.asDict() for r in linear_quality_scores(static).collect()}
+    assert got == want
