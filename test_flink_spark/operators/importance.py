@@ -41,10 +41,11 @@ _W_SPAN = 2001  # weights in [-1000, 1000]
 
 
 def feature_bucket(term: Column, n_features: int = N_FEATURES) -> Column:
-    """Hashing-trick feature id in [0, n_features) — 60 md5 bits."""
-    return (
-        F.conv(F.substring(F.md5(term), 1, 15), 16, 10).cast("long") % n_features
-    )
+    """Hashing-trick feature id in [0, n_features) — 60 md5 bits (the
+    shared engine-portable hash, operators/dedup.py::_h60)."""
+    from .dedup import _h60
+
+    return _h60(term) % n_features
 
 
 def bucket_weight(bucket: Column) -> Column:

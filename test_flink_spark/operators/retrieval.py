@@ -66,6 +66,8 @@ def bm25_topk(
     stats = docs.agg(
         F.count(F.lit(1)).alias("n"), F.sum(_dl_expr(text_col)).alias("s")
     ).collect()[0]
+    if not stats["n"]:
+        raise ValueError("docs must be non-empty (avgdl is undefined)")
     n_docs, avgdl = int(stats["n"]), stats["s"] / stats["n"]
 
     toks = (
@@ -110,7 +112,9 @@ def bm25_topk(
 def bm25_oracle_sql(query_terms: Sequence[str], k: int = 10) -> str:
     """DuckDB replica of bm25_topk over the `documents` view — identical
     literal forms and parenthesization so doubles match bit-for-bit."""
-    in_list = ", ".join(f"'{t}'" for t in query_terms)
+    # SQL-escape: the Spark side takes terms verbatim, so the oracle must
+    # survive quotes in a term too.
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
     return rf"""
 WITH dl AS (
     SELECT doc_id,
@@ -181,6 +185,8 @@ def rrf_fuse(
     Returns (query_id, neighbor_id, rrf_score, rank) with rank <= topk.
     """
     keys = list(key_cols)
+    if len(keys) < 2:
+        raise ValueError("key_cols needs (query keys..., doc key)")
     ar = a.select(*keys, F.col(rank_col).alias("rank_a"))
     br = b.select(*keys, F.col(rank_col).alias("rank_b"))
     fused = ar.join(br, on=keys, how="full_outer")
@@ -195,8 +201,10 @@ def rrf_fuse(
     scored = fused.select(
         *keys, F.round(contrib_a + contrib_b, 6).alias("rrf_score")
     )
-    w = Window.partitionBy(keys[0]).orderBy(
-        F.col("rrf_score").desc(), F.col(keys[1]).asc()
+    # Partition by every query key, tie-break on the doc key — determinism
+    # holds for composite query keys too, not just the default pair.
+    w = Window.partitionBy(*keys[:-1]).orderBy(
+        F.col("rrf_score").desc(), F.col(keys[-1]).asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
