@@ -15,7 +15,7 @@ order-insensitive value hash, columns sorted by name):
     - every computed column aliased identically in both dialects.
 """
 
-from . import llm_data, reference_queries, relational, tpch_extra
+from . import advanced, llm_data, reference_queries, relational, tpch_extra
 
 
 # Registration order is load-bearing: the driver's CORRECTNESS snapshot
@@ -28,13 +28,20 @@ from . import llm_data, reference_queries, relational, tpch_extra
 # oracle, the rewritten block-dedup expression, and the real-decode
 # multimodal features). Everything outside the window is still
 # value-hash-checked locally by tools/check_oracle.py.
-_MODULE_ORDER = (reference_queries, llm_data, relational, tpch_extra)
+_MODULE_ORDER = (reference_queries, advanced, llm_data, relational, tpch_extra)
 _PROMOTED = (
+    # new in r5 — never driver-seen before (the advanced module itself is
+    # second in _MODULE_ORDER, so these land inside the driver's 50-row
+    # window even without promotion; listed for the rotation record)
+    "sketch_hll_distinct_users",
+    "sketch_kmv_distinct_users",
+    "sketch_cms_heavy_hitters",
+    # r4 additions/fixes that missed a driver verification round (no
+    # CORRECTNESS_r04 was recorded) stay promoted for one more round
     "corpus_temperature_mix",
     "embedding_lsh_ann",
     "doc_block_dedup",
     "multimodal_decode_features",
-    # new in r4 — never driver-seen before
     "corpus_span_dedup",
     "text_gopher_rules",
     "corpus_epoch_mix",

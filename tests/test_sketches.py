@@ -1,0 +1,137 @@
+"""Accuracy and mergeability contracts for the hand-rolled sketches
+(operators/sketch.py).  The driver's oracle gate proves both engines
+compute the SAME estimates; these tests prove the estimates are GOOD
+(error bounds vs exact) and that the sketches fold the way the 100 TB
+deployment story claims (merge = re-aggregate, bottom-k candidate union).
+All hashing is deterministic, so every assertion is a fixed number per
+dataset — stable, not probabilistic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from test_flink_spark.operators import sketch as sk
+from test_flink_spark.schemas import load_table
+
+SF = "/root/testdata/sf0.01"
+
+# HLL m=256 -> rsd = 1.04/sqrt(256) = 6.5%; KMV k=64 -> rsd ~ 1/sqrt(62) ~ 12.7%.
+HLL_BAND = 3 * 1.04 / (sk.HLL_M ** 0.5)
+KMV_BAND = 3 * 1.0 / ((sk.KMV_K - 2) ** 0.5)
+
+
+def _exact_by_type(spark):
+    ev = load_table(spark, SF, "events")
+    return {
+        r["event_type"]: r["exact"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+
+
+def test_hll_within_error_band(spark):
+    ev = load_table(spark, SF, "events")
+    exact = _exact_by_type(spark)
+    rows = sk.hll_distinct(ev, "user_id", ["event_type"]).collect()
+    assert len(rows) == len(exact)
+    for r in rows:
+        rel = abs(r["hll_est"] - exact[r["event_type"]]) / exact[r["event_type"]]
+        assert rel <= HLL_BAND, (r["event_type"], r["hll_est"], exact[r["event_type"]])
+
+
+def test_hll_registers_merge_exactly(spark):
+    """Union two disjoint halves' register tables and re-max: identical to
+    the whole-corpus registers — the merge a multi-day rollup performs."""
+    ev = load_table(spark, SF, "events")
+    reg, rank = sk.hll_register_rank(F.col("user_id"))
+    proj = ev.select("event_type", reg.alias("reg"), rank.alias("rank"))
+    whole = proj.groupBy("event_type", "reg").agg(F.max("rank").alias("m"))
+    h1 = proj.filter(F.col("reg") % 2 == 0)
+    h2 = proj.filter(F.col("reg") % 2 == 1)
+    merged = (
+        h1.groupBy("event_type", "reg").agg(F.max("rank").alias("m"))
+        .unionAll(h2.groupBy("event_type", "reg").agg(F.max("rank").alias("m")))
+        .groupBy("event_type", "reg")
+        .agg(F.max("m").alias("m"))
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_kmv_within_error_band_and_exact_below_k(spark):
+    ev = load_table(spark, SF, "events")
+    exact = _exact_by_type(spark)
+    for r in sk.kmv_distinct(ev, "user_id", ["event_type"]).collect():
+        ex = exact[r["event_type"]]
+        if ex < sk.KMV_K:
+            assert r["kmv_est"] == ex and r["kth_hash"] is None
+        else:
+            rel = abs(r["kmv_est"] - ex) / ex
+            assert rel <= KMV_BAND, (r["event_type"], r["kmv_est"], ex)
+
+
+def test_kmv_partition_fold_equals_direct(spark):
+    """The cluster-scale path: per-partition bottom-k candidate lists,
+    unioned, re-folded — must yield the same k-th hash as the direct
+    per-group sort (the k smallest of a union are contained in the union
+    of each part's k smallest)."""
+    ev = load_table(spark, SF, "events")
+    h = sk.h60(F.col("user_id"), "kmv")
+    distinct = ev.select("event_type", h.alias("h")).distinct()
+    direct = distinct.groupBy("event_type").agg(
+        F.element_at(F.slice(F.sort_array(F.collect_set("h")), 1, sk.KMV_K), sk.KMV_K)
+        .alias("kth")
+    )
+    # simulate 8 partitions by hash-sharding, fold bottom-k per shard first
+    parts = (
+        distinct.withColumn("shard", F.col("h") % 8)
+        .groupBy("event_type", "shard")
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, sk.KMV_K).alias("cand"))
+        .select("event_type", F.explode("cand").alias("h"))
+        .groupBy("event_type")
+        .agg(
+            F.element_at(
+                F.slice(F.sort_array(F.collect_set("h")), 1, sk.KMV_K), sk.KMV_K
+            ).alias("kth")
+        )
+    )
+    mismatches = (
+        direct.alias("d")
+        .join(parts.alias("p"), "event_type")
+        .filter("d.kth IS DISTINCT FROM p.kth")
+        .count()
+    )
+    assert mismatches == 0
+
+
+def test_cms_never_undercounts_and_bounded_overcount(spark):
+    ev = load_table(spark, SF, "events")
+    n_total = ev.count()
+    sketch = sk.cms_build(ev, "user_id")
+    # sketch row-count is bounded by d*w regardless of input size
+    assert sketch.count() <= sk.CMS_D * sk.CMS_W
+    cand = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = sk.cms_estimate(sketch, cand.select("user_id"), "user_id")
+    joined = cand.join(est, "user_id").collect()
+    assert joined
+    # CMS guarantee: est in [exact, exact + eps*N] w.h.p., eps ~ e/w
+    eps_bound = 0.01 * n_total
+    for r in joined:
+        assert r["cms_est"] >= r["exact_cnt"], r
+        assert r["cms_est"] - r["exact_cnt"] <= eps_bound, r
+
+
+def test_cms_merge_is_resummation(spark):
+    """Sketches of two disjoint halves, summed bucket-wise, equal the
+    whole-corpus sketch exactly."""
+    ev = load_table(spark, SF, "events")
+    whole = sk.cms_build(ev, "user_id")
+    h1 = sk.cms_build(ev.filter(F.col("event_id") % 2 == 0), "user_id")
+    h2 = sk.cms_build(ev.filter(F.col("event_id") % 2 == 1), "user_id")
+    merged = (
+        h1.unionAll(h2).groupBy("row_i", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
