@@ -36,6 +36,7 @@ _PROMOTED = (
     "sketch_hll_distinct_users",
     "sketch_kmv_distinct_users",
     "sketch_cms_heavy_hitters",
+    "graph_pagerank_trade",
     # r4 additions/fixes that missed a driver verification round (no
     # CORRECTNESS_r04 was recorded) stay promoted for one more round
     "corpus_temperature_mix",

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import graph as gr
 from ..operators import sketch as sk
 from .relational import _t
 
@@ -79,13 +80,63 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_SQL = sk.cms_oracle_sql("events", "user_id", _CMS_TOP_N)
 
 
+# ---------------------------------------------------------------------------
+# PageRank over the supplier<->customer trade graph.
+# ---------------------------------------------------------------------------
+
+_PR_ITERATIONS = 5
+
+
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 power iterations, fixed-point int64) over the symmetrized
+    bipartite supplier<->customer graph: an edge per distinct
+    (l_suppkey, o_custkey) trading pair from lineitem ⋈ orders.
+    Symmetrization guarantees out-degree >= 1 everywhere (no dangling
+    mass).  The edge build is the fact-fact sort-merge join; each
+    iteration is one ranks->edges equi-join + one partial-agg groupBy —
+    see operators/graph.py for the 100 TB iteration shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    base = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
+        base.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    return gr.pagerank(edges, _PR_ITERATIONS)
+
+
+_PR_EDGES_SQL = """
+WITH base AS (
+  SELECT DISTINCT 'S' || l_suppkey AS s, 'C' || o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT s AS src, c AS dst FROM base
+UNION ALL
+SELECT c AS src, s AS dst FROM base
+"""
+
+_PAGERANK_SQL = (
+    "WITH "
+    + gr.pagerank_oracle_cte(_PR_EDGES_SQL, _PR_ITERATIONS)
+    + f"\nSELECT node, rank_fp FROM r{_PR_ITERATIONS}"
+)
+
+
 QUERIES = {
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
     "sketch_kmv_distinct_users": sketch_kmv_distinct_users,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+    "graph_pagerank_trade": graph_pagerank_trade,
 }
 
 ORACLES = {
+    "graph_pagerank_trade": _PAGERANK_SQL,
     "sketch_hll_distinct_users": _HLL_SQL,
     "sketch_kmv_distinct_users": _KMV_SQL,
     "sketch_cms_heavy_hitters": _CMS_SQL,
