@@ -1,0 +1,156 @@
+"""BPE vocabulary induction: corpus-wide byte-pair-encoding merge
+learning (Sennrich et al. 2016) as a sequence of bounded DataFrame
+aggregations, with an unrolled-CTE DuckDB oracle that replays every merge
+round bit-for-bit.
+
+Shape (the reason BPE is tractable at 100 TB): merges are learned over
+WORD TYPES weighted by frequency, not over the corpus stream — one
+explode + groupBy collapses the corpus to its distinct-word table
+(vocabulary-sized, like corpus_vocab_coverage), and every merge round is
+an O(|vocab|) projection + one bounded pair-count aggregation with
+map-side partials.  The corpus is scanned exactly once.
+
+Canonical left-to-right merge application via plain string replace: each
+word is held in "wrapped symbol" form where every symbol carries its OWN
+leading and trailing space —
+
+    'abc'  ->  ' a  b  c '      (regexp_replace '(.)' -> ' $1 ')
+
+so the merge needle ' a  b ' consumes only the two merged symbols' own
+spaces, never a neighbor's separator, and consecutive runs chain exactly
+like reference BPE ('a a a a' + merge(a,a) -> 'aa aa', not 'aa a a').
+Both engines' replace() is leftmost non-overlapping continuing after the
+replacement — the same scan BPE specifies — so Spark and DuckDB apply
+merges identically (pinned by a run-chaining pytest and the oracle gate).
+
+Determinism: pair counts are exact integer sums; each round's winning
+pair breaks ties by (count DESC, pair ASC) — string compare over the
+lowercase-ASCII token alphabet ([a-z] filter below), identical in both
+engines.  The winning pair per round is a 1-row driver collect embedded
+as a literal in the next round's expression (the IVF-centroid precedent:
+sanctioned tiny scalar, k rows total); the oracle computes the same
+winner with scalar subqueries, fully in-SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .text import words
+
+TOKEN_RE = "^[a-z]+$"  # lowercase-ASCII word types: keeps '(.)' per-char
+# splitting identical across engines (Java regex walks UTF-16 units, DuckDB
+# walks codepoints — restricting the BPE alphabet to ASCII sidesteps the
+# astral-plane mismatch instead of hoping the corpus avoids it).
+
+
+def _word_types(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, wcnt, seq): distinct lowercase-ASCII word types with corpus
+    frequency and the initial wrapped-symbol sequence."""
+    tok = F.explode(words(F.lower(F.col(text_col)))).alias("tok")
+    return (
+        df.select(tok)
+        .filter(F.col("tok").rlike(TOKEN_RE))
+        .groupBy(F.col("tok").alias("word"))
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .withColumn("seq", F.regexp_replace("word", "(.)", " $1 "))
+    )
+
+
+def _pair_counts(types_df: DataFrame) -> DataFrame:
+    """(pair, cnt): adjacent-symbol pair frequencies, weighted by word
+    frequency.  Bounded output (distinct pairs), map-side partial sums."""
+    al = types_df.withColumn("al", F.split(F.trim(F.col("seq")), "  "))
+    return (
+        al.filter(F.size("al") >= 2)
+        .select(
+            "wcnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(al) - 1),"
+                    " i -> concat(element_at(al, i), ' ', element_at(al, i + 1)))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("wcnt").alias("cnt"))
+    )
+
+
+def _apply_merge(types_df: DataFrame, pair: str) -> DataFrame:
+    needle = " " + pair.replace(" ", "  ") + " "
+    merged = " " + pair.replace(" ", "") + " "
+    return types_df.withColumn(
+        "seq", F.expr(f"replace(seq, '{needle}', '{merged}')")
+    )
+
+
+def bpe_learn(
+    spark: SparkSession, df: DataFrame, text_col: str = "text", n_merges: int = 3
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges: returns ``(merge_round, pair,
+    pair_count)`` — one row per learned merge, the driver-side K-row
+    report shape (corpus_vocab_coverage precedent)."""
+    types_df = _word_types(df, text_col).cache()
+    out = []
+    for r in range(1, n_merges + 1):
+        top = (
+            _pair_counts(types_df)
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], top[0]["cnt"]
+        out.append((r, pair, int(cnt)))
+        if r < n_merges:
+            types_df = _apply_merge(types_df, pair).cache()
+    return spark.createDataFrame(
+        out, "merge_round BIGINT, pair STRING, pair_count BIGINT"
+    )
+
+
+def bpe_oracle_sql(table: str, text_col: str = "text", n_merges: int = 3) -> str:
+    """Unrolled replay: same tokenization, wrapping, pair counting,
+    (cnt DESC, pair ASC) winner, and replace()-application per round."""
+    ctes = [
+        f"""toks AS (
+  SELECT lower(unnest(string_split_regex(trim({text_col}), '\\s+'))) AS tok
+  FROM {table}
+)""",
+        f"""wt AS (
+  SELECT tok AS word, COUNT(*) AS wcnt FROM toks
+  WHERE regexp_matches(tok, '{TOKEN_RE}') GROUP BY tok
+)""",
+        "s0 AS (SELECT wcnt, regexp_replace(word, '(.)', ' \\1 ', 'g') AS seq FROM wt)",
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"s{r - 1}"
+        ctes.append(
+            f"""p{r} AS (
+  SELECT al[i] || ' ' || al[i + 1] AS pair, SUM(wcnt) AS cnt
+  FROM (SELECT wcnt, string_split(trim(seq), '  ') AS al FROM {prev}) t,
+       UNNEST(range(1, len(t.al))) AS u(i)
+  GROUP BY 1
+)""",
+        )
+        ctes.append(
+            f"b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        if r < n_merges:
+            ctes.append(
+                f"""s{r} AS (
+  SELECT wcnt,
+         replace(seq,
+                 ' ' || replace((SELECT pair FROM b{r}), ' ', '  ') || ' ',
+                 ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' ') AS seq
+  FROM {prev}
+)"""
+            )
+    finals = " UNION ALL ".join(
+        f"SELECT {r}::BIGINT AS merge_round, pair, cnt::BIGINT AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals

@@ -350,3 +350,63 @@ sampled AS (
     WHERE (('0x' || substr(md5('{salt}:' || d.{id_col}), 1, 15))::BIGINT
            % {buckets}) < th.threshold
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (sequential Poisson / Ohlsson 1998)
+# ---------------------------------------------------------------------------
+#
+# Fixed-size-k samples with inclusion probability ~ a weight column:
+# priority(i) = u_i / w_i with u_i uniform, keep the k smallest priorities.
+# Sequential Poisson is the standard large-scale approximation of
+# probability-proportional-to-size sampling (exact pps-without-replacement
+# needs sequential draws — inherently serial); it is one projection + one
+# top-k, which is why it is THE shape for 100 TB corpus subsampling.
+#
+# Integer-exact: u_i is the 60-bit md5 hash, priority = u_i div w_i
+# (integer division, identical in Spark `div` and DuckDB `//`), and the
+# k-smallest cut runs as TakeOrderedAndProject (per-partition top-k +
+# merge, never a full sort).  Deterministic tie-break (priority, id).
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """k rows sampled with probability ~ ``weight_col``: input columns +
+    ``priority``.  Non-positive-weight rows are excluded (zero inclusion
+    mass).  Deterministic: same salt -> same sample under any
+    partitioning, retries included."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    u60 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__u", u60)
+        .withColumn("priority", F.expr(f"__u div {weight_col}"))
+        .drop("__u")
+        .orderBy(F.col("priority").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def weighted_sample_oracle_sql(
+    table: str,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+    select: str = "*",
+) -> str:
+    """DuckDB replay of ``weighted_sample`` (same hash, integer division,
+    tie-break)."""
+    u = f"(('0x' || substr(md5('{salt}:' || {id_col}), 1, 15))::BIGINT)"
+    return f"""
+SELECT {select}, {u} // {weight_col} AS priority
+FROM {table}
+WHERE {weight_col} > 0
+ORDER BY priority ASC, {id_col} ASC
+LIMIT {k}
+"""

@@ -37,6 +37,8 @@ _PROMOTED = (
     "sketch_kmv_distinct_users",
     "sketch_cms_heavy_hitters",
     "graph_pagerank_trade",
+    "text_bpe_merges",
+    "corpus_weighted_sample",
     # r4 additions/fixes that missed a driver verification round (no
     # CORRECTNESS_r04 was recorded) stay promoted for one more round
     "corpus_temperature_mix",

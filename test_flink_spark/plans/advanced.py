@@ -12,7 +12,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import bpe
 from ..operators import graph as gr
+from ..operators import sampling
 from ..operators import sketch as sk
 from .relational import _t
 
@@ -128,15 +130,59 @@ _PAGERANK_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# BPE merge learning over the documents corpus.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 3
+
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 BPE merges learned from the documents corpus (word-type
+    weighted pair counting, canonical left-to-right application) — see
+    operators/bpe.py for the wrapped-symbol replace trick and scale
+    shape."""
+    docs = _t(spark, sf_dir, "documents")
+    return bpe.bpe_learn(spark, docs, "text", _BPE_MERGES)
+
+
+_BPE_SQL = bpe.bpe_oracle_sql("documents", "text", _BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling: 200 docs with inclusion probability ~ length.
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_K = 200
+
+
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-Poisson pps sample (operators/sampling.py): priority =
+    hash div n_chars, keep the k smallest — one narrow projection + a
+    TakeOrderedAndProject top-k, the deterministic length-weighted
+    subsampling shape for 100 TB corpora."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sampling.weighted_sample(docs, _WSAMPLE_K, "n_chars")
+
+
+_WSAMPLE_SQL = sampling.weighted_sample_oracle_sql(
+    "documents", _WSAMPLE_K, "n_chars", select="doc_id, n_chars"
+)
+
+
 QUERIES = {
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
     "sketch_kmv_distinct_users": sketch_kmv_distinct_users,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "graph_pagerank_trade": graph_pagerank_trade,
+    "text_bpe_merges": text_bpe_merges,
+    "corpus_weighted_sample": corpus_weighted_sample,
 }
 
 ORACLES = {
+    "corpus_weighted_sample": _WSAMPLE_SQL,
     "graph_pagerank_trade": _PAGERANK_SQL,
+    "text_bpe_merges": _BPE_SQL,
     "sketch_hll_distinct_users": _HLL_SQL,
     "sketch_kmv_distinct_users": _KMV_SQL,
     "sketch_cms_heavy_hitters": _CMS_SQL,

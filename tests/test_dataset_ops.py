@@ -227,3 +227,39 @@ def test_epoch_upsample_cap_and_determinism(spark):
     assert a == b
     with pytest.raises(ValueError):
         epoch_upsample(df, max_epochs=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (sequential Poisson)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_is_length_biased_and_deterministic(spark):
+    from test_flink_spark.operators.sampling import weighted_sample
+    from test_flink_spark.schemas import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "n_chars"
+    )
+    k = 200
+    s1 = weighted_sample(docs, k, "n_chars")
+    assert s1.count() == k
+    # deterministic under re-evaluation and repartitioning
+    s2 = weighted_sample(docs.repartition(7), k, "n_chars")
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    # inclusion probability ~ length -> sampled docs are longer on average
+    import pyspark.sql.functions as F
+
+    mean_all = docs.agg(F.avg("n_chars")).collect()[0][0]
+    mean_sample = s1.agg(F.avg("n_chars")).collect()[0][0]
+    assert mean_sample > mean_all * 1.1, (mean_sample, mean_all)
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from test_flink_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, -5), (4, 7)], "doc_id BIGINT, w BIGINT"
+    )
+    rows = weighted_sample(df, 10, "w").collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 4]
