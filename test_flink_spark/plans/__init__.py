@@ -39,6 +39,9 @@ _PROMOTED = (
     "graph_pagerank_trade",
     "text_bpe_merges",
     "corpus_weighted_sample",
+    "data_quality_report",
+    "events_daily_anomaly",
+    "rollup_multi_granularity",
     # r4 additions/fixes that missed a driver verification round (no
     # CORRECTNESS_r04 was recorded) stay promoted for one more round
     "corpus_temperature_mix",

@@ -170,6 +170,218 @@ _WSAMPLE_SQL = sampling.weighted_sample_oracle_sql(
 )
 
 
+# ---------------------------------------------------------------------------
+# Data-quality constraint report (dbt-test-style) over the star schema.
+# ---------------------------------------------------------------------------
+
+
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per integrity check with its violation count: referential
+    orphans (anti-joins), key uniqueness, null/range/temporal-order
+    constraints.  Each check is a single scan or broadcast/sort-merge
+    join with partial aggs; checks are independent so Spark runs the
+    union's branches in parallel stages.  The point of making this a
+    first-class query: at 100 TB "validate before you train on it" is a
+    pipeline stage, not an ad-hoc notebook."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.coalesce(F.first("v"), F.lit(0)).cast("long").alias("violations"),
+        )
+
+    checks = [
+        one(
+            "lineitem_orphan_orderkey",
+            li.join(od, li.l_orderkey == od.o_orderkey, "left_anti").agg(
+                F.count(F.lit(1)).alias("v")
+            ),
+        ),
+        one(
+            "orders_orphan_custkey",
+            od.join(cu, od.o_custkey == cu.c_custkey, "left_anti").agg(
+                F.count(F.lit(1)).alias("v")
+            ),
+        ),
+        one(
+            "orders_dup_orderkey",
+            od.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg((F.sum("c") - F.count(F.lit(1))).alias("v")),
+        ),
+        one(
+            "lineitem_nonpositive_qty",
+            li.agg(F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("v")),
+        ),
+        one(
+            "lineitem_discount_range",
+            li.agg(
+                F.sum(
+                    F.when(
+                        (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+                    ).otherwise(0)
+                ).alias("v")
+            ),
+        ),
+        one(
+            "lineitem_ship_before_order",
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .agg(
+                F.sum(
+                    F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+                ).alias("v")
+            ),
+        ),
+        one(
+            "customer_null_name",
+            cu.agg(F.sum(F.when(F.col("c_name").isNull(), 1).otherwise(0)).alias("v")),
+        ),
+        one(
+            "events_null_ts",
+            ev.agg(F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).alias("v")),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+_DQ_SQL = """
+SELECT 'lineitem_orphan_orderkey' AS check_name,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+       )::BIGINT AS violations
+UNION ALL
+SELECT 'orders_orphan_custkey',
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+       )::BIGINT
+UNION ALL
+SELECT 'orders_dup_orderkey',
+       (SELECT SUM(c) - COUNT(*) FROM
+         (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey))::BIGINT
+UNION ALL
+SELECT 'lineitem_nonpositive_qty',
+       (SELECT COALESCE(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0)
+        FROM lineitem)::BIGINT
+UNION ALL
+SELECT 'lineitem_discount_range',
+       (SELECT COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                                 THEN 1 ELSE 0 END), 0) FROM lineitem)::BIGINT
+UNION ALL
+SELECT 'lineitem_ship_before_order',
+       (SELECT COALESCE(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                                 THEN 1 ELSE 0 END), 0)
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)::BIGINT
+UNION ALL
+SELECT 'customer_null_name',
+       (SELECT COALESCE(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END), 0)
+        FROM customer)::BIGINT
+UNION ALL
+SELECT 'events_null_ts',
+       (SELECT COALESCE(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END), 0)
+        FROM events)::BIGINT
+"""
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact daily anomaly flags (3-sigma without a float stddev).
+# ---------------------------------------------------------------------------
+
+
+def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, utc day) counts, flagged when the day deviates
+    from its type's mean by more than 3 population sigmas.  The test
+    (cnt - mu)^2 > 9 sigma^2 is cross-multiplied to integers:
+        (n*cnt - T)^2 > 9 * (n*SS - T^2)
+    (n = days, T = sum of counts, SS = sum of squared counts), so no
+    float mean/stddev ever exists in the plan and both engines flag the
+    identical day set.  Headroom: n*cnt must stay under ~3e9 for the
+    square to fit int64 — at larger scales divide counts by a fixed
+    10^k first (the z-statistic is scale-invariant up to quantization)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.expr("unix_millis(cast(ts as timestamp)) div 86400000"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("t"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    dev = F.col("n") * F.col("cnt") - F.col("t")
+    var9 = F.lit(9) * (F.col("n") * F.col("ss") - F.col("t") * F.col("t"))
+    return j.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        F.col("cnt").cast("long").alias("cnt"),
+        dev.cast("long").alias("dev_num"),
+        (dev * dev > var9).alias("flagged"),
+    )
+
+
+_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n, SUM(cnt) AS t, SUM(cnt * cnt) AS ss
+  FROM daily GROUP BY 1
+)
+SELECT d.event_type, d.day::BIGINT AS day, d.cnt::BIGINT AS cnt,
+       (s.n * d.cnt - s.t)::BIGINT AS dev_num,
+       ((s.n * d.cnt - s.t) * (s.n * d.cnt - s.t)
+          > 9 * (s.n * s.ss - s.t * s.t)) AS flagged
+FROM daily d JOIN stats s USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-granularity rollup: coarse aggregates FROM fine partials.
+# ---------------------------------------------------------------------------
+
+
+def rollup_multi_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute event counts computed FROM 1-minute partials (the
+    hypertable/continuous-aggregate pattern: persist the finest rollup
+    once, derive every coarser granularity by re-aggregating it — at
+    100 TB the 1-min table is ~1/raw_rows_per_min the size of raw).  The
+    oracle aggregates RAW events straight to 5 minutes, so the hash
+    match IS the re-aggregability proof (count partials compose)."""
+    ev = _t(spark, sf_dir, "events")
+    m1 = (
+        ev.withColumn("minute", F.expr("unix_millis(cast(ts as timestamp)) div 60000"))
+        .groupBy("event_type", "minute")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        m1.withColumn("bucket5", F.expr("minute div 5"))
+        .groupBy("event_type", "bucket5")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(
+            "event_type",
+            (F.col("bucket5") * 300000).cast("long").alias("window_start_ms"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )
+
+
+_ROLLUP_MG_SQL = """
+SELECT event_type,
+       ((epoch_ms(ts) // 300000) * 300000)::BIGINT AS window_start_ms,
+       COUNT(*)::BIGINT AS cnt
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
     "sketch_kmv_distinct_users": sketch_kmv_distinct_users,
@@ -177,9 +389,15 @@ QUERIES = {
     "graph_pagerank_trade": graph_pagerank_trade,
     "text_bpe_merges": text_bpe_merges,
     "corpus_weighted_sample": corpus_weighted_sample,
+    "data_quality_report": data_quality_report,
+    "events_daily_anomaly": events_daily_anomaly,
+    "rollup_multi_granularity": rollup_multi_granularity,
 }
 
 ORACLES = {
+    "data_quality_report": _DQ_SQL,
+    "events_daily_anomaly": _ANOMALY_SQL,
+    "rollup_multi_granularity": _ROLLUP_MG_SQL,
     "corpus_weighted_sample": _WSAMPLE_SQL,
     "graph_pagerank_trade": _PAGERANK_SQL,
     "text_bpe_merges": _BPE_SQL,

@@ -135,3 +135,29 @@ def test_cms_merge_is_resummation(spark):
     )
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact anomaly flag (plans/advanced.py::events_daily_anomaly)
+# ---------------------------------------------------------------------------
+
+
+def test_anomaly_flag_fires_on_injected_spike(spark):
+    """The cross-multiplied 3-sigma test must flag a synthetic 10x day and
+    leave flat days unflagged — exercised directly on the same integer
+    inequality the registered query uses."""
+    rows = [("click", d, 100) for d in range(10)] + [("click", 10, 1000)]
+    daily = spark.createDataFrame(rows, "event_type STRING, day BIGINT, cnt BIGINT")
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("t"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    )
+    j = daily.join(stats, "event_type")
+    dev = F.col("n") * F.col("cnt") - F.col("t")
+    flagged = j.select(
+        "day", (dev * dev > F.lit(9) * (F.col("n") * F.col("ss") - F.col("t") * F.col("t"))).alias("f")
+    ).collect()
+    by_day = {r["day"]: r["f"] for r in flagged}
+    assert by_day[10] is True
+    assert all(not by_day[d] for d in range(10))

@@ -581,3 +581,54 @@ def test_streaming_linear_quality_classifier_composes(spark, tmpdirs):
         q.stop()
     want = {r["doc_id"]: r.asDict() for r in linear_quality_scores(static).collect()}
     assert got == want
+
+
+def test_streaming_hll_registers_match_batch(spark, tmpdirs):
+    """The HLL sketch composes over readStream: a windowed (register ->
+    max rank) streaming aggregation emits, at window close, exactly the
+    register table the batch operator computes on the same rows — so
+    per-window sketches can be persisted from a stream and folded into
+    any coarser span later (the mergeability pytest in test_sketches)."""
+    from test_flink_spark.functions.parsing import parse_user_behavior
+    from test_flink_spark.operators import sketch as sk
+    from test_flink_spark.streaming.watermarks import ascending_watermark
+
+    src = tmpdirs / "src"
+    src.mkdir()
+    ckpt = str(tmpdirs / "ckpt")
+    lines = [f"{uid},100,10,pv,{1000 + uid}" for uid in range(1, 40)]
+    _write_lines(src, "b1.csv", lines)
+
+    stream = text_lines(spark, str(src), streaming=True)
+    parsed = ascending_watermark(parse_user_behavior(stream), "ts")
+    reg, rank = sk.hll_register_rank(F.col("user_id"))
+    streamed = (
+        parsed.select(F.window("ts", "600 seconds").alias("w"), reg.alias("reg"), rank.alias("rank"))
+        .groupBy("w", "reg")
+        .agg(F.max("rank").alias("m_rank"))
+        .select(F.col("w.start").alias("w_start"), "reg", "m_rank")
+    )
+    from test_flink_spark.sinks.memory import start_memory
+
+    q = start_memory(streamed, "hll_stream", ckpt)
+    try:
+        q.processAllAvailable()
+        _write_lines(src, "b2.csv", ["999,100,10,pv,90000"])  # close the window
+        q.processAllAvailable()
+        got = {
+            (r["reg"], r["m_rank"])
+            for r in spark.table("hll_stream").collect()
+            if r["w_start"].timestamp() < 80000
+        }
+    finally:
+        q.stop()
+
+    batch = parse_user_behavior(spark.createDataFrame([(l,) for l in lines], "value STRING"))
+    expect = {
+        (r["reg"], r["m_rank"])
+        for r in batch.select(reg.alias("reg"), rank.alias("rank"))
+        .groupBy("reg")
+        .agg(F.max("rank").alias("m_rank"))
+        .collect()
+    }
+    assert got == expect and len(expect) > 0
