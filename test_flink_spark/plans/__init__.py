@@ -42,6 +42,10 @@ _PROMOTED = (
     "data_quality_report",
     "events_daily_anomaly",
     "rollup_multi_granularity",
+    "session_stats_per_user",
+    "sketch_kmv_overlap",
+    "events_decayed_engagement",
+    "funnel_latency_quantiles",
     # r4 additions/fixes that missed a driver verification round (no
     # CORRECTNESS_r04 was recorded) stay promoted for one more round
     "corpus_temperature_mix",

@@ -382,6 +382,244 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Session stats: session_window vs a gaps-and-islands oracle.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_MIN = 30
+
+
+def session_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions (30-min inactivity gap) with event count and
+    duration.  Spark side uses the native ``session_window`` aggregate
+    (merging windows, partial-agg friendly); the oracle derives the SAME
+    sessions with the classic gaps-and-islands construction (lag + gap
+    flag + running sum), so the hash match proves Spark's session-window
+    semantics against first-principles SQL — not just against itself.
+    session_window.end is last_event + gap by definition; duration is
+    end - start."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), f"{_SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias("session_start_ms"),
+            (
+                F.unix_millis(F.col("w.end").cast("timestamp"))
+                - F.unix_millis(F.col("w.start").cast("timestamp"))
+            ).alias("duration_ms"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+_SESSION_STATS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {_SESSION_GAP_MIN} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       epoch_ms(MIN(ts))::BIGINT AS session_start_ms,
+       (epoch_ms(MAX(ts)) + {_SESSION_GAP_MIN * 60 * 1000}
+        - epoch_ms(MIN(ts)))::BIGINT AS duration_ms,
+       COUNT(*)::BIGINT AS n_events
+FROM islands GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra: union / intersection / Jaccard from two types' sketches.
+# ---------------------------------------------------------------------------
+
+
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate |view ∪ purchase| users, |view ∩ purchase|, and Jaccard
+    from bottom-k sketches alone (Beyer et al. 2007): take the k smallest
+    distinct user-hashes of the union, count how many of those belong to
+    BOTH types; J ≈ matches/k, |∩| ≈ J * |∪|.  Everything after the
+    top-k cut is one row; if the union has fewer than k distinct hashes
+    the sketch degenerates to exact sets (the CASE arm).  All outputs
+    integer: jaccard in basis points, intersection via (matches * est)
+    div k."""
+    ev = _t(spark, sf_dir, "events")
+    h = sk.h60(F.col("user_id"), "kmv")
+    d = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", h.alias("h"))
+        .distinct()
+    )
+    byh = d.groupBy("h").agg(F.count(F.lit(1)).alias("types_present"))
+    topk = byh.orderBy(F.col("h").asc()).limit(sk.KMV_K)
+    agg = topk.agg(
+        F.count(F.lit(1)).alias("n_topk"),
+        F.max("h").alias("kth"),
+        F.sum(F.when(F.col("types_present") == 2, 1).otherwise(0)).alias("matches"),
+    )
+    exact = F.col("n_topk") < sk.KMV_K
+    union_est = F.when(exact, F.col("n_topk")).otherwise(
+        F.floor(
+            F.lit(float(sk.KMV_K - 1)) * (F.lit(float(1 << 60)) / F.col("kth").cast("double"))
+        ).cast("long")
+    )
+    denom = F.when(exact, F.col("n_topk")).otherwise(F.lit(sk.KMV_K))
+    return agg.select(
+        F.col("matches").cast("long").alias("matches"),
+        union_est.alias("union_est"),
+        F.floor((F.col("matches") * union_est) / denom).cast("long").alias("inter_est"),
+        F.floor((F.col("matches") * 10000) / denom).cast("long").alias("jaccard_bp"),
+    )
+
+
+_KMV_OVERLAP_SQL = f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+         {sk.h60_sql("user_id", "kmv")} AS h
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+byh AS (SELECT h, COUNT(*) AS types_present FROM d GROUP BY h),
+topk AS (SELECT * FROM byh ORDER BY h ASC LIMIT {sk.KMV_K}),
+agg AS (
+  SELECT COUNT(*) AS n_topk, MAX(h) AS kth,
+         SUM(CASE WHEN types_present = 2 THEN 1 ELSE 0 END) AS matches
+  FROM topk
+)
+SELECT matches::BIGINT AS matches,
+       (CASE WHEN n_topk < {sk.KMV_K} THEN n_topk
+             ELSE FLOOR({float(sk.KMV_K - 1)} * ({float(1 << 60)} / kth)) END
+       )::BIGINT AS union_est,
+       ((matches * (CASE WHEN n_topk < {sk.KMV_K} THEN n_topk
+             ELSE FLOOR({float(sk.KMV_K - 1)} * ({float(1 << 60)} / kth)) END))
+        // (CASE WHEN n_topk < {sk.KMV_K} THEN n_topk ELSE {sk.KMV_K} END)
+       )::BIGINT AS inter_est,
+       ((matches * 10000)
+        // (CASE WHEN n_topk < {sk.KMV_K} THEN n_topk ELSE {sk.KMV_K} END)
+       )::BIGINT AS jaccard_bp
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exponentially time-decayed engagement (integer power-of-2 decay).
+# ---------------------------------------------------------------------------
+
+
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement score with 1-day half-life: each event
+    contributes 2^40 >> age_days — exponential decay as a pure integer
+    shift (no float pow/exp; arbitrary half-lives generalize via a
+    precomputed 2^(-k/hl) fixed-point lookup, the HLL linear-counting
+    pattern).  The anchor is the corpus max timestamp: a 1-row scalar
+    (sanctioned tiny collect in Spark; scalar subquery in the oracle) —
+    deterministic because it derives from the data."""
+    ev = _t(spark, sf_dir, "events")
+    anchor_ms = ev.agg(
+        F.max(F.unix_millis(F.col("ts").cast("timestamp")))
+    ).collect()[0][0]
+    age = F.expr(
+        f"({anchor_ms} - unix_millis(cast(ts as timestamp))) div 86400000"
+    )
+    w = F.expr(
+        f"shiftright(CAST({1 << 40} AS BIGINT),"
+        f" CAST(least(({anchor_ms} - unix_millis(cast(ts as timestamp)))"
+        " div 86400000, 40) AS INT))"
+    )
+    return (
+        ev.select(F.col("user_id"), w.alias("w"))
+        .groupBy("user_id")
+        .agg(F.sum("w").alias("score_fp"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("score_fp").cast("long").alias("score_fp"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+_DECAY_SQL = f"""
+WITH anchor AS (SELECT MAX(epoch_ms(ts)) AS a FROM events)
+SELECT user_id,
+       SUM({1 << 40}::BIGINT
+           >> LEAST((anchor.a - epoch_ms(ts)) // 86400000, 40))::BIGINT
+         AS score_fp,
+       COUNT(*)::BIGINT AS n_events
+FROM events, anchor
+GROUP BY user_id, anchor.a
+"""
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency: first view -> first purchase, exact quantiles.
+# ---------------------------------------------------------------------------
+
+
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time from a user's FIRST view to FIRST purchase (converted users
+    only, purchase at-or-after view): converted-user count + exact
+    interpolated p50/p90 latency.  Two per-user min aggregations + one
+    1-row quantile — the percentile parity convention of
+    percentile_value_by_type (ROUND to 4)."""
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(ms).alias("v_ms"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(ms).alias("p_ms"))
+    )
+    lat = (
+        fv.join(fp, "user_id")
+        .filter(F.col("p_ms") >= F.col("v_ms"))
+        .select((F.col("p_ms") - F.col("v_ms")).alias("lat_ms"))
+    )
+    q = lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.percentile("lat_ms", F.lit([0.5, 0.9])).alias("pcts"),
+    )
+    return q.select(
+        "n_converted",
+        F.round(F.col("pcts")[0], 4).alias("p50_ms"),
+        F.round(F.col("pcts")[1], 4).alias("p90_ms"),
+    )
+
+
+_FUNNEL_LAT_SQL = """
+WITH fv AS (
+  SELECT user_id, MIN(epoch_ms(ts)) AS v_ms FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+fp AS (
+  SELECT user_id, MIN(epoch_ms(ts)) AS p_ms FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+lat AS (
+  SELECT fp.p_ms - fv.v_ms AS lat_ms
+  FROM fv JOIN fp USING (user_id) WHERE fp.p_ms >= fv.v_ms
+)
+SELECT COUNT(*)::BIGINT AS n_converted,
+       ROUND(QUANTILE_CONT(lat_ms, 0.5), 4) AS p50_ms,
+       ROUND(QUANTILE_CONT(lat_ms, 0.9), 4) AS p90_ms
+FROM lat
+"""
+
+
 QUERIES = {
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
     "sketch_kmv_distinct_users": sketch_kmv_distinct_users,
@@ -392,9 +630,17 @@ QUERIES = {
     "data_quality_report": data_quality_report,
     "events_daily_anomaly": events_daily_anomaly,
     "rollup_multi_granularity": rollup_multi_granularity,
+    "session_stats_per_user": session_stats_per_user,
+    "sketch_kmv_overlap": sketch_kmv_overlap,
+    "events_decayed_engagement": events_decayed_engagement,
+    "funnel_latency_quantiles": funnel_latency_quantiles,
 }
 
 ORACLES = {
+    "session_stats_per_user": _SESSION_STATS_SQL,
+    "sketch_kmv_overlap": _KMV_OVERLAP_SQL,
+    "events_decayed_engagement": _DECAY_SQL,
+    "funnel_latency_quantiles": _FUNNEL_LAT_SQL,
     "data_quality_report": _DQ_SQL,
     "events_daily_anomaly": _ANOMALY_SQL,
     "rollup_multi_granularity": _ROLLUP_MG_SQL,

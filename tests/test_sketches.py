@@ -161,3 +161,19 @@ def test_anomaly_flag_fires_on_injected_spike(spark):
     by_day = {r["day"]: r["f"] for r in flagged}
     assert by_day[10] is True
     assert all(not by_day[d] for d in range(10))
+
+
+def test_kmv_overlap_close_to_exact(spark):
+    """Jaccard/intersection estimated from bottom-k sketches vs exact set
+    arithmetic on the same data (deterministic — fixed error per dataset)."""
+    from test_flink_spark.plans.advanced import sketch_kmv_overlap
+
+    est = sketch_kmv_overlap(spark, SF).collect()[0]
+    ev = load_table(spark, SF, "events")
+    view = {r[0] for r in ev.filter("event_type = 'view'").select("user_id").distinct().collect()}
+    pur = {r[0] for r in ev.filter("event_type = 'purchase'").select("user_id").distinct().collect()}
+    exact_union, exact_inter = len(view | pur), len(view & pur)
+    assert abs(est["union_est"] - exact_union) / exact_union <= KMV_BAND
+    assert abs(est["inter_est"] - exact_inter) / max(exact_inter, 1) <= 2 * KMV_BAND
+    exact_j_bp = 10000 * exact_inter // exact_union
+    assert abs(est["jaccard_bp"] - exact_j_bp) <= 2 * KMV_BAND * 10000
