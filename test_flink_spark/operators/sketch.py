@@ -316,3 +316,104 @@ SELECT p.v AS {value_expr}, MAX(p.exact_cnt)::BIGINT AS exact_cnt,
 FROM probes p LEFT JOIN sketch s USING (row_i, bucket)
 GROUP BY p.v
 """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram quantile sketch (the checked percentile_approx twin).
+# ---------------------------------------------------------------------------
+
+HIST_B = 1024
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    probs: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Per-group quantile estimates from a B-bucket equi-width histogram:
+    ``group_cols + (n, q_50, q_90, ...)`` with each estimate = the upper
+    edge of the first bucket whose running count crosses p*n.  Error is
+    bounded by one bucket width — the mergeable fixed-size shape (the
+    histogram is a (group, bucket, cnt) table, <= |groups|*B rows, re-sum
+    to fold) that replaces per-group sorts at 100 TB.  ``lo``/``hi`` are
+    fixed domain bounds supplied by the caller (schema knowledge or a
+    prior scan); values are clamped into [lo, hi].
+
+    Determinism: the bucket index floor(((v - lo) * B) / (hi - lo)) is
+    three correctly-rounded IEEE ops written with identical shape in both
+    dialects; the crossing test cross-multiplies (cum * denom >= p_num * n)
+    so no float cumulative fractions exist."""
+    b = F.floor(
+        ((F.col(value_col) - F.lit(lo)) * F.lit(float(HIST_B))) / F.lit(hi - lo)
+    ).cast("long")
+    bucket = F.least(F.greatest(b, F.lit(0)), F.lit(HIST_B - 1))
+    hist = (
+        df.select(*group_cols, bucket.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).join(
+        F.broadcast(
+            hist.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+        ),
+        group_cols,
+    )
+    width = (hi - lo) / HIST_B
+    aggs = [F.max("n").cast("long").alias("n")]
+    for p in probs:
+        p_num = int(round(p * 100))
+        edge = F.lit(lo) + (F.col("bucket") + 1).cast("double") * F.lit(width)
+        aggs.append(
+            F.round(
+                F.min(F.when(F.col("cum") * 100 >= F.lit(p_num) * F.col("n"), edge)),
+                4,
+            ).alias(f"q_{p_num}")
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def histogram_quantiles_oracle_sql(
+    table: str,
+    value_expr: str,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    probs: tuple[float, ...] = (0.5, 0.9),
+) -> str:
+    g = ", ".join(group_cols)
+    width = (hi - lo) / HIST_B
+    qs = []
+    for p in probs:
+        p_num = int(round(p * 100))
+        qs.append(
+            f"ROUND(MIN(CASE WHEN cum * 100 >= {p_num} * n "
+            f"THEN {lo} + (bucket + 1)::DOUBLE * {width!r} END), 4) AS q_{p_num}"
+        )
+    return f"""
+WITH hist AS (
+  SELECT {g},
+         LEAST(GREATEST(FLOOR((({value_expr} - {lo}) * {float(HIST_B)!r})
+                              / {hi - lo!r})::BIGINT, 0), {HIST_B - 1}) AS bucket,
+         COUNT(*) AS cnt
+  FROM {table} GROUP BY ALL
+),
+cum AS (
+  SELECT {g}, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY {g} ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY {g}) AS n
+  FROM hist
+)
+SELECT {g}, MAX(n)::BIGINT AS n, {", ".join(qs)}
+FROM cum GROUP BY {g}
+"""

@@ -46,6 +46,8 @@ _PROMOTED = (
     "sketch_kmv_overlap",
     "events_decayed_engagement",
     "funnel_latency_quantiles",
+    "sketch_histogram_quantiles",
+    "layout_zorder_events",
     # r4 additions/fixes that missed a driver verification round (no
     # CORRECTNESS_r04 was recorded) stay promoted for one more round
     "corpus_temperature_mix",

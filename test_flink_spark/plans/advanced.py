@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators import bpe
 from ..operators import graph as gr
-from ..operators import sampling
+from ..operators import layout, sampling
 from ..operators import sketch as sk
 from .relational import _t
 
@@ -620,6 +620,70 @@ FROM lat
 """
 
 
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (checked twin of percentile_approx).
+# ---------------------------------------------------------------------------
+
+# Fixed domain bounds for events.value — schema knowledge, generous headroom
+# (values outside clamp into the edge buckets; estimates stay one-bucket
+# accurate as long as the mass is inside).
+_HIST_LO, _HIST_HI = 0.0, 1000.0
+
+
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90 of event value per type from a 1024-bucket
+    equi-width histogram — the mergeable, bounded-size quantile shape
+    (completes the checked approximate-aggregate trio: distinct = HLL/KMV,
+    frequency = count-min, quantiles = this).  Exact interpolated twin:
+    percentile_value_by_type."""
+    ev = _t(spark, sf_dir, "events")
+    return sk.histogram_quantiles(ev, "value", ["event_type"], _HIST_LO, _HIST_HI)
+
+
+_HISTQ_SQL = sk.histogram_quantiles_oracle_sql(
+    "events", "value", ["event_type"], _HIST_LO, _HIST_HI
+)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout codes.
+# ---------------------------------------------------------------------------
+
+
+def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton codes over (user_id, event minute): the 100 lowest-code
+    events — checks the bit-interleaving arithmetic end to end (the
+    write-side clustering itself is exercised in pytest via
+    repartitionByRange + sortWithinPartitions)."""
+    ev = _t(spark, sf_dir, "events")
+    prepped = ev.select(
+        "event_id",
+        "user_id",
+        F.expr("(unix_millis(cast(ts as timestamp)) div 60000) & 65535").alias("m16"),
+        (F.col("user_id") % 65536).alias("u16"),
+    )
+    coded = prepped.select(
+        "event_id",
+        "user_id",
+        layout.zorder_code("u16", "m16").alias("zcode"),
+    )
+    return coded.orderBy(F.col("zcode").asc(), F.col("event_id").asc()).limit(100)
+
+
+_ZORDER_SQL = f"""
+WITH prepped AS (
+  SELECT event_id, user_id,
+         (epoch_ms(ts) // 60000) & 65535 AS m16,
+         user_id % 65536 AS u16
+  FROM events
+)
+SELECT event_id, user_id, {layout.zorder_expr_sql("u16", "m16")} AS zcode
+FROM prepped
+ORDER BY zcode ASC, event_id ASC
+LIMIT 100
+"""
+
+
 QUERIES = {
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
     "sketch_kmv_distinct_users": sketch_kmv_distinct_users,
@@ -634,9 +698,13 @@ QUERIES = {
     "sketch_kmv_overlap": sketch_kmv_overlap,
     "events_decayed_engagement": events_decayed_engagement,
     "funnel_latency_quantiles": funnel_latency_quantiles,
+    "sketch_histogram_quantiles": sketch_histogram_quantiles,
+    "layout_zorder_events": layout_zorder_events,
 }
 
 ORACLES = {
+    "sketch_histogram_quantiles": _HISTQ_SQL,
+    "layout_zorder_events": _ZORDER_SQL,
     "session_stats_per_user": _SESSION_STATS_SQL,
     "sketch_kmv_overlap": _KMV_OVERLAP_SQL,
     "events_decayed_engagement": _DECAY_SQL,

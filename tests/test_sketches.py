@@ -177,3 +177,100 @@ def test_kmv_overlap_close_to_exact(spark):
     assert abs(est["inter_est"] - exact_inter) / max(exact_inter, 1) <= 2 * KMV_BAND
     exact_j_bp = 10000 * exact_inter // exact_union
     assert abs(est["jaccard_bp"] - exact_j_bp) <= 2 * KMV_BAND * 10000
+
+
+def test_histogram_quantiles_within_one_bucket(spark):
+    """Histogram estimate must land within one bucket width of the exact
+    interpolated percentile (the sketch's error contract)."""
+    from test_flink_spark.plans.advanced import _HIST_HI, _HIST_LO
+
+    ev = load_table(spark, SF, "events")
+    width = (_HIST_HI - _HIST_LO) / sk.HIST_B
+    est = {
+        r["event_type"]: (r["q_50"], r["q_90"])
+        for r in sk.histogram_quantiles(
+            ev, "value", ["event_type"], _HIST_LO, _HIST_HI
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: (r["p50"], r["p90"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.9)).alias("p90"),
+        )
+        .collect()
+    }
+    for t, (q50, q90) in est.items():
+        assert abs(q50 - exact[t][0]) <= width + 1e-9, (t, q50, exact[t][0])
+        assert abs(q90 - exact[t][1]) <= width + 1e-9, (t, q90, exact[t][1])
+
+
+def test_histogram_merge_is_resummation(spark):
+    """Histograms of two halves re-sum to the whole-corpus histogram."""
+    ev = load_table(spark, SF, "events")
+    b = F.least(
+        F.greatest(
+            F.floor(((F.col("value") - 0.0) * float(sk.HIST_B)) / 1000.0).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(sk.HIST_B - 1),
+    )
+    def hist(df):
+        return df.select("event_type", b.alias("bucket")).groupBy(
+            "event_type", "bucket"
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    whole = hist(ev)
+    merged = (
+        hist(ev.filter(F.col("event_id") % 2 == 0))
+        .unionAll(hist(ev.filter(F.col("event_id") % 2 == 1)))
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (operators/layout.py)
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_interleave_roundtrip(spark):
+    """Every input bit lands at its interleaved position and nowhere else:
+    de-interleaving the code recovers both keys exactly."""
+    from test_flink_spark.operators import layout
+
+    df = spark.createDataFrame(
+        [(a, b) for a in (0, 1, 5, 1023, 65535) for b in (0, 2, 7, 4095, 65535)],
+        "a BIGINT, b BIGINT",
+    ).withColumn("z", layout.zorder_code("a", "b"))
+    back_a = " | ".join(f"(((z >> {2 * i}) & 1) << {i})" for i in range(16))
+    back_b = " | ".join(f"(((z >> {2 * i + 1}) & 1) << {i})" for i in range(16))
+    bad = df.filter(F.expr(f"({back_a}) != a OR ({back_b}) != b")).count()
+    assert bad == 0
+
+
+def test_zorder_layout_files_have_disjoint_ranges(spark):
+    """repartitionByRange + sortWithinPartitions on the z-code yields
+    partitions whose [min, max] code ranges do not overlap — the property
+    zone-map file skipping relies on."""
+    from test_flink_spark.operators import layout
+    from test_flink_spark.schemas import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        (F.col("user_id") % 65536).alias("u16"),
+        F.expr("(unix_millis(cast(ts as timestamp)) div 60000) & 65535").alias("m16"),
+    )
+    coded = ev.withColumn("zcode", layout.zorder_code("u16", "m16"))
+    laid = layout.zorder_layout(coded, "zcode", partitions=8)
+    ranges = (
+        laid.select("zcode", F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F.min("zcode").alias("lo"), F.max("zcode").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(ranges) > 1
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev["hi"] <= cur["lo"], (prev, cur)
