@@ -63,10 +63,19 @@ def main() -> None:
     # round-4 measurement); in a warm-but-quiet JVM it reflects the
     # pipeline, not the harness history.
     stream_out = {}
-    # best-of-2: the first run also pays streaming-operator JIT (batch
-    # warmup doesn't touch the micro-batch execution paths).  Each run is
-    # individually guarded so a transient failure on one attempt never
-    # discards a valid measurement from the other.
+    # One small UNRECORDED warm-up run first: batch warmup doesn't touch the
+    # micro-batch execution paths, and streaming-operator JIT is heavy enough
+    # that even best-of-2 cold runs under-reports by 30-50% (measured: cold
+    # runs 21-26k ev/s with huge variance, post-warm-up runs a stable
+    # 38-46k).  40k events costs ~3 s and buys a number that reflects the
+    # pipeline, not the JVM's compile queue.
+    try:
+        streaming_throughput(spark, n_events=40_000)
+    except Exception as e:  # noqa: BLE001
+        print(f"# streaming warm-up failed: {e}", file=sys.stderr)
+    # best-of-2 measured runs.  Each run is individually guarded so a
+    # transient failure on one attempt never discards a valid measurement
+    # from the other.
     stream_runs = []
     for _ in range(2):
         try:
