@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _h60, shingles
+from .dedup import shingle_hashes
 
 
 def ngram_containment(
@@ -44,16 +44,16 @@ def ngram_containment(
     the left-join semantics a pipeline filters on).  ``containment`` is
     matched/total rounded to 4 (docs with < n words have no shingles →
     containment 0.0)."""
+    # shingle_hashes computes per-doc distinct 60-bit hashes map-side: no
+    # n-gram string ever shuffles (dedup.py docstring has the rationale).
     bench_sh = (
-        shingles(bench_df, text_col, id_col, n)
-        .select(_h60(F.col("shingle")).alias("bench_h"))
+        shingle_hashes(bench_df, text_col, id_col, n)
+        .select(F.col("h").alias("bench_h"))
         .distinct()
     )
     if broadcast_bench:
         bench_sh = F.broadcast(bench_sh)
-    train_sh = shingles(train_df, text_col, id_col, n).select(
-        F.col(id_col), _h60(F.col("shingle")).alias("h")
-    )
+    train_sh = shingle_hashes(train_df, text_col, id_col, n)
     totals = train_df.select(F.col(id_col)).join(
         train_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles")),
         id_col,

@@ -75,6 +75,38 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     )
 
 
+def shingle_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-document DISTINCT 60-bit shingle hashes: ``(id_col, h)``.
+
+    The scale-critical sibling of ``shingles()``: hash every stride-1
+    window inside the row's own array and ``array_distinct`` BEFORE the
+    explode, so per-doc distinctness costs no exchange and nothing larger
+    than an 8-byte int ever leaves the map side.  ``shingles()`` +
+    dropDuplicates shuffles the full n-gram STRINGS (~8·n bytes each) —
+    fine when the caller needs the text (top-bigrams), wrong for every
+    hash-keyed consumer (jaccard index, minhash, span/containment dedup).
+
+    Dedup key is the hash, not the string: a 60-bit collision within one
+    document would merge two shingles.  That convention is shared with the
+    DuckDB oracles (their DISTINCT is on the same md5-derived int), so the
+    differential gate checks the exact semantics shipped here."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    ws = words(F.col(text_col))
+    idx = F.when(
+        F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.filter(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n))),
+        lambda s: s != "",
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.transform(grams, _h60))).alias("h"),
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via md5-of-normalized-text fingerprint: one groupBy on the
     16-byte key; canonical row = min id (deterministic)."""
@@ -109,18 +141,23 @@ def ngram_jaccard_pairs(
     """
     # NOTE: the shingle index feeds three plan branches; recomputing the
     # (cheap, codegen-fused) explode+md5 per branch measured FASTER than
-    # persist() — caching 260k short strings costs more in BlockManager
+    # persist() — caching 260k short ints costs more in BlockManager
     # serialization than the recompute saves.  Revisit only if the shingle
     # stage grows expensive (e.g. char-level shingles at 100 TB).
-    sh = shingles(df, text_col, id_col, n)
+    # The index key is the 60-bit HASH, not the n-gram string: the
+    # inverted-index self-join is the dominant exchange here, and an 8-byte
+    # int key shuffles ~3-6x fewer bytes than ~8·n-char text.  The oracle's
+    # DISTINCT/join run on the same md5-derived int (hash-collision
+    # semantics are the shipped spec, as everywhere in this family).
+    sh = shingle_hashes(df, text_col, id_col, n)
     if max_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-        keep = freq.filter(F.col("df_") <= max_doc_freq).select("shingle")
-        sh = sh.join(F.broadcast(keep), "shingle")
+        freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df_"))
+        keep = freq.filter(F.col("df_") <= max_doc_freq).select("h")
+        sh = sh.join(F.broadcast(keep), "h")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -164,9 +201,12 @@ def minhash_signatures(
     per-micro-batch volumes are small (streaming/minhash_dedup.py); a
     parity pytest pins the two forms bit-identical.
     """
-    sh = shingles(df, text_col, id_col, shingle_n)
-    base = sh.select(
-        F.col(id_col), (_h60(F.col("shingle")) % MINHASH_MOD).alias("h")
+    # shingle_hashes dedups on the 60-bit hash map-side (no string shuffle);
+    # MIN over the permuted hashes is multiset-invariant, so even a 60-bit
+    # collision collapsing two shingles cannot change any signature value —
+    # the string-distinct oracle stays bit-identical with no caveat.
+    base = shingle_hashes(df, text_col, id_col, shingle_n).select(
+        F.col(id_col), (F.col("h") % MINHASH_MOD).alias("h")
     )
     mins = base.groupBy(id_col).agg(
         *[

@@ -39,8 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _h60
-from .text import words
+from .dedup import shingle_hashes
 
 
 def span_ownership(
@@ -62,29 +61,15 @@ def span_ownership(
         raise ValueError(f"span_words must be >= 2, got {span_words}")
     if not 0.0 < flag_threshold <= 1.0:
         raise ValueError(f"flag_threshold must be in (0, 1], got {flag_threshold}")
-    # Per-doc distinct span HASHES, computed map-side: hash every stride-1
-    # window inside the row's own array, array_distinct, THEN explode.  The
-    # ``shingles()`` helper dedups with dropDuplicates(doc_id, shingle),
-    # which shuffles the full span strings — ~50 bytes/span of text crossing
-    # the network before any hashing, exactly what this module's scale
-    # contract forbids.  Distinct-within-array costs no exchange at all, and
-    # deduping on the 60-bit hash (not the string) is what the oracle's
+    # Per-doc distinct span HASHES, computed map-side (shingle_hashes):
+    # the previous form reused ``shingles()``, whose dropDuplicates
+    # shuffles the full span strings — ~50 bytes/span of text crossing the
+    # network before any hashing, exactly what this module's scale contract
+    # forbids.  Distinct-within-array costs no exchange at all, and deduping
+    # on the 60-bit hash (not the string) is what the oracle's
     # ``SELECT DISTINCT id, h`` does anyway.  Measured at sf0.1: 5.9 s ->
-    # 2.4 s cold (see docs/DESIGN_DECISIONS.md round 5).
-    n = span_words
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    ws = words(F.col(text_col))
-    idx = F.when(
-        F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.filter(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n))),
-        lambda s: s != "",
-    )
-    sp = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(F.transform(grams, _h60))).alias("h"),
-    )
+    # 1.4-1.8 s warm (see docs/DESIGN_DECISIONS.md round 5).
+    sp = shingle_hashes(df, text_col, id_col, n=span_words)
     own = sp.groupBy("h").agg(
         F.min(id_col).alias("owner"),
         F.count(F.lit(1)).alias("n_docs"),

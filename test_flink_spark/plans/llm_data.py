@@ -135,7 +135,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_SQL = r"""
 WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
 sh AS (
-    SELECT DISTINCT doc_id, s FROM (
+    -- DISTINCT on the 60-bit hash, matching the Spark side's map-side
+    -- array_distinct over hashed shingles (hash-collision semantics are
+    -- the shipped spec; the index join key is the same int)
+    SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM (
         SELECT doc_id,
                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
@@ -144,7 +147,7 @@ sh AS (
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 shared AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
 SELECT id_a, id_b,
@@ -1180,18 +1183,20 @@ WITH bench_ids AS (
     WHERE (('0x' || substr(md5('bench:' || doc_id), 1, 15))::BIGINT % 10000) < 500
 ), ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
 sh AS (
-    SELECT DISTINCT doc_id, s FROM (
+    -- DISTINCT on the 60-bit hash, matching the Spark side's map-side
+    -- array_distinct over hashed shingles (shingle_hashes)
+    SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM (
         SELECT doc_id,
                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
         FROM ws) WHERE s IS NOT NULL AND s <> ''
 ),
 bench_h AS (
-    SELECT DISTINCT ('0x' || substr(md5(s), 1, 15))::BIGINT AS bh
+    SELECT DISTINCT h AS bh
     FROM sh WHERE doc_id IN (SELECT doc_id FROM bench_ids)
 ),
 train_sh AS (
-    SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+    SELECT doc_id, h
     FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids)
 ),
 totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train_sh GROUP BY 1),
