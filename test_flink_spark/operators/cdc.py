@@ -1,0 +1,58 @@
+"""CDC changelog application: collapse an ordered stream of upsert/delete
+change events into the latest-state snapshot per key — the MERGE INTO /
+materialized-upsert operator every warehouse ingestion pipeline runs over
+its CDC feed (Debezium-style changelogs, Flink's upsert streams, Delta/
+Iceberg merge).
+
+Semantics (deterministic, engine-reproducible):
+- rows are (key, seq, op, payload); the winning row per key is the one
+  with the greatest ``seq`` tuple (callers supply a total order — here
+  (ts_ms, event_id), unique by construction);
+- if the winning op is a delete op, the key is absent from the snapshot
+  (tombstone); otherwise the winner's payload is emitted.
+
+Scale design:
+- one hash exchange on the key + an in-partition sort for row_number —
+  identical shuffle profile to a groupBy, no global sort anywhere;
+- the changelog body shuffles once; payload columns ride along with the
+  key, so there is no second join to recover the winner's payload (the
+  max(seq)-then-join-back form reads the changelog twice);
+- late-arriving changes are handled by re-running over the union of the
+  old snapshot (as upserts with their original seq) and the new delta —
+  the operator is idempotent and associative over batches, which is what
+  makes it safe to run incrementally per partition/day at 100 TB.
+
+Reference parity: extends test-flink's analytics surface with the
+ingestion-side operator family (SURVEY.md §2 beyond-reference ops); no
+counterpart in /root/reference (the reference jobs are append-only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cdc_latest(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str,
+    delete_ops: Sequence[str],
+) -> DataFrame:
+    """Latest-state snapshot of a changelog: one row per key holding the
+    payload of the greatest-``seq_cols`` change, keys whose last change is
+    in ``delete_ops`` dropped.  All non-key/seq/op columns pass through."""
+    if not key_cols or not seq_cols:
+        raise ValueError("key_cols and seq_cols must be non-empty")
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in seq_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(~F.col(op_col).isin(list(delete_ops)))
+        .drop("__rn")
+    )

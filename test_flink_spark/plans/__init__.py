@@ -15,7 +15,7 @@ order-insensitive value hash, columns sorted by name):
     - every computed column aliased identically in both dialects.
 """
 
-from . import advanced, llm_data, reference_queries, relational, tpch_extra
+from . import advanced, enterprise, llm_data, reference_queries, relational, tpch_extra
 
 
 # Registration order is load-bearing: the driver's CORRECTNESS snapshot
@@ -28,8 +28,15 @@ from . import advanced, llm_data, reference_queries, relational, tpch_extra
 # oracle, the rewritten block-dedup expression, and the real-decode
 # multimodal features). Everything outside the window is still
 # value-hash-checked locally by tools/check_oracle.py.
-_MODULE_ORDER = (reference_queries, advanced, llm_data, relational, tpch_extra)
+_MODULE_ORDER = (reference_queries, enterprise, advanced, llm_data, relational, tpch_extra)
 _PROMOTED = (
+    # new in r5 batch 2 — CDC / gap-fill / co-occurrence / triangles /
+    # fuzzy linkage (module enterprise, second in order → driver window)
+    "cdc_apply_latest",
+    "events_hourly_gapfill",
+    "events_item_cooccurrence",
+    "graph_triangle_counts",
+    "fuzzy_part_name_pairs",
     # new in r5 — never driver-seen before (the advanced module itself is
     # second in _MODULE_ORDER, so these land inside the driver's 50-row
     # window even without promotion; listed for the rotation record)

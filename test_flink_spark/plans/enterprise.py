@@ -1,0 +1,273 @@
+"""Round-5 query assemblies, batch 2: warehouse-ingestion and
+graph/linkage analytics — CDC changelog application, time-series
+gap-fill+LOCF, item co-occurrence recommendations, k-NN-graph triangle
+counts, and fuzzy record linkage.  Every query carries a full
+algorithm-replay DuckDB oracle (pure integer arithmetic or
+identically-rounded scalars in both dialects).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import cooccur, linkage, timeseries
+from ..operators.cdc import cdc_latest
+from .relational import _t
+
+# ---------------------------------------------------------------------------
+# CDC changelog -> latest-state snapshot.
+# ---------------------------------------------------------------------------
+
+
+def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat events as a per-user CDC changelog: (user_id, (ts, event_id))
+    is the change sequence, 'error' is the tombstone op.  The snapshot is
+    each user's latest change unless that change is a tombstone — the
+    MERGE INTO semantics an ingestion pipeline materializes.  One hash
+    exchange on the key; payload rides with the changelog row (no
+    join-back)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("op"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round("value", 2).alias("value"),
+    )
+    snap = cdc_latest(
+        ev,
+        key_cols=["user_id"],
+        seq_cols=["ts_ms", "event_id"],
+        op_col="op",
+        delete_ops=["error"],
+    )
+    return snap.select(
+        "user_id",
+        F.col("ts_ms").alias("last_ts_ms"),
+        F.col("op").alias("last_op"),
+        F.col("value").alias("last_value"),
+    )
+
+
+_CDC_SQL = r"""
+WITH e AS (
+    SELECT user_id, event_id, event_type AS op, epoch_ms(ts) AS ts_ms,
+           ROUND(value, 2) AS value
+    FROM events
+), r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts_ms DESC, event_id DESC) AS rn
+    FROM e
+)
+SELECT user_id, ts_ms AS last_ts_ms, op AS last_op, value AS last_value
+FROM r WHERE rn = 1 AND op <> 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hourly gap-fill + LOCF per event type.
+# ---------------------------------------------------------------------------
+
+_HOUR_MS = 3_600_000
+
+
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style densified hourly series per event_type: every hour
+    between each type's first and last event, observed hours with exact
+    integer cent sums, gap hours carrying the last observation forward."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return timeseries.bucket_gapfill_locf(
+        ev, ["event_type"], "ts_ms", "cents", bucket_ms=_HOUR_MS
+    )
+
+
+_GAPFILL_SQL = rf"""
+WITH e AS (
+    SELECT event_type, epoch_ms(ts) // {_HOUR_MS} AS b,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), obs AS (
+    SELECT event_type, b, COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS s
+    FROM e GROUP BY 1, 2
+), rng AS (
+    SELECT event_type, MIN(b) AS b0, MAX(b) AS b1 FROM obs GROUP BY 1
+), grid AS (
+    SELECT event_type, unnest(generate_series(b0, b1)) AS b FROM rng
+), j AS (
+    SELECT g.event_type, g.b, o.n_events, o.s
+    FROM grid g LEFT JOIN obs o USING (event_type, b)
+)
+SELECT event_type, b * {_HOUR_MS} AS bucket_ms,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       last_value(s IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_cents_locf,
+       n_events IS NULL AS is_gap
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# Item co-occurrence: "also interacted with" top-5 per item.
+# ---------------------------------------------------------------------------
+
+_COOC_CAP = 64
+_COOC_TOPK = 5
+_KNN_K = 10
+
+
+def _event_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("item"),
+    )
+
+
+def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 co-occurring items per item over the capped distinct
+    (user, item) basket, with exact co-counts and integer lift_ppm."""
+    pairs = cooccur.item_pairs(
+        _event_items(spark, sf_dir), "user_id", "item", _COOC_CAP
+    )
+    return cooccur.topk_neighbors(pairs, k=_COOC_TOPK)
+
+
+def _cooc_cte() -> str:
+    """Shared CTE chain reproducing item_pairs + the symmetric ranking."""
+    return rf"""
+ui AS (
+    SELECT DISTINCT user_id AS u,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
+    FROM events
+), capped AS (
+    SELECT u, i FROM (
+        SELECT u, i, ROW_NUMBER() OVER (PARTITION BY u ORDER BY i ASC) AS rn
+        FROM ui)
+    WHERE rn <= {_COOC_CAP}
+), nu AS (
+    -- over ui, not capped: the cap keeps >= 1 item per user, so the user
+    -- sets are identical and the Spark side counts the cheaper form
+    SELECT COUNT(DISTINCT u) AS n_users FROM ui
+),
+marg AS (SELECT i, COUNT(*) AS n_i FROM capped GROUP BY 1),
+p AS (
+    SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_co
+    FROM capped a JOIN capped b ON a.u = b.u AND a.i < b.i
+    GROUP BY 1, 2
+), pj AS (
+    SELECT item_a, item_b, n_co, ma.n_i AS n_a, mb.n_i AS n_b,
+           CAST(FLOOR(1000000 * n_co * (SELECT n_users FROM nu) * 1.0
+                      / (ma.n_i * mb.n_i)) AS BIGINT) AS lift_ppm
+    FROM p
+    JOIN marg ma ON item_a = ma.i
+    JOIN marg mb ON item_b = mb.i
+), sym AS (
+    SELECT item_a AS item, item_b AS neighbor, n_co, lift_ppm FROM pj
+    UNION ALL
+    SELECT item_b AS item, item_a AS neighbor, n_co, lift_ppm FROM pj
+), rk AS (
+    SELECT item, neighbor, n_co, lift_ppm,
+           ROW_NUMBER() OVER (PARTITION BY item
+                              ORDER BY n_co DESC, neighbor ASC) AS rank
+    FROM sym
+)"""
+
+
+_COOC_SQL = rf"""
+WITH {_cooc_cte()}
+SELECT item, neighbor, CAST(n_co AS BIGINT) AS n_co, lift_ppm,
+       CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {_COOC_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Triangle counts over the k-NN co-occurrence graph.
+# ---------------------------------------------------------------------------
+
+
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item triangle participation over the top-10-neighbor item
+    graph — local clustering signal over a scale-invariant sparsification
+    (an absolute co-count threshold would go empty or complete as the
+    corpus grows; per-node top-k keeps density fixed)."""
+    pairs = cooccur.item_pairs(
+        _event_items(spark, sf_dir), "user_id", "item", _COOC_CAP, with_lift=False
+    )
+    return cooccur.triangle_counts(cooccur.knn_edges(pairs, k=_KNN_K))
+
+
+_TRI_SQL = rf"""
+WITH {_cooc_cte()},
+edges AS (
+    SELECT DISTINCT LEAST(item, neighbor) AS a, GREATEST(item, neighbor) AS b
+    FROM rk WHERE rank <= {_KNN_K}
+), tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM edges e1
+    JOIN edges e2 ON e1.b = e2.a
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+), v AS (
+    SELECT x AS item FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+)
+SELECT item, CAST(COUNT(*) AS BIGINT) AS n_tri FROM v GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy record linkage over part names.
+# ---------------------------------------------------------------------------
+
+_FUZZY_MAX_DIST = 3
+
+
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-matching part-name pairs (levenshtein <= 3) via first/last-token
+    blocking over the distinct-name vocabulary."""
+    return linkage.fuzzy_name_pairs(
+        _t(spark, sf_dir, "part"), "p_name", max_dist=_FUZZY_MAX_DIST
+    )
+
+
+_FUZZY_SQL = rf"""
+WITH names AS (
+    SELECT p_name AS name, COUNT(*) AS n FROM part GROUP BY 1
+), keyed AS (
+    SELECT name, n, unnest(list_distinct([
+        string_split_regex(trim(name), '\s+')[1],
+        string_split_regex(trim(name), '\s+')[-1]])) AS blk
+    FROM names
+), cand AS (
+    SELECT DISTINCT a.name AS name_a, b.name AS name_b,
+           a.n AS n_a, b.n AS n_b
+    FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.name < b.name
+)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+FROM cand WHERE levenshtein(name_a, name_b) <= {_FUZZY_MAX_DIST}
+"""
+
+
+QUERIES = {
+    "cdc_apply_latest": cdc_apply_latest,
+    "events_hourly_gapfill": events_hourly_gapfill,
+    "events_item_cooccurrence": events_item_cooccurrence,
+    "graph_triangle_counts": graph_triangle_counts,
+    "fuzzy_part_name_pairs": fuzzy_part_name_pairs,
+}
+
+ORACLES = {
+    "cdc_apply_latest": _CDC_SQL,
+    "events_hourly_gapfill": _GAPFILL_SQL,
+    "events_item_cooccurrence": _COOC_SQL,
+    "graph_triangle_counts": _TRI_SQL,
+    "fuzzy_part_name_pairs": _FUZZY_SQL,
+}

@@ -1,0 +1,158 @@
+"""Semantic invariants for the CDC / gap-fill / co-occurrence / triangle /
+fuzzy-linkage operators — properties the order-insensitive value-hash
+oracle gate cannot see (idempotence, grid completeness, graph identities).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from test_flink_spark.operators.cdc import cdc_latest
+from test_flink_spark.operators.cooccur import (
+    item_pairs,
+    knn_edges,
+    topk_neighbors,
+    triangle_counts,
+)
+from test_flink_spark.operators.linkage import fuzzy_name_pairs
+from test_flink_spark.operators.timeseries import bucket_gapfill_locf
+
+CDC_SCHEMA = "k INT, seq INT, op STRING, v STRING"
+
+
+def _apply(spark, rows):
+    df = spark.createDataFrame(rows, CDC_SCHEMA)
+    return {
+        r["k"]: (r["op"], r["v"], r["seq"])
+        for r in cdc_latest(df, ["k"], ["seq"], "op", ["delete"]).collect()
+    }
+
+
+def test_cdc_latest_wins_and_tombstones(spark):
+    rows = [
+        (1, 1, "insert", "a"),
+        (1, 3, "update", "c"),
+        (1, 2, "update", "b"),  # out of arrival order; seq decides
+        (2, 1, "insert", "x"),
+        (2, 2, "delete", None),  # tombstone: key 2 absent
+        (3, 5, "delete", None),
+        (3, 6, "insert", "resurrected"),  # insert AFTER delete: present
+    ]
+    snap = _apply(spark, rows)
+    assert snap[1] == ("update", "c", 3)
+    assert 2 not in snap
+    assert snap[3] == ("insert", "resurrected", 6)
+
+
+def test_cdc_batch_associativity(spark):
+    """Applying the changelog in one pass == applying batch 1, replaying
+    its snapshot as upserts, then applying batch 2 — the property that
+    makes incremental per-day CDC application safe."""
+    batch1 = [(1, 1, "insert", "a"), (2, 1, "insert", "x"), (1, 2, "update", "b")]
+    batch2 = [(2, 3, "delete", None), (3, 4, "insert", "z"), (1, 3, "update", "c")]
+    full = _apply(spark, batch1 + batch2)
+    snap1 = _apply(spark, batch1)
+    replay = [(k, seq, op, v) for k, (op, v, seq) in snap1.items()]
+    incremental = _apply(spark, replay + batch2)
+    assert full == incremental
+
+
+def test_gapfill_grid_complete_and_locf(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 1000, 5),
+            ("a", 3500, 7),  # bucket 3; buckets 1 and 2 are gaps
+            ("a", 3600, 9),  # same bucket as above -> summed
+            ("b", 100, 1),  # single-bucket series: no gaps
+        ],
+        "k STRING, ts_ms LONG, cents LONG",
+    )
+    out = bucket_gapfill_locf(df, ["k"], "ts_ms", "cents", bucket_ms=1000)
+    rows = {(r["k"], r["bucket_ms"]): r for r in out.collect()}
+    assert set(rows) == {("a", 1000), ("a", 2000), ("a", 3000), ("b", 0)}
+    assert rows[("a", 1000)]["n_events"] == 1 and not rows[("a", 1000)]["is_gap"]
+    assert rows[("a", 1000)]["sum_cents_locf"] == 5
+    assert rows[("a", 2000)]["n_events"] == 0 and rows[("a", 2000)]["is_gap"]
+    assert rows[("a", 2000)]["sum_cents_locf"] == 5  # carried forward
+    assert rows[("a", 3000)]["sum_cents_locf"] == 16  # 7 + 9, observed
+    assert rows[("b", 0)]["sum_cents_locf"] == 1
+    # first bucket per key is observed by construction -> LOCF never null
+    assert all(r["sum_cents_locf"] is not None for r in rows.values())
+
+
+def test_cooccurrence_counts_and_cap(spark):
+    # users 1,2 share items (10, 20); user 3 brings 20-30; user 4's basket
+    # exceeds the cap of 2 -> only its two LOWEST items (5, 10) pair up
+    rows = [
+        (1, 10), (1, 20),
+        (2, 10), (2, 20), (2, 20),  # duplicate interaction: basket is distinct
+        (3, 20), (3, 30),
+        (4, 5), (4, 10), (4, 99),
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, item INT")
+    pairs = {
+        (r["item_a"], r["item_b"]): r["n_co"]
+        for r in item_pairs(df, "user_id", "item", max_items_per_user=2).collect()
+    }
+    assert pairs[(10, 20)] == 2  # users 1 and 2; duplicates don't inflate
+    assert pairs[(20, 30)] == 1
+    assert pairs[(5, 10)] == 1  # capped user keeps lowest two items
+    assert (10, 99) not in pairs and (5, 99) not in pairs  # 99 fell to the cap
+
+
+def test_topk_neighbors_rank_and_tiebreak(spark):
+    rows = [(u, i) for u in range(4) for i in (1, 2)] + [(9, 1), (9, 3)]
+    df = spark.createDataFrame(rows, "user_id INT, item INT")
+    top = topk_neighbors(item_pairs(df, "user_id", "item", 64), k=1)
+    by_item = {r["item"]: r for r in top.collect()}
+    # item 1 co-occurs with 2 (x4) and 3 (x1): top neighbor is 2
+    assert by_item[1]["neighbor"] == 2 and by_item[1]["n_co"] == 4
+    assert by_item[3]["neighbor"] == 1  # item 3's only neighbor
+
+
+def test_triangle_counts_on_known_graph(spark):
+    # 4-clique on {1,2,3,4} plus pendant edge (4,5): C(4,3)=4 triangles,
+    # each clique vertex in exactly 3, vertex 5 in none
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(4, 5)]
+    df = spark.createDataFrame(edges, "a INT, b INT")
+    tri = {r["item"]: r["n_tri"] for r in triangle_counts(df).collect()}
+    assert tri == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_knn_edges_union_semantics(spark):
+    # hub item 1 pairs with 2,3,4 (counts 3,2,1); with k=1 only (1,2) is
+    # mutual-top, but union semantics keep (1,3)/(1,4) because 3 and 4
+    # each rank 1 as THEIR top neighbor
+    rows = (
+        [(u, i) for u in (10, 11, 12) for i in (1, 2)]
+        + [(u, i) for u in (20, 21) for i in (1, 3)]
+        + [(30, 1), (30, 4)]
+    )
+    df = spark.createDataFrame(rows, "user_id INT, item INT")
+    edges = {
+        (r["a"], r["b"])
+        for r in knn_edges(item_pairs(df, "user_id", "item", 64), k=1).collect()
+    }
+    assert edges == {(1, 2), (1, 3), (1, 4)}
+
+
+def test_fuzzy_pairs_blocking_and_distance(spark):
+    rows = (
+        [("hot widget",)] * 3
+        + [("new widget",)] * 2
+        + [("cold widget",)]
+        + [("hot gizmo",)]
+        + [("unrelated thing",)]
+    )
+    df = spark.createDataFrame(rows, "name STRING")
+    out = {
+        (r["name_a"], r["name_b"]): (r["dist"], r["n_a"], r["n_b"])
+        for r in fuzzy_name_pairs(df, "name", max_dist=3).collect()
+    }
+    # shared noun block: hot~new (dist 3); counts carried through
+    assert out[("hot widget", "new widget")] == (3, 3, 2)
+    # shared adjective block: widget~gizmo dist > 3 -> excluded
+    assert ("hot gizmo", "hot widget") not in out
+    # cold~hot dist 3 via noun block
+    assert out[("cold widget", "hot widget")][0] == 3
+    assert all(d <= 3 for d, _, _ in out.values())
