@@ -56,3 +56,41 @@ def cdc_latest(
         .filter(~F.col(op_col).isin(list(delete_ops)))
         .drop("__rn")
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Sequence[str],
+    op_col: str,
+    delete_ops: Sequence[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn the changelog into validity
+    intervals — every change row becomes a version with ``valid_from`` =
+    its own timestamp, ``valid_to`` = the NEXT change's timestamp (NULL
+    for the current version), and ``is_current`` true only for the last
+    non-deleted version.  Delete rows close the previous interval but
+    emit no version themselves (a tombstone has no state to describe).
+
+    Same shuffle profile as ``cdc_latest``: one hash exchange on the key,
+    one in-partition sort; ``lead()`` over the per-key sequence supplies
+    the closing timestamp without a self-join.  Re-running over snapshot
+    + delta is NOT valid for SCD2 (closed intervals are history, not
+    state) — the operator is deterministic over the full log, which is
+    what a warehouse replays per partition."""
+    if not key_cols or not tiebreak_cols:
+        raise ValueError("key_cols and tiebreak_cols must be non-empty")
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    versioned = df.withColumn(
+        "valid_to", F.lead(ts_col).over(w)
+    ).withColumn(
+        "__last", F.lead(F.lit(1)).over(w).isNull()
+    )
+    return (
+        versioned.filter(~F.col(op_col).isin(list(delete_ops)))
+        .withColumn("valid_from", F.col(ts_col))
+        .withColumn("is_current", F.col("__last"))
+        .drop("__last")
+    )

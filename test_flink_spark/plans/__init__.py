@@ -33,6 +33,7 @@ _PROMOTED = (
     # new in r5 batch 2 — CDC / gap-fill / co-occurrence / triangles /
     # fuzzy linkage (module enterprise, second in order → driver window)
     "cdc_apply_latest",
+    "cdc_scd2_history",
     "events_hourly_gapfill",
     "events_item_cooccurrence",
     "graph_triangle_counts",

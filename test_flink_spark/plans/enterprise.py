@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import cooccur, linkage, timeseries
-from ..operators.cdc import cdc_latest
+from ..operators.cdc import cdc_latest, scd2_history
 from .relational import _t
 
 # ---------------------------------------------------------------------------
@@ -61,6 +61,54 @@ WITH e AS (
 )
 SELECT user_id, ts_ms AS last_ts_ms, op AS last_op, value AS last_value
 FROM r WHERE rn = 1 AND op <> 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 history over the same changelog.
+# ---------------------------------------------------------------------------
+
+
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity-interval (SCD2) view of the per-user changelog: every
+    non-tombstone change becomes a version row [valid_from, valid_to),
+    tombstones close intervals without emitting state.  lead() over the
+    keyed sequence — one exchange, no self-join."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("op"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round("value", 2).alias("value"),
+    )
+    hist = scd2_history(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts_ms",
+        tiebreak_cols=["event_id"],
+        op_col="op",
+        delete_ops=["error"],
+    )
+    return hist.select(
+        "user_id", "op", "value", "valid_from", "valid_to", "is_current"
+    )
+
+
+_SCD2_SQL = r"""
+WITH e AS (
+    SELECT user_id, event_id, event_type AS op, epoch_ms(ts) AS ts_ms,
+           ROUND(value, 2) AS value
+    FROM events
+), v AS (
+    SELECT *,
+           LEAD(ts_ms) OVER (PARTITION BY user_id
+                             ORDER BY ts_ms ASC, event_id ASC) AS valid_to,
+           LEAD(1) OVER (PARTITION BY user_id
+                         ORDER BY ts_ms ASC, event_id ASC) IS NULL AS is_current
+    FROM e
+)
+SELECT user_id, op, value, ts_ms AS valid_from, valid_to, is_current
+FROM v WHERE op <> 'error'
 """
 
 
@@ -258,6 +306,7 @@ FROM cand WHERE levenshtein(name_a, name_b) <= {_FUZZY_MAX_DIST}
 
 QUERIES = {
     "cdc_apply_latest": cdc_apply_latest,
+    "cdc_scd2_history": cdc_scd2_history,
     "events_hourly_gapfill": events_hourly_gapfill,
     "events_item_cooccurrence": events_item_cooccurrence,
     "graph_triangle_counts": graph_triangle_counts,
@@ -266,6 +315,7 @@ QUERIES = {
 
 ORACLES = {
     "cdc_apply_latest": _CDC_SQL,
+    "cdc_scd2_history": _SCD2_SQL,
     "events_hourly_gapfill": _GAPFILL_SQL,
     "events_item_cooccurrence": _COOC_SQL,
     "graph_triangle_counts": _TRI_SQL,

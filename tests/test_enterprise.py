@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from test_flink_spark.operators.cdc import cdc_latest
+from test_flink_spark.operators.cdc import cdc_latest, scd2_history
 from test_flink_spark.operators.cooccur import (
     item_pairs,
     knn_edges,
@@ -55,6 +55,58 @@ def test_cdc_batch_associativity(spark):
     replay = [(k, seq, op, v) for k, (op, v, seq) in snap1.items()]
     incremental = _apply(spark, replay + batch2)
     assert full == incremental
+
+
+def test_scd2_intervals_chain_and_tombstones(spark):
+    rows = [
+        (1, 1, "insert", "a"),
+        (1, 3, "update", "c"),
+        (1, 2, "update", "b"),
+        (2, 1, "insert", "x"),
+        (2, 2, "delete", None),  # tombstone closes x's interval, emits nothing
+        (3, 7, "insert", "z"),  # single-version key
+    ]
+    df = spark.createDataFrame(rows, CDC_SCHEMA)
+    hist = scd2_history(df, ["k"], "seq", ["seq"], "op", ["delete"]).collect()
+    by_key: dict[int, list] = {}
+    for r in sorted(hist, key=lambda r: (r["k"], r["valid_from"])):
+        by_key.setdefault(r["k"], []).append(r)
+    v1 = by_key[1]
+    assert [(r["v"], r["valid_from"], r["valid_to"]) for r in v1] == [
+        ("a", 1, 2), ("b", 2, 3), ("c", 3, None)
+    ]
+    assert [r["is_current"] for r in v1] == [False, False, True]
+    # key 2: one version, interval CLOSED by the tombstone, nothing current
+    v2 = by_key[2]
+    assert [(r["v"], r["valid_from"], r["valid_to"], r["is_current"]) for r in v2] == [
+        ("x", 1, 2, False)
+    ]
+    assert [(r["valid_to"], r["is_current"]) for r in by_key[3]] == [(None, True)]
+    # global invariant: at most one current version per key
+    for vs in by_key.values():
+        assert sum(r["is_current"] for r in vs) <= 1
+
+
+def test_scd2_current_matches_cdc_latest(spark):
+    """The is_current slice of the SCD2 history IS the cdc_latest snapshot
+    — the two operators must agree on what 'now' looks like."""
+    rows = [
+        (1, 1, "insert", "a"), (1, 2, "update", "b"),
+        (2, 1, "insert", "x"), (2, 2, "delete", None),
+        (3, 1, "insert", "z"),
+    ]
+    df = spark.createDataFrame(rows, CDC_SCHEMA)
+    snap = {
+        (r["k"], r["v"])
+        for r in cdc_latest(df, ["k"], ["seq"], "op", ["delete"]).collect()
+    }
+    cur = {
+        (r["k"], r["v"])
+        for r in scd2_history(df, ["k"], "seq", ["seq"], "op", ["delete"])
+        .filter("is_current")
+        .collect()
+    }
+    assert snap == cur
 
 
 def test_gapfill_grid_complete_and_locf(spark):
