@@ -53,3 +53,78 @@ def zorder_layout(
     return df.repartitionByRange(partitions, F.col(code_col)).sortWithinPartitions(
         code_col
     )
+
+
+def pruning_report(
+    df: DataFrame,
+    layout_name: str,
+    block_expr: str,
+    probe_col: str,
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """Quantified zone-map data skipping for one layout: assign every row
+    to its layout block (``block_expr`` — a pure integer projection, e.g.
+    a z-code or sort-key prefix), build the per-block [min, max] zone map
+    of ``probe_col``, and report what a scan filtered to
+    ``probe_col BETWEEN lo AND hi`` would touch:
+
+        (layout, n_blocks, n_hit_blocks, rows_scanned, rows_matched,
+         total_rows)
+
+    ``rows_scanned`` counts rows in blocks whose zone-map interval
+    overlaps the predicate — what the engine reads; ``rows_matched`` is
+    the exact predicate count — what it keeps.  The scanned/matched ratio
+    IS the layout quality metric (1.0 = perfect clustering).
+
+    Shuffle profile: one groupBy on the block id with map-side partial
+    min/max/count, then one bounded aggregate over |blocks| rows — the
+    input body never shuffles, so auditing a 100 TB table's layout costs
+    one narrow scan."""
+    blocks = df.groupBy(F.expr(block_expr).alias("blk")).agg(
+        F.min(probe_col).alias("p_min"),
+        F.max(probe_col).alias("p_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            ((F.col(probe_col) >= lo) & (F.col(probe_col) <= hi)).cast("long")
+        ).alias("n_match"),
+    )
+    hit = (F.col("p_max") >= lo) & (F.col("p_min") <= hi)
+    return blocks.agg(
+        F.lit(layout_name).alias("layout"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(hit.cast("long")).cast("long").alias("n_hit_blocks"),
+        F.sum(F.when(hit, F.col("n_rows")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_scanned"),
+        F.sum("n_match").cast("long").alias("rows_matched"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+    )
+
+
+def pruning_report_sql(
+    source_cte: str,
+    layout_name: str,
+    block_expr: str,
+    probe_col: str,
+    lo: int,
+    hi: int,
+) -> str:
+    """DuckDB replay of ``pruning_report`` over a CTE named
+    ``source_cte`` exposing ``probe_col`` and the block expression's
+    inputs."""
+    return f"""
+SELECT '{layout_name}' AS layout,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN p_max >= {lo} AND p_min <= {hi} THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_blocks,
+       CAST(SUM(CASE WHEN p_max >= {lo} AND p_min <= {hi} THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(SUM(n_match) AS BIGINT) AS rows_matched,
+       CAST(SUM(n_rows) AS BIGINT) AS total_rows
+FROM (
+    SELECT {block_expr} AS blk,
+           MIN({probe_col}) AS p_min, MAX({probe_col}) AS p_max,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN {probe_col} BETWEEN {lo} AND {hi} THEN 1 ELSE 0 END) AS n_match
+    FROM {source_cte} GROUP BY 1
+)
+"""

@@ -89,20 +89,24 @@ def hll_register_rank(col: Column, salt: str = "hll") -> tuple[Column, Column]:
     return reg, rank
 
 
-def hll_distinct(
+def hll_registers(
     df: DataFrame, value_col: str, group_cols: list[str], salt: str = "hll"
 ) -> DataFrame:
-    """Per-group HLL distinct estimate: ``group_cols + (registers_used,
-    hll_est)``.  Two bounded aggregations: (group, register) -> max rank
-    [shuffle out <= |groups| * 256 rows, map-side partial max], then the
-    per-group estimator fold.  The register table after the first agg IS
-    the mergeable sketch — union two of them and re-max to fold spans."""
+    """The mergeable sketch itself: per-(group, register) max rank.
+    Union register tables from any partitioning of the data and re-max to
+    fold spans — max is associative/commutative/idempotent, so any merge
+    tree gives the identical table (pinned by the merge-rollup test)."""
     reg, rank = hll_register_rank(F.col(value_col), salt)
-    regs = (
+    return (
         df.select(*group_cols, reg.alias("reg"), rank.alias("rank"))
         .groupBy(*group_cols, "reg")
         .agg(F.max("rank").alias("m_rank"))
     )
+
+
+def hll_fold_registers(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Estimator fold over a register table: ``group_cols +
+    (registers_used, hll_est)`` — the read side of the persisted sketch."""
     scale = F.lit(1 << (_RANK_BITS + 1)).cast("long")  # 2^41
     agg = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("used"),
@@ -133,6 +137,18 @@ def hll_distinct(
         *group_cols,
         F.col("used").cast("long").alias("registers_used"),
         est.alias("hll_est"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, value_col: str, group_cols: list[str], salt: str = "hll"
+) -> DataFrame:
+    """Per-group HLL distinct estimate: ``group_cols + (registers_used,
+    hll_est)``.  Two bounded aggregations: (group, register) -> max rank
+    [shuffle out <= |groups| * 256 rows, map-side partial max], then the
+    per-group estimator fold."""
+    return hll_fold_registers(
+        hll_registers(df, value_col, group_cols, salt), group_cols
     )
 
 
@@ -168,6 +184,52 @@ est AS (
   FROM folded
 )
 SELECT {g}, used::BIGINT AS registers_used,
+       (CASE WHEN est_raw <= {int(2.5 * HLL_M)} AND used < {HLL_M}
+             THEN ({lc_list})[{HLL_M} - used + 1]
+             ELSE est_raw END)::BIGINT AS hll_est
+FROM est
+"""
+
+
+def hll_merge_oracle_sql(
+    table: str, value_expr: str, group_col: str, all_label: str, salt: str = "hll"
+) -> str:
+    """DuckDB replay of the merge rollup: per-group register tables, the
+    max-merged ``all_label`` register table, and the SAME estimator fold
+    over their union — byte-identical arithmetic to hll_oracle_sql."""
+    h = h60_sql(value_expr, salt)
+    lc_list = "[" + ", ".join(str(v) for v in _LC_TABLE) + "]"
+    scale = 1 << (_RANK_BITS + 1)
+    return f"""
+WITH hashed AS (
+  SELECT {group_col}, {h} AS h FROM {table}
+),
+regs AS (
+  SELECT {group_col}, h // {1 << 52} AS reg,
+         MAX(CASE WHEN h % {1 << _RANK_BITS} = 0 THEN {_RANK_BITS + 1}
+                  ELSE {_RANK_BITS + 1} - length(bin(h % {1 << _RANK_BITS})) END)
+           AS m_rank
+  FROM hashed GROUP BY {group_col}, reg
+),
+merged AS (
+  SELECT '{all_label}' AS {group_col}, reg, MAX(m_rank) AS m_rank
+  FROM regs GROUP BY reg
+),
+unioned AS (
+  SELECT * FROM regs UNION ALL SELECT * FROM merged
+),
+folded AS (
+  SELECT {group_col}, COUNT(*) AS used,
+         SUM((1::BIGINT << ({_RANK_BITS + 1} - m_rank)))::BIGINT AS s_present
+  FROM unioned GROUP BY {group_col}
+),
+est AS (
+  SELECT {group_col}, used,
+         ({_ALPHA_NUM}::BIGINT * {scale}::BIGINT)
+           // (s_present + ({HLL_M} - used) * {scale}::BIGINT) AS est_raw
+  FROM folded
+)
+SELECT {group_col}, used::BIGINT AS registers_used,
        (CASE WHEN est_raw <= {int(2.5 * HLL_M)} AND used < {HLL_M}
              THEN ({lc_list})[{HLL_M} - used + 1]
              ELSE est_raw END)::BIGINT AS hll_est

@@ -52,6 +52,36 @@ _KMV_SQL = sk.kmv_oracle_sql("events", "user_id", ["event_type"])
 
 
 # ---------------------------------------------------------------------------
+# HLL merge rollup: per-type sketches folded into a global estimate.
+# ---------------------------------------------------------------------------
+
+_HLL_ALL = "__all__"
+
+
+def sketch_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeability claim, exercised in the checked path: build ONE
+    register table per event_type, max-merge those tables into a global
+    sketch, and fold both through the estimator — the merged '__all__'
+    row is computed from the per-type sketches alone, never re-scanning
+    the values.  This is the artifact flow of a 100 TB deployment
+    (persist per-partition sketches, fold over arbitrary spans); the
+    pytest additionally pins merged == direct-over-everything
+    (associativity of register max)."""
+    ev = _t(spark, sf_dir, "events")
+    regs = sk.hll_registers(ev, "user_id", ["event_type"])
+    per_type = sk.hll_fold_registers(regs, ["event_type"])
+    merged = (
+        regs.groupBy("reg")
+        .agg(F.max("m_rank").alias("m_rank"))
+        .withColumn("event_type", F.lit(_HLL_ALL))
+    )
+    return per_type.unionByName(sk.hll_fold_registers(merged, ["event_type"]))
+
+
+_HLL_MERGE_SQL = sk.hll_merge_oracle_sql("events", "user_id", "event_type", _HLL_ALL)
+
+
+# ---------------------------------------------------------------------------
 # Count-min heavy hitters.
 # ---------------------------------------------------------------------------
 
@@ -687,6 +717,7 @@ LIMIT 100
 QUERIES = {
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
     "sketch_kmv_distinct_users": sketch_kmv_distinct_users,
+    "sketch_hll_merge_rollup": sketch_hll_merge_rollup,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "graph_pagerank_trade": graph_pagerank_trade,
     "text_bpe_merges": text_bpe_merges,
@@ -717,5 +748,6 @@ ORACLES = {
     "text_bpe_merges": _BPE_SQL,
     "sketch_hll_distinct_users": _HLL_SQL,
     "sketch_kmv_distinct_users": _KMV_SQL,
+    "sketch_hll_merge_rollup": _HLL_MERGE_SQL,
     "sketch_cms_heavy_hitters": _CMS_SQL,
 }

@@ -304,6 +304,68 @@ FROM cand WHERE levenshtein(name_a, name_b) <= {_FUZZY_MAX_DIST}
 """
 
 
+# ---------------------------------------------------------------------------
+# Zone-map pruning report: z-order vs natural time order.
+# ---------------------------------------------------------------------------
+
+# 10-bit dims: at these scale factors user_id fits in 10 bits, so the
+# interleave genuinely mixes both dimensions (16-bit dims would leave the
+# user high bits zero and the z-prefix would degenerate to time-only)
+_ZP_BITS = 10
+_ZP_U = "u10"
+_ZP_T = "t10"
+_ZP_LO, _ZP_HI = 32, 95  # probe: a 64-user id range
+
+
+def layout_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified data skipping for a user-id range scan under two
+    layouts of the same events: natural time order (ingestion reality —
+    64-minute stripes) vs z-order blocks (z-code high bits).  Time-sorted
+    blocks cannot prune a user predicate (every stripe sees every user);
+    z-blocks bound both dimensions, so the same scan touches a fraction.
+    The scanned/matched ratio in the output is the measured layout
+    quality — the reason OPTIMIZE ZORDER exists."""
+    from ..operators.layout import pruning_report, zorder_code
+
+    ev = _t(spark, sf_dir, "events")
+    prepped = ev.select(
+        (F.col("user_id") % 1024).alias(_ZP_U),
+        F.expr("(unix_millis(cast(ts as timestamp)) div 60000 div 64) % 1024").alias(
+            _ZP_T
+        ),
+    ).withColumn("zcode", zorder_code(_ZP_U, _ZP_T, _ZP_BITS))
+    by_time = pruning_report(
+        prepped, "by_time", _ZP_T, _ZP_U, _ZP_LO, _ZP_HI
+    )
+    by_z = pruning_report(
+        prepped, "zorder", f"zcode >> {_ZP_BITS}", _ZP_U, _ZP_LO, _ZP_HI
+    )
+    return by_time.unionByName(by_z)
+
+
+def _zp_sql() -> str:
+    from ..operators.layout import pruning_report_sql, zorder_expr_sql
+
+    prep = f"""
+prepped AS (
+    SELECT user_id % 1024 AS {_ZP_U},
+           (epoch_ms(ts) // 60000 // 64) % 1024 AS {_ZP_T}
+    FROM events
+), coded AS (
+    SELECT {_ZP_U}, {_ZP_T},
+           {zorder_expr_sql(_ZP_U, _ZP_T, _ZP_BITS)} AS zcode
+    FROM prepped
+)"""
+    a = pruning_report_sql("coded", "by_time", _ZP_T, _ZP_U, _ZP_LO, _ZP_HI)
+    b = pruning_report_sql(
+        "coded", "zorder", f"zcode >> {_ZP_BITS}", _ZP_U, _ZP_LO, _ZP_HI
+    )
+    return f"WITH {prep}\n{a}\nUNION ALL\n{b}"
+
+
+_ZPRUNE_SQL = _zp_sql()
+
+
 QUERIES = {
     "cdc_apply_latest": cdc_apply_latest,
     "cdc_scd2_history": cdc_scd2_history,
@@ -311,6 +373,7 @@ QUERIES = {
     "events_item_cooccurrence": events_item_cooccurrence,
     "graph_triangle_counts": graph_triangle_counts,
     "fuzzy_part_name_pairs": fuzzy_part_name_pairs,
+    "layout_pruning_report": layout_pruning_report,
 }
 
 ORACLES = {
@@ -320,4 +383,5 @@ ORACLES = {
     "events_item_cooccurrence": _COOC_SQL,
     "graph_triangle_counts": _TRI_SQL,
     "fuzzy_part_name_pairs": _FUZZY_SQL,
+    "layout_pruning_report": _ZPRUNE_SQL,
 }

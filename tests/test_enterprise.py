@@ -188,6 +188,27 @@ def test_knn_edges_union_semantics(spark):
     assert edges == {(1, 2), (1, 3), (1, 4)}
 
 
+def test_pruning_report_zorder_beats_time_layout(spark):
+    """On real data, z-order blocks must prune the user-range scan that
+    time-stripe blocks cannot — and both layouts must agree on the exact
+    match count (pruning is lossless)."""
+    from test_flink_spark.plans.enterprise import layout_pruning_report
+
+    rows = {
+        r["layout"]: r
+        # sf0.01, not sf0.001: the smoke set has < 32 users, so the fixed
+        # [32, 95] probe range would match nothing there
+        for r in layout_pruning_report(spark, "/root/testdata/sf0.01").collect()
+    }
+    t, z = rows["by_time"], rows["zorder"]
+    assert t["rows_matched"] == z["rows_matched"] > 0
+    assert t["total_rows"] == z["total_rows"]
+    # time stripes see every user -> no pruning; z blocks bound user too
+    assert t["rows_scanned"] == t["total_rows"]
+    assert z["rows_scanned"] < t["rows_scanned"]
+    assert z["rows_scanned"] >= z["rows_matched"]  # zone maps never lose rows
+
+
 def test_fuzzy_pairs_blocking_and_distance(spark):
     rows = (
         [("hot widget",)] * 3

@@ -60,6 +60,29 @@ def test_hll_registers_merge_exactly(spark):
     assert whole.exceptAll(merged).count() == 0
 
 
+def test_hll_merge_rollup_equals_direct_global(spark):
+    """The merged '__all__' estimate (folded from per-type register
+    tables) must be IDENTICAL to running the sketch directly over the
+    whole table with no grouping — associativity of the register max,
+    end-to-end through the estimator."""
+    from test_flink_spark.plans.advanced import sketch_hll_merge_rollup
+
+    rows = {
+        r["event_type"]: r["hll_est"]
+        for r in sketch_hll_merge_rollup(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    direct = sk.hll_distinct(
+        ev.withColumn("g", F.lit(1)), "user_id", ["g"]
+    ).collect()[0]["hll_est"]
+    assert rows["__all__"] == direct
+    per_type = {
+        r["event_type"]: r["hll_est"]
+        for r in sk.hll_distinct(ev, "user_id", ["event_type"]).collect()
+    }
+    assert {k: v for k, v in rows.items() if k != "__all__"} == per_type
+
+
 def test_kmv_within_error_band_and_exact_below_k(spark):
     ev = load_table(spark, SF, "events")
     exact = _exact_by_type(spark)
