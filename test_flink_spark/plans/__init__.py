@@ -40,6 +40,8 @@ _PROMOTED = (
     "fuzzy_part_name_pairs",
     "layout_pruning_report",
     "sketch_hll_merge_rollup",
+    "events_markov_transitions",
+    "events_frequent_paths",
     # new in r5 — never driver-seen before (the advanced module itself is
     # second in _MODULE_ORDER, so these land inside the driver's 50-row
     # window even without promotion; listed for the rotation record)

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import cooccur, linkage, timeseries
+from ..operators import cooccur, linkage, sequence, timeseries
 from ..operators.cdc import cdc_latest, scd2_history
 from .relational import _t
 
@@ -305,6 +305,90 @@ FROM cand WHERE levenshtein(name_a, name_b) <= {_FUZZY_MAX_DIST}
 
 
 # ---------------------------------------------------------------------------
+# Event-sequence mining: Markov transitions + frequent paths.
+# ---------------------------------------------------------------------------
+
+_PATH_N = 3
+_PATH_TOPK = 15
+
+
+def _ev_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-event transition matrix per user stream: (from, to) counts
+    and integer-ppm row-conditional probabilities.  One keyed window +
+    one bounded groupBy — |states|² output regardless of event volume."""
+    return sequence.transition_matrix(
+        _ev_seq(spark, sf_dir), ["user_id"], ["ts_ms", "event_id"], "event_type"
+    )
+
+
+_MARKOV_SQL = r"""
+WITH e AS (
+    SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+), t AS (
+    SELECT event_type AS from_state,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts_ms ASC, event_id ASC) AS to_state
+    FROM e
+), c AS (
+    SELECT from_state, to_state, COUNT(*) AS n
+    FROM t WHERE to_state IS NOT NULL GROUP BY 1, 2
+), tot AS (
+    SELECT from_state, SUM(n) AS row_total FROM c GROUP BY 1
+)
+SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+       CAST(row_total AS BIGINT) AS row_total,
+       CAST((1000000 * n) // row_total AS BIGINT) AS p_ppm
+FROM c JOIN tot USING (from_state)
+"""
+
+
+def events_frequent_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 most frequent 3-step event-type paths across all user
+    streams.  The final rank window is global but reads the path
+    aggregate (<= |states|^3 rows), the corpus_mix_report shape."""
+    return sequence.frequent_paths(
+        _ev_seq(spark, sf_dir),
+        ["user_id"],
+        ["ts_ms", "event_id"],
+        "event_type",
+        n=_PATH_N,
+        topk=_PATH_TOPK,
+    )
+
+
+_PATHS_SQL = rf"""
+WITH e AS (
+    SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+), g AS (
+    SELECT event_type AS s0,
+           LEAD(event_type, 1) OVER w AS s1,
+           LEAD(event_type, 2) OVER w AS s2
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC)
+), c AS (
+    SELECT s0 || '>' || s1 || '>' || s2 AS path, COUNT(*) AS n_occurrences
+    FROM g WHERE s2 IS NOT NULL GROUP BY 1
+), r AS (
+    SELECT path, n_occurrences,
+           ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, path ASC) AS rank
+    FROM c
+)
+SELECT path, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {_PATH_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Zone-map pruning report: z-order vs natural time order.
 # ---------------------------------------------------------------------------
 
@@ -374,6 +458,8 @@ QUERIES = {
     "graph_triangle_counts": graph_triangle_counts,
     "fuzzy_part_name_pairs": fuzzy_part_name_pairs,
     "layout_pruning_report": layout_pruning_report,
+    "events_markov_transitions": events_markov_transitions,
+    "events_frequent_paths": events_frequent_paths,
 }
 
 ORACLES = {
@@ -384,4 +470,6 @@ ORACLES = {
     "graph_triangle_counts": _TRI_SQL,
     "fuzzy_part_name_pairs": _FUZZY_SQL,
     "layout_pruning_report": _ZPRUNE_SQL,
+    "events_markov_transitions": _MARKOV_SQL,
+    "events_frequent_paths": _PATHS_SQL,
 }

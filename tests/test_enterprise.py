@@ -188,6 +188,48 @@ def test_knn_edges_union_semantics(spark):
     assert edges == {(1, 2), (1, 3), (1, 4)}
 
 
+def test_transition_matrix_counts_and_ppm(spark):
+    from test_flink_spark.operators.sequence import transition_matrix
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"),
+        (2, 1, "a"), (2, 2, "b"),
+        (3, 9, "z"),  # single event: no transitions
+    ]
+    df = spark.createDataFrame(rows, "u INT, t INT, s STRING")
+    out = {
+        (r["from_state"], r["to_state"]): (r["n"], r["row_total"], r["p_ppm"])
+        for r in transition_matrix(df, ["u"], ["t"], "s").collect()
+    }
+    # a->b twice (users 1, 2), a->c once; row_total(a) = 3
+    assert out[("a", "b")] == (2, 3, 666666)  # floor(2e6/3)
+    assert out[("a", "c")] == (1, 3, 333333)
+    assert out[("b", "a")] == (1, 1, 1000000)
+    assert ("z", "a") not in out and not any(k[0] == "z" for k in out)
+    # no cross-user transition: user 1's 'c' never leads to user 2's 'a'
+    assert ("c", "a") not in out
+
+
+def test_frequent_paths_windows_and_tiebreak(spark):
+    from test_flink_spark.operators.sequence import frequent_paths
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "a"),  # abc, bca
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),               # abc
+        (3, 1, "x"), (3, 2, "y"),                            # too short for n=3
+    ]
+    df = spark.createDataFrame(rows, "u INT, t INT, s STRING")
+    got = [
+        (r["path"], r["n_occurrences"], r["rank"])
+        for r in frequent_paths(df, ["u"], ["t"], "s", n=3, topk=10).collect()
+    ]
+    assert got[0] == ("a>b>c", 2, 1)
+    assert ("b>c>a", 1, 2) in got  # tie-broken by path asc among count-1
+    assert all("x" not in p and "y" not in p for p, _, _ in got)
+    # tail windows shorter than n emit nothing: no 2-step 'c>a' path
+    assert all(p.count(">") == 2 for p, _, _ in got)
+
+
 def test_pruning_report_zorder_beats_time_layout(spark):
     """On real data, z-order blocks must prune the user-range scan that
     time-stripe blocks cannot — and both layouts must agree on the exact

@@ -153,7 +153,12 @@ def test_every_registered_query_plan_is_scale_clean(spark):
     # (~|sources × langs|), not the corpus.
     # (corpus_temperature_mix's bounded global window lives in its driver-
     # side thresholds job, not the registered plan, so no allowance needed.)
-    global_window_allowed = {"corpus_mix_report"}
+    global_window_allowed = {
+        "corpus_mix_report",
+        # events_frequent_paths' rank window reads the PATH AGGREGATE
+        # (<= |event types|^3 = 125 rows), never the event stream
+        "events_frequent_paths",
+    }
     forbidden = ("CartesianProduct", "BatchEvalPython")
     offenders = {}
     for name, fn in entry.queries().items():
