@@ -239,3 +239,146 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rrf_score, rank FROM ranked WHERE rank <= {topk}
 """
+
+
+# ---------------------------------------------------------------------------
+# Sparse lexical cosine top-k (the classic IR VSM baseline — the sparse
+# sibling of similarity.py's embedding_cosine_topk, and the second leg a
+# hybrid retriever fuses with RRF).
+# ---------------------------------------------------------------------------
+
+
+def sparse_cosine_topk(
+    docs: DataFrame,
+    query_salt: str = "sparseq",
+    query_rate_bp: int = 100,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Top-``k`` most lexically similar documents per query document under
+    tf·idf cosine: ``(query_id, doc_id, cos_bp, rank)``.
+
+    Determinism/scale design:
+    - idf is the INTEGER log2 floor ``length(bin(N div df)) - 1`` (the
+      lm_score bin()-trick) — no float log.  The weight is
+      ``tf · (1 + idf2)``: ubiquitous terms keep base tf weight (pure
+      pruning would blank out corpora with flat df profiles, like this
+      synthetic one), informative terms get boosted 2-5x.  On Zipfian
+      real corpora, pass ``max_df`` to cap posting-list length — the
+      stop-term knob shared with ngram_jaccard_pairs.
+    - weights and norms ``Σw²`` are exact int64; the
+      only doubles are the final ``dot / (sqrt(na)·sqrt(nb))`` — sqrt,
+      multiply, divide are IEEE correctly-rounded single ops written with
+      identical shape in both dialects (the KMV argument), then one
+      exactly-rounded ``·10⁴`` and floor to basis points.
+    - queries are a deterministic md5-bucket sample (``query_rate_bp`` of
+      10⁴); candidate generation is the inverted-index join on the term,
+      never all-pairs, and the postings the join touches are only the
+      idf>0 (informative) ones.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(id_col).distinct().count()  # scalar (BM25 precedent)
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("idf2", F.length(F.bin(F.expr(f"{n_docs} div df"))) - 1)
+        .select("term", "idf2", "df")
+    )
+    if max_df is not None:
+        idf = idf.filter(F.col("df") <= max_df)
+    wtd = tf.join(F.broadcast(idf.select("term", "idf2")), "term").select(
+        F.col(id_col),
+        "term",
+        (F.col("tf") * (F.lit(1) + F.col("idf2"))).cast("long").alias("w"),
+    )
+    norms = wtd.groupBy(id_col).agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    from .sampling import hash_bucket
+
+    q = wtd.filter(hash_bucket(F.col(id_col), query_salt) < query_rate_bp).select(
+        F.col(id_col).alias("query_id"), "term", F.col("w").alias("wq")
+    )
+    dots = (
+        q.join(wtd, "term")
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("wq") * F.col("w")).alias("dot"))
+    )
+    na = F.broadcast(norms.select(F.col(id_col).alias("query_id"), F.col("n2").alias("na")))
+    nb = F.broadcast(norms.select(F.col(id_col).alias(id_col), F.col("n2").alias("nb")))
+    scored = (
+        dots.join(na, "query_id")
+        .join(nb, id_col)
+        .select(
+            "query_id",
+            id_col,
+            F.expr("CAST(FLOOR(10000 * (dot / (sqrt(na) * sqrt(nb)))) AS BIGINT)").alias(
+                "cos_bp"
+            ),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_bp").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos_bp", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def sparse_cosine_oracle_sql(
+    query_salt: str = "sparseq",
+    query_rate_bp: int = 100,
+    k: int = 5,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of sparse_cosine_topk — identical tokenization, integer
+    idf, int64 dots/norms, and the same exactly-rounded cosine shape."""
+    return rf"""
+WITH toks AS (
+    SELECT {id_col}, unnest(string_split_regex(trim({text_col}), '\s+')) AS term
+    FROM {table}
+), tf AS (
+    SELECT {id_col}, term, COUNT(*) AS tf
+    FROM toks WHERE term <> '' GROUP BY 1, 2
+), nd AS (SELECT COUNT(DISTINCT {id_col}) AS n_docs FROM {table}),
+idf AS (
+    SELECT term, length(bin((SELECT n_docs FROM nd) // df)) - 1 AS idf2
+    FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+), wtd AS (
+    SELECT {id_col}, tf.term, CAST(tf * (1 + idf2) AS BIGINT) AS w
+    FROM tf JOIN idf ON tf.term = idf.term
+), norms AS (
+    SELECT {id_col}, SUM(w * w) AS n2 FROM wtd GROUP BY 1
+), q AS (
+    SELECT {id_col} AS query_id, term, w AS wq FROM wtd
+    WHERE ('0x' || substr(md5('{query_salt}:' || {id_col}), 1, 15))::BIGINT % 10000
+          < {query_rate_bp}
+), dots AS (
+    SELECT q.query_id, wtd.{id_col}, SUM(q.wq * wtd.w) AS dot
+    FROM q JOIN wtd ON q.term = wtd.term
+    WHERE q.query_id <> wtd.{id_col}
+    GROUP BY 1, 2
+), scored AS (
+    SELECT query_id, d.{id_col},
+           CAST(FLOOR(10000 * (dot / (sqrt(na.n2) * sqrt(nb.n2)))) AS BIGINT)
+             AS cos_bp
+    FROM dots d
+    JOIN norms na ON d.query_id = na.{id_col}
+    JOIN norms nb ON d.{id_col} = nb.{id_col}
+), ranked AS (
+    SELECT query_id, {id_col}, cos_bp,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_bp DESC, {id_col} ASC) AS rank
+    FROM scored
+)
+SELECT query_id, {id_col}, cos_bp, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

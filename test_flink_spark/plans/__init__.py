@@ -42,6 +42,9 @@ _PROMOTED = (
     "sketch_hll_merge_rollup",
     "events_markov_transitions",
     "events_frequent_paths",
+    "dedup_keep_best",
+    "corpus_topic_labels",
+    "text_sparse_cosine_topk",
     # new in r5 — never driver-seen before (the advanced module itself is
     # second in _MODULE_ORDER, so these land inside the driver's 50-row
     # window even without promotion; listed for the rotation record)

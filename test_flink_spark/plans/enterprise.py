@@ -473,3 +473,62 @@ ORACLES = {
     "events_markov_transitions": _MARKOV_SQL,
     "events_frequent_paths": _PATHS_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Weak-supervision topic labeling over the documents corpus.
+# ---------------------------------------------------------------------------
+
+# human-curated domain lexicons over the corpus vocabulary (the labeling
+# functions a pipeline routes/mixes corpora by)
+_TOPIC_LEXICONS = {
+    "join": ["join", "merge", "hash", "key"],
+    "scan": ["scan", "filter", "row", "column", "table"],
+    "stream": ["stream", "window", "batch"],
+    "agg": ["agg", "group", "sort", "order"],
+}
+
+
+def corpus_topic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-lexicon topic assignment per document: occurrence-count
+    scores for 4 domain lexicons + argmax label (ties -> topic name asc,
+    all-zero -> 'other').  Zero-shuffle pure-array projection; composes
+    over readStream like the rest of the text-scoring family."""
+    from ..operators.labeling import topic_labels
+
+    return topic_labels(_t(spark, sf_dir, "documents"), _TOPIC_LEXICONS)
+
+
+def _topic_sql() -> str:
+    from ..operators.labeling import topic_labels_oracle_sql
+
+    return topic_labels_oracle_sql(_TOPIC_LEXICONS)
+
+
+QUERIES["corpus_topic_labels"] = corpus_topic_labels
+ORACLES["corpus_topic_labels"] = _topic_sql()
+
+
+# ---------------------------------------------------------------------------
+# Sparse lexical cosine top-k (tf-idf vector-space retrieval).
+# ---------------------------------------------------------------------------
+
+
+def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 lexically-nearest documents per md5-sampled query doc under
+    integer tf·log2-idf cosine — the sparse sibling of
+    embedding_cosine_topk (see operators/retrieval.py for the
+    stop-term-pruning weighting and the exactly-rounded cosine)."""
+    from ..operators.retrieval import sparse_cosine_topk
+
+    return sparse_cosine_topk(_t(spark, sf_dir, "documents"))
+
+
+def _sparse_cos_sql() -> str:
+    from ..operators.retrieval import sparse_cosine_oracle_sql
+
+    return sparse_cosine_oracle_sql()
+
+
+QUERIES["text_sparse_cosine_topk"] = text_sparse_cosine_topk
+ORACLES["text_sparse_cosine_topk"] = _sparse_cos_sql()

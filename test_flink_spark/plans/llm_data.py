@@ -2095,3 +2095,70 @@ def _hybrid_rrf_sql() -> str:
 
 QUERIES["embedding_hybrid_rrf"] = embedding_hybrid_rrf
 ORACLES["embedding_hybrid_rrf"] = _hybrid_rrf_sql()
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: instead of min-doc_id, each
+    near-dup cluster keeps its LONGEST member (n_tokens desc, doc_id asc
+    tie-break) — what production pipelines actually do (the first crawl
+    of a page is often the truncated one).  Composes the session-shared
+    connected-components stage with a per-cluster argmax window: one
+    extra exchange on cluster_id over (doc_id, cluster_id, n_tokens)
+    triples, never the document bodies."""
+    from pyspark.sql import Window as W
+
+    from ..operators.text import words
+
+    cl = _shared_clusters(spark, sf_dir, threshold=0.5)
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.size(words(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    j = cl.join(tok, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size", F.count(F.lit(1)).over(W.partitionBy("cluster_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            "n_tokens",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )
+
+
+def _keep_best_sql() -> str:
+    # same recursive transitive closure as _clusters_sql, then the argmax
+    cl_sql = _clusters_sql().strip()
+    # reuse the standalone clusters SQL verbatim as a CTE body: strip the
+    # leading WITH RECURSIVE and re-open it inside this query's WITH
+    assert cl_sql.upper().startswith("WITH RECURSIVE")
+    inner = cl_sql[len("WITH RECURSIVE") :]
+    ctes, final_select = inner.rsplit("\nSELECT", 1)
+    return f"""
+WITH RECURSIVE {ctes},
+cl AS (SELECT{final_select}),
+tok AS (
+    SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+    FROM documents
+), r AS (
+    SELECT cl.doc_id, cluster_id, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY n_tokens DESC, cl.doc_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM cl JOIN tok USING (doc_id)
+)
+SELECT cluster_id, doc_id AS keep_doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM r WHERE rn = 1
+"""
+
+
+QUERIES["dedup_keep_best"] = dedup_keep_best
+ORACLES["dedup_keep_best"] = _keep_best_sql()
