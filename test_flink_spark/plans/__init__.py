@@ -45,6 +45,7 @@ _PROMOTED = (
     "dedup_keep_best",
     "corpus_topic_labels",
     "text_sparse_cosine_topk",
+    "text_bigram_surprisal",
     # new in r5 — never driver-seen before (the advanced module itself is
     # second in _MODULE_ORDER, so these land inside the driver's 50-row
     # window even without promotion; listed for the rotation record)

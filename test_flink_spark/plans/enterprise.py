@@ -532,3 +532,37 @@ def _sparse_cos_sql() -> str:
 
 QUERIES["text_sparse_cosine_topk"] = text_sparse_cosine_topk
 ORACLES["text_sparse_cosine_topk"] = _sparse_cos_sql()
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring with stupid backoff.
+# ---------------------------------------------------------------------------
+
+
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (stupid backoff to unigram) against the
+    same deterministic 20% reference slice text_lm_surprisal trains on —
+    one order up, catching word-salad docs whose unigram profile is
+    clean.  All-integer log2 buckets; see operators/lm_score.py."""
+    from ..operators.lm_score import bigram_surprisal_scores
+    from ..operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(hash_bucket(F.col("doc_id"), "lmref") < 2000)
+    return bigram_surprisal_scores(docs, ref, flag_high=14.0)
+
+
+def _bigram_lm_sql() -> str:
+    from ..operators.lm_score import bigram_surprisal_oracle_sql
+
+    return bigram_surprisal_oracle_sql(
+        ref_filter=(
+            "(('0x' || substr(md5('lmref:' || doc_id), 1, 15))::BIGINT"
+            " % 10000) < 2000"
+        ),
+        flag_high=14.0,
+    )
+
+
+QUERIES["text_bigram_surprisal"] = text_bigram_surprisal
+ORACLES["text_bigram_surprisal"] = _bigram_lm_sql()

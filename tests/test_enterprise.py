@@ -230,6 +230,32 @@ def test_frequent_paths_windows_and_tiebreak(spark):
     assert all(p.count(">") == 2 for p, _, _ in got)
 
 
+def test_bigram_surprisal_flags_word_salad(spark):
+    """Two docs with IDENTICAL unigram profiles: the fluent one (matching
+    the reference's transitions) must score strictly lower than the
+    scrambled one — the signal the bigram order adds over unigram."""
+    from test_flink_spark.operators.lm_score import bigram_surprisal_scores
+
+    ref = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat") for i in range(5)],
+        "doc_id INT, text STRING",
+    )
+    score = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),   # fluent: all bigrams seen
+            (2, "mat the on sat cat the"),   # same words, scrambled order
+            (3, ""),                          # empty: 0 tokens, never flagged
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in bigram_surprisal_scores(score, ref).collect()}
+    assert out[1]["n_tokens"] == out[2]["n_tokens"] == 6
+    assert out[1]["n_bigram_hits"] == 5  # every transition seen in ref
+    assert out[2]["n_bigram_hits"] < 5
+    assert out[1]["mean_bits"] < out[2]["mean_bits"]
+    assert out[3]["n_tokens"] == 0 and not out[3]["flagged"]
+
+
 def test_pruning_report_zorder_beats_time_layout(spark):
     """On real data, z-order blocks must prune the user-range scan that
     time-stripe blocks cannot — and both layouts must agree on the exact
