@@ -58,6 +58,53 @@ def cdc_latest(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """The inverse of ``cdc_latest``: given two snapshots of a keyed
+    table, derive the changelog that transforms old into new —
+    ``(*key_cols, op, *value_cols)`` with op ∈ {insert, update, delete};
+    unchanged keys emit nothing.  Applying the diff to ``old`` as a
+    changelog reproduces ``new`` exactly (round-trip pinned by test) —
+    the snapshot-reconciliation a warehouse runs when upstream can't
+    emit CDC.
+
+    One full-outer hash join on the key; change detection is a null-safe
+    column comparison (``eqNullSafe`` — NULL -> value IS a change, NULL
+    == NULL is not), so the exchange carries each snapshot once and
+    nothing quadratic ever happens.  For the delete rows, value columns
+    are NULL (a tombstone carries no payload)."""
+    if not key_cols or not value_cols:
+        raise ValueError("key_cols and value_cols must be non-empty")
+    o = old.select(*key_cols, *value_cols).alias("o")
+    n = new.select(*key_cols, *value_cols).alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols]
+    j = o.join(n, cond, "full_outer")
+    o_present = F.col(f"o.{key_cols[0]}").isNotNull()
+    n_present = F.col(f"n.{key_cols[0]}").isNotNull()
+    changed = ~F.lit(True)
+    for v in value_cols:
+        changed = changed | ~F.col(f"o.{v}").eqNullSafe(F.col(f"n.{v}"))
+    op = (
+        F.when(~o_present, F.lit("insert"))
+        .when(~n_present, F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    keys_out = [
+        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in key_cols
+    ]
+    vals_out = [
+        F.when(n_present, F.col(f"n.{v}")).alias(v) for v in value_cols
+    ]
+    return (
+        j.select(*keys_out, op.alias("op"), *vals_out)
+        .filter(F.col("op").isNotNull())
+    )
+
+
 def scd2_history(
     df: DataFrame,
     key_cols: Sequence[str],

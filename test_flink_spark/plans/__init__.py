@@ -46,6 +46,7 @@ _PROMOTED = (
     "corpus_topic_labels",
     "text_sparse_cosine_topk",
     "text_bigram_surprisal",
+    "cdc_snapshot_diff",
     # new in r5 — never driver-seen before (the advanced module itself is
     # second in _MODULE_ORDER, so these land inside the driver's 50-row
     # window even without promotion; listed for the rotation record)

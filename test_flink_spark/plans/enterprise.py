@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import cooccur, linkage, sequence, timeseries
-from ..operators.cdc import cdc_latest, scd2_history
+from ..operators.cdc import cdc_latest, scd2_history, snapshot_diff
 from .relational import _t
 
 # ---------------------------------------------------------------------------
@@ -566,3 +566,81 @@ def _bigram_lm_sql() -> str:
 
 QUERIES["text_bigram_surprisal"] = text_bigram_surprisal
 ORACLES["text_bigram_surprisal"] = _bigram_lm_sql()
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: reconstruct the changelog between two snapshots.
+# ---------------------------------------------------------------------------
+
+_DIFF_CUT_MS = 1_705_363_200_000  # 2024-01-16T00:00:00Z — mid-corpus
+
+
+def _snap(spark: SparkSession, sf_dir: str, before_ms: int | None) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("op"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round("value", 2).alias("value"),
+    )
+    if before_ms is not None:
+        ev = ev.filter(F.col("ts_ms") < before_ms)
+    snap = cdc_latest(ev, ["user_id"], ["ts_ms", "event_id"], "op", ["error"])
+    return snap.select(
+        "user_id",
+        F.col("ts_ms").alias("last_ts_ms"),
+        F.col("op").alias("last_op"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse of changelog application: diff the mid-month latest-
+    state snapshot against the full one and emit the insert/update/delete
+    changelog that reconciles them — what a warehouse computes when
+    upstream cannot emit CDC.  One full-outer hash join on the key;
+    unchanged keys emit nothing (operators/cdc.py::snapshot_diff)."""
+    old = _snap(spark, sf_dir, _DIFF_CUT_MS)
+    new = _snap(spark, sf_dir, None)
+    return snapshot_diff(
+        old, new, ["user_id"], ["last_ts_ms", "last_op", "last_value"]
+    )
+
+
+_SNAP_DIFF_SQL = rf"""
+WITH e AS (
+    SELECT user_id, event_id, event_type AS op, epoch_ms(ts) AS ts_ms,
+           ROUND(value, 2) AS value
+    FROM events
+), snap_old AS (
+    SELECT user_id, ts_ms AS last_ts_ms, op AS last_op, value AS last_value
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts_ms DESC, event_id DESC) AS rn
+          FROM e WHERE ts_ms < {_DIFF_CUT_MS})
+    WHERE rn = 1 AND op <> 'error'
+), snap_new AS (
+    SELECT user_id, ts_ms AS last_ts_ms, op AS last_op, value AS last_value
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts_ms DESC, event_id DESC) AS rn
+          FROM e)
+    WHERE rn = 1 AND op <> 'error'
+), j AS (
+    SELECT COALESCE(n.user_id, o.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'insert'
+                WHEN n.user_id IS NULL THEN 'delete'
+                WHEN o.last_ts_ms IS DISTINCT FROM n.last_ts_ms
+                  OR o.last_op IS DISTINCT FROM n.last_op
+                  OR o.last_value IS DISTINCT FROM n.last_value THEN 'update'
+           END AS op,
+           CASE WHEN n.user_id IS NOT NULL THEN n.last_ts_ms END AS last_ts_ms,
+           CASE WHEN n.user_id IS NOT NULL THEN n.last_op END AS last_op,
+           CASE WHEN n.user_id IS NOT NULL THEN n.last_value END AS last_value
+    FROM snap_old o FULL OUTER JOIN snap_new n ON o.user_id = n.user_id
+)
+SELECT user_id, op, last_ts_ms, last_op, last_value
+FROM j WHERE op IS NOT NULL
+"""
+
+
+QUERIES["cdc_snapshot_diff"] = cdc_snapshot_diff
+ORACLES["cdc_snapshot_diff"] = _SNAP_DIFF_SQL

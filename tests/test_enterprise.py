@@ -57,6 +57,41 @@ def test_cdc_batch_associativity(spark):
     assert full == incremental
 
 
+def test_snapshot_diff_roundtrip(spark):
+    """diff(old, new) applied to old as a changelog must reproduce new —
+    the defining property of snapshot reconciliation.  Covers inserts,
+    updates, deletes, unchanged keys, and NULL-valued payloads."""
+    from test_flink_spark.operators.cdc import snapshot_diff
+
+    schema = "k INT, v STRING, w INT"
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, None, 40)], schema
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10),          # unchanged -> no diff row
+         (2, "b2", None),       # update (value change)
+         (4, None, 41),         # update (NULL payload elsewhere unchanged)
+         (5, "e", 50)],         # insert; key 3 deleted
+        schema,
+    )
+    diff = snapshot_diff(old, new, ["k"], ["v", "w"]).collect()
+    ops = {r["k"]: r["op"] for r in diff}
+    assert ops == {2: "update", 3: "delete", 4: "update", 5: "insert"}
+    # round-trip: old rows as seq-0 upserts + diff rows as seq-1 changes
+    log = [(r["k"], 0, "upsert", r["v"], r["w"]) for r in old.collect()] + [
+        (r["k"], 1, r["op"], r["v"], r["w"]) for r in diff
+    ]
+    log_df = spark.createDataFrame(log, "k INT, seq INT, op STRING, v STRING, w INT")
+    rebuilt = {
+        (r["k"], r["v"], r["w"])
+        for r in cdc_latest(log_df, ["k"], ["seq"], "op", ["delete"])
+        .select("k", "v", "w")
+        .collect()
+    }
+    expected = {(r["k"], r["v"], r["w"]) for r in new.collect()}
+    assert rebuilt == expected
+
+
 def test_scd2_intervals_chain_and_tombstones(spark):
     rows = [
         (1, 1, "insert", "a"),
