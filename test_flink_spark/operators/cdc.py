@@ -79,12 +79,16 @@ def snapshot_diff(
     are NULL (a tombstone carries no payload)."""
     if not key_cols or not value_cols:
         raise ValueError("key_cols and value_cols must be non-empty")
-    o = old.select(*key_cols, *value_cols).alias("o")
-    n = new.select(*key_cols, *value_cols).alias("n")
+    # explicit presence markers, NOT key-null checks: the join is
+    # eqNullSafe, so a NULL key is a legitimate joinable value — deciding
+    # presence from key_cols[0].isNotNull() would misclassify NULL-keyed
+    # rows as inserts/deletes and break the round-trip property
+    o = old.select(*key_cols, *value_cols, F.lit(1).alias("__op")).alias("o")
+    n = new.select(*key_cols, *value_cols, F.lit(1).alias("__np")).alias("n")
     cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols]
     j = o.join(n, cond, "full_outer")
-    o_present = F.col(f"o.{key_cols[0]}").isNotNull()
-    n_present = F.col(f"n.{key_cols[0]}").isNotNull()
+    o_present = F.col("o.__op").isNotNull()
+    n_present = F.col("n.__np").isNotNull()
     changed = ~F.lit(True)
     for v in value_cols:
         changed = changed | ~F.col(f"o.{v}").eqNullSafe(F.col(f"n.{v}"))

@@ -94,44 +94,43 @@ def item_pairs(
     )
 
 
-def topk_neighbors(pairs: DataFrame, k: int = 5) -> DataFrame:
-    """Per-item top-k co-occurring neighbors ``(item, neighbor, n_co,
-    lift_ppm, rank)`` by (n_co desc, neighbor asc) — both directions of
-    each pair compete, so every item gets a ranking."""
+def _ranked_sym(pairs: DataFrame, carry: list[str], k: int) -> DataFrame:
+    """Both directions of each pair ranked per item by (n_co desc,
+    neighbor asc), cut at k — the ONE definition of neighbor ranking
+    shared by the top-k listing and the k-NN graph (a tie-break change
+    here changes both consistently)."""
+    cols = ["n_co", *carry]
     sym = pairs.select(
-        F.col("item_a").alias("item"), F.col("item_b").alias("neighbor"), "n_co", "lift_ppm"
+        F.col("item_a").alias("item"), F.col("item_b").alias("neighbor"), *cols
     ).unionByName(
         pairs.select(
-            F.col("item_b").alias("item"), F.col("item_a").alias("neighbor"), "n_co", "lift_ppm"
+            F.col("item_b").alias("item"), F.col("item_a").alias("neighbor"), *cols
         )
     )
     w = Window.partitionBy("item").orderBy(F.col("n_co").desc(), F.col("neighbor").asc())
     return (
         sym.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("item", "neighbor", "n_co", "lift_ppm", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def topk_neighbors(pairs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-item top-k co-occurring neighbors ``(item, neighbor, n_co,
+    lift_ppm, rank)`` by (n_co desc, neighbor asc) — both directions of
+    each pair compete, so every item gets a ranking."""
+    return _ranked_sym(pairs, ["lift_ppm"], k).select(
+        "item", "neighbor", "n_co", "lift_ppm", F.col("rank").cast("long").alias("rank")
     )
 
 
 def knn_edges(pairs: DataFrame, k: int = 10) -> DataFrame:
     """Canonical undirected k-NN edge set ``(a, b)`` with a < b: an edge
     survives when either endpoint ranks the other in its top-k.  Ranks on
-    ``n_co`` alone, so ``item_pairs(..., with_lift=False)`` suffices."""
-    sym = pairs.select(
-        F.col("item_a").alias("item"), F.col("item_b").alias("neighbor"), "n_co"
-    ).unionByName(
-        pairs.select(
-            F.col("item_b").alias("item"), F.col("item_a").alias("neighbor"), "n_co"
-        )
-    )
-    w = Window.partitionBy("item").orderBy(F.col("n_co").desc(), F.col("neighbor").asc())
-    kept = (
-        sym.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(
-            F.least("item", "neighbor").alias("a"),
-            F.greatest("item", "neighbor").alias("b"),
-        )
+    ``n_co`` alone (same _ranked_sym definition as topk_neighbors), so
+    ``item_pairs(..., with_lift=False)`` suffices."""
+    kept = _ranked_sym(pairs, [], k).select(
+        F.least("item", "neighbor").alias("a"),
+        F.greatest("item", "neighbor").alias("b"),
     )
     return kept.distinct()
 

@@ -5,7 +5,12 @@ and which multi-step paths dominate).
 
 Semantics (deterministic, engine-reproducible):
 - each key's events are totally ordered by (ts, tiebreak) — unique by
-  construction, so lead() is unambiguous;
+  construction, so lead() is unambiguous; NULL states are dropped BEFORE
+  sequencing (a null event type is a malformed row, not a step — and
+  concat_ws would silently skip it mid-path while SQL's || propagates
+  NULL, an engine-divergence trap);
+- path keys join states with '>' and assume separator-free state names
+  (event-type vocabularies; guard upstream if states can contain '>');
 - transitions are adjacent pairs within a key (never across keys);
   ``p_ppm`` = floor(1e6 · n / row_total) per from-state — integer
   division, no float probability anywhere;
@@ -40,6 +45,7 @@ def transition_matrix(
     """Per-(from, to) adjacent-transition counts and integer probabilities:
     ``(from_state, to_state, n, row_total, p_ppm)``."""
     w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).asc() for c in order_cols])
+    df = df.filter(F.col(state_col).isNotNull())
     trans = (
         df.select(
             F.col(state_col).alias("from_state"),
@@ -75,6 +81,7 @@ def frequent_paths(
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
     w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).asc() for c in order_cols])
+    df = df.filter(F.col(state_col).isNotNull())
     steps = [F.col(state_col)] + [F.lead(state_col, i).over(w) for i in range(1, n)]
     grams = df.select(F.concat_ws(">", *steps).alias("path"), steps[-1].alias("_last"))
     # concat_ws skips nulls silently: a tail window shorter than n would

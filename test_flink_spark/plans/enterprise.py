@@ -170,9 +170,18 @@ _KNN_K = 10
 
 
 def _event_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.get_json_object(F.col("props"), "$.k").cast("long").alias("item"),
+    # try_cast + NOT NULL: a malformed/missing $.k must neither consume a
+    # cap slot (Spark sorts NULLs first ASC, DuckDB last — engine-divergent)
+    # nor blow up the oracle's cast
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("try_cast(get_json_object(props, '$.k') AS LONG)").alias(
+                "item"
+            ),
+        )
+        .filter(F.col("item").isNotNull())
     )
 
 
@@ -189,9 +198,11 @@ def _cooc_cte() -> str:
     """Shared CTE chain reproducing item_pairs + the symmetric ranking."""
     return rf"""
 ui AS (
+    -- TRY_CAST + NOT NULL mirrors the Spark side's malformed-k guard
     SELECT DISTINCT user_id AS u,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
     FROM events
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
 ), capped AS (
     SELECT u, i FROM (
         SELECT u, i, ROW_NUMBER() OVER (PARTITION BY u ORDER BY i ASC) AS rn
@@ -333,6 +344,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MARKOV_SQL = r"""
 WITH e AS (
     SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+    WHERE event_type IS NOT NULL
 ), t AS (
     SELECT event_type AS from_state,
            LEAD(event_type) OVER (PARTITION BY user_id
@@ -368,6 +380,7 @@ def events_frequent_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PATHS_SQL = rf"""
 WITH e AS (
     SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+    WHERE event_type IS NOT NULL
 ), g AS (
     SELECT event_type AS s0,
            LEAD(event_type, 1) OVER w AS s1,

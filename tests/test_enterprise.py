@@ -92,6 +92,24 @@ def test_snapshot_diff_roundtrip(spark):
     assert rebuilt == expected
 
 
+def test_snapshot_diff_null_keys(spark):
+    """NULL is a legitimate (eqNullSafe-joinable) key value: an unchanged
+    NULL-keyed row must emit nothing, a changed one must classify
+    correctly — presence detection cannot rely on key nullness."""
+    from test_flink_spark.operators.cdc import snapshot_diff
+
+    schema = "k INT, v STRING"
+    old = spark.createDataFrame([(None, "x"), (1, "a")], schema)
+    same = spark.createDataFrame([(None, "x"), (1, "a")], schema)
+    assert snapshot_diff(old, same, ["k"], ["v"]).count() == 0
+    changed = spark.createDataFrame([(None, "y"), (1, "a")], schema)
+    d = snapshot_diff(old, changed, ["k"], ["v"]).collect()
+    assert [(r["k"], r["op"], r["v"]) for r in d] == [(None, "update", "y")]
+    gone = spark.createDataFrame([(1, "a")], schema)
+    d2 = snapshot_diff(old, gone, ["k"], ["v"]).collect()
+    assert [(r["k"], r["op"], r["v"]) for r in d2] == [(None, "delete", None)]
+
+
 def test_scd2_intervals_chain_and_tombstones(spark):
     rows = [
         (1, 1, "insert", "a"),
