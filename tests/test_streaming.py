@@ -632,3 +632,42 @@ def test_streaming_hll_registers_match_batch(spark, tmpdirs):
         .collect()
     }
     assert got == expect and len(expect) > 0
+
+
+def test_streaming_topic_labels_compose(spark, tmpdirs):
+    """topic_labels is a zero-shuffle pure-array projection, so it must
+    run UNCHANGED over readStream in append mode with batch-identical
+    rows (the labeling-function stage of a streaming curation pipeline)."""
+    import json
+
+    from test_flink_spark.operators.labeling import topic_labels
+    from test_flink_spark.sources.files import text_lines
+
+    lex = {"join": ["join", "merge"], "scan": ["scan", "filter"]}
+    docs = [
+        (0, "join merge join"),
+        (1, "scan filter scan scan"),
+        (2, "neither of those words"),
+        (3, "join scan"),  # tie -> 'join' (name asc)
+    ]
+    src = tmpdirs / "tlsrc"
+    src.mkdir()
+    for i, (did, text) in enumerate(docs):
+        _write_lines(src, f"d{i}.jsonl", [json.dumps({"doc_id": did, "text": text})])
+    stream = (
+        text_lines(spark, str(src), streaming=True)
+        .selectExpr(
+            "CAST(get_json_object(value, '$.doc_id') AS LONG) AS doc_id",
+            "get_json_object(value, '$.text') AS text",
+        )
+    )
+    q = start_memory(topic_labels(stream, lex), "stream_topics", str(tmpdirs / "cktl"))
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: r.asDict() for r in spark.table("stream_topics").collect()}
+    finally:
+        q.stop()
+    static = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    want = {r["doc_id"]: r.asDict() for r in topic_labels(static, lex).collect()}
+    assert got == want
+    assert got[3]["label"] == "join"  # tie-break preserved on the stream
