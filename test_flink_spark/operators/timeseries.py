@@ -73,3 +73,39 @@ def bucket_gapfill_locf(
         F.last("s", ignorenulls=True).over(w).alias("sum_cents_locf"),
         F.col("n_events").isNull().alias("is_gap"),
     )
+
+
+def trailing_range_sums(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_ms_col: str,
+    value_cents_col: str,
+    range_ms: int,
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-row trailing time-RANGE aggregates: for every event, the count
+    and integer-cent sum of the same key's events in the closed interval
+    ``[ts - range_ms, ts]`` — the rolling-feature primitive (trailing
+    7-day spend, velocity checks) that ROW frames cannot express when
+    events are irregularly spaced.
+
+    RANGE frames include ties (same key, same ts) identically in Spark
+    and DuckDB, so the output is deterministic without a tie-break.
+    Shuffle profile: one hash exchange on the key + in-partition sort;
+    the frame scan is the engine's sliding-accumulator, not a self-join
+    (the naive equivalent — a range self-join per row — shuffles the
+    table twice and blows up on dense keys)."""
+    if range_ms <= 0:
+        raise ValueError(f"range_ms must be positive, got {range_ms}")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_ms_col).asc())
+        .rangeBetween(-range_ms, 0)
+    )
+    return df.select(
+        *[F.col(c) for c in key_cols],
+        *[F.col(c) for c in carry_cols],
+        F.col(ts_ms_col),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing"),
+        F.sum(value_cents_col).over(w).cast("long").alias("cents_trailing"),
+    )

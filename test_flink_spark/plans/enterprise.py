@@ -657,3 +657,45 @@ FROM j WHERE op IS NOT NULL
 
 QUERIES["cdc_snapshot_diff"] = cdc_snapshot_diff
 ORACLES["cdc_snapshot_diff"] = _SNAP_DIFF_SQL
+
+
+# ---------------------------------------------------------------------------
+# Trailing 7-day RANGE-frame aggregates per user.
+# ---------------------------------------------------------------------------
+
+_TRAIL_MS = 7 * 24 * 3_600_000
+
+
+def events_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 7-day count and cent-sum for the same user — a
+    time-RANGE window frame (ROW frames can't express irregular spacing;
+    a range self-join would shuffle the table twice).  See
+    operators/timeseries.py::trailing_range_sums."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return timeseries.trailing_range_sums(
+        ev, ["user_id"], "ts_ms", "cents", _TRAIL_MS, carry_cols=["event_id"]
+    )
+
+
+_TRAIL_SQL = rf"""
+WITH e AS (
+    SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+)
+SELECT user_id, event_id, ts_ms,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+       CAST(SUM(cents) OVER w AS BIGINT) AS cents_trailing
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms ASC
+             RANGE BETWEEN {_TRAIL_MS} PRECEDING AND CURRENT ROW)
+"""
+
+
+QUERIES["events_trailing_7d"] = events_trailing_7d
+ORACLES["events_trailing_7d"] = _TRAIL_SQL
