@@ -15,6 +15,8 @@ and the top-k cut)."""
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -127,4 +129,67 @@ FROM (
            SUM(CASE WHEN {probe_col} BETWEEN {lo} AND {hi} THEN 1 ELSE 0 END) AS n_match
     FROM {source_cte} GROUP BY 1
 )
+"""
+
+
+def encoding_advisor(df: DataFrame, cols: Sequence[str], dict_ppm: int = 100_000) -> DataFrame:
+    """Storage-encoding advisor: per column, exact cardinality and byte
+    statistics plus a dictionary-vs-plain recommendation —
+    ``(col_name, n_rows, n_distinct, distinct_ppm, total_chars,
+    recommendation)``.  A column whose distinct share is under
+    ``dict_ppm`` (default 10%) dictionary-encodes well; the report is the
+    pre-OPTIMIZE audit a 100 TB table layout review starts from.
+
+    One aggregate per column over a shared scan (Catalyst collapses the
+    union branches onto one ReadSchema), each with map-side partials;
+    output is |cols| rows.  All integer arithmetic: char totals via
+    length(), share via cross-multiplied integer division."""
+    parts = []
+    for c in cols:
+        parts.append(
+            df.agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.countDistinct(F.col(c)).cast("long").alias("n_distinct"),
+                F.sum(F.length(F.col(c).cast("string")))
+                .cast("long")
+                .alias("total_chars"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.select(
+        "col_name",
+        "n_rows",
+        "n_distinct",
+        F.expr("(1000000 * n_distinct) div n_rows").alias("distinct_ppm"),
+        "total_chars",
+        F.when(
+            F.expr("(1000000 * n_distinct) div n_rows") < dict_ppm,
+            F.lit("dictionary"),
+        )
+        .otherwise(F.lit("plain"))
+        .alias("recommendation"),
+    )
+
+
+def encoding_advisor_sql(table: str, cols: Sequence[str], dict_ppm: int = 100_000) -> str:
+    """DuckDB replay of encoding_advisor."""
+    branches = []
+    for c in cols:
+        branches.append(f"""
+    SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(SUM(length(CAST({c} AS VARCHAR))) AS BIGINT) AS total_chars
+    FROM {table}""")
+    body = "\n    UNION ALL\n".join(branches)
+    return f"""
+WITH stats AS ({body})
+SELECT col_name, n_rows, n_distinct,
+       CAST((1000000 * n_distinct) // n_rows AS BIGINT) AS distinct_ppm,
+       total_chars,
+       CASE WHEN (1000000 * n_distinct) // n_rows < {dict_ppm}
+            THEN 'dictionary' ELSE 'plain' END AS recommendation
+FROM stats
 """

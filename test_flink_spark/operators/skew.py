@@ -54,3 +54,57 @@ def salted_sum(
     return partial.groupBy(*[F.col(k) for k in keys]).agg(
         F.sum("__partial").alias(sum_as)
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    topk: int = 10,
+) -> DataFrame:
+    """Join/agg-key skew diagnosis: the top-``topk`` heaviest keys with
+    their integer-ppm skew ratio vs the mean key weight —
+    ``(key, cnt, skew_ppm)`` where skew_ppm = floor(1e6·cnt·n_keys /
+    total_rows) (1e6 = a perfectly uniform key; 10e6 = this key carries
+    10x its fair share).  The number an engineer reads before choosing a
+    salt factor or trusting AQE's skew split — and the cross-multiplied
+    integer form of it, so the report itself is differential-testable.
+
+    Shuffle profile: one groupBy on the key with map-side partials, then
+    two tiny scalars folded via a single-row aggregate joined broadcast
+    (no driver collect needed for correctness, but the per-key table is
+    |keys| rows — the bounded artifact).  The top-k cut is orderBy+limit
+    on that bounded table."""
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = F.broadcast(
+        per_key.agg(
+            F.sum("cnt").alias("total_rows"), F.count(F.lit(1)).alias("n_keys")
+        )
+    )
+    return (
+        per_key.crossJoin(totals)
+        .select(
+            "key",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr("(1000000 * cnt * n_keys) div total_rows").alias("skew_ppm"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(topk)
+    )
+
+
+def key_skew_oracle_sql(table: str, key_expr: str, topk: int = 10) -> str:
+    """DuckDB replay of key_skew_report."""
+    return f"""
+WITH per_key AS (
+    SELECT {key_expr} AS key, COUNT(*) AS cnt FROM {table} GROUP BY 1
+), totals AS (
+    SELECT SUM(cnt) AS total_rows, COUNT(*) AS n_keys FROM per_key
+)
+SELECT key, CAST(cnt AS BIGINT) AS cnt,
+       CAST((1000000 * cnt * n_keys) // total_rows AS BIGINT) AS skew_ppm
+FROM per_key, totals
+ORDER BY cnt DESC, key ASC
+LIMIT {topk}
+"""

@@ -57,6 +57,8 @@ _PROMOTED = (
     "text_bigram_surprisal",
     "cdc_snapshot_diff",
     "events_trailing_7d",
+    "skew_key_report",
+    "layout_encoding_advisor",
     # new in r5 — never driver-seen before (the advanced module itself is
     # second in _MODULE_ORDER, so these land inside the driver's 50-row
     # window even without promotion; listed for the rotation record)

@@ -699,3 +699,52 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms ASC
 
 QUERIES["events_trailing_7d"] = events_trailing_7d
 ORACLES["events_trailing_7d"] = _TRAIL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Skew diagnosis + storage-encoding advisor.
+# ---------------------------------------------------------------------------
+
+
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest lineitem supplier keys with integer-ppm skew vs the
+    mean key weight — the number read before choosing a salt factor or
+    trusting AQE's skew split (operators/skew.py::key_skew_report).  The
+    1-row totals join is the sanctioned q22-style scalar BNLJ."""
+    from ..operators.skew import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "lineitem"), "l_suppkey", topk=10)
+
+
+def _skew_report_sql() -> str:
+    from ..operators.skew import key_skew_oracle_sql
+
+    return key_skew_oracle_sql("lineitem", "l_suppkey", topk=10)
+
+
+def layout_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-vs-plain encoding audit over three events columns with
+    exact cardinality/byte stats (operators/layout.py::encoding_advisor):
+    event_type (5 distinct -> dictionary), props and ts_ms (high-card ->
+    plain)."""
+    from ..operators.layout import encoding_advisor
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "props", F.unix_millis("ts").alias("ts_ms")
+    )
+    return encoding_advisor(ev, ["event_type", "props", "ts_ms"])
+
+
+def _enc_advisor_sql() -> str:
+    from ..operators.layout import encoding_advisor_sql
+
+    return encoding_advisor_sql(
+        "(SELECT event_type, props, epoch_ms(ts) AS ts_ms FROM events)",
+        ["event_type", "props", "ts_ms"],
+    )
+
+
+QUERIES["skew_key_report"] = skew_key_report
+ORACLES["skew_key_report"] = _skew_report_sql()
+QUERIES["layout_encoding_advisor"] = layout_encoding_advisor
+ORACLES["layout_encoding_advisor"] = _enc_advisor_sql()

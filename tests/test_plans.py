@@ -140,6 +140,7 @@ def test_every_registered_query_plan_is_scale_clean(spark):
     bnlj_allowed = {
         "q22_idle_customers",
         "q11_important_stock",  # 1-row global-total scalar join, same shape as q22
+        "skew_key_report",  # 1-row (total_rows, n_keys) scalar join, same shape
         "embedding_cosine_topk",
         "knn_label_vote",
         # RRF fusion composes embedding_cosine_topk as its dense component —
