@@ -52,3 +52,53 @@ def write_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def start_parquet_matview(
+    df,
+    path: str,
+    key_cols: Sequence[str],
+    checkpoint: str,
+    query_name: str = "matview",
+):
+    """Streaming materialized view over parquet: maintain a keyed snapshot
+    table that always holds the LATEST aggregate row per key — the
+    file-based form of the JDBC staged upsert (same merge semantics, no
+    database).  ``df`` must be an UPDATE-mode streaming aggregation whose
+    grouping keys are ``key_cols``; every micro-batch carries the keys
+    whose aggregates changed, and the view converges to exactly the batch
+    aggregation over all data seen (pinned by test).
+
+    Per batch: anti-join the current snapshot against the batch's keys,
+    union the fresh rows, write to a temp dir, swap.  The swap is the
+    local-FS stand-in for a transactional table-format commit (Delta/
+    Iceberg snapshot swap); merge idempotence makes micro-batch REPLAY
+    safe (at-least-once delivery + idempotent upsert = effectively-once
+    view contents), which is the actual exactly-once story of every
+    foreachBatch sink.  Scale: the exchange is one join keyed on the view
+    key per batch — the snapshot is aggregate-sized, never event-sized."""
+    import os
+    import shutil
+
+    def _apply(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(list(key_cols))
+        if os.path.exists(path):
+            cur = spark.read.parquet(path)
+            merged = cur.join(
+                batch.select(*key_cols), list(key_cols), "left_anti"
+            ).unionByName(batch)
+        else:
+            merged = batch
+        tmp = f"{path}.__tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(tmp, path)
+
+    return (
+        df.writeStream.outputMode("update")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_apply)
+        .start()
+    )

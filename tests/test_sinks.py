@@ -199,3 +199,53 @@ def test_format_roundtrips_preserve_rows(spark, tmp_path):
     write_csv(df, str(tmp_path / "c"))
     got_c = spark.read.schema(df.schema).option("header", "true").csv(str(tmp_path / "c"))
     assert sorted((r["id"], r["name"], r["score"]) for r in got_c.collect()) == want
+
+
+def test_parquet_matview_converges_to_batch_aggregate(spark, tmp_path):
+    """The foreachBatch parquet materialized view must equal the batch
+    aggregation over everything streamed, across multiple micro-batches
+    touching overlapping keys (upsert, not append)."""
+    from test_flink_spark.sinks.files import start_parquet_matview
+    from test_flink_spark.sources.files import text_lines
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = ["a,1", "b,2", "a,3"]
+    b2 = ["a,10", "c,5"]  # 'a' updated across batches, 'c' new
+    (src / "b1.csv").write_text("\n".join(b1) + "\n")
+
+    parsed = (
+        text_lines(spark, str(src), streaming=True)
+        .selectExpr(
+            "split(value, ',')[0] AS k",
+            "CAST(split(value, ',')[1] AS LONG) AS v",
+        )
+        .groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
+    )
+    view_path = str(tmp_path / "matview")
+    q = start_parquet_matview(
+        parsed, view_path, ["k"], str(tmp_path / "ckpt"), "mv_test"
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b2.csv").write_text("\n".join(b2) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["k"]: (r["total"], r["n"])
+        for r in spark.read.parquet(view_path).collect()
+    }
+    static = spark.createDataFrame(
+        [tuple(l.split(",")) for l in b1 + b2], "k STRING, v STRING"
+    ).selectExpr("k", "CAST(v AS LONG) AS v")
+    want = {
+        r["k"]: (r["total"], r["n"])
+        for r in static.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want  # {'a': (14, 3), 'b': (2, 1), 'c': (5, 1)}
