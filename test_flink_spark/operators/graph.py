@@ -117,3 +117,82 @@ def pagerank_oracle_cte(edges_sql: str, iterations: int = 5) -> str:
 )"""
         )
     return ",\n".join(parts)
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Synchronous label-propagation communities over a canonical
+    undirected edge list ``(a, b)``: every node starts as its own label;
+    each iteration every node adopts the most frequent label among its
+    neighbors PLUS its own current label (the self-vote damps the 2-cycle
+    oscillation plain LPA exhibits on bipartite-ish structures), ties
+    broken by smallest label.  A FIXED iteration count + total ordering
+    makes the result engine-replayable (the pagerank/IVF discipline) —
+    convergence-threshold LPA is run-order-sensitive and untestable.
+
+    Returns ``(node, community)``.  Scale shape: per iteration, one
+    equi-join of the symmetrized edge list against the O(nodes) label
+    table + one (node, label) groupBy with map-side partials + one
+    per-node argmax window — all keyed on the node, co-partitionable;
+    intermediates cache + count() so lineage stays 1 iteration deep."""
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select(F.col("a").alias("v"), F.col("b").alias("nb"))
+        .unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("nb")))
+        .cache()
+    )
+    nodes = sym.select("v").distinct().cache()
+    labels = nodes.select("v", F.col("v").alias("community"))
+    w = Window.partitionBy("v").orderBy(
+        F.col("n").desc(), F.col("community").asc()
+    )
+    for _ in range(iterations):
+        nb_votes = (
+            sym.join(
+                labels.select(F.col("v").alias("nb"), "community"), "nb"
+            ).select("v", "community")
+        )
+        votes = nb_votes.unionAll(labels.select("v", "community"))
+        counted = votes.groupBy("v", "community").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        labels = (
+            counted.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("v", "community")
+            .cache()
+        )
+        labels.count()  # truncate lineage (pagerank lesson)
+    return labels.select(F.col("v").alias("node"), "community")
+
+
+def label_propagation_oracle_cte(edges_sql: str, iterations: int = 3) -> str:
+    """Unrolled-CTE replay of ``label_propagation`` — identical vote set
+    (neighbors + self), count ordering, and min-label tie-break.
+    ``edges_sql`` must select canonical (a, b).  Caller appends a SELECT
+    over ``l{N}(v, community)``."""
+    parts = [
+        f"lp_edges AS ({edges_sql})",
+        "lp_sym AS (SELECT a AS v, b AS nb FROM lp_edges"
+        " UNION ALL SELECT b AS v, a AS nb FROM lp_edges)",
+        "l0 AS (SELECT DISTINCT v, v AS community FROM lp_sym)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""l{i} AS (
+  SELECT v, community FROM (
+    SELECT v, community,
+           ROW_NUMBER() OVER (PARTITION BY v
+                              ORDER BY n DESC, community ASC) AS rn
+    FROM (
+      SELECT v, community, COUNT(*) AS n FROM (
+        SELECT s.v, l.community
+        FROM lp_sym s JOIN l{i - 1} l ON l.v = s.nb
+        UNION ALL
+        SELECT v, community FROM l{i - 1}
+      ) GROUP BY v, community
+    )
+  ) WHERE rn = 1
+)"""
+        )
+    return ",\n".join(parts)

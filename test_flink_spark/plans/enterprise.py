@@ -748,3 +748,44 @@ QUERIES["skew_key_report"] = skew_key_report
 ORACLES["skew_key_report"] = _skew_report_sql()
 QUERIES["layout_encoding_advisor"] = layout_encoding_advisor
 ORACLES["layout_encoding_advisor"] = _enc_advisor_sql()
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities over the k-NN item graph.
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration synchronous label propagation over the same top-10-
+    neighbor item graph triangle counting uses — community assignment per
+    item with the min-label tie-break (operators/graph.py)."""
+    from ..operators import graph as gr
+
+    pairs = cooccur.item_pairs(
+        _event_items(spark, sf_dir), "user_id", "item", _COOC_CAP, with_lift=False
+    )
+    return gr.label_propagation(cooccur.knn_edges(pairs, k=_KNN_K), _LPA_ITERS)
+
+
+def _lpa_sql() -> str:
+    from ..operators import graph as gr
+
+    edges_sql = (
+        f"WITH {_cooc_cte()} "
+        f"SELECT DISTINCT LEAST(item, neighbor) AS a, "
+        f"GREATEST(item, neighbor) AS b FROM rk WHERE rank <= {_KNN_K}"
+    )
+    # the co-occurrence chain must live INSIDE the edges CTE: wrap it as a
+    # subquery so the outer unrolled-LPA WITH stays flat
+    edges_subq = f"SELECT * FROM ({edges_sql.replace('WITH', 'WITH', 1)})"
+    return (
+        "WITH "
+        + gr.label_propagation_oracle_cte(edges_subq, _LPA_ITERS)
+        + f"\nSELECT v AS node, community FROM l{_LPA_ITERS}"
+    )
+
+
+QUERIES["graph_lpa_communities"] = graph_lpa_communities
+ORACLES["graph_lpa_communities"] = _lpa_sql()

@@ -42,3 +42,32 @@ def test_rank_mass_approximately_conserved(spark):
 def test_dangling_nodes_rejected(spark):
     with pytest.raises(ValueError, match="out-degree 0"):
         gr.pagerank(_edges(spark, [("a", "b")]))  # b never emits
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge must resolve to two
+    communities (each labeled by its minimum member), with the bridge
+    endpoints keeping their own clique's label."""
+    from test_flink_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = spark.createDataFrame(c1 + c2 + [(4, 10)], "a INT, b INT")
+    out = {r["node"]: r["community"] for r in label_propagation(edges, 3).collect()}
+    assert {out[n] for n in (1, 2, 3, 4)} == {1}
+    assert {out[n] for n in (10, 11, 12, 13)} == {10}
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    """A 2-path (1-2, 2-3): node 2 sees labels {1, 3} plus its own {2} —
+    one vote each, min-label tie-break must pick 1 every run."""
+    from test_flink_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "a INT, b INT")
+    for _ in range(2):
+        out = {
+            r["node"]: r["community"]
+            for r in label_propagation(edges, 1).collect()
+        }
+        assert out[2] == 1
+        assert out[1] == 1  # sees {2} + self {1}: tie -> 1
