@@ -671,3 +671,43 @@ def test_streaming_topic_labels_compose(spark, tmpdirs):
     want = {r["doc_id"]: r.asDict() for r in topic_labels(static, lex).collect()}
     assert got == want
     assert got[3]["label"] == "join"  # tie-break preserved on the stream
+
+
+def test_streaming_heartbeat_detects_silent_key(spark, tmpdirs):
+    """Key 1 stops sending; key 2's continued traffic advances the
+    watermark past key 1's deadline -> exactly one gap alert for key 1,
+    none for the still-alive key 2.  CSV contract: k,epoch_seconds."""
+    from test_flink_spark.streaming.heartbeat import streaming_heartbeat_gaps
+
+    src = tmpdirs / "hbsrc"
+    src.mkdir()
+    # batch 1: both keys alive around t=100s
+    _write_lines(src, "b1.csv", ["1,100", "2,101", "1,105", "2,106"])
+    parsed = None
+
+    def _stream():
+        from pyspark.sql import functions as F
+        from test_flink_spark.sources.files import text_lines
+
+        c = F.split(F.col("value"), ",")
+        return text_lines(spark, str(src), streaming=True).select(
+            c.getItem(0).cast("long").alias("k"),
+            F.timestamp_seconds(c.getItem(1).cast("long")).alias("ts"),
+        )
+
+    out = streaming_heartbeat_gaps(_stream(), gap_ms=30_000)
+    q = start_memory(out, "hb_test", str(tmpdirs / "hbck"))
+    try:
+        q.processAllAvailable()
+        assert spark.table("hb_test").count() == 0  # nobody silent yet
+        # batch 2: only key 2 keeps beating, far past key 1's deadline
+        _write_lines(src, "b2.csv", ["2,200", "2,300"])
+        q.processAllAvailable()
+        # one more batch so the watermark computed from b2 fires timers
+        _write_lines(src, "b3.csv", ["2,301"])
+        q.processAllAvailable()
+        rows = spark.table("hb_test").collect()
+    finally:
+        q.stop()
+    assert [(r["k"], r["last_seen_ms"]) for r in rows] == [(1, 105_000)]
+    assert rows[0]["silent_for_ms"] >= 30_000
