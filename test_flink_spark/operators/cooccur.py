@@ -137,7 +137,15 @@ def knn_edges(pairs: DataFrame, k: int = 10) -> DataFrame:
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-vertex triangle counts ``(item, n_tri)`` over a canonical
-    (a < b) edge set; vertices in no triangle are omitted."""
+    (a < b) edge set; vertices in no triangle are omitted.
+
+    The edge set is referenced three times (two wedge sides + the closing
+    probe); materialize it once with an eager localCheckpoint so the
+    upstream pipeline (typically the full co-occurrence + k-NN ranking
+    chain) is computed once, not three times, and the resulting plan is
+    three scans of an O(items·k) edge table instead of a tripled lineage
+    tree (graph.py discipline)."""
+    edges = edges.localCheckpoint(eager=True)
     e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))

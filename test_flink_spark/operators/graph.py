@@ -26,7 +26,7 @@ Scale shape (100 TB): the edge list is the big table; ranks are O(nodes).
 Each iteration is one equi-join ranks->edges on src (co-partitionable by
 bucketing both on the node key; AQE splits skewed hubs) and one groupBy
 dst with map-side partial sums.  Iterations are a fixed small constant,
-and each intermediate rank table is cached + count()-materialized so the
+and each intermediate rank table is eagerly localCheckpoint-ed so the
 final plan is 1 join deep, not iterations-deep (the dedup_clusters
 lineage-truncation lesson).
 """
@@ -85,9 +85,14 @@ def pagerank(edges: DataFrame, iterations: int = 5) -> DataFrame:
             )
             .join(deg, F.col("node") == deg.src)
             .select("node", "rank_fp", "deg")
-            .cache()
+            # eager localCheckpoint, not cache()+count(): both materialize,
+            # but only the checkpoint truncates the LOGICAL plan — explain()
+            # on a cached iteration still prints the full nested lineage
+            # (thousands of phantom exchanges in the audit), while the
+            # checkpointed plan is 1 iteration deep for planner and reader
+            # alike.  (duplicate_clusters discipline, dedup.py:403.)
+            .localCheckpoint(eager=True)
         )
-        ranks.count()  # materialize: truncates lineage to 1 iteration deep
     return ranks.select("node", "rank_fp")
 
 
@@ -133,7 +138,8 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     equi-join of the symmetrized edge list against the O(nodes) label
     table + one (node, label) groupBy with map-side partials + one
     per-node argmax window — all keyed on the node, co-partitionable;
-    intermediates cache + count() so lineage stays 1 iteration deep."""
+    intermediates eagerly localCheckpoint so lineage stays 1 iteration
+    deep."""
     from pyspark.sql import Window
 
     sym = (
@@ -160,9 +166,10 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
             counted.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select("v", "community")
-            .cache()
+            # eager localCheckpoint (see pagerank): truncates logical
+            # lineage, not just physical re-execution.
+            .localCheckpoint(eager=True)
         )
-        labels.count()  # truncate lineage (pagerank lesson)
     return labels.select(F.col("v").alias("node"), "community")
 
 
