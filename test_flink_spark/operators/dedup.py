@@ -220,22 +220,21 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
+def lsh_band_keys(
+    sig: DataFrame,
     id_col: str = "doc_id",
     num_perm: int = 16,
     bands: int = 4,
-    shingle_n: int = 3,
 ) -> DataFrame:
-    """LSH candidate pairs: split signatures into ``bands`` bands of
-    num_perm/bands rows; docs sharing any band key are candidates.
-    The band key is md5 of the band's signature slice — an equality-join
-    key, so candidate generation is a hash join, never all-pairs."""
+    """Expand ``(id_col, signature)`` rows into the LSH band index
+    ``(id_col, band, band_key)``: signatures split into ``bands`` slices of
+    num_perm/bands values; the key is md5 of the ':'-joined slice.  This IS
+    the persisted artifact of a production dedup index — an equality-join
+    key, so every consumer (batch pair generation, incremental shard
+    checks, streaming buckets) is a hash join, never all-pairs."""
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(band_idx).alias("band"),
         F.md5(
@@ -252,6 +251,26 @@ def minhash_lsh_pairs(
             )
         ).alias("band_key"),
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: split signatures into ``bands`` bands of
+    num_perm/bands rows; docs sharing any band key are candidates.
+    The band key is md5 of the band's signature slice — an equality-join
+    key, so candidate generation is a hash join, never all-pairs."""
+    banded = lsh_band_keys(
+        minhash_signatures(df, text_col, id_col, num_perm, shingle_n),
+        id_col=id_col,
+        num_perm=num_perm,
+        bands=bands,
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -262,6 +281,70 @@ def minhash_lsh_pairs(
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .dropDuplicates()
+    )
+
+
+def incremental_lsh_dedup(
+    corpus_index: DataFrame,
+    shard: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dedup a NEW shard against an EXISTING corpus without touching the
+    corpus documents: the production daily-ingest shape, where the corpus
+    is represented only by its persisted LSH band index
+    (``lsh_band_keys`` output: ``(id_col, band, band_key)``) and each
+    arriving shard is (1) checked against that index and (2) self-checked
+    for duplicates *within* the shard, earlier (lower-id) arrival wins.
+
+    Returns one row per shard document: ``(id_col, dup_of, is_dup)`` with
+    ``dup_of`` = the smallest matching prior document id (corpus or
+    earlier shard doc; NULL when unique).  Smallest-id is a total order,
+    so the result is deterministic and engine-replayable.
+
+    Scale shape (100 TB corpus, ~TB shard): corpus text is NEVER re-read —
+    the only corpus-sized input is the band index, O(docs × bands) 16-byte
+    keys, bucketable on band_key so the shard probe is a co-located hash
+    join.  Shard signatures are one map-side shingle pass + one groupBy;
+    both probes shuffle candidate keys only.  After the merge the caller
+    appends the kept docs' band keys to the index — the index is the
+    accumulating state, documents stream through once.
+    """
+    shard_bands = lsh_band_keys(
+        minhash_signatures(shard, text_col, id_col, num_perm, shingle_n),
+        id_col=id_col,
+        num_perm=num_perm,
+        bands=bands,
+    )
+    s, c = shard_bands.alias("s"), corpus_index.alias("c")
+    vs_corpus = s.join(
+        c,
+        (F.col("s.band") == F.col("c.band"))
+        & (F.col("s.band_key") == F.col("c.band_key")),
+    ).select(
+        F.col(f"s.{id_col}").alias(id_col), F.col(f"c.{id_col}").alias("m")
+    )
+    a, b = shard_bands.alias("a"), shard_bands.alias("b")
+    vs_shard = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias(id_col), F.col(f"b.{id_col}").alias("m"))
+    matches = vs_corpus.unionByName(vs_shard).groupBy(id_col).agg(
+        F.min("m").alias("dup_of")
+    )
+    return (
+        shard.select(id_col)
+        .join(matches, id_col, "left")
+        .select(
+            id_col,
+            "dup_of",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
     )
 
 

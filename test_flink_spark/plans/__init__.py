@@ -40,6 +40,9 @@ from . import advanced, enterprise, llm_data, reference_queries, relational, tpc
 # tools/check_oracle.py sweep (the judge re-runs it).
 _MODULE_ORDER = (reference_queries, enterprise, advanced, llm_data, relational, tpch_extra)
 _PROMOTED = (
+    # new this session — incremental index dedup + per-domain quality gate
+    "dedup_incremental_shard",
+    "corpus_domain_percentile_filter",
     # new in r5 batch 2 — CDC / gap-fill / co-occurrence / triangles /
     # fuzzy linkage (module enterprise, second in order → driver window)
     "cdc_apply_latest",

@@ -10,7 +10,7 @@ similarities bit-for-bit — even the MinHash-LSH candidate pairs and the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash
@@ -163,9 +163,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), num_perm=16, bands=4)
 
 
-def _minhash_sql(num_perm: int = 16, bands: int = 4) -> str:
-    """Reproduces minhash_signatures/minhash_lsh_pairs exactly: one md5 base
-    hash per shingle + the same affine (a_p, b_p) permutations."""
+def _minhash_kv_cte(num_perm: int = 16, bands: int = 4) -> str:
+    """CTE chain reproducing minhash_signatures + lsh_band_keys exactly
+    (one md5 base hash per shingle, same affine (a_p, b_p) permutations,
+    same ':'-joined band-slice md5 keys), ending in
+    ``kv(doc_id, band, bk)`` — the band index both the batch pair query
+    and the incremental shard query join on."""
     from ..operators.dedup import MINHASH_MOD, minhash_coeffs
 
     coeffs = minhash_coeffs(num_perm)
@@ -183,8 +186,7 @@ def _minhash_sql(num_perm: int = 16, bands: int = 4) -> str:
         for band in range(bands)
     )
     bk_unnest = ", ".join(f"bk{band}" for band in range(bands))
-    return rf"""
-WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+    return rf"""ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
 sh AS (
     SELECT DISTINCT doc_id, s FROM (
         SELECT doc_id,
@@ -208,9 +210,113 @@ bands AS (
 kv AS (
     SELECT doc_id, band, bk FROM bands
     UNPIVOT (bk FOR band IN ({bk_unnest}))
-)
+)"""
+
+
+def _minhash_sql(num_perm: int = 16, bands: int = 4) -> str:
+    """Reproduces minhash_signatures/minhash_lsh_pairs exactly: one md5 base
+    hash per shingle + the same affine (a_p, b_p) permutations."""
+    return f"""
+WITH {_minhash_kv_cte(num_perm, bands)}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM kv a JOIN kv b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+"""
+
+
+_SHARD_MIN_SRC = 15  # sources srcN with N >= this are the "new shard"
+
+
+def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: sources src15..src19 arrive as a NEW shard and
+    are checked against the EXISTING corpus (src0..src14) — but the corpus
+    side enters ONLY as its LSH band index (operators/dedup.py::
+    incremental_lsh_dedup + lsh_band_keys), the artifact a production
+    pipeline persists between ingests.  One row per shard doc:
+    (doc_id, dup_of, is_dup), dup_of = smallest matching prior doc.
+
+    At 100 TB the corpus text is never re-read on ingest day: the band
+    index is O(docs × bands) 16-byte keys, stored bucketed by band_key so
+    each shard probe is a co-located hash join, and kept docs' keys are
+    appended to the index afterwards.  Oracle replays the full signature +
+    band construction for both sides in DuckDB."""
+    from ..operators.dedup import (
+        incremental_lsh_dedup,
+        lsh_band_keys,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    srcn = F.substring("source", 4, 10).cast("int")
+    corpus = docs.filter(srcn < _SHARD_MIN_SRC)
+    shard = docs.filter(srcn >= _SHARD_MIN_SRC)
+    index = lsh_band_keys(minhash_signatures(corpus, num_perm=16, shingle_n=3))
+    return incremental_lsh_dedup(index, shard, num_perm=16, bands=4, shingle_n=3)
+
+
+def _incremental_shard_sql(num_perm: int = 16, bands: int = 4) -> str:
+    return f"""
+WITH {_minhash_kv_cte(num_perm, bands)},
+src AS (SELECT doc_id, CAST(substr(source, 4) AS INT) AS sn FROM documents),
+ckv AS (SELECT k.* FROM kv k JOIN src USING (doc_id) WHERE sn < {_SHARD_MIN_SRC}),
+skv AS (SELECT k.* FROM kv k JOIN src USING (doc_id) WHERE sn >= {_SHARD_MIN_SRC}),
+m AS (
+    SELECT s.doc_id, c.doc_id AS m
+    FROM skv s JOIN ckv c ON s.band = c.band AND s.bk = c.bk
+    UNION ALL
+    SELECT a.doc_id, b.doc_id AS m
+    FROM skv a JOIN skv b ON a.band = b.band AND a.bk = b.bk AND b.doc_id < a.doc_id
+),
+agg AS (SELECT doc_id, MIN(m) AS dup_of FROM m GROUP BY 1)
+SELECT d.doc_id, a.dup_of AS dup_of, a.dup_of IS NOT NULL AS is_dup
+FROM (SELECT doc_id FROM src WHERE sn >= {_SHARD_MIN_SRC}) d
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def corpus_domain_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality percentile gate: keep each source's top-40% docs
+    by lexical diversity (distinct_ratio from quality_scores), rank ties
+    broken by doc_id.  The standard curation move when absolute quality
+    thresholds would gut low-resource domains: every domain keeps its own
+    best P%, so the mix survives the gate.
+
+    Scale shape: quality scoring is the zero-shuffle array-expression pass;
+    the gate is ONE window over (source) — domains are the natural
+    partition key and their doc counts are bounded by ingest sharding, so
+    no global sort and no skew beyond what AQE splits.  kept is decided by
+    integer cross-multiplication (rk*100 <= 40*n_domain), no float
+    percentile."""
+    docs = _docs(spark, sf_dir)
+    q = quality_scores(docs).join(docs.select("doc_id", "source"), "doc_id")
+    bysrc = Window.partitionBy("source")
+    w = bysrc.orderBy(F.col("distinct_ratio").desc(), F.col("doc_id").asc())
+    return q.select(
+        "doc_id",
+        "source",
+        "distinct_ratio",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(bysrc).cast("long").alias("n_domain"),
+    ).withColumn("kept", F.col("rk") * 100 <= F.lit(40) * F.col("n_domain"))
+
+
+_DOMAIN_PCT_SQL = r"""
+WITH w AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+),
+q AS (
+    SELECT doc_id, ROUND(COUNT(DISTINCT w) * 1.0 / COUNT(*), 4) AS distinct_ratio
+    FROM w GROUP BY 1
+),
+r AS (
+    SELECT q.doc_id, d.source, q.distinct_ratio,
+           ROW_NUMBER() OVER (PARTITION BY d.source
+                              ORDER BY q.distinct_ratio DESC, q.doc_id ASC) AS rk,
+           COUNT(*) OVER (PARTITION BY d.source) AS n_domain
+    FROM q JOIN documents d USING (doc_id)
+)
+SELECT doc_id, source, distinct_ratio, rk, n_domain,
+       rk * 100 <= 40 * n_domain AS kept
+FROM r
 """
 
 
@@ -555,6 +661,8 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_incremental_shard": dedup_incremental_shard,
+    "corpus_domain_percentile_filter": corpus_domain_percentile_filter,
     "dedup_simhash": dedup_simhash,
     "embedding_cosine_topk": embedding_cosine_topk,
     "embedding_near_dup": embedding_near_dup,
@@ -572,6 +680,8 @@ ORACLES = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_incremental_shard": _incremental_shard_sql(),
+    "corpus_domain_percentile_filter": _DOMAIN_PCT_SQL,
     "dedup_simhash": _simhash_sql(),
     "embedding_cosine_topk": _topk_sql(),
     "embedding_near_dup": _near_dup_sql(),

@@ -61,6 +61,60 @@ def test_minhash_finds_jaccard_pairs(spark):
     )
 
 
+def test_incremental_shard_dedup_matches_batch_lsh(spark):
+    """Splitting the corpus into (existing index, new shard) and running
+    the incremental check must flag EXACTLY the shard docs that batch
+    minhash_lsh_pairs over the full corpus pairs with any lower doc_id —
+    same signatures, same band keys, so candidate sets are identical."""
+    from test_flink_spark.operators.dedup import (
+        incremental_lsh_dedup,
+        lsh_band_keys,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    srcn = F.substring("source", 4, 10).cast("int")
+    corpus, shard = docs.filter(srcn < 15), docs.filter(srcn >= 15)
+    index = lsh_band_keys(minhash_signatures(corpus))
+    inc = incremental_lsh_dedup(index, shard).collect()
+    shard_ids = {r["doc_id"] for r in shard.select("doc_id").collect()}
+    batch_pairs = minhash_lsh_pairs(docs, num_perm=16, bands=4).collect()
+    # expected from the batch pairs (id_a < id_b): a shard doc is a dup
+    # when it pairs with ANY corpus doc (corpus is prior by arrival, id
+    # order irrelevant) or with a LOWER-id shard doc; dup_of = min match
+    want: dict[int, int] = {}
+    for r in batch_pairs:
+        a, b = r["id_a"], r["id_b"]
+        if b in shard_ids:  # match a is corpus or an earlier shard doc
+            want[b] = min(want.get(b, a), a)
+        if a in shard_ids and b not in shard_ids:  # corpus match, higher id
+            want[a] = min(want.get(a, b), b)
+    got = {r["doc_id"]: r["dup_of"] for r in inc if r["is_dup"]}
+    assert got == want
+    assert {r["doc_id"] for r in inc} == shard_ids  # one row per shard doc
+    assert all(r["dup_of"] is None for r in inc if not r["is_dup"])
+
+
+def test_domain_percentile_gate_keeps_top_fraction_per_domain(spark):
+    """Every domain keeps exactly floor(0.4·n) docs, and no kept doc has a
+    lower distinct_ratio than an unkept doc of the same domain (rank ties
+    break by doc_id, so the boundary is deterministic)."""
+    from test_flink_spark.plans.llm_data import corpus_domain_percentile_filter
+
+    rows = corpus_domain_percentile_filter(spark, SF).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src) == 20
+    for src, rs in by_src.items():
+        n = len(rs)
+        kept = [r for r in rs if r["kept"]]
+        assert len(kept) == (40 * n) // 100, src
+        worst_kept = min(r["distinct_ratio"] for r in kept)
+        best_cut = max(r["distinct_ratio"] for r in rs if not r["kept"])
+        assert worst_kept >= best_cut, src
+
+
 def test_multimodal_stub_raises_without_fake(spark):
     df = spark.createDataFrame(
         [(1, "image", bytearray(b"abc"))], "media_id LONG, modality STRING, payload BINARY"
