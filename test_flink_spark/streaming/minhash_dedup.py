@@ -146,3 +146,52 @@ def streaming_minhash_pairs(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_index_check(
+    df: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Check a STREAM of arriving documents against the persisted corpus
+    band index (``operators/dedup.py::lsh_band_keys`` output, a static
+    DataFrame) — the streaming face of ``incremental_lsh_dedup``'s
+    vs-corpus probe.  Emits ``(doc_id, dup_of)`` hit rows.
+
+    Entirely STATELESS: signatures are the row-local expression form and
+    the probe is a stream-static equi-join on (band, band_key), which
+    Spark plans per micro-batch against the static side — no state store,
+    no watermark requirement, append-mode clean.  Emission is
+    at-least-once across bands (a doc colliding with the same corpus doc
+    in two bands emits twice; the batch operator folds these with its
+    min-aggregate) — the documented streaming-dedup contract, downstream
+    consumers fold within their own horizon.  Within-stream duplicate
+    pairs are ``streaming_minhash_pairs``'s job; compose both for the
+    full incremental-ingest story.
+
+    At 100 TB: the static side is the O(docs × bands) key index, loaded
+    from its bucketed table — each micro-batch probes via hash join with
+    no corpus rescan, exactly the batch operator's join strategy.
+    """
+    from ..operators.dedup import band_keys_expr, minhash_signature_expr
+    from ..operators.text import words
+
+    sig: Column = minhash_signature_expr(F.col(text_col), num_perm, shingle_n)
+    banded = (
+        df.filter(F.size(words(F.col(text_col))) >= shingle_n)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(band_keys_expr(sig, num_perm, bands)).alias("bk"),
+        )
+        .select("doc_id", "bk.band", "bk.band_key")
+    )
+    idx = corpus_index.select(
+        F.col("band"),
+        F.col("band_key"),
+        F.col(id_col).alias("dup_of"),
+    )
+    return banded.join(idx, ["band", "band_key"]).select("doc_id", "dup_of")

@@ -453,6 +453,67 @@ def test_streaming_minhash_matches_batch_candidates(spark, tmpdirs):
     )
 
 
+def test_streaming_index_check_matches_batch_probe(spark, tmpdirs):
+    """The stream-static band-index probe must flag exactly the (shard doc,
+    corpus doc) collisions the batch incremental operator derives from the
+    same index — stateless stream-static join, so micro-batch boundaries
+    cannot change the set."""
+    import json
+
+    from test_flink_spark.operators.dedup import (
+        lsh_band_keys,
+        minhash_signatures,
+    )
+    from test_flink_spark.schemas import load_table
+    from test_flink_spark.streaming.minhash_dedup import streaming_index_check
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    srcn = F.substring("source", 4, 10).cast("int")
+    corpus, shard = docs.filter(srcn < 15), docs.filter(srcn >= 15)
+    index = lsh_band_keys(minhash_signatures(corpus))
+
+    # batch expectation: shard band keys joined against the same index
+    shard_bands = lsh_band_keys(minhash_signatures(shard))
+    want = {
+        (r["doc_id"], r["dup_of"])
+        for r in shard_bands.join(
+            index.withColumnRenamed("doc_id", "dup_of"), ["band", "band_key"]
+        )
+        .select("doc_id", "dup_of")
+        .collect()
+    }
+    assert want, "fixture shard has no corpus collisions"
+
+    src = tmpdirs / "idx_src"
+    src.mkdir()
+    rows = shard.select("doc_id", "text").collect()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        (src / f"b{i}.jsonl").write_text(
+            "\n".join(
+                json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+                for r in chunk
+            )
+            + "\n"
+        )
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    hits = streaming_index_check(stream, index)
+    q = start_memory(hits, "idx_stream", str(tmpdirs / "idx_ckpt"), mode="append")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["doc_id"], r["dup_of"])
+            for r in spark.table("idx_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want
+
+
 def test_streaming_state_metrics_expose_watermark_drops(spark, tmpdirs):
     """Operational observability: the progress metrics of a bounded-state
     dedup stream must report (a) rows actually dropped as late by the
