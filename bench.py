@@ -113,6 +113,23 @@ def main() -> None:
     timings["dedup_shared_stage"] = round(best, 2)
     print(f"# dedup_shared_stage: {timings['dedup_shared_stage']:.2f}s", file=sys.stderr)
 
+    # Same accounting for the incremental-dedup corpus band index (the
+    # persisted artifact an ingest pipeline reads, not rebuilds): its own
+    # line; dedup_incremental_shard below reports marginal ingest cost.
+    from test_flink_spark.plans.llm_data import (
+        _SHARD_INDEX_CACHE,
+        _shard_corpus_index,
+    )
+
+    best = float("inf")
+    for _ in range(reps):
+        _SHARD_INDEX_CACHE.clear()
+        t0 = time.perf_counter()
+        _shard_corpus_index(spark, sf_dir)
+        best = min(best, time.perf_counter() - t0)
+    timings["dedup_index_build"] = round(best, 2)
+    print(f"# dedup_index_build: {timings['dedup_index_build']:.2f}s", file=sys.stderr)
+
     for name in names:
         fn = qs[name]
         best = float("inf")
