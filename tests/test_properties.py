@@ -363,3 +363,51 @@ def test_epoch_upsample_invariants(spark, counts, cap):
         assert lo <= per_source[f"s{s}"] <= hi
         if n == n_max:
             assert per_source[f"s{s}"] == n
+
+
+# random word-salad docs over a tiny vocab: high collision probability, so
+# both dup and non-dup cases are exercised
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+        min_size=3,
+        max_size=8,
+    ),
+    min_size=2,
+    max_size=14,
+)
+split_strategy = st.integers(min_value=0, max_value=13)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(word_lists=docs_strategy, split=split_strategy)
+def test_incremental_dedup_consistent_with_batch_for_any_split(
+    spark, word_lists, split
+):
+    """For ANY corpus/shard split point, incremental_lsh_dedup over the
+    corpus band index must flag exactly the shard docs that batch
+    minhash_lsh_pairs (full set) pairs with a corpus doc or an earlier
+    shard doc — and dup_of must be the smallest such match."""
+    from test_flink_spark.operators.dedup import (
+        incremental_lsh_dedup,
+        lsh_band_keys,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    split = min(split, len(rows) - 1)
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    corpus = docs.filter(F.col("doc_id") < split)
+    shard = docs.filter(F.col("doc_id") >= split)
+    index = lsh_band_keys(minhash_signatures(corpus))
+    inc = incremental_lsh_dedup(index, shard).collect()
+    shard_ids = {r for r, _ in rows if r >= split}
+    want: dict[int, int] = {}
+    for r in minhash_lsh_pairs(docs).collect():
+        a, b = r["id_a"], r["id_b"]  # a < b; ids ARE arrival order here
+        if b in shard_ids:
+            want[b] = min(want.get(b, a), a)
+    got = {r["doc_id"]: r["dup_of"] for r in inc if r["is_dup"]}
+    assert got == want
+    assert {r["doc_id"] for r in inc} == shard_ids
