@@ -102,3 +102,59 @@ def start_parquet_matview(
         .foreachBatch(_apply)
         .start()
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_records_per_file: int = 5_000_000,
+    compression: str = "zstd",
+) -> tuple[int, int]:
+    """Compact a small-files parquet directory in place: rewrite the data
+    into ceil(rows / target_records_per_file) files and swap.  Returns
+    (files_before, files_after).
+
+    The 100 TB operational chore: streaming sinks and fine-grained
+    ingest partitions leave thousands of KB-sized files per directory,
+    and every downstream scan then pays one task + one open per file
+    (plus NameNode/listing pressure).  Rewrite is ONE round-robin
+    repartition to the target file count — no sort, no skew sensitivity
+    — then the same write-and-swap used by the streaming matview (the
+    local-FS stand-in for a table-format transactional rewrite; on
+    Delta/Iceberg this is OPTIMIZE/rewriteDataFiles).  Readers racing
+    the swap re-list on retry; correctness is the swap's atomicity on a
+    posix rename.
+
+    Row-group sizing note: ``target_records_per_file`` bounds records,
+    not bytes — callers with wide rows should size it from a sampled
+    row-byte estimate the way multimodal.byte_aware_repartition does.
+    """
+    import math
+    import os
+    import shutil
+
+    files_before = sum(
+        1
+        for root, _, names in os.walk(path)
+        for n in names
+        if n.endswith(".parquet")
+    )
+    cur = spark.read.parquet(path)
+    n_rows = cur.count()
+    n_files = max(1, math.ceil(n_rows / target_records_per_file))
+    tmp = f"{path}.__compact_tmp"
+    (
+        cur.repartition(n_files)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(tmp)
+    )
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    files_after = sum(
+        1
+        for root, _, names in os.walk(path)
+        for n in names
+        if n.endswith(".parquet")
+    )
+    return files_before, files_after

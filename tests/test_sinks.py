@@ -249,3 +249,27 @@ def test_parquet_matview_converges_to_batch_aggregate(spark, tmp_path):
         .collect()
     }
     assert got == want  # {'a': (14, 3), 'b': (2, 1), 'c': (5, 1)}
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    """Compaction must shrink a many-small-files directory to the computed
+    target file count, keep every row bit-identical, and leave no temp
+    directory behind (write-and-swap)."""
+    import os
+
+    from test_flink_spark.sinks.files import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS k")
+    df.repartition(64).write.parquet(path)  # 64 small files
+    before_rows = sorted(
+        (r["id"], r["k"]) for r in spark.read.parquet(path).collect()
+    )
+    n_before, n_after = compact_parquet(spark, path, target_records_per_file=4_000)
+    assert n_before == 64
+    assert n_after == 3  # ceil(10000 / 4000)
+    after_rows = sorted(
+        (r["id"], r["k"]) for r in spark.read.parquet(path).collect()
+    )
+    assert after_rows == before_rows
+    assert not any("__compact_tmp" in d for d in os.listdir(tmp_path))
