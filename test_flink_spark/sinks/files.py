@@ -158,3 +158,41 @@ def compact_parquet(
         if n.endswith(".parquet")
     )
     return files_before, files_after
+
+
+def apply_deletes(
+    spark,
+    path: str,
+    tombstones: "DataFrame",
+    key_cols: Sequence[str],
+    compression: str = "zstd",
+) -> tuple[int, int]:
+    """Propagate deletions into a parquet dataset: rewrite ``path`` minus
+    every row whose ``key_cols`` tuple appears in ``tombstones``, with the
+    compaction/matview write-and-swap.  Returns (rows_before, rows_after).
+
+    The GDPR/right-to-be-forgotten primitive: deletion arrives as a keyed
+    tombstone list, the dataset is rewritten with ONE left-anti hash join
+    (tombstone side broadcast when small — Catalyst/AQE decides), and the
+    swap publishes atomically.  On a table format this is a DELETE
+    producing delete vectors + a later rewrite; the eager rewrite here is
+    the local-FS equivalent with the same reader-visible contract.  At
+    100 TB, partition-prune first: callers holding partition-scoped
+    tombstones should rewrite only affected partitions — this helper
+    rewrites the whole directory it is pointed at, so point it at the
+    partition directories, not the table root, when keys carry the
+    partition column."""
+    import os
+    import shutil
+
+    cur = spark.read.parquet(path)
+    rows_before = cur.count()
+    kept = cur.join(
+        tombstones.select(*key_cols).dropDuplicates(), list(key_cols), "left_anti"
+    )
+    tmp = f"{path}.__delete_tmp"
+    kept.write.mode("overwrite").option("compression", compression).parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    rows_after = spark.read.parquet(path).count()
+    return rows_before, rows_after

@@ -67,3 +67,28 @@ def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
         .option("rowsPerSecond", str(rows_per_second))
         .load()
     )
+
+
+def schema_drift_report(spark: SparkSession, old_path: str, new_path: str) -> DataFrame:
+    """Column-level diff between two parquet datasets' schemas: one row per
+    drifted column with status in {added, removed, type_changed} plus the
+    old/new type strings (unchanged columns are omitted).
+
+    Ingest pipelines break on silent producer-side schema drift; making
+    the diff a DataFrame lets the validation stage join/alert on it like
+    any other check (data_quality_report's philosophy).  Pure metadata —
+    reads footers only, never data; cost is O(columns), independent of
+    dataset size."""
+    old = dict(spark.read.parquet(old_path).dtypes)
+    new = dict(spark.read.parquet(new_path).dtypes)
+    rows = []
+    for c in sorted(set(old) | set(new)):
+        if c not in new:
+            rows.append((c, "removed", old[c], None))
+        elif c not in old:
+            rows.append((c, "added", None, new[c]))
+        elif old[c] != new[c]:
+            rows.append((c, "type_changed", old[c], new[c]))
+    return spark.createDataFrame(
+        rows, "column STRING, status STRING, old_type STRING, new_type STRING"
+    )

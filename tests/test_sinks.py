@@ -273,3 +273,36 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
     )
     assert after_rows == before_rows
     assert not any("__compact_tmp" in d for d in os.listdir(tmp_path))
+
+
+def test_apply_deletes_removes_only_tombstoned_keys(spark, tmp_path):
+    from test_flink_spark.sinks.files import apply_deletes
+
+    path = str(tmp_path / "ds")
+    spark.range(1_000).selectExpr("id", "id % 10 AS grp").write.parquet(path)
+    tombs = spark.createDataFrame([(7,), (13,), (999,), (5000,)], "id LONG")
+    before, after = apply_deletes(spark, path, tombs, ["id"])
+    assert (before, after) == (1_000, 997)  # 5000 not present: no-op
+    left = {r["id"] for r in spark.read.parquet(path).collect()}
+    assert left.isdisjoint({7, 13, 999}) and len(left) == 997
+
+
+def test_schema_drift_report_flags_add_remove_retype(spark, tmp_path):
+    from test_flink_spark.sources.files import schema_drift_report
+
+    old_p, new_p = str(tmp_path / "v1"), str(tmp_path / "v2")
+    spark.createDataFrame(
+        [(1, "a", 1.5)], "id LONG, name STRING, score DOUBLE"
+    ).write.parquet(old_p)
+    spark.createDataFrame(
+        [(1, 2.0, True)], "id LONG, score FLOAT, fresh BOOLEAN"
+    ).write.parquet(new_p)
+    got = {
+        r["column"]: (r["status"], r["old_type"], r["new_type"])
+        for r in schema_drift_report(spark, old_p, new_p).collect()
+    }
+    assert got == {
+        "name": ("removed", "string", None),
+        "fresh": ("added", None, "boolean"),
+        "score": ("type_changed", "double", "float"),
+    }
