@@ -109,6 +109,7 @@ def compact_parquet(
     path: str,
     target_records_per_file: int = 5_000_000,
     compression: str = "zstd",
+    partition_by: Sequence[str] = (),
 ) -> tuple[int, int]:
     """Compact a small-files parquet directory in place: rewrite the data
     into ceil(rows / target_records_per_file) files and swap.  Returns
@@ -128,6 +129,12 @@ def compact_parquet(
     Row-group sizing note: ``target_records_per_file`` bounds records,
     not bytes — callers with wide rows should size it from a sampled
     row-byte estimate the way multimodal.byte_aware_repartition does.
+
+    Directory-partitioned tables: pass the SAME ``partition_by`` used at
+    write time — the rewrite then repartitions on those columns (keeping
+    each output task single-partition so files don't multiply across
+    directories) and re-applies the layout.  Omitting it on a
+    partitioned root would flatten the layout and lose pruning.
     """
     import math
     import os
@@ -143,12 +150,23 @@ def compact_parquet(
     n_rows = cur.count()
     n_files = max(1, math.ceil(n_rows / target_records_per_file))
     tmp = f"{path}.__compact_tmp"
-    (
-        cur.repartition(n_files)
-        .write.mode("overwrite")
-        .option("compression", compression)
-        .parquet(tmp)
-    )
+    if partition_by:
+        from pyspark.sql import functions as F
+
+        w = (
+            cur.repartition(*[F.col(c) for c in partition_by])
+            .write.mode("overwrite")
+            .option("compression", compression)
+            .option("maxRecordsPerFile", str(target_records_per_file))
+            .partitionBy(*partition_by)
+        )
+    else:
+        w = (
+            cur.repartition(n_files)
+            .write.mode("overwrite")
+            .option("compression", compression)
+        )
+    w.parquet(tmp)
     shutil.rmtree(path)
     os.rename(tmp, path)
     files_after = sum(
@@ -166,6 +184,7 @@ def apply_deletes(
     tombstones: "DataFrame",
     key_cols: Sequence[str],
     compression: str = "zstd",
+    partition_by: Sequence[str] = (),
 ) -> tuple[int, int]:
     """Propagate deletions into a parquet dataset: rewrite ``path`` minus
     every row whose ``key_cols`` tuple appears in ``tombstones``, with the
@@ -181,7 +200,8 @@ def apply_deletes(
     tombstones should rewrite only affected partitions — this helper
     rewrites the whole directory it is pointed at, so point it at the
     partition directories, not the table root, when keys carry the
-    partition column."""
+    partition column.  For a partitioned root, pass ``partition_by`` to
+    re-apply the directory layout on rewrite."""
     import os
     import shutil
 
@@ -191,7 +211,10 @@ def apply_deletes(
         tombstones.select(*key_cols).dropDuplicates(), list(key_cols), "left_anti"
     )
     tmp = f"{path}.__delete_tmp"
-    kept.write.mode("overwrite").option("compression", compression).parquet(tmp)
+    w = kept.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
     shutil.rmtree(path)
     os.rename(tmp, path)
     rows_after = spark.read.parquet(path).count()

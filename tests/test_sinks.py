@@ -306,3 +306,29 @@ def test_schema_drift_report_flags_add_remove_retype(spark, tmp_path):
         "fresh": ("added", None, "boolean"),
         "score": ("type_changed", "double", "float"),
     }
+
+
+def test_compact_parquet_preserves_partition_layout(spark, tmp_path):
+    """Compacting a directory-partitioned table with partition_by re-applies
+    the layout: partition dirs survive, per-partition file count drops to 1,
+    rows and pruning behavior are unchanged."""
+    import os
+
+    from test_flink_spark.sinks.files import compact_parquet
+
+    path = str(tmp_path / "pt")
+    (
+        spark.range(900)
+        .selectExpr("id", "id % 3 AS part")
+        .repartition(12)
+        .write.partitionBy("part")
+        .parquet(path)
+    )
+    n_before, n_after = compact_parquet(
+        spark, path, target_records_per_file=1_000, partition_by=["part"]
+    )
+    assert n_before > 3 and n_after == 3  # one file per partition value
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("part=")
+    ) == ["part=0", "part=1", "part=2"]
+    assert spark.read.parquet(path).filter("part = 1").count() == 300
