@@ -313,12 +313,15 @@ def incremental_lsh_dedup(
     appends the kept docs' band keys to the index — the index is the
     accumulating state, documents stream through once.
     """
+    # consumed three times (index probe + both sides of the self-join):
+    # materialize once so the shard's shingle+minhash pass runs once, not
+    # three times (the triangle_counts lesson)
     shard_bands = lsh_band_keys(
         minhash_signatures(shard, text_col, id_col, num_perm, shingle_n),
         id_col=id_col,
         num_perm=num_perm,
         bands=bands,
-    )
+    ).localCheckpoint(eager=True)
     s, c = shard_bands.alias("s"), corpus_index.alias("c")
     vs_corpus = s.join(
         c,
