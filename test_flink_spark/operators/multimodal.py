@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -334,4 +335,160 @@ def frame_sample(
         F.col("f.frame_idx").cast("long").alias("frame_idx"),
         F.octet_length("f.frame").cast("long").alias("frame_bytes"),
         F.md5(F.col("f.frame")).alias("frame_md5"),
+    )
+
+
+PPM_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("r_sum", LongType()),
+        StructField("g_sum", LongType()),
+        StructField("b_sum", LongType()),
+        StructField("rgb_max", LongType()),
+    ]
+)
+
+PPM_RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def ppm_wrap(
+    df: DataFrame,
+    payload_col: str = "payload",
+    width: int = 16,
+    height: int = 12,
+) -> DataFrame:
+    """Wrap a raw byte column as a canonical binary PPM (P6) image of fixed
+    ``width``×``height``: static ASCII header + the first w·h·3 payload
+    bytes, zero-padded when short — pure JVM binary construction (concat +
+    substring on BINARY), the image sibling of ``wav_wrap``.  At 100 TB the
+    wrap is a narrow codegen-fused projection."""
+    body_len = width * height * 3
+    header = f"P6\n{width} {height}\n255\n".encode()
+    return df.withColumn(
+        payload_col,
+        F.concat(
+            F.lit(header),
+            F.substring(
+                F.concat(F.col(payload_col), F.lit(b"\x00" * body_len)),
+                1,
+                body_len,
+            ),
+        ),
+    )
+
+
+def _parse_p6(b: bytes, mid) -> tuple[int, int, bytes]:
+    """Strict canonical P6 parse (the exact shape ppm_wrap writes):
+    b'P6\\n{w} {h}\\n255\\n' + w*h*3 raw RGB bytes."""
+    if not b.startswith(b"P6\n"):
+        raise ValueError(f"not a P6 PPM payload (media_id={mid})")
+    nl2 = b.index(b"\n", 3)
+    dims = b[3:nl2].split(b" ")
+    if len(dims) != 2:
+        raise ValueError(f"malformed PPM dimensions (media_id={mid})")
+    w, h = int(dims[0]), int(dims[1])
+    nl3 = b.index(b"\n", nl2 + 1)
+    if b[nl2 + 1 : nl3] != b"255":
+        raise ValueError(f"only maxval 255 supported (media_id={mid})")
+    body = b[nl3 + 1 :]
+    if len(body) < w * h * 3:
+        raise ValueError(f"truncated PPM body (media_id={mid})")
+    return w, h, body[: w * h * 3]
+
+
+def decode_ppm(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    modality_col: str = "modality",
+) -> DataFrame:
+    """REAL, dependency-free image decode: strict P6 header parse + numpy
+    per-channel integer stats (sum per R/G/B plane, global max).  Arrow-
+    batched ``mapInPandas`` like every decode stage; undecodable payloads
+    raise loudly (quarantine, don't emit garbage features)."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mod, raw in zip(
+                pdf[id_col], pdf[modality_col], pdf[payload_col]
+            ):
+                w, h, body = _parse_p6(bytes(raw), mid)
+                img = np.frombuffer(body, np.uint8).reshape(h, w, 3).astype(np.int64)
+                rows.append(
+                    (
+                        mid,
+                        mod,
+                        w,
+                        h,
+                        int(img[:, :, 0].sum()),
+                        int(img[:, :, 1].sum()),
+                        int(img[:, :, 2].sum()),
+                        int(img.max()) if img.size else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PPM_DECODED_SCHEMA.fields]
+            )
+
+    return df.select(id_col, modality_col, payload_col).mapInPandas(
+        decode, PPM_DECODED_SCHEMA
+    )
+
+
+def resize_ppm_nearest(
+    df: DataFrame,
+    out_width: int,
+    out_height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    modality_col: str = "modality",
+) -> DataFrame:
+    """Nearest-neighbor image resize over P6 payloads — the multimodal
+    RESIZE verb, real and deterministic (source pixel (floor(y·h/out_h),
+    floor(x·w/out_w)); byte-exact, so the whole wrap→resize→decode chain
+    replays in the DuckDB oracle).  Arrow-batched ``mapInPandas``; emits a
+    re-encoded P6 payload so resize composes with every other P6 consumer.
+    At scale this is the classic preprocessing step in front of a vision
+    encoder: payload-in/payload-out, no shuffle, byte-aware partitioning
+    upstream (``repartition_by_bytes``)."""
+    import numpy as np
+
+    if out_width <= 0 or out_height <= 0:
+        raise ValueError(f"need positive output dims, got {out_width}x{out_height}")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mod, raw in zip(
+                pdf[id_col], pdf[modality_col], pdf[payload_col]
+            ):
+                w, h, body = _parse_p6(bytes(raw), mid)
+                img = np.frombuffer(body, np.uint8).reshape(h, w, 3)
+                ys = (np.arange(out_height) * h) // out_height
+                xs = (np.arange(out_width) * w) // out_width
+                out = img[ys][:, xs]
+                payload = (
+                    f"P6\n{out_width} {out_height}\n255\n".encode()
+                    + out.tobytes()
+                )
+                rows.append((mid, mod, payload, out_width, out_height))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PPM_RESIZED_SCHEMA.fields]
+            )
+
+    return df.select(id_col, modality_col, payload_col).mapInPandas(
+        resize, PPM_RESIZED_SCHEMA
     )

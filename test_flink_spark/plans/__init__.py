@@ -41,8 +41,10 @@ from . import advanced, enterprise, llm_data, reference_queries, relational, tpc
 _MODULE_ORDER = (reference_queries, enterprise, advanced, llm_data, relational, tpch_extra)
 _PROMOTED = (
     # new this session — incremental index dedup + per-domain quality gate
+    # + the real image resize verb
     "dedup_incremental_shard",
     "corpus_domain_percentile_filter",
+    "multimodal_image_resize_stats",
     # new in r5 batch 2 — CDC / gap-fill / co-occurrence / triangles /
     # fuzzy linkage (module enterprise, second in order → driver window)
     "cdc_apply_latest",

@@ -672,6 +672,68 @@ FROM amps
 """
 
 
+_PPM_W, _PPM_H = 16, 12
+_PPM_OUT_W, _PPM_OUT_H = 4, 3
+
+
+def multimodal_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal RESIZE verb, real and fully oracle-checked: wrap each
+    doc's UTF-8 bytes as a 16×12 P6 PPM (operators/multimodal.py::
+    ppm_wrap, zero-padded), nearest-neighbor resize to 4×3
+    (resize_ppm_nearest — source pixel (floor(y·h/H), floor(x·w/W)), byte
+    exact), then decode the RESIZED image (decode_ppm) into per-channel
+    integer sums + global max.  The oracle replays the exact pixel
+    selection as precomputed byte offsets over hex(encode(text)) — a
+    construct→resize→decode roundtrip that would catch any off-by-one in
+    header length, pixel indexing, or channel order."""
+    from ..operators.multimodal import decode_ppm, ppm_wrap, resize_ppm_nearest
+
+    wrapped = ppm_wrap(_media(spark, sf_dir), width=_PPM_W, height=_PPM_H)
+    resized = resize_ppm_nearest(wrapped, _PPM_OUT_W, _PPM_OUT_H)
+    return decode_ppm(resized)
+
+
+def _ppm_resize_sql() -> str:
+    header_len = len(f"P6\n{_PPM_W} {_PPM_H}\n255\n")  # not part of source bytes
+    ys = [(y * _PPM_H) // _PPM_OUT_H for y in range(_PPM_OUT_H)]
+    xs = [(x * _PPM_W) // _PPM_OUT_W for x in range(_PPM_OUT_W)]
+    offs = {
+        c: [((y * _PPM_W + x) * 3 + c) for y in ys for x in xs] for c in range(3)
+    }
+    del header_len  # offsets are into the pre-wrap source bytes, 0-based
+
+    def byte_at(off: int) -> str:
+        # zero-padded body: beyond the source text the wrap supplies 0x00
+        return (
+            f"CASE WHEN {off} < n_bytes"
+            f" THEN ('0x' || substr(h, {2 * off + 1}, 2))::BIGINT ELSE 0 END"
+        )
+
+    sums = {
+        name: " + ".join(byte_at(o) for o in offs[c])
+        for name, c in (("r_sum", 0), ("g_sum", 1), ("b_sum", 2))
+    }
+    all_bytes = ", ".join(byte_at(o) for cs in offs.values() for o in cs)
+    return f"""
+WITH hx AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+)
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST({_PPM_OUT_W} AS BIGINT) AS width,
+       CAST({_PPM_OUT_H} AS BIGINT) AS height,
+       CAST({sums['r_sum']} AS BIGINT) AS r_sum,
+       CAST({sums['g_sum']} AS BIGINT) AS g_sum,
+       CAST({sums['b_sum']} AS BIGINT) AS b_sum,
+       CAST(greatest({all_bytes}) AS BIGINT) AS rgb_max
+FROM hx
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_scores": text_quality_scores,
@@ -689,6 +751,7 @@ QUERIES = {
     "embedding_lsh_ann": embedding_lsh_ann,
     "multimodal_media_stats": multimodal_media_stats,
     "multimodal_decode_features": multimodal_decode_features,
+    "multimodal_image_resize_stats": multimodal_image_resize_stats,
 }
 
 ORACLES = {
@@ -708,6 +771,7 @@ ORACLES = {
     "embedding_lsh_ann": _lsh_ann_sql(),
     "multimodal_media_stats": _MEDIA_STATS_SQL,
     "multimodal_decode_features": _DECODE_WAV_SQL,
+    "multimodal_image_resize_stats": _ppm_resize_sql(),
 }
 
 

@@ -690,3 +690,74 @@ def test_ivfadc_refine_recovers_exact_ranks(spark):
             assert ivf[key] == dist  # exact rerank distance, not approximate
     hits = sum(1 for key in ivf if key in adc)
     assert hits / len(ivf) >= 0.9
+
+
+def test_ppm_wrap_decode_roundtrip_and_strictness(spark):
+    """decode_ppm(ppm_wrap(x)) must equal a hand-computed numpy decode of
+    the same zero-padded bytes; non-P6 payloads must raise."""
+    import numpy as np
+
+    from test_flink_spark.operators.multimodal import decode_ppm, ppm_wrap
+
+    w, h = 4, 2
+    payloads = [
+        (0, "image", bytes(range(10))),          # short -> zero-padded
+        (1, "image", bytes(range(200, 0, -1)) * 2),  # long -> truncated
+    ]
+    df = spark.createDataFrame(
+        payloads, "media_id LONG, modality STRING, payload BINARY"
+    )
+    got = {
+        r["media_id"]: r.asDict()
+        for r in decode_ppm(ppm_wrap(df, width=w, height=h)).collect()
+    }
+    for mid, _, raw in payloads:
+        body = (raw + b"\x00" * (w * h * 3))[: w * h * 3]
+        img = np.frombuffer(body, np.uint8).reshape(h, w, 3).astype(int)
+        r = got[mid]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["r_sum"] == img[:, :, 0].sum()
+        assert r["g_sum"] == img[:, :, 1].sum()
+        assert r["b_sum"] == img[:, :, 2].sum()
+        assert r["rgb_max"] == img.max()
+
+    bad = spark.createDataFrame(
+        [(9, "image", b"JFIF not a ppm")],
+        "media_id LONG, modality STRING, payload BINARY",
+    )
+    with pytest.raises(Exception, match="P6 PPM"):
+        decode_ppm(bad).collect()
+
+
+def test_ppm_resize_nearest_matches_numpy(spark):
+    """resize_ppm_nearest must select exactly img[floor(y*h/H)][floor(x*w/W)]
+    and re-encode a valid P6 that decode_ppm accepts."""
+    import numpy as np
+
+    from test_flink_spark.operators.multimodal import (
+        decode_ppm,
+        ppm_wrap,
+        resize_ppm_nearest,
+    )
+
+    w, h, ow, oh = 6, 4, 3, 2
+    raw = bytes((i * 7) % 256 for i in range(w * h * 3))
+    df = spark.createDataFrame(
+        [(5, "image", raw)], "media_id LONG, modality STRING, payload BINARY"
+    )
+    resized = resize_ppm_nearest(
+        ppm_wrap(df, width=w, height=h), ow, oh
+    ).collect()[0]
+    img = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+    ys = (np.arange(oh) * h) // oh
+    xs = (np.arange(ow) * w) // ow
+    want = img[ys][:, xs]
+    assert bytes(resized["payload"]) == f"P6\n{ow} {oh}\n255\n".encode() + want.tobytes()
+    dec = decode_ppm(
+        spark.createDataFrame(
+            [(5, "image", bytes(resized["payload"]))],
+            "media_id LONG, modality STRING, payload BINARY",
+        )
+    ).collect()[0]
+    assert dec["r_sum"] == int(want[:, :, 0].sum())
+    assert dec["rgb_max"] == int(want.max())
