@@ -492,3 +492,59 @@ def resize_ppm_nearest(
     return df.select(id_col, modality_col, payload_col).mapInPandas(
         resize, PPM_RESIZED_SCHEMA
     )
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("ahash_hi", LongType()),
+        StructField("ahash_lo", LongType()),
+        StructField("n_set", LongType()),
+    ]
+)
+
+
+def ahash_ppm(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    modality_col: str = "modality",
+) -> DataFrame:
+    """Perceptual average-hash over 8×8 P6 payloads — the image-near-dup
+    primitive (compose with ``resize_ppm_nearest(df, 8, 8)`` to hash any
+    size): per pixel gray = (r+g+b)//3, threshold at the integer mean
+    (sum(gray)//64), bit i set when gray_i > mean, row-major.  Emitted as
+    two BIGINT halves (bits 63..32 / 31..0) so consumers compute hamming
+    distance with two XOR+popcounts and bucket near-identical images on
+    hash equality or prefix — the SimHash playbook applied to pixels.
+    All-integer, so the full wrap→resize→hash chain replays bit-for-bit
+    in the DuckDB oracle."""
+    import numpy as np
+
+    def hsh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mod, raw in zip(
+                pdf[id_col], pdf[modality_col], pdf[payload_col]
+            ):
+                w, h, body = _parse_p6(bytes(raw), mid)
+                if (w, h) != (8, 8):
+                    raise ValueError(
+                        f"ahash_ppm expects 8x8 input, got {w}x{h} "
+                        f"(media_id={mid}) — resize_ppm_nearest first"
+                    )
+                img = np.frombuffer(body, np.uint8).reshape(64, 3).astype(np.int64)
+                gray = (img[:, 0] + img[:, 1] + img[:, 2]) // 3
+                mean = int(gray.sum()) // 64
+                bits = [1 if int(g) > mean else 0 for g in gray]
+                hi = sum(b << i for i, b in enumerate(bits[:32]))  # pixels 0..31
+                lo = sum(b << i for i, b in enumerate(bits[32:]))  # pixels 32..63
+                rows.append((mid, mod, hi, lo, sum(bits)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AHASH_SCHEMA.fields]
+            )
+
+    return df.select(id_col, modality_col, payload_col).mapInPandas(
+        hsh, AHASH_SCHEMA
+    )

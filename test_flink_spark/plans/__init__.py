@@ -45,6 +45,7 @@ _PROMOTED = (
     "dedup_incremental_shard",
     "corpus_domain_percentile_filter",
     "multimodal_image_resize_stats",
+    "multimodal_image_ahash",
     # new in r5 batch 2 — CDC / gap-fill / co-occurrence / triangles /
     # fuzzy linkage (module enterprise, second in order → driver window)
     "cdc_apply_latest",

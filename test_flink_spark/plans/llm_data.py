@@ -734,6 +734,72 @@ FROM hx
 """
 
 
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash image near-dup fingerprints: wrap 16×12 P6 →
+    nearest resize to 8×8 → aHash (operators/multimodal.py::ahash_ppm —
+    gray=(r+g+b)//3, threshold at integer mean, 64 bits as two BIGINT
+    halves + popcount).  The SimHash playbook applied to pixels: equal or
+    low-hamming hashes bucket near-identical images, so image dedup is a
+    groupBy/join on the hash, never pairwise pixel comparison.  The whole
+    integer chain replays in the oracle via precomputed source-byte
+    offsets."""
+    from ..operators.multimodal import ahash_ppm, ppm_wrap, resize_ppm_nearest
+
+    wrapped = ppm_wrap(_media(spark, sf_dir), width=_PPM_W, height=_PPM_H)
+    return ahash_ppm(resize_ppm_nearest(wrapped, 8, 8))
+
+
+def _ppm_ahash_sql() -> str:
+    ys = [(y * _PPM_H) // 8 for y in range(8)]
+    xs = [(x * _PPM_W) // 8 for x in range(8)]
+
+    def byte_at(off: int) -> str:
+        return (
+            f"CASE WHEN {off} < n_bytes"
+            f" THEN ('0x' || substr(h, {2 * off + 1}, 2))::BIGINT ELSE 0 END"
+        )
+
+    grays = []
+    for y in ys:  # row-major over the resized 8x8, matching ahash_ppm
+        for x in xs:
+            base = (y * _PPM_W + x) * 3
+            grays.append(
+                f"(({byte_at(base)}) + ({byte_at(base + 1)})"
+                f" + ({byte_at(base + 2)})) // 3"
+            )
+    gs = ",\n        ".join(grays)
+    return f"""
+WITH hx AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           hex(encode(text)) AS h,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+), g AS (
+    SELECT doc_id, modality,
+        [{gs}] AS gs
+    FROM hx
+), m AS (
+    SELECT doc_id, modality, gs,
+           CAST(list_aggregate(gs, 'sum') AS BIGINT) // 64 AS mean
+    FROM g
+)
+SELECT doc_id AS media_id, modality,
+       CAST(list_aggregate(list_transform(range(1, 33),
+            i -> CASE WHEN gs[i] > mean THEN 1 << (i - 1) ELSE 0 END),
+            'sum') AS BIGINT) AS ahash_hi,
+       CAST(list_aggregate(list_transform(range(33, 65),
+            i -> CASE WHEN gs[i] > mean THEN 1 << (i - 33) ELSE 0 END),
+            'sum') AS BIGINT) AS ahash_lo,
+       CAST(list_aggregate(list_transform(range(1, 65),
+            i -> CASE WHEN gs[i] > mean THEN 1 ELSE 0 END),
+            'sum') AS BIGINT) AS n_set
+FROM m
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_scores": text_quality_scores,
@@ -752,6 +818,7 @@ QUERIES = {
     "multimodal_media_stats": multimodal_media_stats,
     "multimodal_decode_features": multimodal_decode_features,
     "multimodal_image_resize_stats": multimodal_image_resize_stats,
+    "multimodal_image_ahash": multimodal_image_ahash,
 }
 
 ORACLES = {
@@ -772,6 +839,7 @@ ORACLES = {
     "multimodal_media_stats": _MEDIA_STATS_SQL,
     "multimodal_decode_features": _DECODE_WAV_SQL,
     "multimodal_image_resize_stats": _ppm_resize_sql(),
+    "multimodal_image_ahash": _ppm_ahash_sql(),
 }
 
 

@@ -761,3 +761,55 @@ def test_ppm_resize_nearest_matches_numpy(spark):
     ).collect()[0]
     assert dec["r_sum"] == int(want[:, :, 0].sum())
     assert dec["rgb_max"] == int(want.max())
+
+
+def test_ahash_locality_and_numpy_parity(spark):
+    """aHash must (a) match a hand-computed reference, (b) be identical for
+    identical images, (c) move few bits for a small edit and more for an
+    unrelated image — the perceptual-bucket property image dedup rests on."""
+    import numpy as np
+
+    from test_flink_spark.operators.multimodal import ahash_ppm
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] = [255, 255, 255]  # one-pixel edit
+    far = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+
+    def p6(img):
+        return b"P6\n8 8\n255\n" + img.tobytes()
+
+    df = spark.createDataFrame(
+        [
+            (0, "image", p6(base)),
+            (1, "image", p6(base)),
+            (2, "image", p6(near)),
+            (3, "image", p6(far)),
+        ],
+        "media_id LONG, modality STRING, payload BINARY",
+    )
+    got = {r["media_id"]: r.asDict() for r in ahash_ppm(df).collect()}
+
+    gray = base.astype(int).reshape(64, 3).sum(axis=1) // 3
+    mean = int(gray.sum()) // 64
+    bits = [1 if g > mean else 0 for g in gray]
+    assert got[0]["ahash_hi"] == sum(b << i for i, b in enumerate(bits[:32]))
+    assert got[0]["ahash_lo"] == sum(b << i for i, b in enumerate(bits[32:]))
+    assert got[0]["n_set"] == sum(bits)
+
+    def hamming(a, b):
+        return bin(a["ahash_hi"] ^ b["ahash_hi"]).count("1") + bin(
+            a["ahash_lo"] ^ b["ahash_lo"]
+        ).count("1")
+
+    assert hamming(got[0], got[1]) == 0
+    assert hamming(got[0], got[2]) <= 4
+    assert hamming(got[0], got[3]) > 4
+
+    bad = spark.createDataFrame(
+        [(9, "image", b"P6\n4 4\n255\n" + bytes(48))],
+        "media_id LONG, modality STRING, payload BINARY",
+    )
+    with pytest.raises(Exception, match="8x8"):
+        ahash_ppm(bad).collect()
