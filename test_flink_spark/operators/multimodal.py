@@ -548,3 +548,73 @@ def ahash_ppm(
     return df.select(id_col, modality_col, payload_col).mapInPandas(
         hsh, AHASH_SCHEMA
     )
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_samples", LongType()),
+        StructField("energy_sum", LongType()),
+        StructField("fp", LongType()),
+    ]
+)
+
+
+def wav_energy_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    modality_col: str = "modality",
+    n_windows: int = 32,
+) -> DataFrame:
+    """Audio near-dup fingerprint over canonical mono 8-bit PCM WAV
+    payloads (``wav_wrap`` output): split the sample stream into
+    ``n_windows`` contiguous windows (window w covers samples
+    [n·w/W, n·(w+1)/W)), e_w = integer sample sum, and bit w of ``fp`` is
+    set when window w is LOUDER than window w+1 — compared density-exact
+    by cross-multiplication (e_w·n_{w+1} > e_{w+1}·n_w), so unequal
+    window lengths never bias the bit.  The energy-delta profile is the
+    classic audio-matching shape (Shazam/chromaprint lineage, minus the
+    FFT this container can't verify bit-exactly): W-1 bits in one BIGINT,
+    hamming distance = one XOR+popcount, bucketing on fp equality/prefix.
+    All-integer -> the whole chain replays in the DuckDB oracle."""
+    import struct as _struct
+
+    import numpy as np
+
+    if not 2 <= n_windows <= 64:
+        raise ValueError(f"n_windows must be in [2, 64], got {n_windows}")
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mod, raw in zip(
+                pdf[id_col], pdf[modality_col], pdf[payload_col]
+            ):
+                b = bytes(raw)
+                if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError(f"not a RIFF/WAVE payload (media_id={mid})")
+                _, _, ch, _, _, _, bits = _struct.unpack("<IHHIIHH", b[16:36])
+                if ch != 1 or bits != 8 or b[36:40] != b"data":
+                    raise ValueError(
+                        f"fingerprint needs canonical mono 8-bit PCM (media_id={mid})"
+                    )
+                n = _struct.unpack("<I", b[40:44])[0]
+                s = np.frombuffer(b, np.uint8, count=n, offset=44).astype(np.int64)
+                bounds = [(n * w) // n_windows for w in range(n_windows + 1)]
+                e = [int(s[bounds[w] : bounds[w + 1]].sum()) for w in range(n_windows)]
+                ln = [bounds[w + 1] - bounds[w] for w in range(n_windows)]
+                val = sum(
+                    (1 << w)
+                    for w in range(n_windows - 1)
+                    if e[w] * ln[w + 1] > e[w + 1] * ln[w]
+                )
+                rows.append((mid, mod, n, int(s.sum()), val))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FP_SCHEMA.fields]
+            )
+
+    return df.select(id_col, modality_col, payload_col).mapInPandas(
+        fp, AUDIO_FP_SCHEMA
+    )

@@ -46,6 +46,7 @@ _PROMOTED = (
     "corpus_domain_percentile_filter",
     "multimodal_image_resize_stats",
     "multimodal_image_ahash",
+    "multimodal_audio_fingerprint",
     # new in r5 batch 2 — CDC / gap-fill / co-occurrence / triangles /
     # fuzzy linkage (module enterprise, second in order → driver window)
     "cdc_apply_latest",

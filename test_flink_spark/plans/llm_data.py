@@ -800,6 +800,67 @@ FROM m
 """
 
 
+_AUDIO_FP_WINDOWS = 32
+
+
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup fingerprints: wav_wrap each doc's bytes as canonical
+    mono 8-bit PCM, then the 32-window energy-delta fingerprint
+    (operators/multimodal.py::wav_energy_fingerprint) — 31 loudness-delta
+    bits in one BIGINT, density-exact via cross-multiplication.  Completes
+    the per-modality near-dup set (text MinHash/SimHash, image aHash,
+    audio energy profile); the oracle replays windowed integer energies
+    over hex(encode(text)) with the same floor-division window bounds."""
+    from ..operators.multimodal import wav_energy_fingerprint, wav_wrap
+
+    return wav_energy_fingerprint(
+        wav_wrap(_media(spark, sf_dir)), n_windows=_AUDIO_FP_WINDOWS
+    )
+
+
+def _audio_fp_sql(n_windows: int = _AUDIO_FP_WINDOWS) -> str:
+    # window w covers 0-based byte offsets [n*w//W, n*(w+1)//W); DuckDB
+    # range() is 1-based into the hex string, so offset o -> substr(2o+1)
+    def esum(w: int) -> str:
+        return (
+            f"CAST(list_aggregate(list_transform("
+            f"range(n_bytes * {w} // {n_windows} + 1,"
+            f" n_bytes * {w + 1} // {n_windows} + 1),"
+            f" i -> ('0x' || substr(h, 2*i - 1, 2))::BIGINT), 'sum') AS BIGINT)"
+        )
+
+    def wlen(w: int) -> str:
+        return f"(n_bytes * {w + 1} // {n_windows} - n_bytes * {w} // {n_windows})"
+
+    es = ",\n           ".join(f"COALESCE({esum(w)}, 0) AS e{w}" for w in range(n_windows))
+    bits = " + ".join(
+        f"CASE WHEN e{w} * {wlen(w + 1)} > e{w + 1} * {wlen(w)}"
+        f" THEN CAST({1 << w} AS BIGINT) ELSE 0 END"
+        for w in range(n_windows - 1)
+    )
+    etot = " + ".join(f"e{w}" for w in range(n_windows))
+    return f"""
+WITH hx AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           hex(encode(text)) AS h,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+), e AS (
+    SELECT doc_id, modality, n_bytes,
+           {es}
+    FROM hx
+)
+SELECT doc_id AS media_id, modality,
+       n_bytes AS n_samples,
+       CAST({etot} AS BIGINT) AS energy_sum,
+       CAST({bits} AS BIGINT) AS fp
+FROM e
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_scores": text_quality_scores,
@@ -819,6 +880,7 @@ QUERIES = {
     "multimodal_decode_features": multimodal_decode_features,
     "multimodal_image_resize_stats": multimodal_image_resize_stats,
     "multimodal_image_ahash": multimodal_image_ahash,
+    "multimodal_audio_fingerprint": multimodal_audio_fingerprint,
 }
 
 ORACLES = {
@@ -840,6 +902,7 @@ ORACLES = {
     "multimodal_decode_features": _DECODE_WAV_SQL,
     "multimodal_image_resize_stats": _ppm_resize_sql(),
     "multimodal_image_ahash": _ppm_ahash_sql(),
+    "multimodal_audio_fingerprint": _audio_fp_sql(),
 }
 
 

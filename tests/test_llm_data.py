@@ -813,3 +813,49 @@ def test_ahash_locality_and_numpy_parity(spark):
     )
     with pytest.raises(Exception, match="8x8"):
         ahash_ppm(bad).collect()
+
+
+def test_audio_fingerprint_locality_and_reference(spark):
+    """Energy-delta fingerprint must match a hand-computed reference,
+    be invariant for identical audio, and move few bits for a localized
+    edit — the bucketing property audio near-dup rests on."""
+    from test_flink_spark.operators.multimodal import (
+        wav_energy_fingerprint,
+        wav_wrap,
+    )
+
+    W = 8
+    base = bytes((37 * i) % 251 for i in range(400))
+    near = bytearray(base)
+    near[5] = 255  # one-sample edit -> only window 0's energy moves
+    far = bytes((91 * i + 13) % 251 for i in range(353))
+    df = spark.createDataFrame(
+        [(0, "audio", base), (1, "audio", base), (2, "audio", bytes(near)), (3, "audio", far)],
+        "media_id LONG, modality STRING, payload BINARY",
+    )
+    got = {
+        r["media_id"]: r.asDict()
+        for r in wav_energy_fingerprint(wav_wrap(df), n_windows=W).collect()
+    }
+
+    n = len(base)
+    bounds = [(n * w) // W for w in range(W + 1)]
+    e = [sum(base[bounds[w] : bounds[w + 1]]) for w in range(W)]
+    ln = [bounds[w + 1] - bounds[w] for w in range(W)]
+    want = sum(
+        (1 << w) for w in range(W - 1) if e[w] * ln[w + 1] > e[w + 1] * ln[w]
+    )
+    assert got[0]["fp"] == want
+    assert got[0]["n_samples"] == n and got[0]["energy_sum"] == sum(base)
+    assert got[0]["fp"] == got[1]["fp"]
+    assert bin(got[0]["fp"] ^ got[2]["fp"]).count("1") <= 2
+    # different length AND different content: fingerprints shouldn't match
+    assert got[0]["fp"] != got[3]["fp"]
+
+    with pytest.raises(Exception, match="RIFF/WAVE"):
+        wav_energy_fingerprint(
+            spark.createDataFrame(
+                [(9, "audio", b"mp3 junk")],
+                "media_id LONG, modality STRING, payload BINARY",
+            )
+        ).collect()
