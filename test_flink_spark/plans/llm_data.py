@@ -861,6 +861,85 @@ FROM e
 """
 
 
+_VID_FRAME_BYTES, _VID_EVERY_K, _VID_JACCARD = 64, 2, 0.5
+
+
+def multimodal_video_frame_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs: sample every 2nd 64-byte frame of each video
+    payload (the frame_sample slicing, JVM-side), key each frame by
+    md5-of-hex (engine-portable: DuckDB 1.0 cannot md5 a BLOB, and the
+    hex transcoding is byte-exact in both engines), per-video DISTINCT
+    inside the row's own array, then the inverted-index jaccard join over
+    shared frames — the ngram_jaccard shape applied to frame sets, which
+    is how near-duplicate video detection actually works (shot/frame
+    fingerprints + set overlap), completing per-modality near-dup
+    coverage.  Never all-pairs: candidates come from the frame-key
+    equality join."""
+    fb = _VID_FRAME_BYTES
+    media = _media(spark, sf_dir).filter(F.col("modality") == "video")
+    n_frames = F.ceil(F.octet_length("payload") / F.lit(fb)).cast("int")
+    idx = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1, F.lit(_VID_EVERY_K))
+    ).otherwise(F.array().cast("array<int>"))
+    keys = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.md5(F.hex(F.substring(F.col("payload"), i * fb + 1, fb))),
+        )
+    )
+    sh = media.select(F.col("media_id"), F.explode(keys).alias("fk"))
+    sizes = sh.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_fr"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fk") == F.col("b.fk")) & (F.col("a.media_id") < F.col("b.media_id")))
+        .groupBy(F.col("a.media_id").alias("id_a"), F.col("b.media_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("media_id").alias("id_a"), F.col("n_fr").alias("n_a"))
+    sb = sizes.select(F.col("media_id").alias("id_b"), F.col("n_fr").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4
+            ).alias("frame_jaccard"),
+        )
+        .filter(F.col("frame_jaccard") >= _VID_JACCARD)
+    )
+
+
+def _video_frame_sql() -> str:
+    fb2 = _VID_FRAME_BYTES * 2  # hex chars per frame
+    return f"""
+WITH vids AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n
+    FROM documents WHERE doc_id % 3 = 2
+), fr AS (
+    SELECT DISTINCT doc_id,
+           md5(substr(hx, CAST(i AS BIGINT) * {fb2} + 1, {fb2})) AS fk
+    FROM vids,
+         unnest(range(0, (n + {_VID_FRAME_BYTES - 1}) // {_VID_FRAME_BYTES},
+                      {_VID_EVERY_K})) AS t(i)
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n_fr FROM fr GROUP BY 1
+), shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM fr a JOIN fr b ON a.fk = b.fk AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(shared * 1.0 / (sa.n_fr + sb.n_fr - shared), 4) AS frame_jaccard
+FROM shared
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE ROUND(shared * 1.0 / (sa.n_fr + sb.n_fr - shared), 4) >= {_VID_JACCARD}
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_scores": text_quality_scores,
@@ -881,6 +960,7 @@ QUERIES = {
     "multimodal_image_resize_stats": multimodal_image_resize_stats,
     "multimodal_image_ahash": multimodal_image_ahash,
     "multimodal_audio_fingerprint": multimodal_audio_fingerprint,
+    "multimodal_video_frame_jaccard": multimodal_video_frame_jaccard,
 }
 
 ORACLES = {
@@ -903,6 +983,7 @@ ORACLES = {
     "multimodal_image_resize_stats": _ppm_resize_sql(),
     "multimodal_image_ahash": _ppm_ahash_sql(),
     "multimodal_audio_fingerprint": _audio_fp_sql(),
+    "multimodal_video_frame_jaccard": _video_frame_sql(),
 }
 
 

@@ -859,3 +859,24 @@ def test_audio_fingerprint_locality_and_reference(spark):
                 "media_id LONG, modality STRING, payload BINARY",
             )
         ).collect()
+
+
+def test_video_frame_jaccard_finds_planted_near_dups(spark, tmp_path, monkeypatch):
+    """Two videos sharing most sampled frames must pair above the
+    threshold; unrelated byte streams must not pair."""
+    from test_flink_spark.plans import llm_data as L
+
+    base = bytes((11 * i) % 256 for i in range(64 * 20))  # 20 frames
+    near = base[: 64 * 18] + bytes(64 * 2)  # last 2 frames replaced
+    far = bytes((201 * i + 7) % 256 for i in range(64 * 20))
+    media = spark.createDataFrame(
+        [(2, "video", base), (5, "video", near), (8, "video", far)],
+        "media_id LONG, modality STRING, payload BINARY",
+    )
+    monkeypatch.setattr(L, "_media", lambda spark_, sf_: media)
+    got = {
+        (r["id_a"], r["id_b"]): r["frame_jaccard"]
+        for r in L.multimodal_video_frame_jaccard(spark, "ignored").collect()
+    }
+    assert (2, 5) in got and got[(2, 5)] >= 0.5
+    assert all(8 not in pair for pair in got)
