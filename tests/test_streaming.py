@@ -772,3 +772,65 @@ def test_streaming_heartbeat_detects_silent_key(spark, tmpdirs):
         q.stop()
     assert [(r["k"], r["last_seen_ms"]) for r in rows] == [(1, 105_000)]
     assert rows[0]["silent_for_ms"] >= 30_000
+
+
+def test_multimodal_fingerprints_compose_over_readstream(spark, tmpdirs):
+    """Ingest-time media fingerprinting: the wrap -> resize -> aHash chain
+    (JVM expressions + Arrow-batched mapInPandas) runs unchanged on a
+    streaming DataFrame and emits exactly the batch results — scoring
+    media ON ARRIVAL costs no redesign."""
+    import base64
+    import json
+
+    from test_flink_spark.operators.multimodal import (
+        ahash_ppm,
+        ppm_wrap,
+        resize_ppm_nearest,
+    )
+
+    payloads = [
+        (i, "image", bytes(((i + 1) * 37 * j) % 256 for j in range(300)))
+        for i in range(6)
+    ]
+    batch_df = spark.createDataFrame(
+        payloads, "media_id LONG, modality STRING, payload BINARY"
+    )
+
+    def chain(df):
+        return ahash_ppm(
+            resize_ppm_nearest(ppm_wrap(df, width=16, height=12), 8, 8)
+        )
+
+    want = {tuple(r) for r in chain(batch_df).collect()}
+
+    src = tmpdirs / "media_src"
+    src.mkdir()
+    for i, chunk in enumerate((payloads[:3], payloads[3:])):
+        (src / f"b{i}.jsonl").write_text(
+            "\n".join(
+                json.dumps(
+                    {
+                        "media_id": mid,
+                        "modality": mod,
+                        "payload_b64": base64.b64encode(raw).decode(),
+                    }
+                )
+                for mid, mod, raw in chunk
+            )
+            + "\n"
+        )
+    stream = (
+        spark.readStream.schema("media_id LONG, modality STRING, payload_b64 STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select("media_id", "modality", F.unbase64("payload_b64").alias("payload"))
+    )
+    q = start_memory(
+        chain(stream), "media_stream", str(tmpdirs / "media_ckpt"), mode="append"
+    )
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.table("media_stream").collect()}
+    finally:
+        q.stop()
+    assert got == want
