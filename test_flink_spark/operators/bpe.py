@@ -115,6 +115,18 @@ def bpe_learn(
 def bpe_oracle_sql(table: str, text_col: str = "text", n_merges: int = 3) -> str:
     """Unrolled replay: same tokenization, wrapping, pair counting,
     (cnt DESC, pair ASC) winner, and replace()-application per round."""
+    ctes = _learning_ctes(table, text_col, n_merges)
+    finals = " UNION ALL ".join(
+        f"SELECT {r}::BIGINT AS merge_round, pair, cnt::BIGINT AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+def _learning_ctes(table: str, text_col: str = "text", n_merges: int = 3) -> list[str]:
+    """The merge-learning CTE chain (shared by the learning oracle and the
+    encode oracle): tokenize → word types → wrapped sequences → per-round
+    pair counts p{r} and winners b{r}."""
     ctes = [
         f"""toks AS (
   SELECT lower(unnest(string_split_regex(trim({text_col}), '\\s+'))) AS tok
@@ -149,8 +161,85 @@ def bpe_oracle_sql(table: str, text_col: str = "text", n_merges: int = 3) -> str
   FROM {prev}
 )"""
             )
-    finals = " UNION ALL ".join(
-        f"SELECT {r}::BIGINT AS merge_round, pair, cnt::BIGINT AS pair_count FROM b{r}"
-        for r in range(1, n_merges + 1)
+    return ctes
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a LEARNED merge list to encode text — the tokenizer's second
+    half, entirely JVM-side: each lowercase-ASCII word is wrapped into
+    symbol form, the merges replay in learned order via chained
+    ``replace`` (same leftmost non-overlapping scan as learning), and
+    non-alphabetic words pass through as single opaque tokens.  Returns
+    ``(id_col, n_bpe_tokens, enc_md5)`` where enc_md5 fingerprints the
+    full '|'-joined token sequence (order-sensitive), so any divergence
+    in merge application anywhere in the doc flips the hash.
+
+    Scale: a narrow codegen projection — no shuffle, no Python; the
+    merge table is a list of literals (vocabulary-sized state, the
+    broadcast-dimension of tokenization).  Composes over readStream."""
+    ws = words(F.lower(F.col(text_col)))
+
+    def enc(w):
+        seq = F.regexp_replace(w, F.lit("(.)"), F.lit(" $1 "))
+        for p in merges:
+            needle = " " + p.replace(" ", "  ") + " "
+            merged = " " + p.replace(" ", "") + " "
+            seq = F.replace(seq, F.lit(needle), F.lit(merged))
+        return F.split(F.trim(seq), "  ")
+
+    per_word = F.transform(
+        ws, lambda w: F.when(w.rlike(TOKEN_RE), enc(w)).otherwise(F.array(w))
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + finals
+    flat = F.flatten(per_word)
+    return df.select(
+        F.col(id_col),
+        F.size(flat).cast("long").alias("n_bpe_tokens"),
+        F.md5(F.array_join(flat, "|")).alias("enc_md5"),
+    )
+
+
+def bpe_encode_oracle_sql(
+    table: str, text_col: str = "text", n_merges: int = 3
+) -> str:
+    """Encode replay: re-learns the merges in SQL (the shared
+    ``_learning_ctes`` chain), binds the winning pairs as scalar columns,
+    and applies the identical wrap → chained-replace → split per word.
+    No literals cross from the Spark side — both engines DERIVE the
+    merge table from the corpus, so the check covers learning AND
+    application end-to-end."""
+    ctes = _learning_ctes(table, text_col, n_merges)
+    pairs = ", ".join(
+        f"(SELECT pair FROM b{r}) AS mp{r}" for r in range(1, n_merges + 1)
+    )
+    ctes.append(f"m AS (SELECT {pairs})")
+    seq = "regexp_replace(w, '(.)', ' \\1 ', 'g')"
+    for r in range(1, n_merges + 1):
+        seq = (
+            f"replace({seq}, ' ' || replace(mp{r}, ' ', '  ') || ' ',"
+            f" ' ' || replace(mp{r}, ' ', '') || ' ')"
+        )
+    ctes.append(
+        rf"""enc AS (
+  SELECT doc_id,
+         flatten(list_transform(
+             string_split_regex(trim(lower({text_col})), '\s+'),
+             w -> CASE WHEN regexp_matches(w, '{TOKEN_RE}')
+                       THEN string_split(trim({seq}), '  ')
+                       ELSE [w] END)) AS toks
+  FROM {table}, m
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+       md5(array_to_string(toks, '|')) AS enc_md5
+FROM enc
+"""
+    )

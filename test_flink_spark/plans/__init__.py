@@ -46,6 +46,7 @@ _PROMOTED = (
     "multimodal_image_ahash",
     "multimodal_audio_fingerprint",
     "multimodal_video_frame_jaccard",
+    "text_bpe_encode",
     # new in r5 batch 2 — CDC / gap-fill / co-occurrence / triangles /
     # fuzzy linkage (module enterprise, second in order → driver window)
     "cdc_apply_latest",

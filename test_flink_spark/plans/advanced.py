@@ -178,6 +178,37 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_SQL = bpe.bpe_oracle_sql("documents", "text", _BPE_MERGES)
 
+# learned merges memoized per (application, sf_dir): the merge table is the
+# tokenizer's persisted artifact — training it once and encoding many is
+# the production shape (the _shared_clusters accounting discipline)
+_BPE_LEARNED_CACHE: dict[tuple, list[str]] = {}
+
+
+def _learned_merges(spark: SparkSession, sf_dir: str) -> list[str]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pairs = _BPE_LEARNED_CACHE.get(key)
+    if pairs is None:
+        docs = _t(spark, sf_dir, "documents")
+        rows = bpe.bpe_learn(spark, docs, "text", _BPE_MERGES).collect()
+        pairs = [r["pair"] for r in sorted(rows, key=lambda r: r["merge_round"])]
+        _BPE_LEARNED_CACHE[key] = pairs
+    return pairs
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document with the corpus-learned BPE merges — the
+    tokenizer's apply half (operators/bpe.py::bpe_encode): per-word
+    wrapped-symbol replace chain, JVM-only, emitting token count + an
+    order-sensitive md5 of the full token sequence.  The oracle re-learns
+    the merges in SQL and applies them identically, so learning AND
+    application are checked end-to-end with no literals crossing
+    engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return bpe.bpe_encode(docs, _learned_merges(spark, sf_dir))
+
+
+_BPE_ENCODE_SQL = bpe.bpe_encode_oracle_sql("documents", "text", _BPE_MERGES)
+
 
 # ---------------------------------------------------------------------------
 # Weighted sampling: 200 docs with inclusion probability ~ length.
@@ -721,6 +752,7 @@ QUERIES = {
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "graph_pagerank_trade": graph_pagerank_trade,
     "text_bpe_merges": text_bpe_merges,
+    "text_bpe_encode": text_bpe_encode,
     "corpus_weighted_sample": corpus_weighted_sample,
     "data_quality_report": data_quality_report,
     "events_daily_anomaly": events_daily_anomaly,
@@ -746,6 +778,7 @@ ORACLES = {
     "corpus_weighted_sample": _WSAMPLE_SQL,
     "graph_pagerank_trade": _PAGERANK_SQL,
     "text_bpe_merges": _BPE_SQL,
+    "text_bpe_encode": _BPE_ENCODE_SQL,
     "sketch_hll_distinct_users": _HLL_SQL,
     "sketch_kmv_distinct_users": _KMV_SQL,
     "sketch_hll_merge_rollup": _HLL_MERGE_SQL,

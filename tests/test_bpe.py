@@ -41,3 +41,50 @@ def test_non_ascii_and_case_normalization(spark):
     # only word type 'abba' (x2) survives: pairs 'a b','b b','b a' each 2
     # -> tie broken by pair ASC: 'a b'
     assert [(r["pair"], r["pair_count"]) for r in rows] == [("a b", 2)]
+
+
+def test_bpe_encode_hand_example_and_passthrough(spark):
+    """Encoding with an explicit merge list must chain runs left-to-right
+    (aaaa + merge(a,a) -> [aa, aa]), apply later merges over earlier
+    outputs, pass non-alphabetic words through unsplit, and report the
+    order-sensitive sequence hash."""
+    import hashlib
+
+    from test_flink_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "aaaa abab x9 zz")], "doc_id LONG, text STRING"
+    )
+    # merge 1: 'a a' -> 'aa'; merge 2: 'aa aa' -> 'aaaa'
+    out = bpe_encode(df, ["a a", "aa aa"]).collect()[0]
+    # 'aaaa' -> [aa, aa] -> [aaaa]; 'abab' -> a b a b (no 'a a' adjacency);
+    # 'x9' fails ^[a-z]+$ -> opaque token; 'zz' -> z z (no merge learned)
+    toks = ["aaaa", "a", "b", "a", "b", "x9", "z", "z"]
+    assert out["n_bpe_tokens"] == len(toks)
+    assert out["enc_md5"] == hashlib.md5("|".join(toks).encode()).hexdigest()
+
+
+def test_bpe_encode_uses_learned_merges_consistently(spark):
+    """text_bpe_encode must encode with EXACTLY the merges text_bpe_merges
+    reports (shared memoized learning)."""
+    from test_flink_spark.operators.bpe import bpe_encode
+    from test_flink_spark.plans.advanced import text_bpe_encode, text_bpe_merges
+    from test_flink_spark.schemas import load_table
+
+    sf = "/root/testdata/sf0.001"
+    merges = [
+        r["pair"]
+        for r in sorted(
+            text_bpe_merges(spark, sf).collect(), key=lambda r: r["merge_round"]
+        )
+    ]
+    docs = load_table(spark, sf, "documents")
+    direct = {
+        (r["doc_id"], r["n_bpe_tokens"], r["enc_md5"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    via_query = {
+        (r["doc_id"], r["n_bpe_tokens"], r["enc_md5"])
+        for r in text_bpe_encode(spark, sf).collect()
+    }
+    assert direct == via_query
