@@ -47,6 +47,7 @@ _PROMOTED = (
     "multimodal_audio_fingerprint",
     "multimodal_video_frame_jaccard",
     "text_bpe_encode",
+    "corpus_multimodal_dup_flags",
     # new in r5 batch 2 — CDC / gap-fill / co-occurrence / triangles /
     # fuzzy linkage (module enterprise, second in order → driver window)
     "cdc_apply_latest",

@@ -940,6 +940,114 @@ WHERE ROUND(shared * 1.0 / (sa.n_fr + sb.n_fr - shared), 4) >= {_VID_JACCARD}
 """
 
 
+def corpus_multimodal_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The integration row: per document, is it a duplicate in ANY
+    modality?  Composes three existing fingerprint families — text
+    MinHash-LSH pairs, image aHash equality over the wrap→resize chain,
+    audio energy-fingerprint equality over the wav chain — into one flag
+    table ``(doc_id, dup_text_of, dup_img_of, dup_audio_of, any_dup)``,
+    each dup_*_of the smallest matching earlier doc.  This is the shape a
+    curation pipeline actually consumes: one keyed row per example, one
+    boolean gate.  Each modality's candidates come from its own
+    equality/band join (never all-pairs); the three probes share the
+    corpus scan via Catalyst CTE dedup and join back on doc_id."""
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.multimodal import (
+        ahash_ppm,
+        ppm_wrap,
+        resize_ppm_nearest,
+        wav_energy_fingerprint,
+        wav_wrap,
+    )
+
+    docs = _docs(spark, sf_dir)
+    media = _media(spark, sf_dir)
+
+    txt = (
+        minhash_lsh_pairs(docs, num_perm=16, bands=4)
+        .groupBy(F.col("id_b").alias("doc_id"))
+        .agg(F.min("id_a").alias("dup_text_of"))
+    )
+
+    def _min_equal(keyed: DataFrame, key_cols: list[str], out: str) -> DataFrame:
+        mins = keyed.groupBy(*key_cols).agg(F.min("media_id").alias("m"))
+        return (
+            keyed.join(mins, key_cols)
+            .select(
+                F.col("media_id").alias("doc_id"),
+                F.when(F.col("m") < F.col("media_id"), F.col("m")).alias(out),
+            )
+            .filter(F.col(out).isNotNull())
+        )
+
+    img = _min_equal(
+        ahash_ppm(
+            resize_ppm_nearest(ppm_wrap(media, width=_PPM_W, height=_PPM_H), 8, 8)
+        ).select("media_id", "ahash_hi", "ahash_lo"),
+        ["ahash_hi", "ahash_lo"],
+        "dup_img_of",
+    )
+    au = _min_equal(
+        wav_energy_fingerprint(
+            wav_wrap(media), n_windows=_AUDIO_FP_WINDOWS
+        ).select("media_id", "fp", "n_samples"),
+        ["fp", "n_samples"],
+        "dup_audio_of",
+    )
+    return (
+        docs.select("doc_id")
+        .join(txt, "doc_id", "left")
+        .join(img, "doc_id", "left")
+        .join(au, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_text_of",
+            "dup_img_of",
+            "dup_audio_of",
+            (
+                F.col("dup_text_of").isNotNull()
+                | F.col("dup_img_of").isNotNull()
+                | F.col("dup_audio_of").isNotNull()
+            ).alias("any_dup"),
+        )
+    )
+
+
+def _multimodal_flags_sql() -> str:
+    # each modality's full oracle SELECT embeds as a FROM-subquery (DuckDB
+    # accepts WITH inside FROM — the LPA precedent), so this oracle is BY
+    # CONSTRUCTION the composition of the three already-green oracles
+    return f"""
+WITH txt AS (
+    SELECT id_b AS doc_id, MIN(id_a) AS dup_text_of
+    FROM ({_minhash_sql()}) GROUP BY 1
+), ah AS (
+    SELECT media_id, ahash_hi, ahash_lo FROM ({_ppm_ahash_sql()})
+), img AS (
+    SELECT a.media_id AS doc_id, MIN(b.media_id) AS dup_img_of
+    FROM ah a JOIN ah b
+      ON a.ahash_hi = b.ahash_hi AND a.ahash_lo = b.ahash_lo
+     AND b.media_id < a.media_id
+    GROUP BY 1
+), af AS (
+    SELECT media_id, fp, n_samples FROM ({_audio_fp_sql()})
+), au AS (
+    SELECT a.media_id AS doc_id, MIN(b.media_id) AS dup_audio_of
+    FROM af a JOIN af b
+      ON a.fp = b.fp AND a.n_samples = b.n_samples
+     AND b.media_id < a.media_id
+    GROUP BY 1
+)
+SELECT d.doc_id, txt.dup_text_of, img.dup_img_of, au.dup_audio_of,
+       (txt.dup_text_of IS NOT NULL OR img.dup_img_of IS NOT NULL
+        OR au.dup_audio_of IS NOT NULL) AS any_dup
+FROM documents d
+LEFT JOIN txt ON d.doc_id = txt.doc_id
+LEFT JOIN img ON d.doc_id = img.doc_id
+LEFT JOIN au ON d.doc_id = au.doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_scores": text_quality_scores,
@@ -961,6 +1069,7 @@ QUERIES = {
     "multimodal_image_ahash": multimodal_image_ahash,
     "multimodal_audio_fingerprint": multimodal_audio_fingerprint,
     "multimodal_video_frame_jaccard": multimodal_video_frame_jaccard,
+    "corpus_multimodal_dup_flags": corpus_multimodal_dup_flags,
 }
 
 ORACLES = {
@@ -984,6 +1093,7 @@ ORACLES = {
     "multimodal_image_ahash": _ppm_ahash_sql(),
     "multimodal_audio_fingerprint": _audio_fp_sql(),
     "multimodal_video_frame_jaccard": _video_frame_sql(),
+    "corpus_multimodal_dup_flags": _multimodal_flags_sql(),
 }
 
 

@@ -880,3 +880,67 @@ def test_video_frame_jaccard_finds_planted_near_dups(spark, tmp_path, monkeypatc
     }
     assert (2, 5) in got and got[(2, 5)] >= 0.5
     assert all(8 not in pair for pair in got)
+
+
+def test_multimodal_dup_flags_consistent_with_families(spark):
+    """The integration row must agree with each modality family it
+    composes: planted exact text dups are flagged in all three modalities
+    (same bytes -> same image hash, same audio profile), and any_dup is
+    the OR of the three columns."""
+    from test_flink_spark.plans import llm_data as L
+
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in L.corpus_multimodal_dup_flags(spark, SF).collect()
+    }
+    assert len(rows) == 500
+    for r in rows.values():
+        assert r["any_dup"] == (
+            r["dup_text_of"] is not None
+            or r["dup_img_of"] is not None
+            or r["dup_audio_of"] is not None
+        )
+        for c in ("dup_text_of", "dup_img_of", "dup_audio_of"):
+            if r[c] is not None:
+                assert r[c] < r["doc_id"]
+
+
+def test_multimodal_dup_flags_planted_exact_dup(spark, monkeypatch):
+    """A planted byte-identical document must be flagged in EVERY modality
+    (same bytes -> same signatures, same image hash, same audio profile),
+    with dup_*_of pointing at the earliest copy; unique docs stay clean."""
+    from test_flink_spark.plans import llm_data as L
+
+    # texts longer than the 576-byte image body, so the thumbnails carry
+    # real content (a near-empty zero-padded image hashes alike for ANY
+    # short doc — correct behavior, wrong fixture)
+    texts = {
+        0: " ".join(f"alpha{i % 7}" for i in range(120)),
+        1: " ".join(f"zz{(i * 13) % 31}word" for i in range(110)),
+        2: " ".join(f"alpha{i % 7}" for i in range(120)),  # dup of 0
+        3: " ".join(f"qqq{(i * 29) % 97}" for i in range(115)),
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in texts.items()],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    monkeypatch.setattr(L, "_docs", lambda s, sf: docs)
+    monkeypatch.setattr(
+        L,
+        "_media",
+        lambda s, sf: docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("modality"),
+            F.encode("text", "UTF-8").alias("payload"),
+        ),
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in L.corpus_multimodal_dup_flags(spark, "ignored").collect()
+    }
+    assert got[2]["dup_text_of"] == 0
+    assert got[2]["dup_img_of"] == 0
+    assert got[2]["dup_audio_of"] == 0
+    assert got[2]["any_dup"]
+    for i in (0, 1, 3):
+        assert not got[i]["any_dup"], i
