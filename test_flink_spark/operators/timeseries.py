@@ -109,3 +109,131 @@ def trailing_range_sums(
         F.count(F.lit(1)).over(w).cast("long").alias("n_trailing"),
         F.sum(value_cents_col).over(w).cast("long").alias("cents_trailing"),
     )
+
+
+HW_SCALE = 10**6  # fixed-point scale for smoothing state
+HW_ALPHA = (3, 10)  # level smoothing 0.3 as an exact integer ratio
+HW_BETA = (1, 10)  # trend smoothing 0.1
+
+
+def double_exponential_forecast(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    n_days: int = 14,
+) -> DataFrame:
+    """Holt's double-exponential smoothing (level + trend, no seasonality)
+    over per-key DAILY event counts, in int64 fixed-point — the
+    forecasting sibling of the fleet's other fixed-iteration operators
+    (PageRank/LPA/IVF discipline): a FIXED horizon of ``n_days`` days from
+    the dataset's anchor date unrolls the recurrence into ``n_days``
+    projections, so the result replays bit-for-bit as an unrolled CTE
+    chain in the oracle.
+
+        l_0 = x_0·S               b_0 = (x_1 − x_0)·S
+        l_t = (3·x_t·S + 7·(l_{t−1} + b_{t−1})) div 10       (alpha 0.3)
+        b_t = ((l_t − l_{t−1}) + 9·b_{t−1}) div 10           (beta 0.1)
+
+    ``div`` truncates toward zero in BOTH Spark and DuckDB (verified
+    including negative trends), so no floor/truncation divergence exists.
+    Returns one row per key: ``(*key_cols, level_fp, trend_fp,
+    forecast_fp)`` with forecast_fp = l_last + b_last (the 1-step-ahead
+    forecast in S units).
+
+    Scale shape: ONE pass builds per-key day counts as ``n_days``
+    conditional aggregates (map-side partials, no pivot shuffle); the
+    recurrence is ``n_days`` narrow column projections over the
+    |keys|-row aggregate — iteration cost is independent of event count.
+    The anchor date is a sanctioned tiny-scalar collect (IVF-centroid
+    precedent); at 100 TB callers pass a known calendar anchor instead.
+    """
+    spark = df.sparkSession
+    anchor = df.select(F.min(F.to_date(F.col(ts_col))).alias("d")).first()["d"]
+    idx = F.datediff(F.to_date(F.col(ts_col)), F.lit(anchor))
+    base = df.filter((idx >= 0) & (idx < n_days)).groupBy(*key_cols).agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(idx == i, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"x{i}")
+            for i in range(n_days)
+        ]
+    )
+    s = F.lit(HW_SCALE).cast("long")
+    an, ad = HW_ALPHA
+    bn, bd = HW_BETA
+    cur = base.withColumn("l", F.col("x0") * s).withColumn(
+        "b", (F.col("x1") - F.col("x0")) * s
+    )
+    for t in range(1, n_days):
+        # each step is a projection referencing the PREVIOUS step's
+        # columns — linear plan depth, no expression blow-up
+        cur = cur.withColumn(
+            "l_new",
+            F.expr(
+                f"({an} * (x{t} * {HW_SCALE}) + {ad - an} * (l + b)) div {ad}"
+            ).cast("long"),
+        )
+        cur = cur.withColumn(
+            "b", F.expr(f"({bn} * (l_new - l) + {bd - bn} * b) div {bd}").cast("long")
+        )
+        cur = cur.withColumn("l", F.col("l_new")).drop("l_new")
+    return cur.select(
+        *key_cols,
+        F.col("l").alias("level_fp"),
+        F.col("b").alias("trend_fp"),
+        (F.col("l") + F.col("b")).cast("long").alias("forecast_fp"),
+    )
+
+
+def double_exp_oracle_sql(
+    table: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    n_days: int = 14,
+) -> str:
+    """Unrolled-CTE replay of ``double_exponential_forecast`` — identical
+    anchor, day indexing, conditional counts, and div-truncation
+    recurrence."""
+    keys = ", ".join(key_cols)
+    an, ad = HW_ALPHA
+    bn, bd = HW_BETA
+    xs = ",\n         ".join(
+        f"COALESCE(SUM(CASE WHEN datediff('day', a.anchor, CAST({ts_col} AS DATE))"
+        f" = {i} THEN 1 ELSE 0 END), 0)::BIGINT AS x{i}"
+        for i in range(n_days)
+    )
+    ctes = [
+        f"a AS (SELECT MIN(CAST({ts_col} AS DATE)) AS anchor FROM {table})",
+        f"""s0 AS (
+  SELECT {keys},
+         {xs}
+  FROM {table}, a
+  WHERE datediff('day', a.anchor, CAST({ts_col} AS DATE)) >= 0
+    AND datediff('day', a.anchor, CAST({ts_col} AS DATE)) < {n_days}
+  GROUP BY {keys}
+)""",
+        f"r0 AS (SELECT *, (x0 * {HW_SCALE})::BIGINT AS l,"
+        f" ((x1 - x0) * {HW_SCALE})::BIGINT AS b FROM s0)",
+    ]
+    for t in range(1, n_days):
+        prev = f"r{t - 1}"
+        ctes.append(
+            f"""r{t} AS (
+  SELECT * EXCLUDE (l, b, ln),
+         ln AS l,
+         (({bn} * (ln - l) + {bd - bn} * b) // {bd})::BIGINT AS b
+  FROM (SELECT *,
+          (({an} * (x{t} * {HW_SCALE}) + {ad - an} * (l + b)) // {ad})::BIGINT AS ln
+        FROM {prev})
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT {keys}, l AS level_fp, b AS trend_fp, (l + b)::BIGINT AS forecast_fp
+FROM r{n_days - 1}
+"""
+    )

@@ -39,7 +39,8 @@ from . import advanced, enterprise, llm_data, reference_queries, relational, tpc
 _MODULE_ORDER = (reference_queries, enterprise, advanced, llm_data, relational, tpch_extra)
 _PROMOTED = (
     # new this session — incremental index dedup + per-domain quality gate
-    # + the real image resize verb
+    # + the real image resize verb + forecasting
+    "events_double_exp_forecast",
     "dedup_incremental_shard",
     "corpus_domain_percentile_filter",
     "multimodal_image_resize_stats",

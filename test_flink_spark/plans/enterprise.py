@@ -789,3 +789,20 @@ def _lpa_sql() -> str:
 
 QUERIES["graph_lpa_communities"] = graph_lpa_communities
 ORACLES["graph_lpa_communities"] = _lpa_sql()
+
+
+def events_double_exp_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 1-step-ahead daily-volume forecast via Holt's
+    double-exponential smoothing in int64 fixed-point
+    (operators/timeseries.py::double_exponential_forecast — fixed 14-day
+    horizon unrolled, div truncation identical in both engines, oracle
+    replays every smoothing step as CTEs).  The capacity-planning query:
+    'how many events of each type tomorrow?' as a checked operator."""
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.double_exponential_forecast(ev, ["event_type"], "ts", 14)
+
+
+QUERIES["events_double_exp_forecast"] = events_double_exp_forecast
+ORACLES["events_double_exp_forecast"] = timeseries.double_exp_oracle_sql(
+    "events", ["event_type"], "ts", 14
+)

@@ -419,3 +419,47 @@ def test_fuzzy_pairs_blocking_and_distance(spark):
     # cold~hot dist 3 via noun block
     assert out[("cold widget", "hot widget")][0] == 3
     assert all(d <= 3 for d, _, _ in out.values())
+
+
+def test_double_exp_forecast_hand_example(spark):
+    """The smoothing recurrence must match a hand-rolled Python replay on a
+    known series, including a DECLINING series (negative trend exercises
+    div truncation parity) and a constant series (forecast == level ==
+    x*S, zero trend)."""
+    import datetime
+
+    from test_flink_spark.operators.timeseries import (
+        HW_SCALE,
+        double_exponential_forecast,
+    )
+
+    rows = []
+    base = datetime.datetime(2024, 3, 1)
+    series = {"grow": [2, 4, 6, 8, 10, 12, 14], "flat": [5, 5, 5, 5, 5, 5, 5],
+              "fall": [14, 12, 9, 7, 4, 2, 1]}
+    for k, xs in series.items():
+        for d, n in enumerate(xs):
+            for _ in range(n):
+                rows.append((k, base + datetime.timedelta(days=d)))
+    df = spark.createDataFrame(rows, "event_type STRING, ts TIMESTAMP")
+    got = {
+        r["event_type"]: r.asDict()
+        for r in double_exponential_forecast(df, ["event_type"], "ts", 7).collect()
+    }
+
+    def trunc_div(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    for k, xs in series.items():
+        l, b = xs[0] * HW_SCALE, (xs[1] - xs[0]) * HW_SCALE
+        for t in range(1, 7):
+            ln = trunc_div(3 * xs[t] * HW_SCALE + 7 * (l + b), 10)
+            b = trunc_div(1 * (ln - l) + 9 * b, 10)
+            l = ln
+        assert got[k]["level_fp"] == l, k
+        assert got[k]["trend_fp"] == b, k
+        assert got[k]["forecast_fp"] == l + b, k
+    assert got["flat"]["trend_fp"] == 0
+    assert got["flat"]["forecast_fp"] == 5 * HW_SCALE
+    assert got["fall"]["trend_fp"] < 0 < got["grow"]["trend_fp"]
