@@ -147,7 +147,6 @@ def double_exponential_forecast(
     The anchor date is a sanctioned tiny-scalar collect (IVF-centroid
     precedent); at 100 TB callers pass a known calendar anchor instead.
     """
-    spark = df.sparkSession
     anchor = df.select(F.min(F.to_date(F.col(ts_col))).alias("d")).first()["d"]
     idx = F.datediff(F.to_date(F.col(ts_col)), F.lit(anchor))
     base = df.filter((idx >= 0) & (idx < n_days)).groupBy(*key_cols).agg(
@@ -237,3 +236,93 @@ SELECT {keys}, l AS level_fp, b AS trend_fp, (l + b)::BIGINT AS forecast_fp
 FROM r{n_days - 1}
 """
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    baseline_days: int = 7,
+    n_days: int = 30,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """CUSUM drift detection over per-key daily counts, all-integer: the
+    baseline is the first ``baseline_days`` days' total B (so the daily
+    mean is the rational B/baseline_days, never materialized as a float);
+    each day's deviation is cross-multiplied, dev_t = baseline_days·x_t −
+    B, and the running sum flags drift when |cusum_t| exceeds
+    threshold_pct% of B — i.e. |cusum| · 100 > threshold_pct · B, again
+    cross-multiplied.  One row per (key, day): ``(*key_cols, day_idx,
+    n_events, cusum, drifted)``.
+
+    The ops question this answers — 'did this event type's volume drift
+    from its launch-week baseline, and when?' — as a checked query, the
+    skew/anomaly-report discipline.  Shape: one conditional-count
+    aggregate per (key, day) with map-side partials, a cumulative window
+    ordered by day WITHIN each key partition (bounded frame, no global
+    sort), and a broadcast-sized baseline join."""
+    anchor = df.select(F.min(F.to_date(F.col(ts_col))).alias("d")).first()["d"]
+    idx = F.datediff(F.to_date(F.col(ts_col)), F.lit(anchor))
+    daily = (
+        df.filter((idx >= 0) & (idx < n_days))
+        .groupBy(*key_cols, idx.alias("day_idx"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    base = (
+        daily.filter(F.col("day_idx") < baseline_days)
+        .groupBy(*key_cols)
+        .agg(F.sum("n_events").cast("long").alias("b_total"))
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = F.lit(baseline_days) * F.col("n_events") - F.col("b_total")
+    scored = (
+        daily.join(F.broadcast(base), key_cols)
+        .withColumn("cusum", F.sum(dev).over(w).cast("long"))
+        .withColumn(
+            "drifted",
+            F.abs(F.col("cusum")) * 100 > F.lit(threshold_pct) * F.col("b_total"),
+        )
+    )
+    return scored.select(*key_cols, "day_idx", "n_events", "cusum", "drifted")
+
+
+def cusum_oracle_sql(
+    table: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    baseline_days: int = 7,
+    n_days: int = 30,
+    threshold_pct: int = 50,
+) -> str:
+    keys = ", ".join(key_cols)
+    return f"""
+WITH a AS (SELECT MIN(CAST({ts_col} AS DATE)) AS anchor FROM {table}),
+daily AS (
+  SELECT {keys},
+         datediff('day', a.anchor, CAST({ts_col} AS DATE)) AS day_idx,
+         COUNT(*)::BIGINT AS n_events
+  FROM {table}, a
+  WHERE datediff('day', a.anchor, CAST({ts_col} AS DATE)) >= 0
+    AND datediff('day', a.anchor, CAST({ts_col} AS DATE)) < {n_days}
+  GROUP BY {keys}, day_idx
+),
+base AS (
+  SELECT {keys}, SUM(n_events)::BIGINT AS b_total
+  FROM daily WHERE day_idx < {baseline_days} GROUP BY {keys}
+)
+SELECT d.{keys.replace(', ', ', d.')}, d.day_idx, d.n_events,
+       (SUM({baseline_days} * d.n_events - b.b_total) OVER (
+          PARTITION BY d.{keys.replace(', ', ', d.')}
+          ORDER BY d.day_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cusum,
+       abs(SUM({baseline_days} * d.n_events - b.b_total) OVER (
+          PARTITION BY d.{keys.replace(', ', ', d.')}
+          ORDER BY d.day_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100
+         > {threshold_pct} * b.b_total AS drifted
+FROM daily d JOIN base b USING ({keys})
+"""

@@ -41,6 +41,7 @@ _PROMOTED = (
     # new this session — incremental index dedup + per-domain quality gate
     # + the real image resize verb + forecasting
     "events_double_exp_forecast",
+    "events_cusum_drift",
     "dedup_incremental_shard",
     "corpus_domain_percentile_filter",
     "multimodal_image_resize_stats",

@@ -806,3 +806,17 @@ QUERIES["events_double_exp_forecast"] = events_double_exp_forecast
 ORACLES["events_double_exp_forecast"] = timeseries.double_exp_oracle_sql(
     "events", ["event_type"], "ts", 14
 )
+
+
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM drift report: daily deviations from the
+    launch-week baseline accumulated cross-multiplied (all-integer, see
+    operators/timeseries.py::cusum_changepoints) with a
+    |cusum| > 50%-of-baseline flag — 'did volume drift, and on which
+    day?' as a checked query."""
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.cusum_changepoints(ev, ["event_type"], "ts")
+
+
+QUERIES["events_cusum_drift"] = events_cusum_drift
+ORACLES["events_cusum_drift"] = timeseries.cusum_oracle_sql("events", ["event_type"], "ts")

@@ -463,3 +463,31 @@ def test_double_exp_forecast_hand_example(spark):
     assert got["flat"]["trend_fp"] == 0
     assert got["flat"]["forecast_fp"] == 5 * HW_SCALE
     assert got["fall"]["trend_fp"] < 0 < got["grow"]["trend_fp"]
+
+
+def test_cusum_drift_flags_planted_volume_shift(spark):
+    """A key whose volume doubles mid-series must flag drift at/after the
+    shift day and not before; a stable key must never flag."""
+    import datetime
+
+    from test_flink_spark.operators.timeseries import cusum_changepoints
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = []
+    for d in range(14):
+        for _ in range(10):  # stable: 10/day throughout
+            rows.append(("stable", base + datetime.timedelta(days=d)))
+        n = 10 if d < 7 else 22  # shifted: baseline 10/day, then 22/day
+        for _ in range(n):
+            rows.append(("shifted", base + datetime.timedelta(days=d)))
+    df = spark.createDataFrame(rows, "event_type STRING, ts TIMESTAMP")
+    got = cusum_changepoints(
+        df, ["event_type"], "ts", baseline_days=7, n_days=14, threshold_pct=50
+    ).collect()
+    by = {(r["event_type"], r["day_idx"]): r for r in got}
+    assert all(not by[("stable", d)]["drifted"] for d in range(14))
+    assert all(by[("stable", d)]["cusum"] == 0 for d in range(14))
+    # shifted: dev = 7*22 - 70 = 84/day from day 7; cusum crosses
+    # 50% of B (35) during day 7 (84 > 35) -> flagged from day 7 on
+    assert not any(by[("shifted", d)]["drifted"] for d in range(7))
+    assert all(by[("shifted", d)]["drifted"] for d in range(7, 14))
