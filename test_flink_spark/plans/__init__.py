@@ -42,6 +42,7 @@ _PROMOTED = (
     # + the real image resize verb + forecasting
     "events_double_exp_forecast",
     "events_cusum_drift",
+    "events_forecast_backtest",
     "dedup_incremental_shard",
     "corpus_domain_percentile_filter",
     "multimodal_image_resize_stats",

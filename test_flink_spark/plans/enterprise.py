@@ -820,3 +820,74 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_cusum_drift"] = events_cusum_drift
 ORACLES["events_cusum_drift"] = timeseries.cusum_oracle_sql("events", ["event_type"], "ts")
+
+
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast model backtest as a query: for each event type, score the
+    naive-yesterday and seasonal-naive-last-week predictors over the
+    final week (days 21-27) of the daily series, emitting integer total
+    absolute errors and the winner.  Model selection belongs in the
+    pipeline's checked path, not a notebook: at 100 TB this is one
+    conditional-aggregate pass + a per-key lag window over a |keys|×days
+    aggregate, and the winning model name feeds the forecasting job's
+    config.  Errors are exact integer sums; the winner tie-breaks to the
+    simpler naive model."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    anchor = ev.select(F.min(F.to_date("ts")).alias("d")).first()["d"]
+    idx = F.datediff(F.to_date("ts"), F.lit(anchor))
+    daily = (
+        ev.filter((idx >= 0) & (idx < 28))
+        .groupBy("event_type", idx.alias("day_idx"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = W.partitionBy("event_type").orderBy("day_idx")
+    scored = daily.select(
+        "event_type",
+        "day_idx",
+        "n",
+        F.lag("n", 1).over(w).alias("pred_naive"),
+        F.lag("n", 7).over(w).alias("pred_seasonal"),
+    ).filter(F.col("day_idx") >= 21)
+    return scored.groupBy("event_type").agg(
+        F.sum(F.abs(F.col("n") - F.col("pred_naive"))).cast("long").alias("ae_naive"),
+        F.sum(F.abs(F.col("n") - F.col("pred_seasonal")))
+        .cast("long")
+        .alias("ae_seasonal"),
+    ).withColumn(
+        "winner",
+        F.when(F.col("ae_naive") <= F.col("ae_seasonal"), "naive").otherwise(
+            "seasonal"
+        ),
+    )
+
+
+_BACKTEST_SQL = """
+WITH a AS (SELECT MIN(CAST(ts AS DATE)) AS anchor FROM events),
+daily AS (
+  SELECT event_type,
+         datediff('day', a.anchor, CAST(ts AS DATE)) AS day_idx,
+         COUNT(*)::BIGINT AS n
+  FROM events, a
+  WHERE datediff('day', a.anchor, CAST(ts AS DATE)) >= 0
+    AND datediff('day', a.anchor, CAST(ts AS DATE)) < 28
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, day_idx, n,
+         lag(n, 1) OVER (PARTITION BY event_type ORDER BY day_idx) AS pred_naive,
+         lag(n, 7) OVER (PARTITION BY event_type ORDER BY day_idx) AS pred_seasonal
+  FROM daily
+)
+SELECT event_type,
+       SUM(abs(n - pred_naive))::BIGINT AS ae_naive,
+       SUM(abs(n - pred_seasonal))::BIGINT AS ae_seasonal,
+       CASE WHEN SUM(abs(n - pred_naive)) <= SUM(abs(n - pred_seasonal))
+            THEN 'naive' ELSE 'seasonal' END AS winner
+FROM scored WHERE day_idx >= 21
+GROUP BY event_type
+"""
+
+QUERIES["events_forecast_backtest"] = events_forecast_backtest
+ORACLES["events_forecast_backtest"] = _BACKTEST_SQL
