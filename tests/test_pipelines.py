@@ -60,3 +60,32 @@ def test_sql_surface_over_views(spark):
     assert row["n"] > 0 and row["o"] > 0
     # events view must carry the normalized TimestampType ts
     assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
+
+
+def test_build_dataset_cli_writes_partitioned_data_and_manifest(spark, tmp_path):
+    """The dataset-build CLI must write split-partitioned parquet whose
+    contents equal the registered corpus_build_dataset query, plus a
+    manifest whose totals match the data."""
+    import json
+    import runpy
+    import sys
+
+    out = str(tmp_path / "ds")
+    mod = runpy.run_path("bin/run_build_dataset.py")
+    mod["main"](["--input_dir", "/root/testdata/sf0.001", "--output", out])
+
+    from test_flink_spark.plans.llm_data import corpus_build_dataset
+
+    want = {
+        tuple(r)
+        for r in corpus_build_dataset(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "chunk_idx", "split")
+        .collect()
+    }
+    got_df = spark.read.parquet(f"{out}/data")
+    got = {tuple(r) for r in got_df.select("doc_id", "chunk_idx", "split").collect()}
+    assert got == want
+    manifest = json.load(open(f"{out}/manifest.json"))
+    totals = {m["split"]: m["n_chunks"] for m in manifest["splits"]}
+    assert sum(totals.values()) == len(want)
+    assert set(totals) == {"train", "val", "test"}
