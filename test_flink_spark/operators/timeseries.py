@@ -326,3 +326,152 @@ SELECT d.{keys.replace(', ', ', d.')}, d.day_idx, d.n_events,
          > {threshold_pct} * b.b_total AS drifted
 FROM daily d JOIN base b USING ({keys})
 """
+
+
+HW_GAMMA = (2, 10)  # seasonal smoothing 0.2
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    n_days: int = 28,
+    period: int = 7,
+) -> DataFrame:
+    """Additive Holt-Winters (level + trend + weekly seasonality) over
+    per-key daily counts, int64 fixed-point, FIXED 28-day horizon — the
+    seasonal completion of ``double_exponential_forecast`` and the same
+    replayability discipline: classic two-week initialization
+    (m = (B·S) div 7 over week one; s_i = x_i·S − m; b = (W2−W1)·S div 49)
+    then 21 unrolled smoothing steps, each updating one rotating seasonal
+    slot:
+
+        l_t = (3·(x_t·S − s_{t−7}) + 7·(l+b)) div 10
+        b_t = ((l_t − l) + 9·b) div 10
+        s_t = (2·(x_t·S − l_t) + 8·s_{t−7}) div 10
+
+    Output per key: ``(*key_cols, level_fp, trend_fp, season_next_fp,
+    forecast_fp)`` with forecast_fp = l + b + s_{n_days mod period} (the
+    1-step-ahead seasonal forecast).  Same scale shape as the double-exp
+    operator: one conditional-aggregate pass, then per-key projections
+    whose count is the horizon, not the data volume."""
+    if n_days < 2 * period:
+        raise ValueError(f"need >= {2 * period} days for init, got {n_days}")
+    anchor = df.select(F.min(F.to_date(F.col(ts_col))).alias("d")).first()["d"]
+    idx = F.datediff(F.to_date(F.col(ts_col)), F.lit(anchor))
+    base = df.filter((idx >= 0) & (idx < n_days)).groupBy(*key_cols).agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(idx == i, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"x{i}")
+            for i in range(n_days)
+        ]
+    )
+    S = HW_SCALE
+    an, ad = HW_ALPHA
+    bn, bd = HW_BETA
+    gn, gd = HW_GAMMA
+    w1 = " + ".join(f"x{i}" for i in range(period))
+    w2 = " + ".join(f"x{i}" for i in range(period, 2 * period))
+    cur = base.withColumn("m", F.expr(f"(({w1}) * {S}) div {period}").cast("long"))
+    for i in range(period):
+        cur = cur.withColumn(f"sc{i}", (F.col(f"x{i}") * S - F.col("m")).cast("long"))
+    cur = cur.withColumn("l", F.col("m")).withColumn(
+        "b",
+        F.expr(f"((({w2}) - ({w1})) * {S}) div {period * period}").cast("long"),
+    )
+    for t in range(period, n_days):
+        k = t % period
+        cur = cur.withColumn(
+            "l_new",
+            F.expr(
+                f"({an} * (x{t} * {S} - sc{k}) + {ad - an} * (l + b)) div {ad}"
+            ).cast("long"),
+        )
+        cur = cur.withColumn(
+            "b", F.expr(f"({bn} * (l_new - l) + {bd - bn} * b) div {bd}").cast("long")
+        )
+        cur = cur.withColumn(
+            f"sc{k}",
+            F.expr(f"({gn} * (x{t} * {S} - l_new) + {gd - gn} * sc{k}) div {gd}").cast(
+                "long"
+            ),
+        )
+        cur = cur.withColumn("l", F.col("l_new")).drop("l_new")
+    nk = n_days % period
+    return cur.select(
+        *key_cols,
+        F.col("l").alias("level_fp"),
+        F.col("b").alias("trend_fp"),
+        F.col(f"sc{nk}").alias("season_next_fp"),
+        (F.col("l") + F.col("b") + F.col(f"sc{nk}")).cast("long").alias("forecast_fp"),
+    )
+
+
+def holt_winters_oracle_sql(
+    table: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    n_days: int = 28,
+    period: int = 7,
+) -> str:
+    keys = ", ".join(key_cols)
+    S = HW_SCALE
+    an, ad = HW_ALPHA
+    bn, bd = HW_BETA
+    gn, gd = HW_GAMMA
+    xs = ",\n         ".join(
+        f"COALESCE(SUM(CASE WHEN datediff('day', a.anchor, CAST({ts_col} AS DATE))"
+        f" = {i} THEN 1 ELSE 0 END), 0)::BIGINT AS x{i}"
+        for i in range(n_days)
+    )
+    w1 = " + ".join(f"x{i}" for i in range(period))
+    w2 = " + ".join(f"x{i}" for i in range(period, 2 * period))
+    scs = ",\n         ".join(
+        f"(x{i} * {S} - (({w1}) * {S}) // {period})::BIGINT AS sc{i}"
+        for i in range(period)
+    )
+    ctes = [
+        f"a AS (SELECT MIN(CAST({ts_col} AS DATE)) AS anchor FROM {table})",
+        f"""s0 AS (
+  SELECT {keys},
+         {xs}
+  FROM {table}, a
+  WHERE datediff('day', a.anchor, CAST({ts_col} AS DATE)) >= 0
+    AND datediff('day', a.anchor, CAST({ts_col} AS DATE)) < {n_days}
+  GROUP BY {keys}
+)""",
+        f"""r{period - 1} AS (
+  SELECT *,
+         {scs},
+         ((({w1}) * {S}) // {period})::BIGINT AS l,
+         (((({w2}) - ({w1})) * {S}) // {period * period})::BIGINT AS b
+  FROM s0
+)""",
+    ]
+    for t in range(period, n_days):
+        k = t % period
+        prev = f"r{t - 1}"
+        ctes.append(
+            f"""r{t} AS (
+  SELECT * EXCLUDE (l, b, sc{k}, ln),
+         ln AS l,
+         (({bn} * (ln - l) + {bd - bn} * b) // {bd})::BIGINT AS b,
+         (({gn} * (x{t} * {S} - ln) + {gd - gn} * sc{k}) // {gd})::BIGINT AS sc{k}
+  FROM (SELECT *,
+          (({an} * (x{t} * {S} - sc{k}) + {ad - an} * (l + b)) // {ad})::BIGINT AS ln
+        FROM {prev})
+)"""
+        )
+    nk = n_days % period
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT {keys}, l AS level_fp, b AS trend_fp, sc{nk} AS season_next_fp,
+       (l + b + sc{nk})::BIGINT AS forecast_fp
+FROM r{n_days - 1}
+"""
+    )

@@ -43,6 +43,7 @@ _PROMOTED = (
     "events_double_exp_forecast",
     "events_cusum_drift",
     "events_forecast_backtest",
+    "events_holt_winters",
     "dedup_incremental_shard",
     "corpus_domain_percentile_filter",
     "multimodal_image_resize_stats",

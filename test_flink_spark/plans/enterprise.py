@@ -891,3 +891,19 @@ GROUP BY event_type
 
 QUERIES["events_forecast_backtest"] = events_forecast_backtest
 ORACLES["events_forecast_backtest"] = _BACKTEST_SQL
+
+
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type seasonal forecast: additive Holt-Winters (level +
+    trend + weekly seasonality) in int64 fixed-point over a fixed 28-day
+    horizon — the seasonal completion of events_double_exp_forecast,
+    oracle-replayed step by step (operators/timeseries.py::
+    holt_winters_forecast)."""
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.holt_winters_forecast(ev, ["event_type"], "ts", 28, 7)
+
+
+QUERIES["events_holt_winters"] = events_holt_winters
+ORACLES["events_holt_winters"] = timeseries.holt_winters_oracle_sql(
+    "events", ["event_type"], "ts", 28, 7
+)

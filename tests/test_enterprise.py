@@ -491,3 +491,49 @@ def test_cusum_drift_flags_planted_volume_shift(spark):
     # 50% of B (35) during day 7 (84 > 35) -> flagged from day 7 on
     assert not any(by[("shifted", d)]["drifted"] for d in range(7))
     assert all(by[("shifted", d)]["drifted"] for d in range(7, 14))
+
+
+def test_holt_winters_hand_replay_and_seasonality(spark):
+    """The seasonal recurrence must match a hand-rolled Python replay, and
+    a perfectly weekly-periodic series must forecast (approximately) its
+    seasonal pattern: the day-28 forecast must be far closer to the
+    upcoming Monday's volume than the flat weekly mean is."""
+    import datetime
+
+    from test_flink_spark.operators.timeseries import (
+        HW_SCALE,
+        holt_winters_forecast,
+    )
+
+    base = datetime.datetime(2024, 6, 3)  # a Monday
+    week = [30, 10, 10, 10, 10, 10, 10]  # Monday spike, period 7
+    rows = []
+    for d in range(28):
+        for _ in range(week[d % 7]):
+            rows.append(("spiky", base + datetime.timedelta(days=d)))
+    df = spark.createDataFrame(rows, "event_type STRING, ts TIMESTAMP")
+    got = holt_winters_forecast(df, ["event_type"], "ts", 28, 7).collect()[0]
+
+    def trunc_div(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    xs = [week[d % 7] for d in range(28)]
+    S = HW_SCALE
+    B = sum(xs[:7])
+    m = trunc_div(B * S, 7)
+    sc = [xs[i] * S - m for i in range(7)]
+    l, b = m, trunc_div((sum(xs[7:14]) - B) * S, 49)
+    for t in range(7, 28):
+        k = t % 7
+        ln = trunc_div(3 * (xs[t] * S - sc[k]) + 7 * (l + b), 10)
+        b = trunc_div(1 * (ln - l) + 9 * b, 10)
+        sc[k] = trunc_div(2 * (xs[t] * S - ln) + 8 * sc[k], 10)
+        l = ln
+    assert got["level_fp"] == l
+    assert got["trend_fp"] == b
+    assert got["season_next_fp"] == sc[28 % 7]
+    assert got["forecast_fp"] == l + b + sc[0]
+    # day 28 is a Monday (spike, 30): the seasonal forecast must beat the
+    # flat weekly mean (~90/7 ≈ 12.9) by a wide margin
+    assert abs(got["forecast_fp"] - 30 * S) < abs(trunc_div(90 * S, 7) - 30 * S) // 3
