@@ -44,6 +44,7 @@ _PROMOTED = (
     "events_cusum_drift",
     "events_forecast_backtest",
     "events_holt_winters",
+    "events_k_anonymity",
     "dedup_incremental_shard",
     "corpus_domain_percentile_filter",
     "multimodal_image_resize_stats",

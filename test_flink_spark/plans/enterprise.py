@@ -907,3 +907,46 @@ QUERIES["events_holt_winters"] = events_holt_winters
 ORACLES["events_holt_winters"] = timeseries.holt_winters_oracle_sql(
     "events", ["event_type"], "ts", 28, 7
 )
+
+
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the governance sibling of
+    PII redaction: rows whose (event_type, day, value-decile) combination
+    is shared by fewer than k=5 users are re-identification risks.  Emits
+    one row per quasi-identifier group: ``(event_type, day, value_bucket,
+    n_rows, n_users, at_risk)``.  The audit a release review runs before
+    publishing derived event data, as a checked query: one groupBy with
+    map-side partials + an exact distinct-user count per group (the
+    group is the shuffle key; no global pass)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    bucket = F.expr("CAST(floor(value) AS BIGINT) div 10")
+    g = ev.groupBy(
+        "event_type", day.alias("day"), bucket.alias("value_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    return g.select(
+        "event_type",
+        F.unix_date(F.col("day")).cast("long").alias("day_idx"),
+        "value_bucket",
+        "n_rows",
+        "n_users",
+        (F.col("n_users") < 5).alias("at_risk"),
+    )
+
+
+_K_ANON_SQL = """
+SELECT event_type,
+       datediff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS day_idx,
+       CAST(floor(value) AS BIGINT) // 10 AS value_bucket,
+       COUNT(*)::BIGINT AS n_rows,
+       COUNT(DISTINCT user_id)::BIGINT AS n_users,
+       COUNT(DISTINCT user_id) < 5 AS at_risk
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["events_k_anonymity"] = events_k_anonymity
+ORACLES["events_k_anonymity"] = _K_ANON_SQL

@@ -537,3 +537,31 @@ def test_holt_winters_hand_replay_and_seasonality(spark):
     # day 28 is a Monday (spike, 30): the seasonal forecast must beat the
     # flat weekly mean (~90/7 ≈ 12.9) by a wide margin
     assert abs(got["forecast_fp"] - 30 * S) < abs(trunc_div(90 * S, 7) - 30 * S) // 3
+
+
+def test_k_anonymity_flags_small_user_groups(spark, monkeypatch):
+    """Groups backed by < 5 distinct users are at risk even when row count
+    is large (one chatty user is still one person); >= 5 users clears."""
+    import datetime
+
+    from test_flink_spark.plans import enterprise as E
+
+    t = datetime.datetime(2024, 7, 1, 12, 0)
+    rows = []
+    for _ in range(20):  # 20 rows, ONE user -> at risk
+        rows.append((1, t, 100, "click", 42.0, "{}"))
+    for u in range(6):  # 6 users, one row each -> clear
+        rows.append((2, t, 200 + u, "view", 17.0, "{}"))
+    ev = spark.createDataFrame(
+        [(i, ts, u, et, v, p) for i, (x, ts, u, et, v, p) in enumerate(rows)],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    monkeypatch.setattr(E, "_t", lambda s, sf, name: ev)
+    got = {
+        (r["event_type"], r["value_bucket"]): r.asDict()
+        for r in E.events_k_anonymity(spark, "ignored").collect()
+    }
+    click = got[("click", 4)]
+    assert click["n_rows"] == 20 and click["n_users"] == 1 and click["at_risk"]
+    view = got[("view", 1)]
+    assert view["n_users"] == 6 and not view["at_risk"]
