@@ -45,6 +45,7 @@ _PROMOTED = (
     "events_forecast_backtest",
     "events_holt_winters",
     "events_k_anonymity",
+    "customers_rfm_segments",
     "dedup_incremental_shard",
     "corpus_domain_percentile_filter",
     "multimodal_image_resize_stats",

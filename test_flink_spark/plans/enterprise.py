@@ -950,3 +950,83 @@ GROUP BY 1, 2, 3
 
 QUERIES["events_k_anonymity"] = events_k_anonymity
 ORACLES["events_k_anonymity"] = _K_ANON_SQL
+
+
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation, quartiled WITHIN each market segment —
+    the classic warehouse marketing query with the fleet\'s scale shape:
+    per customer, Recency (days from last order to the corpus max date),
+    Frequency (order count), Monetary (integer-cent revenue), each
+    NTILE(4)-ed against the customer\'s c_mktsegment peers under a total
+    order (metric, then custkey — ties cannot flip across engines), and
+    composed into a 3-digit code (111 = best).  Within-peer-group
+    quartiles are both the useful business comparison AND the
+    partitioned-window plan the scale gate demands — the first cut of
+    this query used global NTILEs and test_every_registered_query_plan_
+    is_scale_clean REJECTED it (a global sort of every customer), which
+    is exactly the regression the gate exists to catch.  One orders
+    aggregate + a broadcast customer-dimension join + three windows
+    keyed on the market."""
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    from pyspark.sql import Window as W
+
+    maxd = od.select(F.max(F.to_date("o_orderdate")).alias("d")).first()["d"]
+    per = od.groupBy("o_custkey").agg(
+        F.datediff(F.lit(maxd), F.max(F.to_date("o_orderdate")))
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    ).join(
+        F.broadcast(
+            cu.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+        ),
+        "o_custkey",
+    )
+    seg = W.partitionBy("c_mktsegment")
+    r_w = seg.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    f_w = seg.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    m_w = seg.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey").asc())
+    return per.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4).over(r_w).cast("long").alias("r_quartile"),
+        F.ntile(4).over(f_w).cast("long").alias("f_quartile"),
+        F.ntile(4).over(m_w).cast("long").alias("m_quartile"),
+    ).withColumn(
+        "segment",
+        (
+            F.col("r_quartile") * 100 + F.col("f_quartile") * 10 + F.col("m_quartile")
+        ).cast("long"),
+    )
+
+
+_RFM_SQL = """
+WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d FROM orders),
+per AS (
+  SELECT o_custkey, c_mktsegment,
+         datediff('day', MAX(CAST(o_orderdate AS DATE)), mx.d)::BIGINT AS recency_days,
+         COUNT(*)::BIGINT AS frequency,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS monetary_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey, mx
+  GROUP BY o_custkey, c_mktsegment, mx.d
+)
+SELECT o_custkey AS custkey, c_mktsegment AS mktsegment,
+       recency_days, frequency, monetary_cents,
+       NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY recency_days ASC, o_custkey ASC)::BIGINT AS r_quartile,
+       NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY frequency DESC, o_custkey ASC)::BIGINT AS f_quartile,
+       NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY monetary_cents DESC, o_custkey ASC)::BIGINT AS m_quartile,
+       (NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY recency_days ASC, o_custkey ASC) * 100
+        + NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY frequency DESC, o_custkey ASC) * 10
+        + NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY monetary_cents DESC, o_custkey ASC))::BIGINT AS segment
+FROM per
+"""
+
+QUERIES["customers_rfm_segments"] = customers_rfm_segments
+ORACLES["customers_rfm_segments"] = _RFM_SQL
