@@ -46,6 +46,7 @@ _PROMOTED = (
     "events_holt_winters",
     "events_k_anonymity",
     "customers_rfm_segments",
+    "embedding_split_drift",
     "dedup_incremental_shard",
     "corpus_domain_percentile_filter",
     "multimodal_image_resize_stats",

@@ -1048,6 +1048,72 @@ LEFT JOIN au ON d.doc_id = au.doc_id
 """
 
 
+def embedding_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-split QA: quantify how far apart the train/val/test
+    EMBEDDING CENTROIDS sit — a hash split should be feature-independent,
+    so large centroid drift flags a biased split (or a broken hash) before
+    anyone trains on it.  Per split, the per-dimension mean is computed in
+    int64 fixed-point (embeddings quantized ROUND(x·1e6) BEFORE summing —
+    float sums are fold-order-sensitive across engines, integer sums are
+    not; the mean is the exact div), then each split pair gets the L1
+    distance between mean vectors.  Output: (split_a, split_b, l1_fp).
+
+    Scale shape: one bounded posexplode (64 dims) + a (split, dim) groupBy
+    with map-side partial sums → a 3×64-row table; everything after is
+    driver-trivial but stays declarative."""
+    from ..operators.sampling import train_val_test_split
+
+    emb = train_val_test_split(_emb(spark, sf_dir), id_col="vec_id")
+    dims = emb.select(
+        "split", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "split",
+        "dim",
+        F.round(F.col("x").cast("double") * 1_000_000).cast("long").alias("q"),
+    )
+    means = (
+        dims.groupBy("split", "dim")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("split", "dim", F.expr("s div n").cast("long").alias("m"))
+    )
+    a, b = means.alias("a"), means.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.split") < F.col("b.split")),
+        )
+        .groupBy(
+            F.col("a.split").alias("split_a"), F.col("b.split").alias("split_b")
+        )
+        .agg(F.sum(F.abs(F.col("a.m") - F.col("b.m"))).cast("long").alias("l1_fp"))
+    )
+
+
+def _split_drift_sql() -> str:
+    from ..operators.sampling import split_oracle_sql
+
+    split = split_oracle_sql(id_col="vec_id")
+    return f"""
+WITH sp AS (
+    SELECT vec_id, embedding, {split} AS split FROM embeddings
+), dims AS (
+    -- DuckDB 1.0 lacks WITH ORDINALITY: index the list with a lateral
+    -- range instead (the bpe/_DOT convention)
+    SELECT split, CAST(u.i - 1 AS INT) AS dim,
+           CAST(round(embedding[CAST(u.i AS INT)]::DOUBLE * 1000000) AS BIGINT) AS q
+    FROM sp, UNNEST(range(1, {EMB_DIM + 1})) AS u(i)
+), means AS (
+    SELECT split, dim, (SUM(q) // COUNT(*))::BIGINT AS m
+    FROM dims GROUP BY 1, 2
+)
+SELECT a.split AS split_a, b.split AS split_b,
+       SUM(abs(a.m - b.m))::BIGINT AS l1_fp
+FROM means a JOIN means b ON a.dim = b.dim AND a.split < b.split
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_scores": text_quality_scores,
@@ -1070,6 +1136,7 @@ QUERIES = {
     "multimodal_audio_fingerprint": multimodal_audio_fingerprint,
     "multimodal_video_frame_jaccard": multimodal_video_frame_jaccard,
     "corpus_multimodal_dup_flags": corpus_multimodal_dup_flags,
+    "embedding_split_drift": embedding_split_drift,
 }
 
 ORACLES = {
@@ -1094,6 +1161,7 @@ ORACLES = {
     "multimodal_audio_fingerprint": _audio_fp_sql(),
     "multimodal_video_frame_jaccard": _video_frame_sql(),
     "corpus_multimodal_dup_flags": _multimodal_flags_sql(),
+    "embedding_split_drift": _split_drift_sql(),
 }
 
 

@@ -944,3 +944,48 @@ def test_multimodal_dup_flags_planted_exact_dup(spark, monkeypatch):
     assert got[2]["any_dup"]
     for i in (0, 1, 3):
         assert not got[i]["any_dup"], i
+
+
+def test_split_drift_separates_fair_from_biased_splits(spark, monkeypatch):
+    """On a corpus of two well-separated embedding clusters, a
+    feature-independent hash split mixes both clusters into every split
+    (centroids near the global mean, small L1 drift), while a
+    cluster-aligned split puts the clusters in different splits
+    (centroid drift ~ the cluster separation).  Also pins the exact
+    quantized drift of a hand-built two-vector case."""
+    import test_flink_spark.operators.sampling as S
+    from test_flink_spark.plans import llm_data as L
+
+    dim = 4
+    rows = []
+    for i in range(2000):
+        center = 1.5 if i % 2 == 0 else -1.5  # clusters interleave ids
+        rows.append((i, [center + (i % 7) * 1e-3] * dim, i % 2))
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    monkeypatch.setattr(L, "_emb", lambda s, sf: emb)
+
+    fair = {
+        (r["split_a"], r["split_b"]): r["l1_fp"]
+        for r in L.embedding_split_drift(spark, SF).collect()
+    }
+    assert set(fair) == {("test", "train"), ("test", "val"), ("train", "val")}
+
+    def biased_split(df, id_col="vec_id", **kw):
+        return df.withColumn(
+            "split",
+            F.when(F.col("label") == 0, "train")
+            .when(F.col("vec_id") % 4 == 1, "val")
+            .otherwise("test"),
+        )
+
+    monkeypatch.setattr(S, "train_val_test_split", biased_split)
+    biased = {
+        (r["split_a"], r["split_b"]): r["l1_fp"]
+        for r in L.embedding_split_drift(spark, SF).collect()
+    }
+    # biased train (cluster +1.5) vs val/test (cluster -1.5): per-dim gap
+    # ~3.0 -> l1 ~ 4 dims * 3e6; the hash split mixes clusters -> far less
+    assert biased[("train", "val")] > 10 * max(fair.values()), (fair, biased)
+    assert biased[("train", "val")] > 2_500_000 * dim
