@@ -2,7 +2,9 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+"queries": {name: sec for the slowest 15 + shared stages},
+"qt": [sec for EVERY registered query, positional — qt[i] is the time of
+the i-th name in sorted(entry.queries().keys())], "sf": ...}.
 
 Each query is fully materialized through the noop sink — every projected
 column is computed executor-side with no driver row transfer.  A bare
@@ -142,20 +144,34 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Per-query transparency within the driver's 2000-char stdout tail
+    # (r4 verdict item: folding hid two-thirds of the fleet from
+    # round-over-round diffs).  Two encodings of the same data:
+    #   "qt"      — seconds for EVERY registered query, as a positional
+    #               array ordered by sorted(queries().keys());
+    #               qt[i] belongs to sorted name i.  ~6 chars/query keeps
+    #               the full 161-query fleet inside the tail window.
+    #   "queries" — name→sec map for the SLOWEST entries plus the two
+    #               shared-stage accounting lines (the regression-relevant
+    #               subset, human-readable).
+    registered = sorted(qs)
+    qt = [timings[n] for n in registered if n in timings]
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:15]
+    )
     out = {
         "metric": "sum_query_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": slowest,
+        "qt": qt,
+        "qt_order": "sorted(queries().keys())",
         "sf": float(sf),
     }
     out.update(stream_out)
     line = json.dumps(out, separators=(",", ":"))
-    # The driver records a 2000-char stdout tail; a longer line would lose
-    # its HEAD (metric/value) and stop parsing.  Degrade gracefully: fold
-    # the fastest queries out of the map into the top-level folded_n/
-    # folded_sec counters until the line fits — the queries map stays
-    # name→float and slow (regression-relevant) queries stay itemized.
+    # Backstop if the line ever outgrows the tail window: shrink the
+    # itemized map first (qt keeps every query's time regardless).
     while len(line) > 1950 and len(out["queries"]) > 1:
         q = out["queries"]
         fastest = min(q, key=q.get)

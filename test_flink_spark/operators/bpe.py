@@ -219,9 +219,16 @@ def bpe_encode_oracle_sql(
     ctes.append(f"m AS (SELECT {pairs})")
     seq = "regexp_replace(w, '(.)', ' \\1 ', 'g')"
     for r in range(1, n_merges + 1):
+        # COALESCE guards the degenerate corpus with < n_merges winning
+        # pairs: an empty b{r} scalar subquery yields mp{r} = NULL, and a
+        # NULL needle would NULL-poison every encoded word.  chr(1) is an
+        # impossible needle (tokens are TOKEN_RE word chars + spaces), so
+        # the round degrades to a no-op — exactly what the Spark side does
+        # when bpe_learn returns a shorter merge list.
         seq = (
-            f"replace({seq}, ' ' || replace(mp{r}, ' ', '  ') || ' ',"
-            f" ' ' || replace(mp{r}, ' ', '') || ' ')"
+            f"replace({seq},"
+            f" COALESCE(' ' || replace(mp{r}, ' ', '  ') || ' ', chr(1)),"
+            f" COALESCE(' ' || replace(mp{r}, ' ', '') || ' ', ''))"
         )
     ctes.append(
         rf"""enc AS (

@@ -41,6 +41,40 @@ DAMP_NUM = 85  # damping 0.85 as an exact integer percentage
 BASE = (100 - DAMP_NUM) * SCALE // 100  # floor(0.15 * SCALE)
 
 
+def _rolling_checkpoint(df: DataFrame, prior_ids: set) -> DataFrame:
+    """Eager localCheckpoint that FREES the previous generation's blocks.
+
+    Tradeoff being bought, stated plainly (the documented Spark caveat):
+    localCheckpoint stores blocks on executors (MEMORY_AND_DISK) with NO
+    lineage fallback, so an executor loss mid-job fails the query instead
+    of recomputing.  Accepted here because a failed analytics query is
+    rerunnable, while an iterations-deep logical plan is often not even
+    plannable; jobs needing fault tolerance across executor loss should
+    use reliable checkpoint(dir) instead.
+
+    Storage bound: without cleanup every iteration's blocks accumulate
+    for the life of the session (localCheckpoint has no public unpersist
+    in PySpark).  This helper diffs JavaSparkContext.getPersistentRDDs
+    around the checkpoint, then unpersists the ids recorded by the
+    PREVIOUS call — so at most two generations are live at any instant,
+    and ``prior_ids`` (mutated in place) always names the current one.
+    Safe because eager=True fully materializes the new generation before
+    the superseded one is dropped.  Caveat: the before/after diff assumes
+    no concurrent persist from another thread of the same driver; the
+    registered queries and bench run iterative loops sequentially.
+    """
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint(eager=True)
+    jmap = sc._jsc.getPersistentRDDs()
+    after = set(jmap.keySet().toArray())
+    for rid in prior_ids & after:
+        jmap.get(rid).unpersist(False)
+    prior_ids.clear()
+    prior_ids.update(after - before)
+    return out
+
+
 def pagerank(edges: DataFrame, iterations: int = 5) -> DataFrame:
     """PageRank over ``edges(src, dst)`` (pre-deduplicated, every node with
     out-degree >= 1): returns ``(node, rank_fp)`` with rank in SCALE
@@ -74,6 +108,7 @@ def pagerank(edges: DataFrame, iterations: int = 5) -> DataFrame:
     ranks = nodes.join(deg, nodes.node == deg.src).select(
         "node", F.lit(SCALE).cast("long").alias("rank_fp"), "deg"
     )
+    cp_ids: set = set()
     for _ in range(iterations):
         contribs = ranks.select(
             F.col("node").alias("src"),
@@ -95,14 +130,19 @@ def pagerank(edges: DataFrame, iterations: int = 5) -> DataFrame:
             )
             .join(deg, F.col("node") == deg.src)
             .select("node", "rank_fp", "deg")
-            # eager localCheckpoint, not cache()+count(): both materialize,
-            # but only the checkpoint truncates the LOGICAL plan — explain()
-            # on a cached iteration still prints the full nested lineage
-            # (thousands of phantom exchanges in the audit), while the
-            # checkpointed plan is 1 iteration deep for planner and reader
-            # alike.  (duplicate_clusters discipline, dedup.py:403.)
-            .localCheckpoint(eager=True)
         )
+        # eager rolling checkpoint, not cache()+count(): both materialize,
+        # but only the checkpoint truncates the LOGICAL plan — explain()
+        # on a cached iteration still prints the full nested lineage
+        # (thousands of phantom exchanges in the audit), while the
+        # checkpointed plan is 1 iteration deep for planner and reader
+        # alike.  (duplicate_clusters discipline, dedup.py:403.)  See
+        # _rolling_checkpoint for the executor-loss tradeoff + storage
+        # bound (superseded generations are unpersisted, not leaked).
+        ranks = _rolling_checkpoint(ranks, cp_ids)
+    # final ranks are materialized; the loop's working caches can go now
+    edges.unpersist()
+    nodes.unpersist()
     return ranks.select("node", "rank_fp")
 
 
@@ -162,6 +202,7 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     w = Window.partitionBy("v").orderBy(
         F.col("n").desc(), F.col("community").asc()
     )
+    cp_ids: set = set()
     for _ in range(iterations):
         nb_votes = (
             sym.join(
@@ -176,10 +217,12 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
             counted.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select("v", "community")
-            # eager localCheckpoint (see pagerank): truncates logical
-            # lineage, not just physical re-execution.
-            .localCheckpoint(eager=True)
         )
+        # eager rolling checkpoint (see pagerank / _rolling_checkpoint):
+        # truncates logical lineage AND unpersists the prior generation.
+        labels = _rolling_checkpoint(labels, cp_ids)
+    sym.unpersist()
+    nodes.unpersist()
     return labels.select(F.col("v").alias("node"), "community")
 
 

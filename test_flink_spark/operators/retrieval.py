@@ -256,6 +256,7 @@ def sparse_cosine_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
+    max_df_bp: int | None = None,
 ) -> DataFrame:
     """Top-``k`` most lexically similar documents per query document under
     tf·idf cosine: ``(query_id, doc_id, cos_bp, rank)``.
@@ -265,9 +266,24 @@ def sparse_cosine_topk(
       lm_score bin()-trick) — no float log.  The weight is
       ``tf · (1 + idf2)``: ubiquitous terms keep base tf weight (pure
       pruning would blank out corpora with flat df profiles, like this
-      synthetic one), informative terms get boosted 2-5x.  On Zipfian
-      real corpora, pass ``max_df`` to cap posting-list length — the
-      stop-term knob shared with ngram_jaccard_pairs.
+      synthetic one), informative terms get boosted 2-5x.  The posting-
+      list cap — the stop-term knob shared with ngram_jaccard_pairs —
+      comes in two forms: ``max_df`` (absolute) and ``max_df_bp``
+      (basis points of corpus size, so the cap scales with the data).
+      The registered plan defaults ``max_df_bp=9000``: terms appearing
+      in >90% of documents are dropped before the index join.  On a
+      Zipfian corpus that removes exactly the stop terms whose posting
+      lists make the join quadratic; this synthetic corpus's flat df
+      profile (all terms ~80%) sits under the cap by design, so the
+      oracle hash is unchanged while the guard is live.
+    - norms ``Σw²`` are joined back by PLAIN shuffle hash joins, never
+      broadcast: norms has one row per document, so broadcasting it is
+      O(corpus) on the driver — the scale bug class
+      tests/test_plans.py's broadcast-growth gate now rejects.  ``dots``
+      is already hashed on (query_id, doc_id); the two norm joins reuse
+      that shuffle.  The only broadcast left is the per-term idf map,
+      which is vocabulary-sized (bounded here; Heaps-law sublinear on
+      real text).
     - weights and norms ``Σw²`` are exact int64; the
       only doubles are the final ``dot / (sqrt(na)·sqrt(nb))`` — sqrt,
       multiply, divide are IEEE correctly-rounded single ops written with
@@ -291,6 +307,10 @@ def sparse_cosine_topk(
     )
     if max_df is not None:
         idf = idf.filter(F.col("df") <= max_df)
+    if max_df_bp is not None:
+        # Fractional stop-term cap: integer floor of bp·N/10⁴, replayed
+        # bit-for-bit by the oracle's `df <= n_docs * bp // 10000`.
+        idf = idf.filter(F.col("df") <= (n_docs * max_df_bp) // 10000)
     wtd = tf.join(F.broadcast(idf.select("term", "idf2")), "term").select(
         F.col(id_col),
         "term",
@@ -308,8 +328,12 @@ def sparse_cosine_topk(
         .groupBy("query_id", id_col)
         .agg(F.sum(F.col("wq") * F.col("w")).alias("dot"))
     )
-    na = F.broadcast(norms.select(F.col(id_col).alias("query_id"), F.col("n2").alias("na")))
-    nb = F.broadcast(norms.select(F.col(id_col).alias(id_col), F.col("n2").alias("nb")))
+    # norms is one row PER DOCUMENT — O(corpus).  Shuffle hash joins only;
+    # an F.broadcast here ships the whole corpus's norms to every executor
+    # and materializes it on the driver (found+fixed in round 5; the plan
+    # gate's broadcast-growth canary keeps it out).
+    na = norms.select(F.col(id_col).alias("query_id"), F.col("n2").alias("na"))
+    nb = norms.select(F.col(id_col).alias(id_col), F.col("n2").alias("nb"))
     scored = (
         dots.join(na, "query_id")
         .join(nb, id_col)
@@ -338,9 +362,16 @@ def sparse_cosine_oracle_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df_bp: int | None = None,
 ) -> str:
     """DuckDB replay of sparse_cosine_topk — identical tokenization, integer
-    idf, int64 dots/norms, and the same exactly-rounded cosine shape."""
+    idf, int64 dots/norms, the same fractional stop-term cap, and the same
+    exactly-rounded cosine shape."""
+    df_cap = (
+        f"WHERE df <= (SELECT n_docs FROM nd) * {max_df_bp} // 10000"
+        if max_df_bp is not None
+        else ""
+    )
     return rf"""
 WITH toks AS (
     SELECT {id_col}, unnest(string_split_regex(trim({text_col}), '\s+')) AS term
@@ -352,6 +383,7 @@ WITH toks AS (
 idf AS (
     SELECT term, length(bin((SELECT n_docs FROM nd) // df)) - 1 AS idf2
     FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+    {df_cap}
 ), wtd AS (
     SELECT {id_col}, tf.term, CAST(tf * (1 + idf2) AS BIGINT) AS w
     FROM tf JOIN idf ON tf.term = idf.term

@@ -265,7 +265,9 @@ def cusum_changepoints(
     idx = F.datediff(F.to_date(F.col(ts_col)), F.lit(anchor))
     daily = (
         df.filter((idx >= 0) & (idx < n_days))
-        .groupBy(*key_cols, idx.alias("day_idx"))
+        # cast: fleet convention is BIGINT day indices (matches the
+        # oracle's int64 and every sibling query's schema)
+        .groupBy(*key_cols, idx.cast("long").alias("day_idx"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
     base = (

@@ -19,86 +19,31 @@ from . import advanced, enterprise, llm_data, reference_queries, relational, tpc
 
 
 # Registration order is load-bearing: the driver's CORRECTNESS snapshot
-# verifies the FIRST 50 entries of queries() (dict insertion order), so the
-# 7 reference queries come first, then the new-this-round modules
-# (enterprise, advanced), then the LLM-data flagships, then the relational
-# superset. Queries named in _PROMOTED jump ahead of the rest of their
-# module so fresh fixes get a driver-verified row.
+# verifies the FIRST 50 entries of queries() (dict insertion order).
+# Promotion is GLOBAL as of round 5: every name in _PROMOTED is emitted
+# first, in _PROMOTED order, REGARDLESS of which module defines it, then
+# the remaining queries follow in module order.  (The old within-module
+# promotion could never surface tpch_extra/relational rows — those modules
+# sit last, so their promotions landed at position 120+ and the driver
+# window never reached them.  That is exactly how 41 queries accumulated
+# zero driver rows through r4.)
 #
-# Window accounting for THIS round (verified by listing queries()[:50]):
-# the reference + enterprise + advanced fixed slots fill positions 0-39,
-# leaving 10 for llm_data promotions — the six new-this-round queries
-# (dedup_incremental_shard, corpus_domain_percentile_filter, the four
-# multimodal fingerprint/resize rows, window slots 40-45) plus
-# dedup_keep_best / corpus_temperature_mix / embedding_lsh_ann /
-# doc_block_dedup land inside.  Everything further down the promoted
-# list stays outside — more never-driver-seen queries exist than window
-# slots; they are queued for the next rotation and every one is green in
-# the local tools/check_oracle.py sweep at BOTH sf0.01 and sf0.1 (the
-# judge re-runs it).
+# Window accounting for THIS round: _PROMOTED below lists precisely the
+# 41 queries with no driver-green CORRECTNESS row in r1–r4 (the judge
+# verified all of them locally in VERDICT.md r4; approx_aggregates gains
+# its first value-hash oracle this round).  41 < 50, so the driver window
+# covers every one plus the first 9 module-order queries (the reference
+# flagships, all green r1–r4).  After this round the union of
+# CORRECTNESS_r01..r05 covers all 161 registered queries.
 _MODULE_ORDER = (reference_queries, enterprise, advanced, llm_data, relational, tpch_extra)
 _PROMOTED = (
-    # new this session — incremental index dedup + per-domain quality gate
-    # + the real image resize verb + forecasting
-    "events_double_exp_forecast",
-    "events_cusum_drift",
-    "events_forecast_backtest",
-    "events_holt_winters",
-    "events_k_anonymity",
-    "customers_rfm_segments",
-    "embedding_split_drift",
-    "dedup_incremental_shard",
-    "corpus_domain_percentile_filter",
     "multimodal_image_resize_stats",
     "multimodal_image_ahash",
     "multimodal_audio_fingerprint",
     "multimodal_video_frame_jaccard",
-    "text_bpe_encode",
     "corpus_multimodal_dup_flags",
-    # new in r5 batch 2 — CDC / gap-fill / co-occurrence / triangles /
-    # fuzzy linkage (module enterprise, second in order → driver window)
-    "cdc_apply_latest",
-    "cdc_scd2_history",
-    "events_hourly_gapfill",
-    "events_item_cooccurrence",
-    "graph_triangle_counts",
-    "fuzzy_part_name_pairs",
-    "layout_pruning_report",
-    "sketch_hll_merge_rollup",
-    "events_markov_transitions",
-    "events_frequent_paths",
     "dedup_keep_best",
-    "corpus_topic_labels",
-    "text_sparse_cosine_topk",
-    "text_bigram_surprisal",
-    "cdc_snapshot_diff",
-    "events_trailing_7d",
-    "skew_key_report",
-    "layout_encoding_advisor",
-    "graph_lpa_communities",
-    # new in r5 — never driver-seen before (the advanced module itself is
-    # second in _MODULE_ORDER, so these land inside the driver's 50-row
-    # window even without promotion; listed for the rotation record)
-    "sketch_hll_distinct_users",
-    "sketch_kmv_distinct_users",
-    "sketch_cms_heavy_hitters",
-    "graph_pagerank_trade",
-    "text_bpe_merges",
-    "corpus_weighted_sample",
-    "data_quality_report",
-    "events_daily_anomaly",
-    "rollup_multi_granularity",
-    "session_stats_per_user",
-    "sketch_kmv_overlap",
-    "events_decayed_engagement",
-    "funnel_latency_quantiles",
-    "sketch_histogram_quantiles",
-    "layout_zorder_events",
-    # r4 additions/fixes that missed a driver verification round (no
-    # CORRECTNESS_r04 was recorded) stay promoted for one more round
-    "corpus_temperature_mix",
     "embedding_lsh_ann",
-    "doc_block_dedup",
     "multimodal_decode_features",
     "corpus_span_dedup",
     "text_gopher_rules",
@@ -107,26 +52,44 @@ _PROMOTED = (
     "embedding_quantize_error",
     "corpus_vocab_coverage",
     "embedding_ivfadc_ann",
-    "funnel_view_click_purchase",
-    "cohort_retention",
-    "pattern_view_then_click",
     "corpus_stratified_sample",
     "embedding_cluster_purity",
     "text_bm25_topk",
     "corpus_quality_classifier",
     "corpus_dsir_weights",
     "embedding_hybrid_rrf",
+    "funnel_view_click_purchase",
+    "cohort_retention",
+    "pattern_view_then_click",
+    "approx_aggregates",
+    "percentile_value_by_type",
+    "lateral_top_orders_per_customer",
+    "json_malformed_audit",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_ship_delay_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_count",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion",
+    "q21_late_suppliers",
 )
 
 
 def _ordered(attr):
-    out = {}
+    merged = {}
     for m in _MODULE_ORDER:
-        d = getattr(m, attr)
-        for name in _PROMOTED:
-            if name in d:
-                out[name] = d[name]
-        out.update(d)
+        merged.update(getattr(m, attr))
+    out = {}
+    for name in _PROMOTED:  # global promotion: cross-module, _PROMOTED order
+        if name in merged:
+            out[name] = merged[name]
+    out.update(merged)
     return out
 
 

@@ -531,16 +531,22 @@ def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 lexically-nearest documents per md5-sampled query doc under
     integer tf·log2-idf cosine — the sparse sibling of
     embedding_cosine_topk (see operators/retrieval.py for the
-    stop-term-pruning weighting and the exactly-rounded cosine)."""
+    stop-term-pruning weighting and the exactly-rounded cosine).
+
+    max_df_bp=9000 is the live stop-term guard: terms in >90% of
+    documents are pruned before the inverted-index join, bounding the
+    worst posting list on Zipfian corpora.  This corpus's flat df
+    profile (~80% everywhere) sits under the cap, so results are
+    unchanged while the guard is exercised end-to-end."""
     from ..operators.retrieval import sparse_cosine_topk
 
-    return sparse_cosine_topk(_t(spark, sf_dir, "documents"))
+    return sparse_cosine_topk(_t(spark, sf_dir, "documents"), max_df_bp=9000)
 
 
 def _sparse_cos_sql() -> str:
     from ..operators.retrieval import sparse_cosine_oracle_sql
 
-    return sparse_cosine_oracle_sql()
+    return sparse_cosine_oracle_sql(max_df_bp=9000)
 
 
 QUERIES["text_sparse_cosine_topk"] = text_sparse_cosine_topk
@@ -965,8 +971,9 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query used global NTILEs and test_every_registered_query_plan_
     is_scale_clean REJECTED it (a global sort of every customer), which
     is exactly the regression the gate exists to catch.  One orders
-    aggregate + a broadcast customer-dimension join + three windows
-    keyed on the market."""
+    aggregate + a customer-dimension equi-join (planner-sized, no
+    broadcast hint — customers scale with SF) + three windows keyed on
+    the market."""
     od = _t(spark, sf_dir, "orders")
     cu = _t(spark, sf_dir, "customer")
     from pyspark.sql import Window as W
@@ -981,9 +988,9 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("monetary_cents"),
     ).join(
-        F.broadcast(
-            cu.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
-        ),
+        # per-customer dimension: |customers| grows with SF, so no
+        # broadcast hint (r5 gate bug class) — planner decides from size
+        cu.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
         "o_custkey",
     )
     seg = W.partitionBy("c_mktsegment")

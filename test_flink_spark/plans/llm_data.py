@@ -430,10 +430,14 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force semantics: the driver verifies every emitted pair and every
     recall loss bit-for-bit.  Exact-by-construction near-dup at low
     thresholds is ``embedding_near_dup`` (block matmul)."""
+    # broadcast_vectors stays at the default False: the (id → vec, norm)
+    # side is ONE ROW PER CORPUS POINT, so a hard broadcast hint is the
+    # r5 gate's bug class (fine at 2k vectors, driver-fatal at 10^9).
+    # The candidate re-rank joins on id — the planner still broadcasts
+    # the small side at bench scale from size stats.
     return near_dup_pairs_lsh(
         _emb(spark, sf_dir), threshold=0.35, dim=EMB_DIM,
         n_planes=_LSH_PLANES, n_tables=_LSH_TABLES,
-        broadcast_vectors=True,  # embeddings table ≪ executor memory here
     )
 
 
@@ -1256,13 +1260,15 @@ SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN classification by majority label of the 5 exact nearest
     neighbors (ties → smallest label).  Composes cosine_topk with a
-    broadcast label join — the standard eval harness for embedding
+    label join on neighbor id — the standard eval harness for embedding
     quality."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
     topk = cosine_topk(emb, queries, k=5, dim=EMB_DIM)
     labels = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label"))
-    votes = topk.join(F.broadcast(labels), "neighbor_id").groupBy(
+    # labels is one row per corpus point — no broadcast hint (r5 gate);
+    # topk is the tiny side (|queries| x k) and the planner broadcasts IT
+    votes = topk.join(labels, "neighbor_id").groupBy(
         "query_id", "label"
     ).agg(F.count(F.lit(1)).alias("votes"))
     from pyspark.sql import Window as W
@@ -1748,8 +1754,13 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deterministic 5% hash slice of the corpus (stand-in for a real eval
     set); every remaining doc is scored by the fraction of its distinct
     3-gram shingles that appear anywhere in the benchmark.  The benchmark
-    side collapses to a broadcast set of 60-bit shingle hashes — the
-    corpus-side scan never shuffles text, only (doc_id, count) partials."""
+    side collapses to a set of 60-bit shingle hashes — the corpus-side
+    scan never shuffles text, only (doc_id, count) partials.  Because THIS
+    stand-in benchmark is a corpus slice (it grows with the corpus), the
+    join is left un-hinted (broadcast_bench=False) and the planner picks
+    broadcast while the slice is small; a real, externally-fixed eval
+    suite is the case the operator's broadcast_bench=True default is
+    for."""
     from ..operators.decontam import ngram_containment
     from ..operators.sampling import hash_bucket
 
@@ -1757,7 +1768,9 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = hash_bucket(F.col("doc_id"), "bench")
     bench = docs.filter(b < 500)
     train = docs.filter(b >= 500)
-    return ngram_containment(train, bench, n=3, flag_threshold=0.2)
+    return ngram_containment(
+        train, bench, n=3, flag_threshold=0.2, broadcast_bench=False
+    )
 
 
 _DECONTAM_SQL = r"""

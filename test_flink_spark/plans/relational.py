@@ -80,7 +80,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
     )
     agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
@@ -124,7 +124,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(cust.c_nationkey == supp.s_nationkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -153,9 +153,17 @@ GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def broadcast_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ dim with the broadcast chosen by the PLANNER, not a hint:
+    part scales linearly with SF (2 M rows/TB), so a hard F.broadcast is
+    the r5 gate's bug class — fine at bench scale, driver-fatal at
+    100 TB.  Catalyst's size-based selection broadcasts part while it
+    fits autoBroadcastJoinThreshold (it does at every test SF, so the
+    physical plan here IS a BroadcastHashJoin) and degrades to a shuffle
+    join beyond it.  broadcast_dim_join (operators/joins.py) remains the
+    explicit-hint tool for stats-less but genuinely bounded dims."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    joined = broadcast_dim_join(li, part, on=li.l_partkey == part.p_partkey)
+    joined = li.join(part, on=li.l_partkey == part.p_partkey)
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -435,13 +443,65 @@ FROM events GROUP BY 1
 
 
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL count-distinct + approximate percentile — sketch results are
-    engine-specific by design (no oracle; driver does rows-only)."""
+    """HLL count-distinct + approximate percentile, emitted as BOUNDS-CHECK
+    booleans so the engine-specific sketch values become value-hashable
+    (closing the fleet's last ``no_oracle`` row, per the r4 verdict).
+
+    The raw sketch outputs differ per engine, so the query checks them
+    against their published guarantees using exact values Spark computes
+    in the same job:
+    - ``users_within_rsd``: |HLL − exact| ≤ 3·rsd·exact (rsd=0.02 → 6%;
+      measured error at sf0.01/sf0.1 is ≤0.4%).
+    - ``median_rank_ok``: percentile_approx(accuracy=10000) guarantees
+      rank error ≤ n/accuracy; the check re-scans events counting values
+      strictly-below / at-or-below the sketch's median and asserts the
+      rank window (±10·n/accuracy slack for tie handling).
+    The DuckDB oracle computes ``exact_users`` independently (a real
+    cross-engine check) and asserts the guarantee booleans as TRUE
+    literals — a sketch drifting out of bounds hash-mismatches.
+
+    Scale: the per-group sketch table is |event_type| rows (bounded, 5
+    here) so the join back to events is a legitimate broadcast."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
+    ag = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
+        F.percentile_approx("value", 0.5, 10000).alias("am"),
+        F.count(F.lit(1)).alias("n"),
     )
+    ranks = (
+        ev.join(F.broadcast(ag.select("event_type", "am")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("am"), 1).otherwise(0)).alias("lt"),
+            F.sum(F.when(F.col("value") <= F.col("am"), 1).otherwise(0)).alias("le"),
+        )
+    )
+    eps = F.col("n") * F.lit(10.0 / 10000)
+    return (
+        ag.join(ranks, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("au") - F.col("exact_users"))
+                <= F.col("exact_users") * F.lit(3 * 0.02)
+            ).alias("users_within_rsd"),
+            (
+                (F.col("lt") <= F.col("n") * F.lit(0.5) + eps)
+                & (F.col("le") >= F.col("n") * F.lit(0.5) - eps)
+            ).alias("median_rank_ok"),
+        )
+    )
+
+
+_APPROX_AGG_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS users_within_rsd,
+       TRUE AS median_rank_ok
+FROM events GROUP BY 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -510,7 +570,9 @@ ORACLES = {
     "window_order_analytics": _WINDOW_SQL,
     "count_distinct_exact": _COUNT_DISTINCT_SQL,
     "pivot_event_counts": _PIVOT_SQL,
-    # approx_aggregates: sketch-based, engine-specific → rows-only check
+    # approx_aggregates emits guarantee booleans + an independently-computed
+    # exact_users column, so even the sketch query is value-hash-checked.
+    "approx_aggregates": _APPROX_AGG_SQL,
 }
 
 
@@ -1239,10 +1301,14 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     view -> first purchase AFTER that click, per user; output is the
     bounded per-stage report (stage, n_users, conv_rate vs previous
     stage).  Each stage is one conditional aggregation over events with
-    map-side partials and a broadcast join of the (|users|-row) prior
-    stage — the staged-min shape keeps ordering semantics exact without
-    any per-user sort or window.  Scale: three narrow aggregate passes;
-    no stage ever shuffles the event body."""
+    map-side partials and a plain equi-join of the prior stage on
+    user_id — the staged-min shape keeps ordering semantics exact
+    without any per-user sort or window.  The prior-stage table is
+    |users| rows, so it is NOT broadcast-hinted (the r5 broadcast-growth
+    gate's bug class): the planner broadcasts it from size stats while
+    small and shuffle-joins when users outgrow the threshold.  Scale:
+    three narrow aggregate passes; no stage ever shuffles the event
+    body."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_millis("ts").alias("ts_ms")
     )
@@ -1251,14 +1317,14 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = (
         ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(views), "user_id")
+        .join(views, "user_id")
         .filter(F.col("ts_ms") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts_ms").alias("t_click"))
     )
     buys = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(clicks), "user_id")
+        .join(clicks, "user_id")
         .filter(F.col("ts_ms") > F.col("t_click"))
         .groupBy("user_id")
         .agg(F.min("ts_ms").alias("t_buy"))
@@ -1323,15 +1389,17 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-activity day
     (cohort), counted distinct on each day offset 0..7 — the standard
     product-analytics retention triangle.  One per-user min-day aggregate
-    joined back (broadcast: |users| rows), then one (cohort, offset)
-    count-distinct.  Day arithmetic is integer epoch-millis div — engine-
+    joined back on user_id (|users| rows — plain shuffle join, no
+    broadcast hint: per-user tables grow with scale, the r5 gate's bug
+    class; the planner still broadcasts it while small), then one
+    (cohort, offset) count-distinct.  Day arithmetic is integer epoch-millis div — engine-
     exact, no timezone/calendar dependence."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.expr("unix_millis(ts) div 86400000").alias("day")
     )
     firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
-        ev.join(F.broadcast(firsts), "user_id")
+        ev.join(firsts, "user_id")
         .withColumn("offset", F.col("day") - F.col("cohort_day"))
         .filter(F.col("offset").between(0, 7))
         .groupBy("cohort_day", "offset")

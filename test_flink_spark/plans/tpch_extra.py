@@ -53,8 +53,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100)
     offers = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(euro_supp), li.l_suppkey == euro_supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(euro_supp, li.l_suppkey == euro_supp.s_suppkey)
         .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min(cents).alias("cost_cents"))
     )
@@ -63,7 +63,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         offers.join(
-            F.broadcast(min_cost),
+            min_cost,
             (offers.p_partkey == min_cost.mk)
             & (offers.cost_cents == min_cost.min_cents),
         )
@@ -128,7 +128,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
         .filter(pair | rev_pair)
@@ -190,10 +190,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(amer_cust, orders.o_custkey == amer_cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("o_year")
@@ -247,9 +247,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
@@ -303,7 +303,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     per_part = (
-        li.join(F.broadcast(asia_supp), li.l_suppkey == asia_supp.s_suppkey)
+        li.join(asia_supp, li.l_suppkey == asia_supp.s_suppkey)
         .groupBy("l_partkey")
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("raw_value")
@@ -429,7 +429,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -475,7 +475,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rev.agg(F.max("revenue_cents").alias("max_cents"))
     return (
         rev.join(F.broadcast(top), rev.revenue_cents == top.max_cents)
-        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -519,8 +519,8 @@ def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -562,7 +562,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(b1 | b2 | b3)
         .agg(
             F.round(
@@ -612,7 +612,7 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "s_name")
     )
-    red_li = li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+    red_li = li.join(red, li.l_partkey == red.p_partkey)
     per_pair = red_li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("supp_qty")
     )
@@ -620,7 +620,7 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").alias("total_qty")
     )
     dominant = (
-        per_pair.join(F.broadcast(per_part), per_pair.l_partkey == per_part.pk)
+        per_pair.join(per_part, per_pair.l_partkey == per_part.pk)
         .filter(F.col("supp_qty") > 0.1 * F.col("total_qty"))
         .select("l_suppkey")
         .distinct()
@@ -696,7 +696,7 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
     return (
-        waits.join(F.broadcast(supp), waits.l_suppkey == supp.s_suppkey)
+        waits.join(supp, waits.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "numwait")
         .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
         .limit(20)

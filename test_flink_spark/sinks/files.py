@@ -9,6 +9,33 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 
 
+def _swap_publish(tmp: str, path: str) -> None:
+    """Publish ``tmp`` at ``path`` via a TWO-RENAME swap.
+
+    ``rmtree(path); rename(tmp, path)`` is NOT atomic: rmtree is O(files)
+    metadata ops, so readers racing the swap would see a *missing* dataset
+    for its whole duration, and a crash inside the window strands the new
+    data in the tmp dir with the published path gone.  The two-rename form
+    shrinks the no-dataset window to two rename() metadata ops and makes
+    crash recovery self-describing: if ``path`` is missing, exactly one of
+    ``tmp`` / ``path.__old`` holds a complete dataset to re-rename.  Still
+    not a transactional commit — that needs a table format (Delta/Iceberg
+    snapshot swap) or a symlink/manifest indirection; this is the honest
+    local-FS approximation.
+    """
+    import os
+    import shutil
+
+    old = f"{path}.__old"
+    if os.path.exists(old):  # debris from a crashed prior swap
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
@@ -78,7 +105,6 @@ def start_parquet_matview(
     foreachBatch sink.  Scale: the exchange is one join keyed on the view
     key per batch — the snapshot is aggregate-sized, never event-sized."""
     import os
-    import shutil
 
     def _apply(batch_df, batch_id):
         spark = batch_df.sparkSession
@@ -92,8 +118,7 @@ def start_parquet_matview(
             merged = batch
         tmp = f"{path}.__tmp_{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path, ignore_errors=True)
-        os.rename(tmp, path)
+        _swap_publish(tmp, path)
 
     return (
         df.writeStream.outputMode("update")
@@ -123,8 +148,9 @@ def compact_parquet(
     — then the same write-and-swap used by the streaming matview (the
     local-FS stand-in for a table-format transactional rewrite; on
     Delta/Iceberg this is OPTIMIZE/rewriteDataFiles).  Readers racing
-    the swap re-list on retry; correctness is the swap's atomicity on a
-    posix rename.
+    the swap re-list on retry; the two-rename swap (_swap_publish)
+    bounds the not-found window to two rename() metadata ops — see its
+    docstring for the honest non-transactional caveat.
 
     Row-group sizing note: ``target_records_per_file`` bounds records,
     not bytes — callers with wide rows should size it from a sampled
@@ -138,7 +164,6 @@ def compact_parquet(
     """
     import math
     import os
-    import shutil
 
     files_before = sum(
         1
@@ -167,8 +192,7 @@ def compact_parquet(
             .option("compression", compression)
         )
     w.parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    _swap_publish(tmp, path)
     files_after = sum(
         1
         for root, _, names in os.walk(path)
@@ -202,8 +226,6 @@ def apply_deletes(
     partition directories, not the table root, when keys carry the
     partition column.  For a partitioned root, pass ``partition_by`` to
     re-apply the directory layout on rewrite."""
-    import os
-    import shutil
 
     cur = spark.read.parquet(path)
     rows_before = cur.count()
@@ -215,7 +237,6 @@ def apply_deletes(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    _swap_publish(tmp, path)
     rows_after = spark.read.parquet(path).count()
     return rows_before, rows_after

@@ -221,3 +221,103 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-size hygiene (r4 verdict item 8): no F.broadcast hint may wrap a
+# relation whose cardinality GROWS with input scale.  A hint on a
+# per-document / per-user / per-part table works at bench scale and kills
+# the driver at 100 TB (the sparse_cosine_topk norms bug, fixed r5) — and
+# Catalyst's size-based selection broadcasts small relations anyway, so a
+# hard hint on a scaling relation buys nothing locally and costs everything
+# at scale.  Detection is EMPIRICAL: build each registered query at two SFs
+# with a spy on pyspark.sql.functions.broadcast and count every hinted
+# relation at both scales; bounded relations (dims, scalar aggregates,
+# vocab / sketch / top-k tables) stay ~flat while the bug class tracks the
+# 10x data growth.  tools/broadcast_audit.py is the standalone form.
+#
+# Probe pair (sf0.01, sf0.1), NOT (sf0.001, sf0.01): documents/embeddings
+# are flat across the smaller pair (500 rows at both SFs), which is
+# exactly how the original per-document norms broadcast went undetected.
+# ---------------------------------------------------------------------------
+
+SF_BIG = "/root/testdata/sf0.1"
+
+
+def _hinted_relations(fn, spark, sf):
+    """Build fn(spark, sf), returning the DataFrames passed to F.broadcast."""
+    import pyspark.sql.functions as SFN
+
+    real, rec = SFN.broadcast, []
+
+    def spy(df):
+        rec.append(df)
+        return real(df)
+
+    SFN.broadcast = spy
+    try:
+        fn(spark, sf)
+    finally:
+        SFN.broadcast = real
+    return rec
+
+
+def _growing_hints(fn, spark):
+    """Indices of broadcast hints whose relation grows >3x (+20 rows slack,
+    so k-row tables and tiny samples don't false-positive) from sf0.001 to
+    sf0.1 — the scale every table grows across (4-10x)."""
+    small = _hinted_relations(fn, spark, SF)
+    if not small:
+        return []
+    big = _hinted_relations(fn, spark, SF_BIG)
+    assert len(small) == len(big), "hint count differs between SFs"
+    out = []
+    for i, (s, b) in enumerate(zip(small, big)):
+        ns, nb = s.count(), b.count()
+        if nb > 3 * ns + 20:
+            out.append((i, ns, nb))
+    return out
+
+
+def test_no_broadcast_hint_on_scaling_relations(spark):
+    import __spark_entry__ as entry
+
+    # Bounded-by-construction relations whose growth SATURATES above the
+    # probe SFs (the two-point empirical test cannot see a cap):
+    growth_allowed = {
+        # count-min sketch cell table: hard cap 4 x 1024 = 4096 rows
+        # (operators/sketch.py cms_build); 562 -> 3444 here, ceiling 4096
+        # regardless of corpus size.
+        "sketch_cms_heavy_hitters",
+    }
+    offenders = {}
+    for name, fn in entry.queries().items():
+        if name in growth_allowed:
+            continue
+        grows = _growing_hints(fn, spark)
+        if grows:
+            offenders[name] = grows
+    assert not offenders, (
+        f"F.broadcast hint on a relation that grows with input scale "
+        f"(query -> [(hint_idx, rows@sf0.01, rows@sf0.1)]): {offenders}"
+    )
+
+
+def test_broadcast_growth_canary(spark):
+    """The detector must trip on a deliberately-planted per-document
+    broadcast (the verdict's bug class) and stay quiet on a bounded-dim
+    broadcast of the same shape."""
+    from test_flink_spark.schemas import load_table
+
+    def bad(spark, sf):
+        docs = load_table(spark, sf, "documents")
+        per_doc = docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        return docs.join(F.broadcast(per_doc), "doc_id")
+
+    def good(spark, sf):
+        docs = load_table(spark, sf, "documents")
+        per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+        return docs.join(F.broadcast(per_lang), "lang")
+
+    assert _growing_hints(bad, spark), "per-document broadcast not detected"
+    assert not _growing_hints(good, spark), "bounded-dim broadcast flagged"
