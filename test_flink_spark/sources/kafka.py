@@ -68,12 +68,21 @@ def kafka_reader(
     topic: str | None = None,
     topic_pattern: str | None = None,
     starting_offsets: str = "latest",
+    format_name: str = "kafka",
+    extra_options: dict[str, str] | None = None,
 ) -> DataStreamReader:
     """Configured (unloaded) Kafka stream reader.
 
     ``topic_pattern`` maps the reference's regex subscription
     (``log_track_\\S+`` → ``subscribePattern=log_track_.+``); exactly one of
     topic/topic_pattern must be given.
+
+    ``format_name`` exists for the one sanctioned substitution: the
+    wire-compatible ``kafka_fake`` spool source (sources/kafka_fake.py)
+    lets the SAME option map + downstream pipeline run end-to-end in
+    broker-less environments (tests/test_kafka_e2e.py); production leaves
+    the default.  ``extra_options`` passes source-specific extras (the
+    fake's spool ``path``).
     """
     opts = kafka_options(
         bootstrap_servers,
@@ -81,7 +90,9 @@ def kafka_reader(
         topic_pattern=topic_pattern,
         starting_offsets=starting_offsets,
     )
-    return spark.readStream.format("kafka").options(**opts)
+    if extra_options:
+        opts.update(extra_options)
+    return spark.readStream.format(format_name).options(**opts)
 
 
 def with_topic_and_value(df: DataFrame) -> DataFrame:

@@ -14,10 +14,13 @@ ListState here is append-only per element — the same state-backend access
 pattern as Flink, backed by RocksDB.  Requires
 ``spark.sql.streaming.stateStore.providerClass = RocksDBStateStoreProvider``
 (set by ``rocksdb_confs``) AND the python ``protobuf`` package (the
-transformWithState control channel is protobuf-serialized).  protobuf is
-broken in this build container, so ``tws_available()`` gates usage; the
-``applyInPandasWithState`` implementation (stateful_topn.py) is the
-production path here and this module is the forward-looking 1:1 port.
+transformWithState control channel is protobuf-serialized).  protobuf has
+no pip install in this container, so ``export_protobuf_env()`` falls back
+to the pure-python runtime bundled with the system google-cloud-sdk (see
+its docstring for the one-minor gencode-version skip it authorizes);
+``tws_available()`` gates usage for environments with neither.  The
+``applyInPandasWithState`` implementation (stateful_topn.py) remains the
+production path; this module is the 1:1 ListState+timer port.
 """
 
 from __future__ import annotations
@@ -53,14 +56,57 @@ ITEM_SCHEMA = StructType(
 )
 
 
-def tws_available() -> bool:
-    """transformWithState needs a working python protobuf install."""
+# A pure-python protobuf runtime (6.32.0, BSD) ships inside the container's
+# google-cloud-sdk appengine tooling with unrewritten `google.protobuf`
+# import paths — usable as-is by adding ONE directory to sys.path.  pyspark's
+# generated StateMessage_pb2 carries gencode version 6.33.0, one minor ahead
+# of that runtime; protobuf's own escape hatch for exactly this situation is
+# the TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK env var (checked first in
+# runtime_version.ValidateProtobufRuntimeVersion).  StateMessage.proto is
+# plain proto3 with no 6.33-only features, and the streaming differential
+# test validates the channel end-to-end, so the one-minor skip is safe.
+_PB_FALLBACK_DIR = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+
+
+def export_protobuf_env() -> bool:
+    """Make python protobuf importable for THIS process and its Spark
+    workers.  Must run BEFORE the SparkContext/JVM is created: workers
+    inherit PYTHONPATH and the version-check override through the JVM's
+    environment, so late calls fix the driver but not the executors.
+    Returns True if protobuf is (or becomes) importable."""
+    import os
+    import sys
+
     try:
-        from google.protobuf import descriptor  # noqa: F401
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    if not os.path.isdir(os.path.join(_PB_FALLBACK_DIR, "google", "protobuf")):
+        return False
+    os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+    prev = os.environ.get("PYTHONPATH", "")
+    if _PB_FALLBACK_DIR not in prev.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{prev}{os.pathsep}{_PB_FALLBACK_DIR}" if prev else _PB_FALLBACK_DIR
+        )
+    if _PB_FALLBACK_DIR not in sys.path:
+        # append, not insert: never shadow a real install, and the SDK's
+        # sibling google.* subpackages (auth/appengine) stay unreachable
+        # unless something actually imports them (nothing here does)
+        sys.path.append(_PB_FALLBACK_DIR)
+    try:
+        import google.protobuf  # noqa: F401
 
         return True
     except ImportError:
         return False
+
+
+def tws_available() -> bool:
+    """transformWithState needs a working python protobuf install."""
+    return export_protobuf_env()
 
 
 def rocksdb_confs() -> dict[str, str]:

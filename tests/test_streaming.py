@@ -294,6 +294,7 @@ def test_transform_with_state_topn(spark, tmpdirs):
     channel serialization) is unavailable — the applyInPandasWithState path
     is the production implementation either way."""
     from test_flink_spark.streaming.stateful_topn_tws import (
+        rocksdb_confs,
         streaming_top_n_tws,
         tws_available,
     )
@@ -309,14 +310,28 @@ def test_transform_with_state_topn(spark, tmpdirs):
         F.timestamp_millis(F.col("wem")).alias("window_end_ts"), "item_id", "cnt"
     ).withWatermark("window_end_ts", "0 seconds")
     out = streaming_top_n_tws(counts, n=2)
-    q = start_memory(out, "tws_out", str(tmpdirs / "ckpt"))
+    # transformWithState's ListState needs multiple column families —
+    # RocksDB provider only (the default HDFSBacked provider raises
+    # UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_FAMILIES)
+    prev = {}
+    for k, v in rocksdb_confs().items():
+        prev[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
     try:
-        q.processAllAvailable()
-        (src / "b2.csv").write_text("900000,999,1\n")
-        q.processAllAvailable()
-        rows = spark.table("tws_out").collect()
+        q = start_memory(out, "tws_out", str(tmpdirs / "ckpt"))
+        try:
+            q.processAllAvailable()
+            (src / "b2.csv").write_text("900000,999,1\n")
+            q.processAllAvailable()
+            rows = spark.table("tws_out").collect()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     got = [(r["rank"], r["item_id"], r["cnt"]) for r in rows if r["item_id"] != 999]
     assert sorted(got)[:2] == [(1, 300, 9), (2, 100, 5)]
 
