@@ -295,9 +295,13 @@ def near_dup_pairs_lsh(
 
     ``broadcast_vectors=True`` ships the (id → vec, norm) side to every
     executor for the re-rank instead of shuffling candidate pairs against
-    it — right whenever the vector table fits executor memory (1M × 64-dim
-    float64 ≈ 512 MB is the practical ceiling); beyond that leave it False
-    and the re-rank degrades gracefully to a shuffle join on id.
+    it.  The table is one row PER CORPUS POINT, so this is an opt-in for
+    deployments that KNOW their corpus is small (≤ ~1M × 64-dim float64 ≈
+    512 MB); the default is False, registered queries leave it False (the
+    r5 broadcast-growth plan gate rejects hints on relations that scale
+    with the corpus), and the re-rank is a plain shuffle join on id —
+    which the planner turns back into a broadcast while the table is
+    actually small.
     """
     e = _bucket_expand(
         corpus, dim, n_planes, n_tables, id_col, vec_col, "vid", "vv", "nv",

@@ -39,7 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import shingle_hashes
+from .dedup import _h60, shingle_hashes
+from .text import words
 
 
 def span_ownership(
@@ -144,4 +145,139 @@ SELECT d.{id_col},
              ELSE 0.0 END) >= {flag_threshold} AS flagged
 FROM {table} d
 LEFT JOIN per_doc USING ({id_col})
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+# algorithm): per document, hash every k-gram, slide a w-gram window, and
+# keep each window's MINIMUM hash.  The guarantee that makes this the
+# classic document-fingerprinting scheme: any shared substring of
+# >= w + k - 1 tokens between two documents yields at least one SHARED
+# fingerprint, while only ~2/(w+1) of all gram hashes are kept — a
+# principled density/recall dial, vs span_ownership's keep-every-window
+# exactness.
+# ---------------------------------------------------------------------------
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Per-document winnowed fingerprint set, summarized as
+    ``(id_col, n_grams, n_fps, fp_md5)`` — gram count, distinct selected
+    fingerprints, and an order-canonical md5 over the sorted fingerprint
+    hashes (set-identity in one comparable value).
+
+    Selection rule, expressed as two stacked same-partition windows (ONE
+    exchange on the document id, no self-join):
+        wmin(p)   = MIN(h) over grams [p-w+1, p]      (window minimum)
+        sel(p)    = h(p) == MAX(wmin) over [p, p+w-1]
+    A gram is kept iff it IS the minimum of at least one window covering
+    it — algebraically identical to per-window argmin selection, because
+    wmin <= h(p) on every covering window, so equality with the max of
+    those minima says "some window chose p".  Equal-hash duplicates
+    inside one window are all kept; both engines evaluate the identical
+    arithmetic, so the oracle replays bit-for-bit (the 60-bit md5 hash
+    convention of shingle_hashes).  Prefix positions use the shrunken
+    frames both engines produce — equivalent to padding the left edge
+    with +inf, a standard winnowing boundary choice.
+
+    Scale: gram hashing is map-side array code; the two windows sort once
+    within each document's partition; the fingerprint set is ~2/(w+1) of
+    the gram count and only 8-byte hashes ever shuffle."""
+    from pyspark.sql import Window
+
+    ws = words(F.col(text_col))
+    idx = F.when(
+        F.size(ws) >= k, F.sequence(F.lit(1), F.size(ws) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, k)))
+    posed = df.select(
+        F.col(id_col), F.posexplode(F.transform(grams, _h60)).alias("pos", "h")
+    )
+    by_pos = Window.partitionBy(id_col).orderBy("pos")
+    wmin = F.min("h").over(by_pos.rowsBetween(-(w - 1), 0))
+    sel = (
+        posed.withColumn("wmin", wmin)
+        .withColumn("selmax", F.max("wmin").over(by_pos.rowsBetween(0, w - 1)))
+        .filter(F.col("h") == F.col("selmax"))
+        .select(F.col(id_col), "h")
+        .distinct()
+    )
+    per_doc = sel.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fps"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("h")), lambda x: x.cast("string")
+                ),
+                "|",
+            )
+        ).alias("fp_md5"),
+    )
+    n_grams = df.select(
+        F.col(id_col),
+        F.greatest(F.size(ws) - (k - 1), F.lit(0)).cast("long").alias("n_grams"),
+    )
+    return (
+        n_grams.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("n_fps"), F.lit(0)).cast("long").alias("n_fps"),
+            F.coalesce(F.col("fp_md5"), F.md5(F.lit(""))).alias("fp_md5"),
+        )
+    )
+
+
+def winnowing_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> str:
+    """DuckDB replay of winnowing_fingerprints: same grams, same 60-bit
+    hashes, same two stacked windows, same sorted-set md5."""
+    gram = " || ' ' || ".join(f"w[pos + {j}]" for j in range(k))
+    return rf"""
+WITH ws AS (
+    SELECT {id_col}, string_split_regex(trim({text_col}), '\s+') AS w
+    FROM {table}
+), g AS (
+    -- range() is end-EXCLUSIVE: grams run pos = 1 .. len-k+1
+    SELECT {id_col}, unnest(range(1, greatest(len(w) - {k - 2}, 1))) AS pos, w
+    FROM ws
+), gh AS (
+    SELECT {id_col}, pos,
+           ('0x' || substr(md5({gram}), 1, 15))::BIGINT AS h
+    FROM g
+), m AS (
+    SELECT {id_col}, pos, h,
+           MIN(h) OVER (PARTITION BY {id_col} ORDER BY pos
+                        ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS wmin
+    FROM gh
+), s AS (
+    SELECT {id_col}, pos, h,
+           MAX(wmin) OVER (PARTITION BY {id_col} ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+             AS selmax
+    FROM m
+), fp AS (
+    SELECT DISTINCT {id_col}, h FROM s WHERE h = selmax
+), agg AS (
+    SELECT {id_col}, COUNT(*) AS n_fps,
+           md5(array_to_string(list_sort(list(h)), '|')) AS fp_md5
+    FROM fp GROUP BY 1
+)
+SELECT d.{id_col},
+       CAST(greatest(len(string_split_regex(trim(d.{text_col}), '\s+'))
+                     - {k - 1}, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(a.n_fps, 0) AS BIGINT) AS n_fps,
+       COALESCE(a.fp_md5, md5('')) AS fp_md5
+FROM {table} d LEFT JOIN agg a USING ({id_col})
 """

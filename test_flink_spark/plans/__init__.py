@@ -31,10 +31,11 @@ from . import advanced, enterprise, llm_data, reference_queries, relational, tpc
 # Window accounting for THIS round: _PROMOTED below lists precisely the
 # 41 queries with no driver-green CORRECTNESS row in r1–r4 (the judge
 # verified all of them locally in VERDICT.md r4; approx_aggregates gains
-# its first value-hash oracle this round).  41 < 50, so the driver window
-# covers every one plus the first 9 module-order queries (the reference
-# flagships, all green r1–r4).  After this round the union of
-# CORRECTNESS_r01..r05 covers all 161 registered queries.
+# its first value-hash oracle this round) plus the 3 new-in-r5 queries
+# (winnowing fingerprints, ANN recall@k, cross-lingual dedup).  44 < 50,
+# so the driver window covers every one plus the first 6 module-order
+# queries (the reference flagships, all green r1–r4).  After this round
+# the union of CORRECTNESS_r01..r05 covers all 164 registered queries.
 _MODULE_ORDER = (reference_queries, enterprise, advanced, llm_data, relational, tpch_extra)
 _PROMOTED = (
     "multimodal_image_resize_stats",
@@ -78,6 +79,10 @@ _PROMOTED = (
     "q19_disjunctive_revenue",
     "q20_part_promotion",
     "q21_late_suppliers",
+    # new in r5 — first driver look
+    "text_winnowing_fingerprints",
+    "embedding_ann_recall",
+    "dedup_cross_lingual",
 )
 
 

@@ -2758,3 +2758,122 @@ FROM r WHERE rn = 1
 
 QUERIES["dedup_keep_best"] = dedup_keep_best
 ORACLES["dedup_keep_best"] = _keep_best_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: winnowing fingerprints (MOSS), ANN recall-at-k
+# evaluation, cross-lingual near-dup mining.
+# ---------------------------------------------------------------------------
+
+
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed document fingerprints (Schleimer et al. 2003 — the MOSS
+    scheme): 3-gram hashes, window w=4, per-window minimum selection with
+    the stacked-window formulation that needs ONE exchange and no
+    self-join (operators/span_dedup.py::winnowing_fingerprints).  Any
+    shared substring of >= w+k-1 = 6 tokens guarantees a shared
+    fingerprint at ~2/(w+1) storage density — the principled subsample of
+    span_ownership's keep-everything span index."""
+    from ..operators.span_dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(_docs(spark, sf_dir), k=3, w=4)
+
+
+def _winnowing_sql() -> str:
+    from ..operators.span_dedup import winnowing_oracle_sql
+
+    return winnowing_oracle_sql("documents", k=3, w=4)
+
+
+def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH ANN path measured against the exact cosine
+    top-k, per query: ``(query_id, hits, recall_bp)``.  The eval-harness
+    query an ANN deployment runs continuously — approximate index vs
+    exact baseline on a fixed query panel — expressed as one left-semi
+    join between the two top-k tables and an integer basis-point recall.
+    Composes the registered operators (exact: sanctioned broadcast-panel
+    baseline; approximate: the 4x8 OR-amplified LSH), so the oracle
+    replays BOTH algorithms and the recall arithmetic bit-for-bit."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5, dim=EMB_DIM).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh_bucket_topk(
+        emb, queries, dim=EMB_DIM, k=5, n_planes=_ANN_PLANES,
+        n_tables=_ANN_TABLES,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) * 10000 / F.lit(5))
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )
+
+
+def _ann_recall_sql() -> str:
+    # WITH-inside-FROM composition (DuckDB supports CTEs in subqueries):
+    # both component oracles are reused verbatim, so this oracle can never
+    # drift from the queries it evaluates.
+    return f"""
+WITH ex AS (SELECT query_id, neighbor_id FROM ({_topk_sql()}) t),
+ap AS (SELECT query_id, neighbor_id FROM ({_lsh_ann_sql()}) t),
+hits AS (
+    SELECT ex.query_id, COUNT(*) AS hits
+    FROM ex SEMI JOIN ap USING (query_id, neighbor_id)
+    GROUP BY 1
+)
+SELECT q.vec_id AS query_id,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(h.hits, 0) * 10000 / 5 AS BIGINT) AS recall_bp
+FROM (SELECT vec_id FROM embeddings WHERE vec_id < 20) q
+LEFT JOIN hits h ON h.query_id = q.vec_id
+"""
+
+
+def dedup_cross_lingual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual duplicate mining: n-gram-Jaccard near-dup pairs
+    whose two documents carry DIFFERENT language tags — the signal a
+    curation pipeline uses to find copy-paste translations / mislabeled
+    languages (same inverted-index join as dedup_ngram_jaccard, then one
+    metadata join; at 100 TB the lang join is doc-keyed and rides the
+    pair table's partitioning).  Emits (id_a, id_b, jaccard, lang_a,
+    lang_b)."""
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    la = docs.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"))
+    lb = docs.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"))
+    return (
+        pairs.join(la, "id_a")
+        .join(lb, "id_b")
+        .filter(F.col("lang_a") != F.col("lang_b"))
+        .select("id_a", "id_b", "jaccard", "lang_a", "lang_b")
+    )
+
+
+_CROSS_LINGUAL_SQL = f"""
+WITH p AS (SELECT * FROM ({_JACCARD_SQL}) t)
+SELECT p.id_a, p.id_b, p.jaccard, da.lang AS lang_a, db.lang AS lang_b
+FROM p
+JOIN documents da ON p.id_a = da.doc_id
+JOIN documents db ON p.id_b = db.doc_id
+WHERE da.lang <> db.lang
+"""
+
+
+QUERIES["text_winnowing_fingerprints"] = text_winnowing_fingerprints
+ORACLES["text_winnowing_fingerprints"] = _winnowing_sql()
+QUERIES["embedding_ann_recall"] = embedding_ann_recall
+ORACLES["embedding_ann_recall"] = _ann_recall_sql()
+QUERIES["dedup_cross_lingual"] = dedup_cross_lingual
+ORACLES["dedup_cross_lingual"] = _CROSS_LINGUAL_SQL

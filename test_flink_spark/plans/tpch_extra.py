@@ -292,7 +292,16 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parts whose ASIA-supplied value exceeds a fixed fraction of the total
     — Q11's scalar-subquery HAVING.  The global total re-aggregates the
     per-part aggregate (one fact scan, not two); the 1-row total is
-    broadcast, the same sanctioned scalar-join shape as q22."""
+    broadcast, the same sanctioned scalar-join shape as q22.
+
+    Arithmetic is INTEGER-exact (the fleet convention): value is summed in
+    price-cents × discount-hundredths units (int64), the HAVING threshold
+    is the cross-multiplied ``1000·part > total``, and the only double op
+    is one final exactly-rounded ``/10⁴``.  The first cut summed doubles
+    and survived only while the physical plan froze one summation order —
+    removing a broadcast hint in r5 re-ordered the partial sums and pushed
+    one part across a ROUND boundary, exactly the float fragility the
+    integer convention exists to kill."""
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
@@ -302,27 +311,30 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey")
     )
+    value_c4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
     per_part = (
         li.join(asia_supp, li.l_suppkey == asia_supp.s_suppkey)
         .groupBy("l_partkey")
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("raw_value")
-        )
+        .agg(F.sum(value_c4).alias("value_c4"))
     )
-    total = per_part.agg(F.sum("raw_value").alias("total_value"))
+    total = per_part.agg(F.sum("value_c4").alias("total_c4"))
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("raw_value") > 0.001 * F.col("total_value"))
+        .filter(F.col("value_c4") * 1000 > F.col("total_c4"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
-            F.round("raw_value", 2).alias("part_value"),
+            F.round(F.col("value_c4") / 10000.0, 2).alias("part_value"),
         )
     )
 
 
 _Q11_SQL = """
 WITH per_part AS (
-    SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS raw_value
+    SELECT l_partkey,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS value_c4
     FROM lineitem
     WHERE l_suppkey IN (
         SELECT s_suppkey FROM supplier
@@ -331,9 +343,9 @@ WITH per_part AS (
         WHERE r_name = 'ASIA')
     GROUP BY 1
 )
-SELECT l_partkey AS p_partkey, ROUND(raw_value, 2) AS part_value
+SELECT l_partkey AS p_partkey, ROUND(value_c4 / 10000.0, 2) AS part_value
 FROM per_part
-WHERE raw_value > 0.001 * (SELECT SUM(raw_value) FROM per_part)
+WHERE value_c4 * 1000 > (SELECT SUM(value_c4) FROM per_part)
 """
 
 

@@ -148,6 +148,10 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         # baseline; the fusion stage itself is an equi-key full-outer join
         # over two already-tiny top-k tables.
         "embedding_hybrid_rrf",
+        # recall@k composes the exact baseline (cosine_topk) BY DESIGN —
+        # it exists to measure the LSH path against it; same inherited
+        # broadcast-query-panel BNLJ.
+        "embedding_ann_recall",
     }
     # A global window is sanctioned ONLY over provably-bounded input:
     # corpus_mix_report's token_share window reads post-aggregation rows
