@@ -115,16 +115,30 @@ def _to_row(rec: dict, offset: int):
 
 
 class _FakeKafkaBatchReader(DataSourceReader):
+    """Batch replay of the retained log.  ``partitions()`` exposes one
+    input split per (topic, partition) — the same 1:1 Kafka-partition →
+    Spark-task mapping the real connector documents (sources/kafka.py),
+    so scan parallelism scales with topic partitions here too."""
+
     def __init__(self, options):
         self.path = options["path"]
         self.sub, self.pat = _subscription(options)
 
+    def partitions(self):
+        from pyspark.sql.datasource import InputPartition
+
+        return [
+            InputPartition((t, p))
+            for t, p, _ in _scan_spool(self.path)
+            if _matches(t, self.sub, self.pat)
+        ]
+
     def read(self, partition):
-        for topic, _p, recs in _scan_spool(self.path):
-            if not _matches(topic, self.sub, self.pat):
-                continue
-            for off, rec in enumerate(recs):
-                yield _to_row(rec, off)
+        topic, p = partition.value
+        for t, tp, recs in _scan_spool(self.path):
+            if t == topic and tp == p:
+                for off, rec in enumerate(recs):
+                    yield _to_row(rec, off)
 
 
 class _FakeKafkaStreamReader(SimpleDataSourceStreamReader):

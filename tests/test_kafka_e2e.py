@@ -250,3 +250,37 @@ def test_full_pipeline_to_duckdb_upsert(spark, spool, tmp_path):
     assert con.execute(
         "SELECT COUNT(*) FROM log_track_point"
     ).fetchone()[0] == n_before
+
+
+def test_multi_partition_parallel_scan(spark, spool):
+    """Kafka's unit of parallelism is the topic partition; the fake keeps
+    the same contract — one Spark input split per (topic, partition),
+    per-partition offset sequences starting at 0, and partition-local
+    ordering."""
+    register(spark)
+    for p in range(3):
+        rows = [
+            {"topic": "events", "partition": p, "key": f"k{p}",
+             "value": f"p{p}-m{i}", "ts_ms": 1000 + i}
+            for i in range(4)
+        ]
+        (spool / f"events-p{p}.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+    df = (
+        spark.read.format("kafka_fake")
+        .option("subscribe", "events")
+        .option("path", str(spool))
+        .load()
+    )
+    # 3 partitions -> 3 input splits -> 3 Spark partitions
+    assert df.rdd.getNumPartitions() == 3
+    rows = df.select(
+        "partition", "offset", F.col("value").cast("string").alias("v")
+    ).collect()
+    assert len(rows) == 12
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["partition"], []).append((r["offset"], r["v"]))
+    for p, recs in by_part.items():
+        assert sorted(recs) == [(i, f"p{p}-m{i}") for i in range(4)]
