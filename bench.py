@@ -159,6 +159,11 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:15]
     )
+    # the shared-stage accounting lines are not registry names, so qt
+    # cannot carry them — always itemize them in the map
+    for stage in ("dedup_shared_stage", "dedup_index_build"):
+        if stage in timings:
+            slowest[stage] = timings[stage]
     out = {
         "metric": "sum_query_seconds",
         "value": total,

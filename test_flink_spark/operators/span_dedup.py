@@ -206,10 +206,12 @@ def winnowing_fingerprints(
         .withColumn("selmax", F.max("wmin").over(by_pos.rowsBetween(0, w - 1)))
         .filter(F.col("h") == F.col("selmax"))
         .select(F.col(id_col), "h")
-        .distinct()
     )
+    # collect_set dedups INSIDE the aggregation, and the groupBy rides the
+    # window's existing doc-id partitioning — a .distinct() here would add
+    # a second exchange on (doc_id, h) for nothing.
     per_doc = sel.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_fps"),
+        F.size(F.collect_set("h")).cast("long").alias("n_fps"),
         F.md5(
             F.array_join(
                 F.transform(

@@ -16,7 +16,25 @@ def load(path: str) -> dict:
     with open(path) as f:
         doc = json.load(f)
     if "parsed" in doc:  # driver wrapper
-        return doc["parsed"]
+        doc = doc["parsed"]
+    # r5+ format: "queries" holds only the slowest lines; "qt" carries a
+    # time for EVERY registered query, positionally ordered by
+    # sorted(queries().keys()).  Reconstruct the full name->sec map from
+    # the CURRENT registry when the lengths line up (names drift across
+    # rounds; a mismatched length means the registry changed since that
+    # bench ran — fall back to the itemized map).
+    if "qt" in doc:
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        import __spark_entry__ as entry
+
+        names = sorted(entry.queries())
+        if len(names) == len(doc["qt"]):
+            full = dict(zip(names, doc["qt"]))
+            full.update(doc.get("queries", {}))  # keep shared-stage lines
+            doc = {**doc, "queries": full}
     return doc
 
 
