@@ -32,10 +32,11 @@ from . import advanced, enterprise, llm_data, reference_queries, relational, tpc
 # 41 queries with no driver-green CORRECTNESS row in r1–r4 (the judge
 # verified all of them locally in VERDICT.md r4; approx_aggregates gains
 # its first value-hash oracle this round) plus the 3 new-in-r5 queries
-# (winnowing fingerprints, ANN recall@k, cross-lingual dedup).  44 < 50,
-# so the driver window covers every one plus the first 6 module-order
-# queries (the reference flagships, all green r1–r4).  After this round
-# the union of CORRECTNESS_r01..r05 covers all 164 registered queries.
+# (winnowing fingerprints, ANN recall@k, cross-lingual dedup, split
+# leakage, point-in-time join — 46 total).  46 < 50, so the driver window
+# covers every one plus the first 4 module-order queries (reference
+# flagships, all green r1–r4).  After this round the union of
+# CORRECTNESS_r01..r05 covers all 166 registered queries.
 _MODULE_ORDER = (reference_queries, enterprise, advanced, llm_data, relational, tpch_extra)
 _PROMOTED = (
     "multimodal_image_resize_stats",
@@ -83,6 +84,8 @@ _PROMOTED = (
     "text_winnowing_fingerprints",
     "embedding_ann_recall",
     "dedup_cross_lingual",
+    "corpus_split_leakage",
+    "cdc_point_in_time_join",
 )
 
 

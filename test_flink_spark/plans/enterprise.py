@@ -1037,3 +1037,105 @@ FROM per
 
 QUERIES["customers_rfm_segments"] = customers_rfm_segments
 ORACLES["customers_rfm_segments"] = _RFM_SQL
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (temporal) join: facts enriched with the SCD2 version that
+# was valid when the fact happened.
+# ---------------------------------------------------------------------------
+
+
+def cdc_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich every purchase event with the user's SCD2 state version
+    valid AT the purchase instant — the warehouse temporal join (Delta/
+    Iceberg "FOR SYSTEM_TIME AS OF" per-row): versions come from
+    cdc_scd2_history over the same changelog; a purchase matches the
+    version with ``valid_from <= ts < valid_to``.
+
+    Spark-first shape: the interval lookup is the BACKWARD AS-OF join on
+    valid_from (operators/joins.py::asof_join — one union + one keyed
+    window, no range-join explosion), followed by the valid_to filter
+    that voids matches falling in a tombstone gap.  Empty versions (two
+    changes in the same millisecond: the earlier one's interval is
+    [t, t)) are pre-filtered so the as-of pick is deterministic.
+    A purchase with no live version (after a tombstone, before the next
+    change) keeps its row with NULL state — the auditable gap, not a
+    dropped fact."""
+    from ..operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("op"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round("value", 2).alias("value"),
+    )
+    hist = scd2_history(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts_ms",
+        tiebreak_cols=["event_id"],
+        op_col="op",
+        delete_ops=["error"],
+    ).filter(F.col("valid_to").isNull() | (F.col("valid_from") < F.col("valid_to")))
+    versions = hist.select(
+        "user_id",
+        F.timestamp_millis(F.col("valid_from")).alias("vts"),
+        F.col("value").alias("v_value"),
+        F.col("valid_from").alias("v_from_ms"),
+        F.col("valid_to").alias("v_to_ms"),
+    )
+    buys = ev.filter(F.col("op") == "purchase").select(
+        "user_id", "event_id", "ts_ms",
+        F.timestamp_millis(F.col("ts_ms")).alias("bts"),
+    )
+    joined = asof_join(
+        buys,
+        versions,
+        keys=["user_id"],
+        left_ts="bts",
+        right_ts="vts",
+        right_values=["v_value", "v_from_ms", "v_to_ms"],
+    )
+    live = F.col("v_from_ms").isNotNull() & (
+        F.col("v_to_ms").isNull() | (F.col("ts_ms") < F.col("v_to_ms"))
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        F.when(live, F.col("v_value")).alias("state_value"),
+        F.when(live, F.col("v_from_ms")).cast("long").alias("state_from_ms"),
+        live.alias("has_state"),
+    )
+
+
+_PIT_SQL = r"""
+WITH e AS (
+    SELECT user_id, event_id, event_type AS op, epoch_ms(ts) AS ts_ms,
+           ROUND(value, 2) AS value
+    FROM events
+), v AS (
+    SELECT *,
+           LEAD(ts_ms) OVER (PARTITION BY user_id
+                             ORDER BY ts_ms ASC, event_id ASC) AS valid_to
+    FROM e
+), ver AS (
+    SELECT user_id, value AS v_value, ts_ms AS v_from_ms, valid_to AS v_to_ms
+    FROM v
+    WHERE op <> 'error' AND (valid_to IS NULL OR ts_ms < valid_to)
+), b AS (
+    SELECT user_id, event_id, ts_ms FROM e WHERE op = 'purchase'
+)
+SELECT b.user_id, b.event_id, b.ts_ms,
+       ver.v_value AS state_value,
+       CAST(ver.v_from_ms AS BIGINT) AS state_from_ms,
+       ver.v_from_ms IS NOT NULL AS has_state
+FROM b LEFT JOIN ver
+  ON b.user_id = ver.user_id
+ AND ver.v_from_ms <= b.ts_ms
+ AND (ver.v_to_ms IS NULL OR b.ts_ms < ver.v_to_ms)
+"""
+
+QUERIES["cdc_point_in_time_join"] = cdc_point_in_time_join
+ORACLES["cdc_point_in_time_join"] = _PIT_SQL

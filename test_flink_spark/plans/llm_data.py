@@ -2877,3 +2877,46 @@ QUERIES["embedding_ann_recall"] = embedding_ann_recall
 ORACLES["embedding_ann_recall"] = _ann_recall_sql()
 QUERIES["dedup_cross_lingual"] = dedup_cross_lingual
 ORACLES["dedup_cross_lingual"] = _CROSS_LINGUAL_SQL
+
+
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: near-duplicate pairs that CROSS the
+    train/val/test boundary — each one is an eval example whose
+    near-copy sits in training data, silently inflating eval scores (the
+    split-level complement of corpus_decontaminate's external-benchmark
+    check).  Same inverted-index jaccard join as dedup_ngram_jaccard;
+    the hash-bucket split assignment rides the pair table with two
+    doc-keyed joins.  Emits (id_a, id_b, jaccard, split_a, split_b) with
+    split_a != split_b."""
+    from ..operators.sampling import train_val_test_split
+
+    docs = _docs(spark, sf_dir)
+    tagged = train_val_test_split(docs).select("doc_id", "split")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    sa = tagged.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = tagged.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    )
+
+
+def _split_leakage_sql() -> str:
+    from ..operators.sampling import split_oracle_sql
+
+    split = split_oracle_sql()
+    return f"""
+WITH p AS (SELECT * FROM ({_JACCARD_SQL}) t),
+s AS (SELECT doc_id, {split} AS split FROM documents)
+SELECT p.id_a, p.id_b, p.jaccard, sa.split AS split_a, sb.split AS split_b
+FROM p
+JOIN s sa ON p.id_a = sa.doc_id
+JOIN s sb ON p.id_b = sb.doc_id
+WHERE sa.split <> sb.split
+"""
+
+
+QUERIES["corpus_split_leakage"] = corpus_split_leakage
+ORACLES["corpus_split_leakage"] = _split_leakage_sql()
