@@ -477,3 +477,295 @@ SELECT {keys}, l AS level_fp, b AS trend_fp, sc{nk} AS season_next_fp,
 FROM r{n_days - 1}
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (the hypertable ``time_weight('LOCF', ...)``
+# aggregate): the mean of a step function that holds each observation's
+# value until the next observation — what "average sensor reading" must
+# mean for irregularly-sampled series (an arithmetic mean over-weights
+# bursts of samples).
+# ---------------------------------------------------------------------------
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_ms_col: str,
+    value_cents_col: str,
+) -> DataFrame:
+    """Per-key LOCF time-weighted average:
+    ``(key..., n_events, span_ms, twa_cents)``.
+
+    twa = Σ value_i · (t_{i+1} − t_i) / (t_n − t_1) over the observation
+    span, i.e. the integral of the LOCF step function divided by its
+    length.  The last observation spans zero time (integral to the last
+    KNOWN instant — extending past t_n would invent data).  A key with
+    one observation (span 0) reports its own value.
+
+    Exactness: value·gap products and their sum are int64 (cents ×
+    epoch-ms gaps; worst case 10⁶ cents × 10¹¹ ms span keeps Σ below
+    ~10¹⁷ < 2⁶³); the ONLY float op is the final sum/span division,
+    identical one-op IEEE in both engines, then ROUND to 4 — the
+    cross-engine float discipline every timeseries op here follows.
+
+    Shape: one hash exchange on the key, lead() in-partition, one
+    partial-aggregated groupBy — the cusum/gapfill profile."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col("__t").asc())
+    gapped = df.select(
+        *key_cols,
+        F.col(ts_ms_col).alias("__t"),
+        F.col(value_cents_col).alias("__v"),
+    ).withColumn("__gap", F.lead("__t").over(w) - F.col("__t"))
+    agg = gapped.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("__t") - F.min("__t")).cast("long").alias("span_ms"),
+        F.sum(F.col("__v") * F.coalesce(F.col("__gap"), F.lit(0)))
+        .cast("long")
+        .alias("__wsum"),
+        F.min(F.struct(F.col("__t"), F.col("__v"))).alias("__first"),
+    )
+    return agg.select(
+        *key_cols,
+        "n_events",
+        "span_ms",
+        F.when(F.col("span_ms") > 0, F.round(F.col("__wsum") / F.col("span_ms"), 4))
+        .otherwise(F.col("__first.__v").cast("double"))
+        .alias("twa_cents"),
+    )
+
+
+def time_weighted_avg_oracle_sql(
+    table: str,
+    key_cols: Sequence[str],
+    ts_ms_expr: str,
+    value_cents_expr: str,
+) -> str:
+    """DuckDB replay of time_weighted_avg (same int64 integral, same
+    single rounded division; ties on equal timestamps resolved by the
+    same min-struct first-value rule — numerically irrelevant because a
+    zero gap contributes nothing to the integral)."""
+    keys = ", ".join(key_cols)
+    return f"""
+WITH s AS (
+    SELECT {keys}, {ts_ms_expr} AS t, {value_cents_expr} AS v
+    FROM {table}
+), g AS (
+    SELECT {keys}, t, v,
+           LEAD(t) OVER (PARTITION BY {keys} ORDER BY t ASC) - t AS gap
+    FROM s
+), a AS (
+    SELECT {keys},
+           COUNT(*) AS n_events,
+           MAX(t) - MIN(t) AS span_ms,
+           CAST(SUM(v * COALESCE(gap, 0)) AS BIGINT) AS wsum,
+           MIN(struct_pack(t := t, v := v)) AS first_tv
+    FROM g GROUP BY {keys}
+)
+SELECT {keys},
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(span_ms AS BIGINT) AS span_ms,
+       CASE WHEN span_ms > 0 THEN ROUND(wsum / span_ms, 4)
+            ELSE CAST(first_tv.v AS DOUBLE) END AS twa_cents
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
+# Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) — the
+# standard viz/retention downsampler (Timescale/Grafana): keep ~n_out
+# points per series while preserving the visual shape, by choosing from
+# each bucket the point forming the largest triangle with its neighbor
+# buckets.
+# ---------------------------------------------------------------------------
+
+
+def lttb_downsample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_ms_col: str,
+    value_cents_col: str,
+    n_out: int = 20,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key LTTB downsample to ``n_out`` points:
+    ``(*key_cols, ord, ts_ms, cents)``.
+
+    Parallel-deterministic variant: classic LTTB anchors each bucket's
+    triangle on the PREVIOUSLY SELECTED point — an inherently sequential
+    scan.  This operator anchors on the previous bucket's AVERAGE (the
+    same simplification the original paper evaluates as
+    "LTTB-with-fixed-anchors"), which makes every bucket's argmax
+    independent → fully parallel, engine-replayable, and within a few
+    percent of sequential LTTB's visual error on real series.
+
+    Exactness: the triangle area comparison is an INTEGER cross product.
+    With A = prev-bucket average, C = next-bucket average, B a candidate,
+    area ∝ |(A−B) × (C−B)|; multiplying through by the bucket counts
+    clears the rational averages:
+        v1 = (sa_t − t·ca, sa_y − y·ca),  v2 = (sc_t − t·cc, sc_y − y·cc)
+        score = |v1.x·v2.y − v1.y·v2.x|
+    Timestamps are normalized to the key's own origin so components stay
+    ~1e13; the cross product still exceeds int64, so it is computed in
+    decimal(38,0) (Spark) / HUGEINT (DuckDB) — exact in both.  Ties:
+    smaller timestamp, then position.
+
+    First/last points are always kept (ord 0 and n_out−1); middle points
+    split into n_out−2 equal-COUNT buckets by rank.  Keys with ≤ n_out
+    points pass through unchanged (ord = position).  Shape: one hash
+    exchange on the key; ranks/bucket sums/argmax all ride that one
+    partitioning (windows + a bucket-sum groupBy + one bucket-keyed
+    join of candidates to neighbor sums).
+    """
+    if n_out < 3:
+        raise ValueError(f"n_out must be >= 3, got {n_out}")
+    tb = [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    w = Window.partitionBy(*key_cols).orderBy(F.col("t").asc(), *tb)
+    base = (
+        df.select(
+            *key_cols,
+            F.col(ts_ms_col).alias("t"),
+            F.col(value_cents_col).alias("y"),
+            *([F.col(tiebreak_col)] if tiebreak_col else []),
+        )
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(*key_cols)))
+        .withColumn("t0", F.min("t").over(Window.partitionBy(*key_cols)))
+        .withColumn("tn", F.col("t") - F.col("t0"))
+    )
+    small = base.filter(F.col("n") <= n_out).select(
+        *key_cols,
+        F.col("pos").cast("long").alias("ord"),
+        F.col("t").alias("ts_ms"),
+        F.col("y").alias("cents"),
+    )
+    big = base.filter(F.col("n") > n_out)
+    nb = n_out - 2
+    # bucket −1 = the first point, buckets 0..nb−1 = middle, bucket nb =
+    # the last point; middle split by RANK into equal-count buckets
+    bucket = (
+        F.when(F.col("pos") == 0, F.lit(-1))
+        .when(F.col("pos") == F.col("n") - 1, F.lit(nb))
+        # `div`, not `/`+cast: Spark casts double→int by truncation but
+        # DuckDB CAST rounds — integer division sidesteps the divergence
+        .otherwise(F.expr(f"((pos - 1) * {nb}) div (n - 2)").cast("int"))
+    )
+    bt = big.withColumn("bucket", bucket)
+    sums = bt.groupBy(*key_cols, "bucket").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("tn").alias("st"),
+        F.sum("y").alias("sy"),
+    )
+    wb = Window.partitionBy(*key_cols).orderBy("bucket")
+    nbrs = sums.select(
+        *key_cols,
+        "bucket",
+        F.lag("c").over(wb).alias("ca"),
+        F.lag("st").over(wb).alias("sa_t"),
+        F.lag("sy").over(wb).alias("sa_y"),
+        F.lead("c").over(wb).alias("cc"),
+        F.lead("st").over(wb).alias("sc_t"),
+        F.lead("sy").over(wb).alias("sc_y"),
+    ).filter((F.col("bucket") >= 0) & (F.col("bucket") < nb))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cand = bt.filter((F.col("bucket") >= 0) & (F.col("bucket") < nb)).join(
+        nbrs, [*key_cols, "bucket"]
+    )
+    score = F.abs(
+        d(F.col("sa_t") - F.col("tn") * F.col("ca"))
+        * d(F.col("sc_y") - F.col("y") * F.col("cc"))
+        - d(F.col("sa_y") - F.col("y") * F.col("ca"))
+        * d(F.col("sc_t") - F.col("tn") * F.col("cc"))
+    )
+    wr = Window.partitionBy(*key_cols, "bucket").orderBy(
+        score.desc(), F.col("t").asc(), F.col("pos").asc()
+    )
+    winners = (
+        cand.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *key_cols,
+            (F.col("bucket") + 1).cast("long").alias("ord"),
+            F.col("t").alias("ts_ms"),
+            F.col("y").alias("cents"),
+        )
+    )
+    ends = bt.filter(F.col("bucket").isin(-1, nb)).select(
+        *key_cols,
+        F.when(F.col("bucket") == -1, F.lit(0))
+        .otherwise(F.lit(n_out - 1))
+        .cast("long")
+        .alias("ord"),
+        F.col("t").alias("ts_ms"),
+        F.col("y").alias("cents"),
+    )
+    return small.unionByName(ends).unionByName(winners)
+
+
+def lttb_oracle_sql(
+    table: str,
+    key_cols: Sequence[str],
+    ts_ms_expr: str,
+    value_cents_expr: str,
+    n_out: int = 20,
+    tiebreak_expr: str | None = None,
+) -> str:
+    """DuckDB replay of lttb_downsample (same rank bucketing, same
+    HUGEINT cross-product scores, same tie order)."""
+    keys = ", ".join(key_cols)
+    nb = n_out - 2
+    tb_sel = f", {tiebreak_expr} AS tb" if tiebreak_expr else ""
+    tb = ", tb ASC" if tiebreak_expr else ""
+    return f"""
+WITH s AS (
+    SELECT {keys}, {ts_ms_expr} AS t, {value_cents_expr} AS y{tb_sel}
+    FROM {table}
+), base AS (
+    SELECT {keys}, t, y,
+           ROW_NUMBER() OVER (PARTITION BY {keys} ORDER BY t ASC{tb}) - 1 AS pos,
+           COUNT(*) OVER (PARTITION BY {keys}) AS n,
+           t - MIN(t) OVER (PARTITION BY {keys}) AS tn
+    FROM s
+), small AS (
+    SELECT {keys}, CAST(pos AS BIGINT) AS "ord", t AS ts_ms, y AS cents
+    FROM base WHERE n <= {n_out}
+), bt AS (
+    SELECT *,
+           CASE WHEN pos = 0 THEN -1
+                WHEN pos = n - 1 THEN {nb}
+                ELSE CAST(((pos - 1) * {nb}) // (n - 2) AS INT) END AS bucket
+    FROM base WHERE n > {n_out}
+), sums AS (
+    SELECT {keys}, bucket, COUNT(*) AS c, SUM(tn) AS st, SUM(y) AS sy
+    FROM bt GROUP BY {keys}, bucket
+), nbrs AS (
+    SELECT {keys}, bucket,
+           LAG(c)  OVER w AS ca, LAG(st)  OVER w AS sa_t, LAG(sy)  OVER w AS sa_y,
+           LEAD(c) OVER w AS cc, LEAD(st) OVER w AS sc_t, LEAD(sy) OVER w AS sc_y
+    FROM sums
+    WINDOW w AS (PARTITION BY {keys} ORDER BY bucket)
+    QUALIFY bucket >= 0 AND bucket < {nb}
+), cand AS (
+    SELECT bt.*, ca, sa_t, sa_y, cc, sc_t, sc_y,
+           abs(CAST(sa_t - tn * ca AS HUGEINT) * CAST(sc_y - y * cc AS HUGEINT)
+             - CAST(sa_y - y * ca AS HUGEINT) * CAST(sc_t - tn * cc AS HUGEINT))
+             AS score
+    FROM bt JOIN nbrs USING ({keys}, bucket)
+    WHERE bt.bucket >= 0 AND bt.bucket < {nb}
+), winners AS (
+    SELECT {keys}, CAST(bucket + 1 AS BIGINT) AS "ord", t AS ts_ms, y AS cents
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY {keys}, bucket
+                                       ORDER BY score DESC, t ASC, pos ASC) AS rn
+          FROM cand)
+    WHERE rn = 1
+), ends AS (
+    SELECT {keys},
+           CAST(CASE WHEN bucket = -1 THEN 0 ELSE {n_out - 1} END AS BIGINT)
+             AS "ord",
+           t AS ts_ms, y AS cents
+    FROM bt WHERE bucket IN (-1, {nb})
+)
+SELECT * FROM small
+UNION ALL SELECT * FROM ends
+UNION ALL SELECT * FROM winners
+"""

@@ -33,10 +33,11 @@ from . import advanced, enterprise, llm_data, reference_queries, relational, tpc
 # verified all of them locally in VERDICT.md r4; approx_aggregates gains
 # its first value-hash oracle this round) plus the 3 new-in-r5 queries
 # (winnowing fingerprints, ANN recall@k, cross-lingual dedup, split
-# leakage, point-in-time join — 46 total).  46 < 50, so the driver window
-# covers every one plus the first 4 module-order queries (reference
-# flagships, all green r1–r4).  After this round the union of
-# CORRECTNESS_r01..r05 covers all 166 registered queries.
+# leakage, point-in-time join, time-weighted average, LTTB downsample —
+# 48 total).  48 < 50, so the driver window covers every one plus the
+# first 2 module-order queries (reference flagships, green r1–r4).
+# After this round the union of CORRECTNESS_r01..r05 covers all 168
+# registered queries.
 _MODULE_ORDER = (reference_queries, enterprise, advanced, llm_data, relational, tpch_extra)
 _PROMOTED = (
     "multimodal_image_resize_stats",
@@ -86,6 +87,8 @@ _PROMOTED = (
     "dedup_cross_lingual",
     "corpus_split_leakage",
     "cdc_point_in_time_join",
+    "events_time_weighted_avg",
+    "events_lttb_downsample",
 )
 
 

@@ -1139,3 +1139,57 @@ FROM b LEFT JOIN ver
 
 QUERIES["cdc_point_in_time_join"] = cdc_point_in_time_join
 ORACLES["cdc_point_in_time_join"] = _PIT_SQL
+
+
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user LOCF time-weighted average of the event value — the
+    hypertable ``time_weight`` aggregate (an arithmetic mean over-weights
+    sampling bursts; the step-function integral does not).  Int64
+    cents×ms integral, one rounded division (operators/timeseries.py::
+    time_weighted_avg)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return timeseries.time_weighted_avg(ev, ["user_id"], "ts_ms", "cents")
+
+
+_TWA_SQL = timeseries.time_weighted_avg_oracle_sql(
+    "events",
+    ["user_id"],
+    "epoch_ms(ts)",
+    "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)",
+)
+
+QUERIES["events_time_weighted_avg"] = events_time_weighted_avg
+ORACLES["events_time_weighted_avg"] = _TWA_SQL
+
+
+def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB viz downsampling: each event_type's value series reduced to 20
+    shape-preserving points (parallel fixed-anchor variant, exact
+    decimal/HUGEINT cross-product scoring — operators/timeseries.py::
+    lttb_downsample)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return timeseries.lttb_downsample(
+        ev, ["event_type"], "ts_ms", "cents", n_out=20, tiebreak_col="event_id"
+    )
+
+
+_LTTB_SQL = timeseries.lttb_oracle_sql(
+    "events",
+    ["event_type"],
+    "epoch_ms(ts)",
+    "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)",
+    n_out=20,
+    tiebreak_expr="event_id",
+)
+
+QUERIES["events_lttb_downsample"] = events_lttb_downsample
+ORACLES["events_lttb_downsample"] = _LTTB_SQL

@@ -565,3 +565,54 @@ def test_k_anonymity_flags_small_user_groups(spark, monkeypatch):
     assert click["n_rows"] == 20 and click["n_users"] == 1 and click["at_risk"]
     view = got[("view", 1)]
     assert view["n_users"] == 6 and not view["at_risk"]
+
+
+def test_time_weighted_avg_semantics(spark):
+    """TWA is the LOCF step-function mean: bursts of samples must NOT
+    over-weight (the defining property vs the arithmetic mean), the last
+    observation spans zero time, and a single-observation key reports its
+    own value."""
+    from test_flink_spark.operators.timeseries import time_weighted_avg
+
+    rows = [
+        # key a: value 100 holds for 9ms, then 10 burst samples of 200
+        # within 1ms each, then final 0 at t=20 (spans nothing).
+        *[("a", 0, 100)],
+        *[("a", 9 + i, 200) for i in range(10)],
+        ("a", 20, 0),
+        ("b", 5, 777),  # single observation
+    ]
+    df = spark.createDataFrame(rows, "k STRING, ts_ms LONG, cents LONG")
+    out = {
+        r["k"]: r
+        for r in time_weighted_avg(df, ["k"], "ts_ms", "cents").collect()
+    }
+    # integral: 100*9 + 200*(1*9 gaps) + 200*(20-18=2) + 0*0 = 900+1800+400
+    # span 20 -> twa = 3100/20 = 155.0; arithmetic mean would be ~183
+    assert out["a"]["span_ms"] == 20
+    assert out["a"]["twa_cents"] == 155.0
+    assert out["b"]["span_ms"] == 0 and out["b"]["twa_cents"] == 777.0
+
+
+def test_lttb_keeps_endpooints_and_extremes(spark):
+    """LTTB must always keep the first/last points, emit exactly n_out
+    points for a long series, and a spike — the largest triangle in its
+    bucket — must survive downsampling.  Short series pass through."""
+    from test_flink_spark.operators.timeseries import lttb_downsample
+
+    flat = [("s", i, i, 100) for i in range(100)]
+    flat[37] = ("s", 37, 37, 9000)  # spike
+    short = [("t", i, i, 50) for i in range(4)]
+    df = spark.createDataFrame(
+        flat + short, "k STRING, eid LONG, ts_ms LONG, cents LONG"
+    )
+    out = lttb_downsample(
+        df, ["k"], "ts_ms", "cents", n_out=10, tiebreak_col="eid"
+    ).collect()
+    s = sorted([r for r in out if r["k"] == "s"], key=lambda r: r["ord"])
+    t = sorted([r for r in out if r["k"] == "t"], key=lambda r: r["ord"])
+    assert len(s) == 10
+    assert (s[0]["ord"], s[0]["ts_ms"]) == (0, 0)
+    assert (s[-1]["ord"], s[-1]["ts_ms"]) == (9, 99)
+    assert any(r["cents"] == 9000 for r in s), "spike lost by downsampling"
+    assert [(r["ts_ms"], r["cents"]) for r in t] == [(i, 50) for i in range(4)]
