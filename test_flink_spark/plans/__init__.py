@@ -33,10 +33,9 @@ from . import advanced, enterprise, llm_data, reference_queries, relational, tpc
 # verified all of them locally in VERDICT.md r4; approx_aggregates gains
 # its first value-hash oracle this round) plus the 3 new-in-r5 queries
 # (winnowing fingerprints, ANN recall@k, cross-lingual dedup, split
-# leakage, point-in-time join, time-weighted average, LTTB downsample —
-# 48 total).  48 < 50, so the driver window covers every one plus the
-# first 2 module-order queries (reference flagships, green r1–r4).
-# After this round the union of CORRECTNESS_r01..r05 covers all 168
+# leakage, point-in-time join, time-weighted average, LTTB downsample,
+# OHLC bars, two-phase skyline — 50 total, filling the window exactly).
+# After this round the union of CORRECTNESS_r01..r05 covers all 170
 # registered queries.
 _MODULE_ORDER = (reference_queries, enterprise, advanced, llm_data, relational, tpch_extra)
 _PROMOTED = (
@@ -89,6 +88,8 @@ _PROMOTED = (
     "cdc_point_in_time_join",
     "events_time_weighted_avg",
     "events_lttb_downsample",
+    "events_ohlc_bars",
+    "parts_price_size_skyline",
 )
 
 

@@ -1193,3 +1193,132 @@ _LTTB_SQL = timeseries.lttb_oracle_sql(
 
 QUERIES["events_lttb_downsample"] = events_lttb_downsample
 ORACLES["events_lttb_downsample"] = _LTTB_SQL
+
+
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) candlestick bars per event type —
+    the financial/telemetry bucket aggregate.  Open/close are the
+    first/last value by (ts, event_id) within the bucket, expressed as
+    min/max over (ts, event_id, value) structs — pure map-side partials,
+    one exchange on (type, day), no window sort.  All values integer
+    cents."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_millis(ts) div 86400000").cast("long").alias("day"),
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    tv = F.struct(F.col("ts_ms"), F.col("event_id"), F.col("cents"))
+    return ev.groupBy("event_type", "day").agg(
+        F.min(tv).getField("cents").alias("open"),
+        F.max("cents").alias("high"),
+        F.min("cents").alias("low"),
+        F.max(tv).getField("cents").alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+_OHLC_SQL = r"""
+WITH e AS (
+    SELECT event_type, epoch_ms(ts) // 86400000 AS day, epoch_ms(ts) AS ts_ms,
+           event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+)
+SELECT event_type, CAST(day AS BIGINT) AS day,
+       MIN(struct_pack(t := ts_ms, e := event_id, c := cents)).c AS open,
+       MAX(cents) AS high,
+       MIN(cents) AS low,
+       MAX(struct_pack(t := ts_ms, e := event_id, c := cents)).c AS close,
+       COUNT(*)::BIGINT AS n_events
+FROM e GROUP BY 1, 2
+"""
+
+QUERIES["events_ohlc_bars"] = events_ohlc_bars
+ORACLES["events_ohlc_bars"] = _OHLC_SQL
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) via the classic two-phase distributed plan.
+# ---------------------------------------------------------------------------
+
+
+def parts_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-efficient parts on (price, size): no other part is <= on
+    both dimensions and < on at least one — the skyline operator
+    (Börzsönyi et al. 2001), the "best tradeoffs" query optimizers ship
+    as SKYLINE OF.
+
+    Scale plan is the textbook TWO-PHASE distributed skyline: local
+    skylines per hash partition first (a skyline point survives any
+    partition it lands in; a dominated point is eliminated wherever its
+    dominator lands — phase 2 input therefore still contains every true
+    skyline point and every true dominator needed to finish the job),
+    then the exact skyline over the pruned union.  Phase-1 windows are
+    salt-partitioned; phase-2's global windows read only local-skyline
+    survivors — expected O(partitions · log n) for independent dims
+    (~60 rows here vs 20 k parts), the documented bounded-input
+    allowance of the global-window gate (anti-correlated dimensions are
+    the known worst case and would surface as phase-2 input growth).
+
+    The dominance test itself is sort-based, not a quadratic self-join:
+    ordered by price, a point is dominated iff a strictly-cheaper row
+    has size <= its size (running RANGE-frame min) or a same-price row
+    has strictly smaller size (price-group min).  Integer cents/sizes —
+    no float comparisons anywhere."""
+    from pyspark.sql import Window
+
+    S = 16
+
+    def _skyline(df, part_cols):
+        w_lt = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.col("price_cents").asc())
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_eq = Window.partitionBy(*part_cols, "price_cents")
+        return (
+            df.withColumn("m_cheaper", F.min("p_size").over(w_lt))
+            .withColumn("m_group", F.min("p_size").over(w_eq))
+            .filter(
+                (F.col("m_cheaper").isNull() | (F.col("m_cheaper") > F.col("p_size")))
+                & (F.col("p_size") == F.col("m_group"))
+            )
+            .drop("m_cheaper", "m_group")
+        )
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    salted = part.withColumn("salt", F.pmod(F.col("p_partkey"), F.lit(S)))
+    local = _skyline(salted, ["salt"]).drop("salt")
+    return _skyline(local, [])
+
+
+_SKYLINE_SQL = r"""
+WITH p AS (
+    SELECT p_partkey,
+           CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           CAST(p_size AS BIGINT) AS p_size
+    FROM part
+), m AS (
+    -- single-phase sort-based skyline: identical result to the engine's
+    -- two-phase plan (local pruning never removes a skyline point)
+    SELECT *,
+           MIN(p_size) OVER (ORDER BY price_cents
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS m_cheaper,
+           MIN(p_size) OVER (PARTITION BY price_cents) AS m_group
+    FROM p
+)
+SELECT p_partkey, price_cents, p_size
+FROM m
+WHERE (m_cheaper IS NULL OR m_cheaper > p_size) AND p_size = m_group
+"""
+
+QUERIES["parts_price_size_skyline"] = parts_price_size_skyline
+ORACLES["parts_price_size_skyline"] = _SKYLINE_SQL

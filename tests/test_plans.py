@@ -163,6 +163,11 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         # events_frequent_paths' rank window reads the PATH AGGREGATE
         # (<= |event types|^3 = 125 rows), never the event stream
         "events_frequent_paths",
+        # two-phase skyline: the phase-2 global window reads only the
+        # UNION OF LOCAL SKYLINES (expected O(partitions * log n); ~60
+        # rows here vs 20k parts), never the part table — the textbook
+        # distributed-skyline plan (see parts_price_size_skyline).
+        "parts_price_size_skyline",
     }
     forbidden = ("CartesianProduct", "BatchEvalPython")
     offenders = {}
