@@ -769,3 +769,143 @@ SELECT * FROM small
 UNION ALL SELECT * FROM ends
 UNION ALL SELECT * FROM winners
 """
+
+
+# ---------------------------------------------------------------------------
+# Robust trend: Theil–Sen median slope + the Mann–Kendall S statistic over
+# per-key daily counts — the outlier-resistant replacement for OLS trend
+# (one anomalous day cannot move a median-of-slopes the way it moves a
+# least-squares fit).
+# ---------------------------------------------------------------------------
+
+
+def robust_trend(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    n_days: int = 30,
+) -> DataFrame:
+    """Per-key robust trend over daily event counts:
+    ``(*key_cols, n_days_obs, mk_s, sen_slope_x2_q4)``.
+
+    - ``mk_s``: Mann–Kendall S = Σ_{i<j} sign(c_j − c_i) — positive S
+      means rising, |S| near the pair count means monotone; an exact
+      integer.
+    - ``sen_slope_x2_q4``: Theil–Sen estimator — the MEDIAN of all
+      pairwise slopes (c_j − c_i)/(j − i) — as fixed-point: each slope
+      is floored to 1e-4 units (integer ``div``), and the median is
+      reported ×2 (sum of the two middle order statistics for even pair
+      counts, 2× the middle one for odd) so no final halving /
+      float division exists anywhere.
+
+    Bounded pair fan-out: days are aggregated FIRST, so the self-join is
+    |keys| · n_days²/2 pairs (435 per key at 30 days) regardless of
+    event volume — the pair stage reads aggregates, never events.  The
+    per-key median runs a window over those ≤435 rows, partitioned by
+    key.  The day anchor is the dataset min date (the forecasting-family
+    scalar convention)."""
+    anchor = df.select(F.min(F.to_date(F.col(ts_col))).alias("d")).first()["d"]
+    idx = F.datediff(F.to_date(F.col(ts_col)), F.lit(anchor))
+    daily = (
+        df.filter((idx >= 0) & (idx < n_days))
+        .groupBy(*key_cols, idx.cast("long").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    a = daily.select(
+        *key_cols, F.col("day").alias("di"), F.col("c").alias("ci")
+    )
+    b = daily.select(
+        *key_cols, F.col("day").alias("dj"), F.col("c").alias("cj")
+    )
+    pairs = a.join(b, list(key_cols)).filter(F.col("di") < F.col("dj"))
+    slopes = pairs.select(
+        *key_cols,
+        F.signum(F.col("cj") - F.col("ci")).cast("long").alias("sgn"),
+        F.expr("((cj - ci) * 10000) div (dj - di)").alias("s_q4"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.col("s_q4").asc())
+    ranked = slopes.select(
+        *key_cols,
+        "sgn",
+        "s_q4",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*key_cols)).alias("np"),
+    )
+    # median ×2: even np → rn ∈ {np/2, np/2+1}; odd → the middle twice
+    mid = ranked.filter(
+        F.expr(
+            "(np % 2 = 0 AND (rn = np div 2 OR rn = np div 2 + 1))"
+            " OR (np % 2 = 1 AND rn = (np + 1) div 2)"
+        )
+    )
+    med = mid.groupBy(*key_cols).agg(
+        F.when(F.max("np") % 2 == 1, F.sum("s_q4") * 2)
+        .otherwise(F.sum("s_q4"))
+        .cast("long")
+        .alias("sen_slope_x2_q4")
+    )
+    agg = slopes.groupBy(*key_cols).agg(
+        F.sum("sgn").cast("long").alias("mk_s"),
+    )
+    days = daily.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_obs")
+    )
+    return (
+        days.join(agg, list(key_cols))
+        .join(med, list(key_cols))
+        .select(*key_cols, "n_days_obs", "mk_s", "sen_slope_x2_q4")
+    )
+
+
+def robust_trend_oracle_sql(
+    table: str,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    n_days: int = 30,
+) -> str:
+    """DuckDB replay of robust_trend (anchor recomputed in SQL; identical
+    integer slope fixed-point and median-×2 convention)."""
+    keys = ", ".join(key_cols)
+    return f"""
+WITH anchor AS (SELECT MIN(CAST({ts_col} AS DATE)) AS d0 FROM {table}),
+e AS (
+    SELECT {keys},
+           datediff('day', (SELECT d0 FROM anchor), CAST({ts_col} AS DATE))
+             AS day
+    FROM {table}
+), daily AS (
+    SELECT {keys}, CAST(day AS BIGINT) AS day, COUNT(*) AS c
+    FROM e WHERE day >= 0 AND day < {n_days}
+    GROUP BY {keys}, day
+), pairs AS (
+    SELECT a.{keys.replace(', ', ', a.')},
+           sign(b.c - a.c)::BIGINT AS sgn,
+           ((b.c - a.c) * 10000) // (b.day - a.day) AS s_q4
+    FROM daily a JOIN daily b
+      ON {' AND '.join(f'a.{k} = b.{k}' for k in key_cols)}
+     AND a.day < b.day
+), ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY {keys} ORDER BY s_q4 ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY {keys}) AS np
+    FROM pairs
+), med AS (
+    SELECT {keys},
+           CAST(CASE WHEN MAX(np) % 2 = 1 THEN SUM(s_q4) * 2
+                     ELSE SUM(s_q4) END AS BIGINT) AS sen_slope_x2_q4
+    FROM ranked
+    WHERE (np % 2 = 0 AND rn IN (np // 2, np // 2 + 1))
+       OR (np % 2 = 1 AND rn = (np + 1) // 2)
+    GROUP BY {keys}
+), agg AS (
+    SELECT {keys}, CAST(SUM(sgn) AS BIGINT) AS mk_s
+    FROM pairs GROUP BY {keys}
+), days AS (
+    SELECT {keys}, COUNT(*)::BIGINT AS n_days_obs FROM daily GROUP BY {keys}
+)
+SELECT d.{keys.replace(', ', ', d.')}, d.n_days_obs, agg.mk_s,
+       med.sen_slope_x2_q4
+FROM days d
+JOIN agg USING ({keys})
+JOIN med USING ({keys})
+"""

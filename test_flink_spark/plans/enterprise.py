@@ -1322,3 +1322,22 @@ WHERE (m_cheaper IS NULL OR m_cheaper > p_size) AND p_size = m_group
 
 QUERIES["parts_price_size_skyline"] = parts_price_size_skyline
 ORACLES["parts_price_size_skyline"] = _SKYLINE_SQL
+
+
+def events_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-resistant trend per event type: Mann-Kendall S + the
+    Theil-Sen median pairwise slope over 30 daily counts (exact integer
+    statistics — operators/timeseries.py::robust_trend; the robust
+    complement of the Holt/OLS forecasting family, immune to the single
+    anomalous day that drags a least-squares slope)."""
+    return timeseries.robust_trend(
+        _t(spark, sf_dir, "events"), ["event_type"], "ts", n_days=30
+    )
+
+
+_ROBUST_TREND_SQL = timeseries.robust_trend_oracle_sql(
+    "events", ["event_type"], "ts", n_days=30
+)
+
+QUERIES["events_robust_trend"] = events_robust_trend
+ORACLES["events_robust_trend"] = _ROBUST_TREND_SQL
