@@ -411,3 +411,126 @@ def test_incremental_dedup_consistent_with_batch_for_any_split(
     got = {r["doc_id"]: r["dup_of"] for r in inc if r["is_dup"]}
     assert got == want
     assert {r["doc_id"] for r in inc} == shard_ids
+
+
+@settings(deadline=None, max_examples=12, suppress_health_check=list(HealthCheck))
+@given(
+    words_a=st.lists(st.sampled_from("ab cd ef gh ij kl mn".split()), min_size=8, max_size=24),
+    words_b=st.lists(st.sampled_from("pq rs tu vw xy".split()), min_size=8, max_size=24),
+    overlap_at=st.integers(min_value=0, max_value=6),
+)
+def test_winnowing_shared_substring_guarantee(spark, words_a, words_b, overlap_at):
+    """The winnowing THEOREM (Schleimer et al. 2003): two documents
+    sharing a substring of >= w + k - 1 tokens share at least one
+    fingerprint.  Plant a 6-token run (w=4, k=3 → guarantee length 6)
+    from doc A inside doc B at an arbitrary offset and assert a
+    fingerprint-set intersection — the property that makes winnowed
+    fingerprints a sound dedup/plagiarism signal."""
+    from test_flink_spark.operators.span_dedup import winnowing_fingerprints
+    from pyspark.sql import functions as F
+
+    shared = words_a[:6]
+    assume_ok = len(shared) == 6
+    if not assume_ok:
+        return
+    b_words = words_b[:overlap_at] + shared + words_b[overlap_at:]
+    df = spark.createDataFrame(
+        [(1, " ".join(words_a)), (2, " ".join(b_words))],
+        "doc_id LONG, text STRING",
+    )
+    # raw fingerprint SETS (not the md5 digest): re-derive via the same
+    # operator internals by asking for per-doc fps through a tiny shim
+    from test_flink_spark.operators.dedup import _h60
+    from test_flink_spark.operators.text import words as words_expr
+    from pyspark.sql import Window
+
+    k, w = 3, 4
+    ws = words_expr(F.col("text"))
+    idx = F.when(F.size(ws) >= k, F.sequence(F.lit(1), F.size(ws) - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, k)))
+    posed = df.select(
+        F.col("doc_id"), F.posexplode(F.transform(grams, _h60)).alias("pos", "h")
+    )
+    by_pos = Window.partitionBy("doc_id").orderBy("pos")
+    sel = (
+        posed.withColumn("wmin", F.min("h").over(by_pos.rowsBetween(-(w - 1), 0)))
+        .withColumn("selmax", F.max("wmin").over(by_pos.rowsBetween(0, w - 1)))
+        .filter(F.col("h") == F.col("selmax"))
+        .select("doc_id", "h")
+        .distinct()
+        .collect()
+    )
+    fps = {1: set(), 2: set()}
+    for r in sel:
+        fps[r["doc_id"]].add(r["h"])
+    assert fps[1] & fps[2], (
+        f"no shared fingerprint despite a {len(shared)}-token shared run "
+        f"(>= w+k-1 = {w + k - 1})"
+    )
+    # and the summary operator agrees with the raw sets
+    summary = {
+        r["doc_id"]: r["n_fps"]
+        for r in winnowing_fingerprints(df, k=k, w=w).collect()
+    }
+    assert summary[1] == len(fps[1]) and summary[2] == len(fps[2])
+
+
+def test_lttb_matches_reference_implementation(spark):
+    """The distributed LTTB must equal a direct single-machine reference
+    implementation of the SAME fixed-anchor variant (prev/next bucket
+    averages, rank bucketing, integer cross-product scores, t-then-pos
+    ties) on a nontrivial series — pinning the whole selection pipeline,
+    not just endpoints."""
+    from test_flink_spark.operators.timeseries import lttb_downsample
+
+    import random
+
+    rng = random.Random(42)
+    pts = [(i, i * 7 + 1000, rng.randrange(0, 10_000)) for i in range(200)]
+    df = spark.createDataFrame(
+        [("s", e, t, y) for e, t, y in pts],
+        "k STRING, eid LONG, ts_ms LONG, cents LONG",
+    )
+    n_out = 12
+    got = sorted(
+        [
+            (r["ord"], r["ts_ms"], r["cents"])
+            for r in lttb_downsample(
+                df, ["k"], "ts_ms", "cents", n_out=n_out, tiebreak_col="eid"
+            ).collect()
+        ]
+    )
+
+    # reference: same algorithm, plain python
+    srt = sorted(pts, key=lambda p: (p[1], p[0]))
+    n = len(srt)
+    t0 = min(p[1] for p in srt)
+    nb = n_out - 2
+    buckets: dict[int, list[tuple[int, int, int, int]]] = {}
+    for pos, (e, t, y) in enumerate(srt):
+        if pos == 0:
+            bkt = -1
+        elif pos == n - 1:
+            bkt = nb
+        else:
+            bkt = (pos - 1) * nb // (n - 2)
+        buckets.setdefault(bkt, []).append((pos, e, t - t0, y))
+    want = [(0, srt[0][1], srt[0][2]), (n_out - 1, srt[-1][1], srt[-1][2])]
+    for b in range(nb):
+        prev = buckets[b - 1]
+        nxt = buckets[b + 1]
+        ca, sa_t, sa_y = len(prev), sum(p[2] for p in prev), sum(p[3] for p in prev)
+        cc, sc_t, sc_y = len(nxt), sum(p[2] for p in nxt), sum(p[3] for p in nxt)
+        best = None
+        for pos, e, tn, y in buckets[b]:
+            score = abs(
+                (sa_t - tn * ca) * (sc_y - y * cc)
+                - (sa_y - y * ca) * (sc_t - tn * cc)
+            )
+            key = (-score, tn, pos)
+            if best is None or key < best[0]:
+                best = (key, (b + 1, tn + t0, y))
+        want.append(best[1])
+    assert got == sorted(want)
