@@ -909,3 +909,31 @@ FROM days d
 JOIN agg USING ({keys})
 JOIN med USING ({keys})
 """
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    day_col: str = "day",
+    ts_ms_col: str = "ts_ms",
+    tiebreak_col: str = "event_id",
+    cents_col: str = "cents",
+) -> DataFrame:
+    """Daily OHLC candlestick bars per key: ``(*key_cols, day, open,
+    high, low, close, n_events)``.
+
+    Open/close are the first/last value by (ts, tiebreak) inside the
+    bucket, expressed as min/max over (ts, tiebreak, value) STRUCTS —
+    pure map-side combinable aggregates, which is exactly why the SAME
+    expression runs unchanged as a streaming update-mode aggregation
+    (structs are orderable, so min/max merge across micro-batches like
+    any other partial aggregate; pinned by the streaming-vs-batch
+    convergence test).  One exchange on (key, day), no window sort."""
+    tv = F.struct(F.col(ts_ms_col), F.col(tiebreak_col), F.col(cents_col))
+    return df.groupBy(*key_cols, day_col).agg(
+        F.min(tv).getField(cents_col).alias("open"),
+        F.max(cents_col).alias("high"),
+        F.min(cents_col).alias("low"),
+        F.max(tv).getField(cents_col).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )

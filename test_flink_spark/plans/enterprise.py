@@ -1209,14 +1209,7 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
-    tv = F.struct(F.col("ts_ms"), F.col("event_id"), F.col("cents"))
-    return ev.groupBy("event_type", "day").agg(
-        F.min(tv).getField("cents").alias("open"),
-        F.max("cents").alias("high"),
-        F.min("cents").alias("low"),
-        F.max(tv).getField("cents").alias("close"),
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-    )
+    return timeseries.ohlc_bars(ev, ["event_type"])
 
 
 _OHLC_SQL = r"""

@@ -849,3 +849,55 @@ def test_multimodal_fingerprints_compose_over_readstream(spark, tmpdirs):
     finally:
         q.stop()
     assert got == want
+
+
+def test_streaming_ohlc_converges_to_batch(spark, tmpdirs):
+    """The OHLC aggregate (min/max over (ts, tiebreak, value) structs) is
+    map-side combinable, so the SAME operator expression runs as a
+    streaming update-mode aggregation and must converge to the batch
+    result over all data seen — including open/close corrections when a
+    later micro-batch delivers an EARLIER event for a day (out-of-order
+    arrival flips the open; only update mode can re-emit the fix)."""
+    from test_flink_spark.operators.timeseries import ohlc_bars
+
+    src = tmpdirs / "src"
+    src.mkdir()
+    # day 0: open should end up cents=111 (t=1000), close=333 (t=5000)
+    (src / "b1.csv").write_text("0,2000,7,222\n0,5000,9,333\n")
+    raw = spark.readStream.schema(
+        "day LONG, ts_ms LONG, event_id LONG, cents LONG"
+    ).csv(str(src))
+    out = ohlc_bars(raw, ["day"])
+    q = (
+        out.writeStream.queryName("ohlc_stream")
+        .format("memory")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmpdirs / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r["day"]: (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+            for r in spark.table("ohlc_stream").collect()
+        }
+        assert first[0] == (222, 333, 222, 333, 2)
+        # out-of-order: an EARLIER event arrives in a later batch
+        (src / "b2.csv").write_text("0,1000,1,111\n")
+        q.processAllAvailable()
+        rows = spark.table("ohlc_stream").collect()
+    finally:
+        q.stop()
+    # update mode re-emits day 0; the LATEST emission carries the fix
+    latest = {}
+    for r in rows:
+        latest[r["day"]] = (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+    batch = {
+        r["day"]: (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+        for r in ohlc_bars(
+            spark.read.schema("day LONG, ts_ms LONG, event_id LONG, cents LONG")
+            .csv(str(src)),
+            ["day"],
+        ).collect()
+    }
+    assert latest == batch == {0: (111, 333, 111, 333, 3)}
