@@ -263,3 +263,63 @@ def label_propagation_oracle_cte(edges_sql: str, iterations: int = 3) -> str:
 )"""
         )
     return ",\n".join(parts)
+
+
+def bfs_distances(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Multi-source BFS over ``edges(src, dst)``: shortest hop-distance
+    from ANY seed, capped at ``max_hops`` — the traversal member of the
+    graph family (reachability / blast-radius queries), alongside
+    PageRank (influence), LPA (communities) and min-label CC (dedup
+    clusters).
+
+    Fixed-iteration discipline (the PageRank/IVF rule): exactly
+    ``max_hops`` relaxation rounds, each ONE equi-join of the frontier
+    against the edge list + a min-aggregate merge — so the oracle
+    replays it as an unrolled CTE chain, and unreached nodes simply
+    don't appear (no sentinel distances).  Rolling local checkpoints
+    bound lineage and storage exactly as in pagerank.
+
+    Scale: per round the exchange carries (node, dist) pairs; the edge
+    list is hash-partitioned on src once and reused (cached) across
+    rounds.  Frontier-only expansion (joining just the nodes whose
+    distance improved) is the classic refinement — omitted here because
+    the merge already prunes non-improvements and the fixed K is small;
+    the plan stays one join + one groupBy per round either way."""
+    edges = edges.repartition(F.col("src")).cache()
+    dist = seeds.select(F.col("node"), F.lit(0).cast("long").alias("d"))
+    cp_ids: set = set()
+    for _ in range(max_hops):
+        reached = (
+            edges.join(dist.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        dist = _rolling_checkpoint(dist, cp_ids)
+    return dist.select("node", F.col("d").alias("hops"))
+
+
+def bfs_oracle_cte(edges_sql: str, seeds_sql: str, max_hops: int = 4) -> str:
+    """Unrolled-CTE replay of ``bfs_distances``; the caller appends a
+    final SELECT over ``d{max_hops}``."""
+    parts = [
+        f"edges AS ({edges_sql})",
+        f"d0 AS (SELECT node, 0::BIGINT AS d FROM ({seeds_sql}))",
+    ]
+    for i in range(1, max_hops + 1):
+        parts.append(
+            f"""d{i} AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.d + 1 AS d
+    FROM edges e JOIN d{i - 1} p ON p.node = e.src
+  ) GROUP BY node
+)"""
+        )
+    return ",\n".join(parts)

@@ -784,3 +784,52 @@ ORACLES = {
     "sketch_hll_merge_rollup": _HLL_MERGE_SQL,
     "sketch_cms_heavy_hitters": _CMS_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS over the trade graph.
+# ---------------------------------------------------------------------------
+
+_BFS_HOPS = 4
+
+
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from the first five suppliers over the symmetrized
+    trade graph, capped at 4 hops — the reachability/blast-radius
+    traversal ("everything within N trading steps of these vendors"),
+    completing the graph family: influence (pagerank), communities
+    (LPA), dedup clusters (min-label CC), and now traversal.  Same edge
+    build and per-round join shape as graph_pagerank_trade; unreached
+    nodes are absent, not sentineled (operators/graph.py::bfs_distances)."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    base = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
+        base.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    seeds = supp.filter(F.col("s_suppkey") < 5).select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node")
+    )
+    return gr.bfs_distances(edges, seeds, max_hops=_BFS_HOPS)
+
+
+_BFS_SEEDS_SQL = (
+    "SELECT 'S' || s_suppkey AS node FROM supplier WHERE s_suppkey < 5"
+)
+
+_BFS_SQL = (
+    "WITH "
+    + gr.bfs_oracle_cte(_PR_EDGES_SQL, _BFS_SEEDS_SQL, _BFS_HOPS)
+    + f"\nSELECT node, CAST(d AS BIGINT) AS hops FROM d{_BFS_HOPS}"
+)
+
+QUERIES["graph_bfs_hops"] = graph_bfs_hops
+ORACLES["graph_bfs_hops"] = _BFS_SQL
