@@ -35,11 +35,12 @@ from . import advanced, enterprise, llm_data, reference_queries, relational, tpc
 # (winnowing fingerprints, ANN recall@k, cross-lingual dedup, split
 # leakage, point-in-time join, time-weighted average, LTTB downsample,
 # OHLC bars, two-phase skyline — 50 total, filling the window exactly).
-# events_robust_trend and graph_bfs_hops (latest additions) are QUEUED
+# events_robust_trend, graph_bfs_hops, events_ab_test_report (latest
+# additions) are QUEUED
 # for the r6 window —
 # locally hash-green at sf0.01 and sf0.1 like everything else.
 # After this round the union of CORRECTNESS_r01..r05 covers 170 of the
-# 172 registered queries.
+# 173 registered queries.
 _MODULE_ORDER = (reference_queries, enterprise, advanced, llm_data, relational, tpch_extra)
 _PROMOTED = (
     "multimodal_image_resize_stats",

@@ -1334,3 +1334,102 @@ _ROBUST_TREND_SQL = timeseries.robust_trend_oracle_sql(
 
 QUERIES["events_robust_trend"] = events_robust_trend
 ORACLES["events_robust_trend"] = _ROBUST_TREND_SQL
+
+
+def events_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test harness: users deterministically hash-split
+    50/50 into variants A/B (the train_val_test_split machinery — stable
+    under retries, uncorrelated with behavior), conversion = user made
+    >= 1 purchase with value > 9.0 (every user purchases SOMETHING in
+    this dataset, so bare did-purchase is degenerate at p = 1 and the
+    pooled variance collapses — caught by the ANSI divide-by-zero the
+    first cut hit); one report row with counts, conversion rates and the
+    pooled-variance z statistic.  Counts are exact integers; the z is
+    one identical float expression in both dialects, ROUND(4) — the
+    cosine/KMV float discipline.  Under the null (hash split) z ~ N(0,1),
+    so |z| > 2 here would indicate a broken split, not a treatment.
+
+    Shape: one distinct-user aggregate + one conditional aggregate —
+    map-side partials, a 2-row intermediate, scalar-sized output."""
+    from ..operators.sampling import hash_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") > 9.0))
+            .cast("int")
+        ).alias("conv")
+    )
+    tagged = per_user.withColumn(
+        "variant",
+        F.when(hash_bucket(F.col("user_id"), "ab") < 5000, F.lit("A")).otherwise(
+            F.lit("B")
+        ),
+    )
+    agg = tagged.groupBy().agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("variant") == "A", F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("variant") == "B", F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    # identical float formula shape in both dialects (see _AB_SQL); the
+    # `* 1.0` promotions matter: Spark ANSI `/` on integers is INTEGRAL
+    # division (p would floor to 0 and the z denominator to sqrt(0))
+    # while DuckDB's `/` is float division — explicit promotion makes
+    # both engines evaluate the same double ops
+    z = F.expr(
+        "CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b"
+        " THEN NULL ELSE"
+        " (conv_a * 1.0 / n_a - conv_b * 1.0 / n_b) / sqrt("
+        " ((conv_a + conv_b) * 1.0 / (n_a + n_b))"
+        " * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))"
+        " * (1.0 / n_a + 1.0 / n_b)) END"
+    )
+    return agg.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(F.expr("conv_a * 1.0 / n_a"), 4).alias("rate_a"),
+        F.round(F.expr("conv_b * 1.0 / n_b"), 4).alias("rate_b"),
+        F.round(z, 4).alias("z_score"),
+    )
+
+
+_AB_SQL = r"""
+WITH per_user AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'purchase' AND value > 9.0
+                    THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY 1
+), tagged AS (
+    SELECT conv,
+           CASE WHEN (('0x' || substr(md5('ab:' || user_id), 1, 15))::BIGINT
+                      % 10000) < 5000
+                THEN 'A' ELSE 'B' END AS variant
+    FROM per_user
+), agg AS (
+    SELECT CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+           CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+    FROM tagged
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       ROUND(conv_a * 1.0 / n_a, 4) AS rate_a,
+       ROUND(conv_b * 1.0 / n_b, 4) AS rate_b,
+       ROUND(CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                  THEN NULL ELSE
+             (conv_a * 1.0 / n_a - conv_b * 1.0 / n_b) / sqrt(
+           ((conv_a + conv_b) * 1.0 / (n_a + n_b))
+           * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+           * (1.0 / n_a + 1.0 / n_b)) END, 4) AS z_score
+FROM agg
+"""
+
+QUERIES["events_ab_test_report"] = events_ab_test_report
+ORACLES["events_ab_test_report"] = _AB_SQL
