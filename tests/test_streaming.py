@@ -901,3 +901,64 @@ def test_streaming_ohlc_converges_to_batch(spark, tmpdirs):
         ).collect()
     }
     assert latest == batch == {0: (111, 333, 111, 333, 3)}
+
+
+def test_streaming_session_window_converges_to_batch(spark, tmpdirs):
+    """session_count runs the SAME session_window expression in streaming
+    append mode: sessions merge across micro-batches (an event inside the
+    gap extends the session; one past the gap opens a new one) and a
+    session only emits once the watermark passes its close.  Converges to
+    the batch operator over the same rows — the streaming leg of the §2.10
+    session-window superset row."""
+    from test_flink_spark.operators.windows import session_count
+
+    src = tmpdirs / "src"
+    src.mkdir()
+    # user 7: events at t=0s and 100s (same session, gap 5m), then 1000s
+    # (new session).  Split across batches so the merge crosses a batch
+    # boundary.
+    (src / "b1.csv").write_text("7,0\n")
+    raw_schema = "user_id LONG, ts_s LONG"
+
+    def stream_df():
+        raw = spark.readStream.schema(raw_schema).csv(str(src))
+        ev = raw.select(
+            "user_id", F.timestamp_seconds(F.col("ts_s")).alias("ts")
+        ).withWatermark("ts", "0 seconds")
+        return session_count(ev, "ts", ["user_id"], gap="5 minutes")
+
+    q = (
+        stream_df()
+        .writeStream.queryName("session_stream")
+        .format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmpdirs / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b2.csv").write_text("7,100\n7,1000\n")
+        q.processAllAvailable()
+        # push the watermark far past both sessions' closes
+        (src / "b3.csv").write_text("7,99999\n")
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start"]): r["cnt"]
+            for r in spark.table("session_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch_rows = spark.createDataFrame(
+        [(7, 0), (7, 100), (7, 1000)], raw_schema
+    ).select("user_id", F.timestamp_seconds(F.col("ts_s")).alias("ts"))
+    batch = {
+        (r["user_id"], r["session_start"]): r["cnt"]
+        for r in session_count(batch_rows, "ts", ["user_id"], gap="5 minutes")
+        .collect()
+    }
+    # the streaming output must contain exactly the batch sessions for the
+    # closed windows (the t=99999 sentinel session may still be open)
+    for k, v in batch.items():
+        assert got.get(k) == v, (k, v, got)
+    assert got[(7, 0)] == 2  # cross-batch merge happened
+    assert got[(7, 1_000_000)] == 1
