@@ -164,6 +164,13 @@ def main() -> None:
     for stage in ("dedup_shared_stage", "dedup_index_build"):
         if stage in timings:
             slowest[stage] = timings[stage]
+    # 8-hex fingerprint of the sorted name list: lets compare_bench
+    # verify the positional qt decode against the registry THAT RAN,
+    # instead of trusting a length check (a rename or an add+remove
+    # preserves count but silently shifts every later attribution).
+    import hashlib
+
+    qt_fp = hashlib.md5("|".join(registered).encode()).hexdigest()[:8]
     out = {
         "metric": "sum_query_seconds",
         "value": total,
@@ -171,6 +178,7 @@ def main() -> None:
         "queries": slowest,
         "qt": qt,
         "qt_order": "sorted(queries().keys())",
+        "qt_fp": qt_fp,
         "sf": float(sf),
     }
     out.update(stream_out)

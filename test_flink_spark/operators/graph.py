@@ -54,24 +54,36 @@ def _rolling_checkpoint(df: DataFrame, prior_ids: set) -> DataFrame:
 
     Storage bound: without cleanup every iteration's blocks accumulate
     for the life of the session (localCheckpoint has no public unpersist
-    in PySpark).  This helper diffs JavaSparkContext.getPersistentRDDs
-    around the checkpoint, then unpersists the ids recorded by the
-    PREVIOUS call — so at most two generations are live at any instant,
-    and ``prior_ids`` (mutated in place) always names the current one.
-    Safe because eager=True fully materializes the new generation before
-    the superseded one is dropped.  Caveat: the before/after diff assumes
-    no concurrent persist from another thread of the same driver; the
-    registered queries and bench run iterative loops sequentially.
+    in PySpark).  This helper records THE CHECKPOINTED DATASET'S OWN
+    RDD id (the LogicalRDD the eager checkpoint returns), then
+    unpersists the ids recorded by the PREVIOUS call — so at most two
+    generations are live at any instant, and ``prior_ids`` (mutated in
+    place) always names the current one.  Safe because eager=True fully
+    materializes the new generation before the superseded one is
+    dropped.  Recording the owned id (not a getPersistentRDDs
+    before/after diff) matters: a lazily-registered FOREIGN cache (e.g.
+    an edges.cache() whose persistent RDD first registers while the
+    checkpoint job materializes it) would land in a diff and be
+    unpersisted by the next call — silently dropping the cached edge
+    list the iteration loop depends on (perf, not correctness: lineage
+    recompute still works).  The diff remains only as a fallback if the
+    LogicalRDD internals are unreachable.
     """
     sc = df.sparkSession.sparkContext
     before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     out = df.localCheckpoint(eager=True)
     jmap = sc._jsc.getPersistentRDDs()
-    after = set(jmap.keySet().toArray())
-    for rid in prior_ids & after:
-        jmap.get(rid).unpersist(False)
+    try:
+        # Dataset.localCheckpoint returns LogicalRDD(output, internalRdd)
+        # where internalRdd is exactly the persisted RDD.
+        new_ids = {out._jdf.queryExecution().analyzed().rdd().id()}
+    except Exception:  # noqa: BLE001 — internals moved; fall back to diff
+        new_ids = set(jmap.keySet().toArray()) - before
+    for rid in prior_ids:
+        if jmap.containsKey(rid):
+            jmap.get(rid).unpersist(False)
     prior_ids.clear()
-    prior_ids.update(after - before)
+    prior_ids.update(new_ids)
     return out
 
 

@@ -493,6 +493,7 @@ def time_weighted_avg(
     key_cols: Sequence[str],
     ts_ms_col: str,
     value_cents_col: str,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Per-key LOCF time-weighted average:
     ``(key..., n_events, span_ms, twa_cents)``.
@@ -509,13 +510,27 @@ def time_weighted_avg(
     identical one-op IEEE in both engines, then ROUND to 4 — the
     cross-engine float discipline every timeseries op here follows.
 
+    Ties: with two observations at the same (key, ts), the zero gaps
+    between tied rows contribute nothing — but the LAST tied row carries
+    the entire gap to the next distinct timestamp, so WHICH row sorts
+    last changes twa_cents.  ``tiebreak_col`` (e.g. an event id) makes
+    that ordering deterministic and must be mirrored in the oracle's
+    LEAD ... ORDER BY; without it the operator is only deterministic on
+    tie-free input.
+
     Shape: one hash exchange on the key, lead() in-partition, one
     partial-aggregated groupBy — the cusum/gapfill profile."""
-    w = Window.partitionBy(*key_cols).orderBy(F.col("__t").asc())
+    order = [F.col("__t").asc()]
+    extra = []
+    if tiebreak_col is not None:
+        extra = [F.col(tiebreak_col).alias("__tb")]
+        order.append(F.col("__tb").asc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     gapped = df.select(
         *key_cols,
         F.col(ts_ms_col).alias("__t"),
         F.col(value_cents_col).alias("__v"),
+        *extra,
     ).withColumn("__gap", F.lead("__t").over(w) - F.col("__t"))
     agg = gapped.groupBy(*key_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
@@ -540,19 +555,23 @@ def time_weighted_avg_oracle_sql(
     key_cols: Sequence[str],
     ts_ms_expr: str,
     value_cents_expr: str,
+    tiebreak_expr: str | None = None,
 ) -> str:
     """DuckDB replay of time_weighted_avg (same int64 integral, same
-    single rounded division; ties on equal timestamps resolved by the
-    same min-struct first-value rule — numerically irrelevant because a
-    zero gap contributes nothing to the integral)."""
+    single rounded division).  ``tiebreak_expr`` mirrors the operator's
+    tiebreak_col: the last-sorted row among timestamp ties carries the
+    gap to the next distinct timestamp, so the LEAD ordering must match
+    the Spark window exactly for tied input to hash-agree."""
     keys = ", ".join(key_cols)
+    tb_sel = f", {tiebreak_expr} AS tb" if tiebreak_expr is not None else ""
+    tb_ord = ", tb ASC" if tiebreak_expr is not None else ""
     return f"""
 WITH s AS (
-    SELECT {keys}, {ts_ms_expr} AS t, {value_cents_expr} AS v
+    SELECT {keys}, {ts_ms_expr} AS t, {value_cents_expr} AS v{tb_sel}
     FROM {table}
 ), g AS (
     SELECT {keys}, t, v,
-           LEAD(t) OVER (PARTITION BY {keys} ORDER BY t ASC) - t AS gap
+           LEAD(t) OVER (PARTITION BY {keys} ORDER BY t ASC{tb_ord}) - t AS gap
     FROM s
 ), a AS (
     SELECT {keys},
@@ -651,10 +670,12 @@ def lttb_downsample(
         .otherwise(F.expr(f"((pos - 1) * {nb}) div (n - 2)").cast("int"))
     )
     bt = big.withColumn("bucket", bucket)
+    # sum in decimal(38,0): DuckDB's SUM(BIGINT) is HUGEINT, and an
+    # int64 Σtn wraps at per-key n ~1e9 (5e7 rows × 1e11 ms ≈ 2^62·5)
     sums = bt.groupBy(*key_cols, "bucket").agg(
         F.count(F.lit(1)).alias("c"),
-        F.sum("tn").alias("st"),
-        F.sum("y").alias("sy"),
+        F.sum(F.col("tn").cast("decimal(38,0)")).alias("st"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
     )
     wb = Window.partitionBy(*key_cols).orderBy("bucket")
     nbrs = sums.select(
@@ -671,11 +692,17 @@ def lttb_downsample(
     cand = bt.filter((F.col("bucket") >= 0) & (F.col("bucket") < nb)).join(
         nbrs, [*key_cols, "bucket"]
     )
+    # Cast the FACTORS to decimal(38,0) before the inner multiply —
+    # DuckDB computes tn*ca / sa_t in HUGEINT throughout (SUM of BIGINT
+    # is HUGEINT), so an int64 inner product on the Spark side would
+    # silently wrap at per-key n ~1e9 (tn ~1e11 ms × ca ~5e7 > 2^63)
+    # while the oracle does not.  Matching HUGEINT-throughout keeps the
+    # exactness claim true in exactly the regime it targets.
     score = F.abs(
-        d(F.col("sa_t") - F.col("tn") * F.col("ca"))
-        * d(F.col("sc_y") - F.col("y") * F.col("cc"))
-        - d(F.col("sa_y") - F.col("y") * F.col("ca"))
-        * d(F.col("sc_t") - F.col("tn") * F.col("cc"))
+        (d(F.col("sa_t")) - d(F.col("tn")) * d(F.col("ca")))
+        * (d(F.col("sc_y")) - d(F.col("y")) * d(F.col("cc")))
+        - (d(F.col("sa_y")) - d(F.col("y")) * d(F.col("ca")))
+        * (d(F.col("sc_t")) - d(F.col("tn")) * d(F.col("cc")))
     )
     wr = Window.partitionBy(*key_cols, "bucket").orderBy(
         score.desc(), F.col("t").asc(), F.col("pos").asc()

@@ -28,72 +28,19 @@ from . import advanced, enterprise, llm_data, reference_queries, relational, tpc
 # window never reached them.  That is exactly how 41 queries accumulated
 # zero driver rows through r4.)
 #
-# Window accounting for THIS round: _PROMOTED below lists precisely the
-# 41 queries with no driver-green CORRECTNESS row in r1–r4 (the judge
-# verified all of them locally in VERDICT.md r4; approx_aggregates gains
-# its first value-hash oracle this round) plus the 3 new-in-r5 queries
-# (winnowing fingerprints, ANN recall@k, cross-lingual dedup, split
-# leakage, point-in-time join, time-weighted average, LTTB downsample,
-# OHLC bars, two-phase skyline — 50 total, filling the window exactly).
-# events_robust_trend, graph_bfs_hops, events_ab_test_report (latest
-# additions) are QUEUED
-# for the r6 window —
-# locally hash-green at sf0.01 and sf0.1 like everything else.
-# After this round the union of CORRECTNESS_r01..r05 covers 170 of the
-# 173 registered queries.
+# Window accounting for THIS round (r6): after r5 the union of
+# CORRECTNESS_r01..r05 covers 170 of 173 — the only rows ever missing a
+# driver look are the three added post-window in r5.  _PROMOTED therefore
+# lists exactly those three plus every query NEW in r6; once this round's
+# snapshot lands, driver coverage is 100% of the registry.  Remaining
+# window slots re-verify earlier queries in module order (free
+# regression signal, not wasted rows).
 _MODULE_ORDER = (reference_queries, enterprise, advanced, llm_data, relational, tpch_extra)
 _PROMOTED = (
-    "multimodal_image_resize_stats",
-    "multimodal_image_ahash",
-    "multimodal_audio_fingerprint",
-    "multimodal_video_frame_jaccard",
-    "corpus_multimodal_dup_flags",
-    "dedup_keep_best",
-    "embedding_lsh_ann",
-    "multimodal_decode_features",
-    "corpus_span_dedup",
-    "text_gopher_rules",
-    "corpus_epoch_mix",
-    "text_lm_surprisal",
-    "embedding_quantize_error",
-    "corpus_vocab_coverage",
-    "embedding_ivfadc_ann",
-    "corpus_stratified_sample",
-    "embedding_cluster_purity",
-    "text_bm25_topk",
-    "corpus_quality_classifier",
-    "corpus_dsir_weights",
-    "embedding_hybrid_rrf",
-    "funnel_view_click_purchase",
-    "cohort_retention",
-    "pattern_view_then_click",
-    "approx_aggregates",
-    "percentile_value_by_type",
-    "lateral_top_orders_per_customer",
-    "json_malformed_audit",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_ship_delay_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_count",
-    "q19_disjunctive_revenue",
-    "q20_part_promotion",
-    "q21_late_suppliers",
-    # new in r5 — first driver look
-    "text_winnowing_fingerprints",
-    "embedding_ann_recall",
-    "dedup_cross_lingual",
-    "corpus_split_leakage",
-    "cdc_point_in_time_join",
-    "events_time_weighted_avg",
-    "events_lttb_downsample",
-    "events_ohlc_bars",
-    "parts_price_size_skyline",
+    # queued since r5 — first driver look
+    "events_robust_trend",
+    "graph_bfs_hops",
+    "events_ab_test_report",
 )
 
 

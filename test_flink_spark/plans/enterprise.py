@@ -1151,8 +1151,14 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_millis("ts").alias("ts_ms"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        "event_id",
     )
-    return timeseries.time_weighted_avg(ev, ["user_id"], "ts_ms", "cents")
+    # event_id tiebreak: same-ms observations otherwise make the gap
+    # carrier (last tied row) nondeterministic — the cdc_point_in_time
+    # convention applied here.
+    return timeseries.time_weighted_avg(
+        ev, ["user_id"], "ts_ms", "cents", tiebreak_col="event_id"
+    )
 
 
 _TWA_SQL = timeseries.time_weighted_avg_oracle_sql(
@@ -1160,6 +1166,7 @@ _TWA_SQL = timeseries.time_weighted_avg_oracle_sql(
     ["user_id"],
     "epoch_ms(ts)",
     "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)",
+    tiebreak_expr="event_id",
 )
 
 QUERIES["events_time_weighted_avg"] = events_time_weighted_avg
@@ -1394,8 +1401,12 @@ def events_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_a",
         "n_b",
         "conv_b",
-        F.round(F.expr("conv_a * 1.0 / n_a"), 4).alias("rate_a"),
-        F.round(F.expr("conv_b * 1.0 / n_b"), 4).alias("rate_b"),
+        # CAST to DOUBLE (not `* 1.0`): the decimal literal would make
+        # round() emit decimal(27,4) while DuckDB's ROUND yields DOUBLE,
+        # failing the driver's schema_match (fleet convention,
+        # plans/__init__.py: float aggregates round to matching types).
+        F.round(F.expr("CAST(conv_a AS DOUBLE) / n_a"), 4).alias("rate_a"),
+        F.round(F.expr("CAST(conv_b AS DOUBLE) / n_b"), 4).alias("rate_b"),
         F.round(z, 4).alias("z_score"),
     )
 

@@ -164,16 +164,34 @@ class _FakeKafkaStreamReader(SimpleDataSourceStreamReader):
         return self._current() if self.starting == "latest" else {}
 
     def read(self, start: dict):
-        rows = list(self._between(start, None))
-        return iter(rows), self._current()
+        # ONE spool scan per micro-batch: rows and the committed end
+        # offset both derive from the same snapshot.  Scanning twice
+        # (rows via _between, end via a later _current) would commit
+        # lines appended between the scans without ever emitting them —
+        # permanent record loss in the micro-batch path.
+        snapshot = [
+            (t, p, recs)
+            for t, p, recs in _scan_spool(self.path)
+            if _matches(t, self.sub, self.pat)
+        ]
+        rows = list(self._between(start, None, snapshot))
+        end = {f"{t}-{p}": len(recs) for t, p, recs in snapshot}
+        return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return self._between(start, end)
 
-    def _between(self, start: dict, end: dict | None):
-        for topic, p, recs in _scan_spool(self.path):
-            if not _matches(topic, self.sub, self.pat):
-                continue
+    def _between(self, start: dict, end: dict | None, snapshot=None):
+        logs = (
+            snapshot
+            if snapshot is not None
+            else [
+                (t, p, recs)
+                for t, p, recs in _scan_spool(self.path)
+                if _matches(t, self.sub, self.pat)
+            ]
+        )
+        for topic, p, recs in logs:
             tp = f"{topic}-{p}"
             lo = int(start.get(tp, 0))
             hi = len(recs) if end is None else int(end.get(tp, 0))

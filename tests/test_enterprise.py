@@ -616,3 +616,40 @@ def test_lttb_keeps_endpooints_and_extremes(spark):
     assert (s[-1]["ord"], s[-1]["ts_ms"]) == (9, 99)
     assert any(r["cents"] == 9000 for r in s), "spike lost by downsampling"
     assert [(r["ts_ms"], r["cents"]) for r in t] == [(i, 50) for i in range(4)]
+
+
+def test_time_weighted_avg_tiebreak_deterministic(spark):
+    """Two observations at the same (key, ts) with different values: the
+    LAST tied row (by tiebreak) carries the whole gap to the next
+    distinct timestamp, so without a tiebreak twa is nondeterministic.
+    With tiebreak_col the result is pinned: the higher event_id's value
+    spans the gap — and matches the oracle's LEAD ordering."""
+    import duckdb
+
+    from test_flink_spark.operators.timeseries import (
+        time_weighted_avg,
+        time_weighted_avg_oracle_sql,
+    )
+
+    rows = [
+        ("a", 0, 100, 1),
+        ("a", 0, 900, 2),  # same ts, later event_id -> carries the gap
+        ("a", 10, 0, 3),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, ts_ms LONG, cents LONG, eid LONG")
+    out = time_weighted_avg(
+        df, ["k"], "ts_ms", "cents", tiebreak_col="eid"
+    ).collect()[0]
+    # integral: 100*0 (tied gap) + 900*10 + 0*0 = 9000; span 10 -> 900.0
+    assert out["twa_cents"] == 900.0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE obs AS SELECT * FROM (VALUES"
+        " ('a', 0, 100, 1), ('a', 0, 900, 2), ('a', 10, 0, 3))"
+        " t(k, ts_ms, cents, eid)"
+    )
+    sql = time_weighted_avg_oracle_sql(
+        "obs", ["k"], "ts_ms", "cents", tiebreak_expr="eid"
+    )
+    assert con.execute(sql).fetchone()[3] == 900.0

@@ -71,3 +71,33 @@ def test_label_propagation_deterministic_tiebreak(spark):
         }
         assert out[2] == 1
         assert out[1] == 1  # sees {2} + self {1}: tie -> 1
+
+
+def test_rolling_checkpoint_spares_foreign_caches(spark):
+    """_rolling_checkpoint must unpersist ONLY its own prior generation.
+    It records the checkpointed Dataset's own RDD id; a before/after
+    getPersistentRDDs diff would instead attribute any cache that
+    happens to register during the checkpoint job (e.g. a lazy
+    edges.cache() first materialized by it) and silently drop it on the
+    next call."""
+    from pyspark.sql import functions as F
+
+    from test_flink_spark.operators.graph import _rolling_checkpoint
+
+    foreign = spark.range(100).select(F.col("id").alias("n")).cache()
+    gen: set = set()
+    out1 = _rolling_checkpoint(spark.range(1000).toDF("id"), gen)
+    assert len(gen) == 1, "must record exactly the checkpointed RDD"
+    gen1 = set(gen)
+    foreign.count()  # foreign cache registers between generations
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    foreign_ids = set(jmap.keySet().toArray()) - gen1
+    assert foreign_ids, "foreign cache should be registered"
+    out2 = _rolling_checkpoint(out1.withColumn("v", F.col("id") + 1), gen)
+    assert out2.count() == 1000
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    live = set(jmap.keySet().toArray())
+    assert foreign_ids <= live, "foreign cache was stolen by the rolling diff"
+    assert not (gen1 & live), "prior generation must be freed"
+    assert gen and gen.isdisjoint(gen1)
+    foreign.unpersist()

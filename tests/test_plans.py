@@ -330,3 +330,44 @@ def test_broadcast_growth_canary(spark):
 
     assert _growing_hints(bad, spark), "per-document broadcast not detected"
     assert not _growing_hints(good, spark), "bounded-dim broadcast flagged"
+
+
+def test_no_registered_query_returns_decimal(spark):
+    """Fleet-wide dtype hygiene (r5 verdict item 2): DuckDB's ROUND()
+    yields DOUBLE while Spark's round() on a decimal-promoted expression
+    (e.g. the `* 1.0` literal) stays DecimalType — the driver's
+    schema_match rejects exactly that divergence.  The fleet convention
+    (plans/__init__.py) bans DecimalType in any registered result schema;
+    this asserts it structurally so the events_ab_test_report slip class
+    cannot recur.  Schema-only: builds every plan, executes none."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DataType,
+        DecimalType,
+        MapType,
+        StructType,
+    )
+
+    import __spark_entry__ as entry
+
+    def _has_decimal(dt: DataType) -> bool:
+        if isinstance(dt, DecimalType):
+            return True
+        if isinstance(dt, StructType):
+            return any(_has_decimal(f.dataType) for f in dt.fields)
+        if isinstance(dt, ArrayType):
+            return _has_decimal(dt.elementType)
+        if isinstance(dt, MapType):
+            return _has_decimal(dt.keyType) or _has_decimal(dt.valueType)
+        return False
+
+    offenders = {}
+    for name, fn in entry.queries().items():
+        bad = [
+            f.name
+            for f in fn(spark, SF).schema.fields
+            if _has_decimal(f.dataType)
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"DecimalType columns in registered schemas: {offenders}"

@@ -76,7 +76,11 @@ def main() -> int:
             for f_ in arrow:
                 want = amap.get(str(f_.type), str(f_.type))
                 if sdt.get(f_.name) not in (want, None) or f_.name not in sdt:
-                    print(f"DTYPE {name}: {f_.name} spark={sdt.get(f_.name)} duck={f_.type}")
+                    # HARD failure (r5 verdict): a dtype divergence is
+                    # exactly what the driver's schema_match rejects, so
+                    # a "0 failures" sweep must not hide one.
+                    failures.append(name)
+                    print(f"FAIL  {name}: DTYPE {f_.name} spark={sdt.get(f_.name)} duck={f_.type}")
         except Exception:
             pass
         s, o = normalize(sdf), normalize(odf)
@@ -112,6 +116,7 @@ def main() -> int:
                 print(merged.head(10))
         else:
             print(f"OK    {name}: {len(s)} rows")
+    failures = list(dict.fromkeys(failures))  # DTYPE + value can both fire
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 

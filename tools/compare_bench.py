@@ -31,10 +31,24 @@ def load(path: str) -> dict:
         import __spark_entry__ as entry
 
         names = sorted(entry.queries())
-        if len(names) == len(doc["qt"]):
+        # Prefer the fingerprint when present (r6+): it proves the qt
+        # positions belong to THIS name list.  Length-only matching can
+        # silently mis-attribute after a rename or add+remove.
+        import hashlib
+
+        fp = hashlib.md5("|".join(names).encode()).hexdigest()[:8]
+        recorded_fp = doc.get("qt_fp")
+        fp_ok = recorded_fp == fp if recorded_fp is not None else True
+        if fp_ok and len(names) == len(doc["qt"]):
             full = dict(zip(names, doc["qt"]))
             full.update(doc.get("queries", {}))  # keep shared-stage lines
             doc = {**doc, "queries": full}
+        elif not fp_ok:
+            print(
+                f"# qt_fp mismatch ({recorded_fp} != {fp}): registry changed "
+                "since that bench ran — using itemized map only",
+                file=sys.stderr,
+            )
     return doc
 
 
