@@ -150,6 +150,13 @@ class _FakeKafkaStreamReader(SimpleDataSourceStreamReader):
         self.path = options["path"]
         self.sub, self.pat = _subscription(options)
         self.starting = options.get("startingoffsets", options.get("startingOffsets", "latest"))
+        # Admission control, same option name + semantics as the real
+        # connector: cap TOTAL records per micro-batch, prorated across
+        # partitions by their share of the lag (KafkaMicroBatchStream's
+        # rateLimit: ceil when the prorated share is <1 so small
+        # partitions are never starved, floor otherwise).
+        raw = options.get("maxoffsetspertrigger", options.get("maxOffsetsPerTrigger"))
+        self.max_per_trigger = int(raw) if raw is not None else None
 
     def _current(self):
         return {
@@ -174,9 +181,32 @@ class _FakeKafkaStreamReader(SimpleDataSourceStreamReader):
             for t, p, recs in _scan_spool(self.path)
             if _matches(t, self.sub, self.pat)
         ]
-        rows = list(self._between(start, None, snapshot))
         end = {f"{t}-{p}": len(recs) for t, p, recs in snapshot}
+        if self.max_per_trigger is not None:
+            end = self._admit(start, end)
+        rows = list(self._between(start, end, snapshot))
         return iter(rows), end
+
+    def _admit(self, start: dict, avail_end: dict) -> dict:
+        """maxOffsetsPerTrigger: bound this batch's end offsets so at most
+        N records are admitted in total, prorated by each partition's
+        share of the outstanding lag (the connector's rateLimit rule:
+        ceil a sub-1 prorated share — never starve a small partition —
+        floor otherwise)."""
+        import math
+
+        lags = {
+            tp: max(0, hi - int(start.get(tp, 0))) for tp, hi in avail_end.items()
+        }
+        total = sum(lags.values())
+        if total <= self.max_per_trigger:
+            return avail_end
+        out = {}
+        for tp, hi in avail_end.items():
+            share = self.max_per_trigger * (lags[tp] / total)
+            admit = int(math.ceil(share) if share < 1 else math.floor(share))
+            out[tp] = min(hi, int(start.get(tp, 0)) + admit)
+        return out
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return self._between(start, end)

@@ -284,3 +284,147 @@ def test_multi_partition_parallel_scan(spark, spool):
         by_part.setdefault(r["partition"], []).append((r["offset"], r["v"]))
     for p, recs in by_part.items():
         assert sorted(recs) == [(i, f"p{p}-m{i}") for i in range(4)]
+
+
+def test_max_offsets_per_trigger_bounds_batches(spark, spool, tmp_path):
+    """maxOffsetsPerTrigger admission (the connector's rate limit): with
+    a cap of 4 over two partitions with lags 9 and 3, every micro-batch
+    admits at most 4 records, split proportionally to the outstanding
+    lag (ceil for sub-1 shares so small partitions are never starved),
+    and ALL records are still delivered exactly once."""
+    register(spark)
+    t0 = 1_700_000_000_000
+    rows_p0 = [
+        {"topic": "rated", "partition": 0, "key": None, "value": f"p0-{i}",
+         "ts_ms": t0 + i} for i in range(9)
+    ]
+    rows_p1 = [
+        {"topic": "rated", "partition": 1, "key": None, "value": f"p1-{i}",
+         "ts_ms": t0 + i} for i in range(3)
+    ]
+    (spool / "p0.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows_p0) + "\n")
+    (spool / "p1.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows_p1) + "\n")
+
+    df = (
+        spark.readStream.format("kafka_fake")
+        .option("subscribe", "rated")
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", "4")
+        .option("path", str(spool))
+        .load()
+    )
+    batches = []
+
+    def record(batch_df, batch_id):
+        batches.append(
+            [(r["partition"], r["offset"], r["v"])
+             for r in batch_df.collect()]
+        )
+
+    q = (
+        df.select("partition", "offset", F.col("value").cast("string").alias("v"))
+        .writeStream
+        .foreachBatch(lambda b, i: record(b, i))
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sized = [b for b in batches if b]
+    assert sized, "no batches delivered"
+    assert all(len(b) <= 4 for b in sized), [len(b) for b in sized]
+    assert len(sized) >= 3, "cap 4 over 12 records needs >=3 batches"
+    # first batch: lag 9 vs 3 -> floor(4*9/12)=3 from p0, floor(4*3/12)=1
+    first = sized[0]
+    from collections import Counter
+
+    c0 = Counter(p for p, _, _ in first)
+    assert c0[0] == 3 and c0[1] == 1, c0
+    delivered = sorted((p, o) for b in sized for p, o, _ in b)
+    assert delivered == sorted(
+        [(0, i) for i in range(9)] + [(1, i) for i in range(3)]
+    ), "loss or duplication under admission control"
+
+
+def test_restart_with_checkpoint_no_loss_no_dup(spark, spool, tmp_path):
+    """Offset/restart semantics e2e (r5 verdict item 4): a checkpointed
+    query consumes under maxOffsetsPerTrigger, stops mid-log, MORE data
+    is appended, and a RESTARTED query (built with startingOffsets=
+    latest, which must be ignored in favor of the checkpoint — Kafka's
+    documented resume rule) delivers the remainder through the staged
+    DuckDB upsert with no record lost and none double-applied."""
+    import duckdb
+
+    from test_flink_spark.sinks.jdbc import upsert_statement
+
+    register(spark)
+    t0 = 1_700_000_000_000
+
+    def _append(vals, lo):
+        with open(spool / "log.jsonl", "a") as fh:
+            for i, v in enumerate(vals):
+                fh.write(json.dumps(
+                    {"topic": "resume", "partition": 0, "key": None,
+                     "value": v, "ts_ms": t0 + lo + i}) + "\n")
+
+    _append([f"v{i}" for i in range(6)], 0)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE sink (part INT, off BIGINT, val TEXT,"
+        " PRIMARY KEY (part, off))")
+    con.execute("CREATE TABLE stg (part INT, off BIGINT, val TEXT)")
+    con.execute("CREATE TABLE raw (part INT, off BIGINT, val TEXT)")
+    stmt = upsert_statement(
+        "sink", "stg", ["part", "off", "val"], ["part", "off"], "postgres")
+
+    def upsert(batch_df, batch_id):
+        rows = [(r["partition"], r["offset"], r["v"])
+                for r in batch_df.collect()]
+        if not rows:
+            return
+        cur = con.cursor()
+        cur.executemany("INSERT INTO raw VALUES (?, ?, ?)", rows)
+        cur.execute("DELETE FROM stg")
+        cur.executemany("INSERT INTO stg VALUES (?, ?, ?)", rows)
+        cur.execute(stmt)
+
+    def run(starting):
+        df = (
+            spark.readStream.format("kafka_fake")
+            .option("subscribe", "resume")
+            .option("startingOffsets", starting)
+            .option("maxOffsetsPerTrigger", "2")
+            .option("path", str(spool))
+            .load()
+        )
+        q = (
+            df.select("partition", "offset",
+                      F.col("value").cast("string").alias("v"))
+            .writeStream
+            .foreachBatch(upsert)
+            .option("checkpointLocation", str(tmp_path / "ckpt_resume"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run("earliest")
+    assert con.execute("SELECT COUNT(*) FROM sink").fetchone()[0] == 6
+    _append([f"v{i}" for i in range(6, 10)], 6)
+    # restart with startingOffsets=latest: the checkpoint must win, so
+    # offsets 6-9 (appended while stopped = before THIS start) still arrive
+    run("latest")
+
+    merged = con.execute("SELECT off, val FROM sink ORDER BY off").fetchall()
+    assert merged == [(i, f"v{i}") for i in range(10)], merged
+    # the raw log proves no batch was double-DELIVERED either (foreachBatch
+    # is at-least-once only across crashes; a clean stop commits)
+    raw = con.execute("SELECT off FROM raw ORDER BY off").fetchall()
+    assert [o for (o,) in raw] == list(range(10)), raw
