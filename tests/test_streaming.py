@@ -962,3 +962,141 @@ def test_streaming_session_window_converges_to_batch(spark, tmpdirs):
         assert got.get(k) == v, (k, v, got)
     assert got[(7, 0)] == 2  # cross-batch merge happened
     assert got[(7, 1_000_000)] == 1
+
+
+def test_protobuf_fallback_skew_stays_within_sanctioned_skip():
+    """The vendored pure-python protobuf runtime (google-cloud-sdk
+    appengine tree) is authorized to serve pyspark's generated
+    StateMessage_pb2 ONLY under protobuf's own escape hatch for a
+    small forward skew (TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK),
+    validated today at runtime 6.32 vs gencode 6.33.  If a pyspark
+    upgrade moves the gencode further ahead (or across a major), the
+    transformWithState path must fail LOUDLY here instead of silently
+    re-gating behind tws_available() — re-vet the proto features and
+    update this pin (or install a real protobuf) when it fires."""
+    import re
+    from pathlib import Path
+
+    import pyspark
+
+    from test_flink_spark.streaming.stateful_topn_tws import (
+        export_protobuf_env,
+    )
+
+    assert export_protobuf_env(), (
+        "protobuf runtime no longer importable — the google-cloud-sdk "
+        "fallback moved; transformWithState would silently skip"
+    )
+    import google.protobuf as pb
+
+    runtime = tuple(int(x) for x in pb.__version__.split(".")[:2])
+
+    pb2 = (
+        Path(pyspark.__file__).parent
+        / "sql" / "streaming" / "proto" / "StateMessage_pb2.py"
+    )
+    m = re.search(
+        r"ValidateProtobufRuntimeVersion\(\s*[^,]+,\s*(\d+),\s*(\d+),",
+        pb2.read_text(),
+    )
+    assert m, "StateMessage_pb2 gencode version marker not found — pyspark layout changed, re-vet the fallback"
+    gencode = (int(m.group(1)), int(m.group(2)))
+
+    assert gencode[0] == runtime[0], (
+        f"protobuf MAJOR skew gencode={gencode} runtime={runtime}: the "
+        "version-check override is NOT sanctioned across majors"
+    )
+    assert gencode[1] - runtime[1] <= 1, (
+        f"gencode {gencode} is more than one minor ahead of runtime "
+        f"{runtime}: outside the vetted skip — re-validate StateMessage."
+        "proto against the vendored runtime before trusting TWS"
+    )
+
+
+def _foreachbatch_accumulate_and_apply(spark, tmpdirs, src_schema, batches,
+                                       apply_fn):
+    """The repo's foreachBatch differential harness for NON-incremental
+    operators (lead()/row_number() need the whole per-key series, so
+    unlike OHLC they cannot run as a streaming aggregation): each
+    micro-batch appends its raw rows to an accumulator table, then the
+    UNCHANGED batch operator recomputes over everything seen so far.
+    At 100 TB the accumulator is a partitioned lakehouse table and the
+    recompute is bounded to the touched keys; here it is parquet + full
+    recompute.  Returns the final emission, to be compared against the
+    batch operator over the union of all inputs."""
+    src = tmpdirs / "src"
+    src.mkdir()
+    acc = str(tmpdirs / "acc")
+    results = []
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(acc)
+        seen = spark.read.schema(src_schema).parquet(acc)
+        results.append(apply_fn(seen).collect())
+
+    (src / "b0.csv").write_text(batches[0])
+    q = (
+        spark.readStream.schema(src_schema).csv(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmpdirs / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, content in enumerate(batches[1:], 1):
+            (src / f"b{i}.csv").write_text(content)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return results[-1]
+
+
+def test_streaming_time_weighted_avg_converges_to_batch(spark, tmpdirs):
+    """Streaming parity for time_weighted_avg (r5 verdict item 7): the
+    foreachBatch accumulator recompute converges to the batch operator
+    even when a LATER micro-batch delivers an EARLIER observation (the
+    LOCF integral re-segments — no incremental aggregation can patch a
+    gap split retroactively, which is exactly why this operator rides
+    foreachBatch instead of a streaming agg)."""
+    from test_flink_spark.operators.timeseries import time_weighted_avg
+
+    schema = "k STRING, ts_ms LONG, cents LONG, eid LONG"
+    batches = [
+        "a,0,100,1\na,20,0,4\n",      # 100 spans 0..20
+        "a,10,500,2\na,10,900,3\n",   # out-of-order: re-segments to 0..10..20
+    ]
+    final = _foreachbatch_accumulate_and_apply(
+        spark, tmpdirs, schema, batches,
+        lambda df: time_weighted_avg(df, ["k"], "ts_ms", "cents",
+                                     tiebreak_col="eid"),
+    )
+    all_rows = spark.createDataFrame(
+        [("a", 0, 100, 1), ("a", 20, 0, 4), ("a", 10, 500, 2),
+         ("a", 10, 900, 3)], schema)
+    batch = time_weighted_avg(
+        all_rows, ["k"], "ts_ms", "cents", tiebreak_col="eid").collect()
+    assert [r.asDict() for r in final] == [r.asDict() for r in batch]
+    # integral: 100*10 + 500*0 + 900*10 = 10000 over span 20 -> 500.0
+    assert final[0]["twa_cents"] == 500.0
+
+
+def test_streaming_lttb_converges_to_batch(spark, tmpdirs):
+    """Streaming parity for lttb_downsample: bucket boundaries move as n
+    grows, so selected points can CHANGE retroactively across batches —
+    the foreachBatch recompute converges to the batch answer over all
+    rows seen, which no append-mode emission could."""
+    from test_flink_spark.operators.timeseries import lttb_downsample
+
+    schema = "k STRING, ts_ms LONG, cents LONG"
+    rows1 = "\n".join(f"a,{t},{(t * 37) % 200}" for t in range(0, 300, 10))
+    rows2 = "\n".join(f"a,{t},{(t * 37) % 200}" for t in range(300, 600, 10))
+    final = _foreachbatch_accumulate_and_apply(
+        spark, tmpdirs, schema, [rows1 + "\n", rows2 + "\n"],
+        lambda df: lttb_downsample(df, ["k"], "ts_ms", "cents", n_out=12),
+    )
+    all_rows = spark.createDataFrame(
+        [("a", t, (t * 37) % 200) for t in range(0, 600, 10)], schema)
+    batch = lttb_downsample(all_rows, ["k"], "ts_ms", "cents", n_out=12)
+    assert sorted([r.asDict() for r in final], key=lambda d: d["ord"]) == \
+        sorted([r.asDict() for r in batch.collect()], key=lambda d: d["ord"])
+    assert len(final) == 12
