@@ -177,6 +177,69 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_bp: int = 5000,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram CONTAINMENT — the asymmetric
+    companion to Jaccard (Broder's resemblance vs containment split):
+    containment = |A∩B| / min(|A|, |B|) flags a SHORT document subsumed
+    by a long one (quote farms, boilerplate wrappers, excerpt pages),
+    exactly the pairs Jaccard misses because the length difference
+    drowns the union term.  LLM-corpus use: drop the contained side,
+    keep the superset document.
+
+    Same inverted-index shape as ngram_jaccard_pairs (shared shingle
+    index join, never all-pairs; ``max_doc_freq`` is the same quadratic
+    stop-shingle guard) and the same 60-bit-hash key discipline.
+    Integer-exact: containment_bp = shared·10⁴ div min(|A|,|B|) — no
+    float crosses the engine boundary.
+
+    Returns (id_a, id_b, n_a, n_b, shared, containment_bp) with
+    id_a < id_b and containment_bp >= threshold_bp.
+    """
+    sh = shingle_hashes(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df_"))
+        keep = freq.filter(F.col("df_") <= max_doc_freq).select("h")
+        sh = sh.join(F.broadcast(keep), "h")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("shared").cast("long").alias("shared"),
+            F.expr("(shared * 10000) div least(n_a, n_b)").alias(
+                "containment_bp"
+            ),
+        )
+        .filter(F.col("containment_bp") >= threshold_bp)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

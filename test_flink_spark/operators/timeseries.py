@@ -964,3 +964,146 @@ def ohlc_bars(
         F.max(tv).getField(cents_col).alias("close"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Offline changepoint detection — binary segmentation, depth 1 (Scott &
+# Knott / CUSUM-style SSE split): the companion to cusum_drift (which
+# DETECTS drift online) — this LOCATES the single best level-shift point
+# in a completed series, the standard first step of binary-segmentation
+# changepoint trees.
+# ---------------------------------------------------------------------------
+
+
+def changepoint_binseg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ord_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Best single split per key: the position minimizing two-segment SSE
+    (equivalently maximizing between-segment variance reduction).
+
+    Exact integer form: for a split after position L of n (R = n − L),
+        gain·(L·R·n) = (R·S_L − L·S_R)²
+    so candidates are ranked by (R·S_L − L·S_R)² · 10⁶ div (L·R) — a
+    common factor n drops out — computed in decimal(38,0) / HUGEINT in
+    BOTH engines (the LTTB arithmetic rule: int64 would wrap once
+    n·V ≳ 2³¹·√n).  Both engines rank IDENTICAL integers, so the argmax
+    (ties → earliest split) is engine-invariant; the reported ``gain``
+    is the floored SSE reduction (R·S_L − L·S_R)² div (L·R·n), back in
+    int64 (bounded by n·V², the series' own magnitude).
+
+    Shape: ONE exchange on the key; prefix sums and the argmax rank are
+    stacked same-partition windows (the winnowing discipline).  Returns
+    ``(*key_cols, n_points, split_ord, left_n, left_sum, right_sum,
+    gain)`` — split_ord is the LAST ordinate of the left segment; keys
+    with n < 2 produce no row (no split exists).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col("__o").asc())
+    wall = Window.partitionBy(*key_cols)
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pre = df.select(
+        *key_cols,
+        F.col(ord_col).alias("__o"),
+        F.col(value_col).cast("long").alias("__v"),
+    ).select(
+        *key_cols,
+        "__o",
+        F.row_number().over(w).alias("__pos"),
+        F.sum("__v").over(w).alias("__sl"),
+        F.sum("__v").over(wall).alias("__s"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+    )
+    cand = pre.filter(F.col("__pos") < F.col("__n")).select(
+        *key_cols,
+        "__o",
+        "__pos",
+        "__sl",
+        "__s",
+        "__n",
+        (F.col("__n") - F.col("__pos")).alias("__r"),
+    )
+    num = (d(F.col("__r")) * d(F.col("__sl"))
+           - d(F.col("__pos")) * d(F.col("__s") - F.col("__sl")))
+
+    # Exact decimal floor-division: `a div b` on decimals returns BIGINT
+    # and silently WRAPS past 2⁶³ (verified), and plain `/` rounds
+    # HALF_UP at scale 6 — floor-after-round is NOT the exact floor
+    # DuckDB's `//` computes.  Subtracting the remainder first makes the
+    # quotient exactly representable, so the division cannot round.
+    def _fdiv(a, b):
+        return ((a - a % b) / b).cast("decimal(38,0)")
+
+    num2s = num * num * F.lit(1_000_000).cast("decimal(38,0)")
+    den = d(F.col("__pos")) * d(F.col("__r"))
+    scored = cand.withColumn("__score", _fdiv(num2s, den)).withColumn(
+        "__num2", num * num
+    )
+    wr = Window.partitionBy(*key_cols).orderBy(
+        F.col("__score").desc(), F.col("__pos").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *key_cols,
+            F.col("__n").cast("long").alias("n_points"),
+            F.col("__o").alias("split_ord"),
+            F.col("__pos").cast("long").alias("left_n"),
+            F.col("__sl").cast("long").alias("left_sum"),
+            (F.col("__s") - F.col("__sl")).cast("long").alias("right_sum"),
+            _fdiv(
+                F.col("__num2"),
+                d(F.col("__pos")) * d(F.col("__r")) * d(F.col("__n")),
+            )
+            .cast("long")
+            .alias("gain"),
+        )
+    )
+
+
+def changepoint_binseg_oracle_sql(
+    table: str,
+    key_cols: Sequence[str],
+    ord_expr: str,
+    value_expr: str,
+) -> str:
+    """DuckDB replay of changepoint_binseg — HUGEINT throughout, same
+    floored score at 10⁶ scale, same earliest-split tie-break."""
+    keys = ", ".join(key_cols)
+    return f"""
+WITH s AS (
+    SELECT {keys}, {ord_expr} AS o, CAST({value_expr} AS BIGINT) AS v
+    FROM {table}
+), pre AS (
+    SELECT {keys}, o,
+           ROW_NUMBER() OVER (PARTITION BY {keys} ORDER BY o ASC) AS pos,
+           CAST(SUM(v) OVER (PARTITION BY {keys} ORDER BY o ASC
+                ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS sl,
+           CAST(SUM(v) OVER (PARTITION BY {keys}) AS HUGEINT) AS s,
+           COUNT(*) OVER (PARTITION BY {keys}) AS n
+    FROM s
+), cand AS (
+    SELECT {keys}, o, pos, sl, s, n, r,
+           (CAST(r AS HUGEINT) * sl - CAST(pos AS HUGEINT) * (s - sl)) AS num
+    FROM (SELECT *, n - pos AS r FROM pre WHERE pos < n)
+), ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (
+               PARTITION BY {keys}
+               ORDER BY (num * num * 1000000::HUGEINT)
+                        // (CAST(pos AS HUGEINT) * CAST(r AS HUGEINT)) DESC,
+                        pos ASC) AS rn
+    FROM cand
+)
+SELECT {keys},
+       CAST(n AS BIGINT) AS n_points,
+       o AS split_ord,
+       CAST(pos AS BIGINT) AS left_n,
+       CAST(sl AS BIGINT) AS left_sum,
+       CAST(s - sl AS BIGINT) AS right_sum,
+       CAST((num * num) // (CAST(pos AS HUGEINT) * CAST(r AS HUGEINT)
+            * CAST(n AS HUGEINT)) AS BIGINT) AS gain
+FROM ranked WHERE rn = 1
+"""

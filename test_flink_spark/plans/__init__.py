@@ -41,6 +41,12 @@ _PROMOTED = (
     "events_robust_trend",
     "graph_bfs_hops",
     "events_ab_test_report",
+    # new in r6 — first driver look
+    "dedup_containment",
+    "events_changepoint_binseg",
+    "events_attribution_last_touch",
+    "events_dau_mau_stickiness",
+    "rollup_incremental_merge",
 )
 
 

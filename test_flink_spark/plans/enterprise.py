@@ -8,7 +8,7 @@ identically-rounded scalars in both dialects).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import cooccur, linkage, sequence, timeseries
@@ -1444,3 +1444,177 @@ FROM agg
 
 QUERIES["events_ab_test_report"] = events_ab_test_report
 ORACLES["events_ab_test_report"] = _AB_SQL
+
+
+_DAY_MS = 86_400_000
+
+
+def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single level-shift day per event_type over the daily event
+    count series — depth-1 binary segmentation (the offline companion to
+    events_cusum_drift's online detector).  Exact integer SSE-reduction
+    argmax in decimal(38,0)/HUGEINT (operators/timeseries.py::
+    changepoint_binseg); ONE exchange on event_type, stacked windows."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.expr("unix_millis(ts) div 86400000"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return timeseries.changepoint_binseg(daily, ["event_type"], "day", "cnt")
+
+
+_BINSEG_SQL = timeseries.changepoint_binseg_oracle_sql(
+    "(SELECT event_type, epoch_ms(ts) // 86400000 AS day, "
+    "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2)",
+    ["event_type"],
+    "day",
+    "cnt",
+)
+
+QUERIES["events_changepoint_binseg"] = events_changepoint_binseg
+ORACLES["events_changepoint_binseg"] = _BINSEG_SQL
+
+
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style LAST-TOUCH conversion attribution: every
+    ``purchase`` is credited to the most recent prior ``view``/``click``
+    touch by the same user within a 7-day lookback (ties on the same
+    millisecond broken by event_id, the fleet's tiebreak convention).
+    Report: per touch channel — attributed conversions, attributed
+    revenue (cents), and unattributed purchases as channel 'none'.
+
+    Shape: ONE exchange on user_id; the carried last-touch is a running
+    ``last(ignorenulls)`` over the per-user event sequence — the LOCF
+    idiom (gapfill/CcdC family), no self-join, no range explosion: at
+    100 TB this is a window scan, where the naive events⋈events
+    time-range join would shuffle the fact table against itself."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_ms").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click"),
+        F.struct(
+            F.col("ts_ms").alias("t"),
+            F.col("event_id").alias("e"),
+            F.col("event_type").alias("ch"),
+        ),
+    )
+    attributed = (
+        ev.withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("last_touch").isNotNull()
+                & (F.col("ts_ms") - F.col("last_touch.t") <= 7 * _DAY_MS),
+                F.col("last_touch.ch"),
+            )
+            .otherwise(F.lit("none"))
+            .alias("channel"),
+            "cents",
+        )
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("conversions"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+_ATTR_SQL = r"""
+WITH ev AS (
+    SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), tagged AS (
+    SELECT *,
+           LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                           THEN struct_pack(t := ts_ms, e := event_id,
+                                            ch := event_type) END
+                      IGNORE NULLS)
+           OVER (PARTITION BY user_id
+                 ORDER BY ts_ms ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch
+    FROM ev
+), attributed AS (
+    SELECT CASE WHEN last_touch IS NOT NULL
+                 AND ts_ms - last_touch.t <= 7 * 86400000
+                THEN last_touch.ch ELSE 'none' END AS channel,
+           cents
+    FROM tagged WHERE event_type = 'purchase'
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS conversions,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM attributed GROUP BY channel
+"""
+
+QUERIES["events_attribution_last_touch"] = events_attribution_last_touch
+ORACLES["events_attribution_last_touch"] = _ATTR_SQL
+
+
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness per 30-day epoch-window: avg daily active
+    users vs window actives, as stickiness_bp = Σ|DAU| · 10⁴ div
+    (n_days · |WAU₃₀|) — the DAU/MAU product-health ratio, integer-exact
+    (·10⁴ fixed-point, no float crosses engines).
+
+    Two partial-agg passes over (window, day, user) distincts — the
+    exchange carries distinct keys, never raw events; the final per-
+    window rollup is |30-day windows| rows."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_millis(ts) div 86400000").alias("day")
+    )
+    day_users = ev.select(
+        F.expr("day div 30").alias("w"), "day", "user_id"
+    ).distinct()
+    dau = day_users.groupBy("w", "day").agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    per_w = dau.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("dau").cast("long").alias("sum_dau"),
+    )
+    mau = day_users.select("w", "user_id").distinct().groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("mau")
+    )
+    return per_w.join(mau, "w").select(
+        F.col("w").cast("long").alias("window30"),
+        "n_days",
+        "sum_dau",
+        "mau",
+        F.expr("(sum_dau * 10000) div (n_days * mau)").alias("stickiness_bp"),
+    )
+
+
+_STICKY_SQL = r"""
+WITH du AS (
+    SELECT DISTINCT (epoch_ms(ts) // 86400000) // 30 AS w,
+           epoch_ms(ts) // 86400000 AS day, user_id
+    FROM events
+), dau AS (
+    SELECT w, day, COUNT(*) AS dau FROM du GROUP BY 1, 2
+), per_w AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(dau) AS BIGINT) AS sum_dau
+    FROM dau GROUP BY 1
+), mau AS (
+    SELECT w, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+    FROM du GROUP BY 1
+)
+SELECT CAST(per_w.w AS BIGINT) AS window30, n_days, sum_dau, mau,
+       (sum_dau * 10000) // (n_days * mau) AS stickiness_bp
+FROM per_w JOIN mau ON per_w.w = mau.w
+"""
+
+QUERIES["events_dau_mau_stickiness"] = events_dau_mau_stickiness
+ORACLES["events_dau_mau_stickiness"] = _STICKY_SQL

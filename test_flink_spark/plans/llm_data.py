@@ -2920,3 +2920,45 @@ WHERE sa.split <> sb.split
 
 QUERIES["corpus_split_leakage"] = corpus_split_leakage
 ORACLES["corpus_split_leakage"] = _split_leakage_sql()
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs (Broder): |A∩B| / min(|A|,|B|)
+    — catches a short document subsumed by a longer one (excerpts,
+    boilerplate wrappers), which symmetric Jaccard under-scores because
+    the length gap inflates the union.  Same inverted-index shape as
+    dedup_ngram_jaccard, integer-exact basis points
+    (operators/dedup.py::containment_pairs)."""
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir), threshold_bp=5000)
+
+
+_CONTAINMENT_SQL = r"""
+WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM ws) WHERE s IS NOT NULL AND s <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(sa.n_sh AS BIGINT) AS n_a,
+       CAST(sb.n_sh AS BIGINT) AS n_b,
+       CAST(shared AS BIGINT) AS shared,
+       (shared * 10000) // LEAST(sa.n_sh, sb.n_sh) AS containment_bp
+FROM shared
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE (shared * 10000) // LEAST(sa.n_sh, sb.n_sh) >= 5000
+"""
+
+QUERIES["dedup_containment"] = dedup_containment
+ORACLES["dedup_containment"] = _CONTAINMENT_SQL

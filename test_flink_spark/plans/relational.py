@@ -1483,3 +1483,55 @@ FROM m GROUP BY 1
 
 QUERIES["pattern_view_then_click"] = pattern_view_then_click
 ORACLES["pattern_view_then_click"] = _PATTERN_SQL
+
+
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the monthly
+    (o_orderpriority × month) revenue rollup is maintained as
+    BASE-aggregate ⊎ DELTA-aggregate — the base (orders before
+    1999-01-01) stands in for the stored view, the delta (orders on or
+    after) for a newly-ingested batch, and the merge is a re-aggregation
+    of the two PARTIAL aggregates.  This is the 100 TB refresh shape:
+    count/sum are associative, so maintaining the view costs
+    O(|delta| + |view|) — the base FACT table is never rescanned, only
+    its |priorities × months|-row aggregate.  The oracle recomputes from
+    scratch, proving merge == full recompute.  Integer cents
+    throughout."""
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long").alias("month"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.col("o_orderdate"),
+    )
+    cut = F.to_timestamp(F.lit("1999-01-01"))
+
+    def monthly(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority", "month").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+
+    base = monthly(od.filter(F.col("o_orderdate") < cut))
+    delta = monthly(od.filter(F.col("o_orderdate") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority", "month")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+_INC_MERGE_SQL = r"""
+SELECT o_orderpriority,
+       CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders
+GROUP BY 1, 2
+"""
+
+QUERIES["rollup_incremental_merge"] = rollup_incremental_merge
+ORACLES["rollup_incremental_merge"] = _INC_MERGE_SQL

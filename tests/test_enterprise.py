@@ -653,3 +653,68 @@ def test_time_weighted_avg_tiebreak_deterministic(spark):
         "obs", ["k"], "ts_ms", "cents", tiebreak_expr="eid"
     )
     assert con.execute(sql).fetchone()[3] == 900.0
+
+
+def test_changepoint_binseg_finds_level_shift(spark):
+    """A clean level shift (10,10,10,10 -> 50,50,50) must split exactly at
+    the boundary; the gain equals the SSE reduction; a constant series
+    yields zero gain wherever it splits; a 1-point key emits nothing."""
+    from test_flink_spark.operators.timeseries import changepoint_binseg
+
+    rows = (
+        [("shift", t, 10) for t in range(4)]
+        + [("shift", t, 50) for t in range(4, 7)]
+        + [("flat", t, 7) for t in range(5)]
+        + [("single", 0, 99)]
+    )
+    df = spark.createDataFrame(rows, "k STRING, t LONG, v LONG")
+    out = {r["k"]: r for r in changepoint_binseg(df, ["k"], "t", "v").collect()}
+    assert set(out) == {"shift", "flat"}
+    s = out["shift"]
+    assert s["split_ord"] == 3 and s["left_n"] == 4
+    assert s["left_sum"] == 40 and s["right_sum"] == 150
+    # SSE reduction: total mean 190/7; two-segment fit is exact ->
+    # gain = L*R/n * (50-10)^2 = 4*3/7 * 1600 = 2742.85 -> floor 2742
+    assert s["gain"] == 2742
+    assert out["flat"]["gain"] == 0
+
+
+def test_attribution_last_touch_lookback_and_ties(spark):
+    """The purchase credits the most recent prior touch (same-ms ties
+    broken by event_id), touches OUTSIDE the 7-day lookback fall to
+    'none', and a touch-free purchase is 'none'."""
+    from test_flink_spark.plans.enterprise import (
+        events_attribution_last_touch,
+    )
+    import test_flink_spark.plans.enterprise as E
+
+    day = 86_400_000
+
+    rows = [
+        # u1: click then view at the SAME ms (higher event_id wins=view),
+        # purchase 1 day later -> view
+        (1, 10, "click", 1_000, 5.0),
+        (1, 11, "view", 1_000, 0.0),
+        (1, 12, "purchase", 1_000 + day, 20.0),
+        # u2: touch 8 days before purchase -> outside lookback -> none
+        (2, 20, "view", 1_000, 0.0),
+        (2, 21, "purchase", 1_000 + 8 * day, 30.0),
+        # u3: no touches at all -> none
+        (3, 30, "purchase", 500, 40.0),
+    ]
+    df = spark.createDataFrame(
+        [(u, e, t, ms, v) for u, e, t, ms, v in rows],
+        "user_id LONG, event_id LONG, event_type STRING, ms LONG, value DOUBLE",
+    ).select(
+        "user_id", "event_id", "event_type",
+        F.timestamp_millis(F.col("ms")).alias("ts"), "value",
+    )
+
+    import unittest.mock as um
+
+    with um.patch.object(E, "_t", lambda spark_, sf, name: df):
+        got = {
+            r["channel"]: (r["conversions"], r["revenue_cents"])
+            for r in events_attribution_last_touch(spark, "ignored").collect()
+        }
+    assert got == {"view": (1, 2000), "none": (2, 7000)}

@@ -989,3 +989,26 @@ def test_split_drift_separates_fair_from_biased_splits(spark, monkeypatch):
     # ~3.0 -> l1 ~ 4 dims * 3e6; the hash split mixes clusters -> far less
     assert biased[("train", "val")] > 10 * max(fair.values()), (fair, biased)
     assert biased[("train", "val")] > 2_500_000 * dim
+
+
+def test_containment_flags_subsumed_doc(spark):
+    """A short doc whose shingles all appear in a long doc reaches
+    containment 10000 bp even when its Jaccard vs the long doc is far
+    below the near-dup bar — the asymmetric case the operator exists
+    for; unrelated docs produce no pair."""
+    from test_flink_spark.operators.dedup import containment_pairs
+
+    long_words = " ".join(f"w{i}" for i in range(40))
+    short_words = " ".join(f"w{i}" for i in range(5))  # contained prefix
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, long_words), (2, short_words), (3, other)],
+        "doc_id LONG, text STRING",
+    )
+    out = containment_pairs(df, threshold_bp=5000).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment_bp"] == 10000 and r["n_b"] == 3  # 5 words -> 3 shingles
+    # and Jaccard for the same pair is 3/38 — invisible to the 0.5 bar
+    assert r["shared"] == 3 and r["n_a"] == 38
