@@ -47,6 +47,7 @@ _PROMOTED = (
     "events_attribution_last_touch",
     "events_dau_mau_stickiness",
     "rollup_incremental_merge",
+    "parts_pareto_abc",
 )
 
 

@@ -9,7 +9,7 @@ equivalents.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import bpe
@@ -833,3 +833,125 @@ _BFS_SQL = (
 
 QUERIES["graph_bfs_hops"] = graph_bfs_hops
 ORACLES["graph_bfs_hops"] = _BFS_SQL
+
+
+def parts_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by lineitem revenue: class A
+    = parts covering the first 80% of cumulative revenue (descending),
+    B to 95%, C the tail — the inventory-analytics standard.
+
+    The interesting part is HOW the cumulative share is computed at
+    scale: a global running sum is the textbook single-partition window
+    (banned by this repo's plan gate because it serializes the fleet's
+    biggest anti-pattern).  Instead this is the classic DISTRIBUTED
+    PREFIX SUM: range-repartition on the total order (revenue DESC,
+    partkey ASC), per-partition running sums via a window PARTITIONED BY
+    spark_partition_id, and the per-partition totals — a |partitions|-row
+    collect, bounded by cluster config, not data — inlined as a literal
+    offset map.  cum_i = offset[pid] + local_prefix_i.  Integer cents
+    and basis points end to end; the oracle uses the plain global window
+    (DuckDB is single-node — the luxury this plan exists to avoid).
+
+    Returns (abc_class, n_parts, revenue_cents) — 3 rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.select(
+            "l_partkey",
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    n_range = 16
+    # eager localCheckpoint: BOTH consumers (the totals collect and the
+    # final plan) must see the SAME physical range partitioning — the
+    # range partitioner samples its boundaries per execution, so without
+    # pinning, the offsets could be collected against one pid assignment
+    # and applied to another (observed as an off-by-one class boundary
+    # at sf0.1).  O(|parts|) rows, the _shared_clusters precedent.
+    ranged = (
+        rev.repartitionByRange(
+            n_range, F.col("rev").desc(), F.col("l_partkey").asc()
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # |partitions| rows: the sanctioned bounded collect (threshold-map
+    # precedent, corpus_temperature_mix) — NOT a data-sized collect
+    totals = {
+        r["__pid"]: (r["t"], r["n"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum("rev").alias("t"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    grand_total = sum(t for t, _ in totals.values())
+    offsets = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid][0]
+    offset_map = F.create_map(
+        *[F.lit(v) for pid in sorted(offsets) for v in (pid, offsets[pid])]
+    )
+    w_local = Window.partitionBy("__pid").orderBy(
+        F.col("rev").desc(), F.col("l_partkey").asc()
+    )
+    classed = ranged.select(
+        "l_partkey",
+        "rev",
+        (offset_map[F.col("__pid")] + F.sum("rev").over(w_local)).alias(
+            "__cum"
+        ),
+    ).select(
+        "l_partkey",
+        "rev",
+        # decimal(38,0) dividend: cum·10⁴ wraps int64 once total revenue
+        # cents passes ~9·10¹⁴ (any real fleet); the quotient is <= 10⁴
+        # so `div`'s BIGINT result cannot wrap (oracle runs the same
+        # shape in HUGEINT)
+        F.expr(
+            "(CAST(__cum AS DECIMAL(38,0)) * 10000) div "
+            f"{max(grand_total, 1)}"
+        ).alias("cum_bp"),
+    )
+    abc = F.when(F.col("cum_bp") <= 8000, F.lit("A")).otherwise(
+        F.when(F.col("cum_bp") <= 9500, F.lit("B")).otherwise(F.lit("C"))
+    )
+    return (
+        classed.select(abc.alias("abc_class"), "rev")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+_PARETO_SQL = r"""
+WITH rev AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS rev
+    FROM lineitem GROUP BY 1
+), cum AS (
+    SELECT l_partkey, rev,
+           (CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                 ROWS UNBOUNDED PRECEDING) AS HUGEINT) * 10000)
+           // GREATEST(CAST((SELECT SUM(rev) FROM rev) AS HUGEINT), 1)
+           AS cum_bp
+    FROM rev
+)
+SELECT CASE WHEN cum_bp <= 8000 THEN 'A'
+            WHEN cum_bp <= 9500 THEN 'B' ELSE 'C' END AS abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS BIGINT) AS revenue_cents
+FROM cum GROUP BY 1
+"""
+
+QUERIES["parts_pareto_abc"] = parts_pareto_abc
+ORACLES["parts_pareto_abc"] = _PARETO_SQL

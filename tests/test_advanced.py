@@ -1,0 +1,36 @@
+
+
+def test_pareto_abc_distributed_prefix_sum_matches_naive(spark):
+    """The range-partition + per-partition-offset prefix sum must equal
+    the naive single-partition cumulative share — including revenue ties
+    (broken by partkey) and the exact 80%/95% class boundaries."""
+    import unittest.mock as um
+
+    from pyspark.sql import functions as F
+
+    import test_flink_spark.plans.advanced as A
+
+    # 10 parts, revenues with ties; one lineitem row per part so the
+    # cents rounding is trivial
+    revs = [100, 90, 90, 80, 40, 20, 10, 10, 5, 5]  # total 450
+    df = spark.createDataFrame(
+        [(k, float(r), 0.0) for k, r in enumerate(revs)],
+        "l_partkey LONG, l_extendedprice DOUBLE, l_discount DOUBLE",
+    )
+    with um.patch.object(A, "_t", lambda s, sf, name: df):
+        got = {
+            r["abc_class"]: (r["n_parts"], r["revenue_cents"])
+            for r in A.parts_pareto_abc(spark, "ignored").collect()
+        }
+    # naive: sorted desc (rev, key asc): cum_bp = floor(cum*1e4/450_00)
+    cents = sorted(
+        [(r * 100, k) for k, r in enumerate(revs)], key=lambda t: (-t[0], t[1])
+    )
+    cum, expected = 0, {}
+    for c, _ in cents:
+        cum += c
+        bp = cum * 10000 // 45000
+        cls = "A" if bp <= 8000 else ("B" if bp <= 9500 else "C")
+        n, s = expected.get(cls, (0, 0))
+        expected[cls] = (n + 1, s + c)
+    assert got == expected, (got, expected)
