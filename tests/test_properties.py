@@ -534,3 +534,97 @@ def test_lttb_matches_reference_implementation(spark):
                 best = (key, (b + 1, tn + t0, y))
         want.append(best[1])
     assert got == sorted(want)
+
+
+series_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2"]),
+        st.integers(min_value=0, max_value=50),      # ordinate
+        st.integers(min_value=-1000, max_value=1000),  # value
+    ),
+    min_size=2,
+    max_size=30,
+    unique_by=lambda t: (t[0], t[1]),  # one observation per (key, ord)
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=series_strategy)
+def test_changepoint_binseg_matches_bruteforce(spark, rows):
+    """The distributed binseg argmax must equal a driver-side exact
+    brute force over every split: same split position (earliest on
+    score ties at 10⁶ scale), same floored SSE-reduction gain."""
+    from test_flink_spark.operators.timeseries import changepoint_binseg
+
+    df = spark.createDataFrame(rows, "k STRING, o LONG, v LONG")
+    got = {r["k"]: r for r in changepoint_binseg(df, ["k"], "o", "v").collect()}
+
+    per_key: dict = {}
+    for k, o, v in rows:
+        per_key.setdefault(k, []).append((o, v))
+    for k, series in per_key.items():
+        series.sort()
+        n = len(series)
+        if n < 2:
+            assert k not in got
+            continue
+        best = None  # (score_floored_1e6, -pos) maximized
+        for pos in range(1, n):
+            sl = sum(v for _, v in series[:pos])
+            sr = sum(v for _, v in series[pos:])
+            r_ = n - pos
+            num = r_ * sl - pos * sr
+            score = (num * num * 1_000_000) // (pos * r_)
+            gain = (num * num) // (pos * r_ * n)
+            if best is None or score > best[0]:
+                best = (score, pos, gain, series[pos - 1][0], sl, sr)
+        score, pos, gain, split_ord, sl, sr = best
+        g = got[k]
+        assert (g["split_ord"], g["left_n"], g["gain"]) == (split_ord, pos, gain), (
+            k, dict(g.asDict()), best)
+        assert g["left_sum"] == sl and g["right_sum"] == sr
+
+
+docs_strategy = st.lists(
+    st.text(alphabet=st.sampled_from("abcd "), min_size=0, max_size=60),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=docs_strategy)
+def test_containment_matches_bruteforce_sets(spark, texts):
+    """containment_pairs must equal the brute-force shingle-set
+    computation: same pair set, same shared counts, same floored basis
+    points — on arbitrary whitespace-soup documents (including empty
+    and sub-3-word docs, which have no shingles and thus no pairs)."""
+    import hashlib
+
+    from test_flink_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    got = {
+        (r["id_a"], r["id_b"]): (r["shared"], r["containment_bp"])
+        for r in containment_pairs(df, threshold_bp=0).collect()
+    }
+
+    def shingle_set(text):
+        w = text.strip().split()
+        w = [x for x in w if x]
+        grams = {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+        return {
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+        }
+
+    sets = {i: shingle_set(t) for i, t in enumerate(texts)}
+    expected = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                if inter:
+                    expected[(a, b)] = (
+                        inter, inter * 10000 // min(len(sets[a]), len(sets[b]))
+                    )
+    assert got == expected, (got, expected)

@@ -1100,3 +1100,53 @@ def test_streaming_lttb_converges_to_batch(spark, tmpdirs):
     assert sorted([r.asDict() for r in final], key=lambda d: d["ord"]) == \
         sorted([r.asDict() for r in batch.collect()], key=lambda d: d["ord"])
     assert len(final) == 12
+
+
+def test_streaming_attribution_converges_to_batch(spark, tmpdirs):
+    """Streaming parity for last-touch attribution: a purchase can
+    arrive in an EARLIER micro-batch than its winning touch (late touch
+    re-attributes the conversion), so the operator rides the
+    foreachBatch accumulator recompute; converges to the batch result
+    over all rows seen."""
+    from pyspark.sql import Window
+
+    day = 86_400_000
+
+    def attribution(df):
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.col("ts_ms").asc(), F.col("event_id").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        touch = F.when(
+            F.col("event_type").isin("view", "click"),
+            F.struct(F.col("ts_ms").alias("t"), F.col("event_id").alias("e"),
+                     F.col("event_type").alias("ch")),
+        )
+        return (
+            df.withColumn("lt", F.last(touch, ignorenulls=True).over(w))
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.when(
+                    F.col("lt").isNotNull()
+                    & (F.col("ts_ms") - F.col("lt.t") <= 7 * day),
+                    F.col("lt.ch"),
+                ).otherwise(F.lit("none")).alias("channel"),
+                "cents",
+            )
+            .groupBy("channel")
+            .agg(F.count(F.lit(1)).cast("long").alias("conversions"),
+                 F.sum("cents").cast("long").alias("revenue_cents"))
+        )
+
+    schema = "user_id LONG, event_id LONG, event_type STRING, ts_ms LONG, cents LONG"
+    batches = [
+        # batch 1: purchase arrives with only an OLD (out-of-window) view
+        f"1,10,view,0,0\n1,20,purchase,{8 * day},500\n",
+        # batch 2: a LATE click lands between them -> re-attributes
+        f"1,15,click,{7 * day + 1000},0\n",
+    ]
+    final = _foreachbatch_accumulate_and_apply(
+        spark, tmpdirs, schema, batches, attribution)
+    got = {r["channel"]: (r["conversions"], r["revenue_cents"]) for r in final}
+    assert got == {"click": (1, 500)}
