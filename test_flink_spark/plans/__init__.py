@@ -48,6 +48,8 @@ _PROMOTED = (
     "events_dau_mau_stickiness",
     "rollup_incremental_merge",
     "parts_pareto_abc",
+    "corpus_perplexity_buckets",
+    "dedup_minhash_estimate_audit",
 )
 
 

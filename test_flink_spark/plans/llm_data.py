@@ -2962,3 +2962,201 @@ WHERE (shared * 10000) // LEAST(sa.n_sh, sb.n_sh) >= 5000
 
 QUERIES["dedup_containment"] = dedup_containment
 ORACLES["dedup_containment"] = _CONTAINMENT_SQL
+
+
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.: the
+    head/middle/tail split that CCNet uses to stratify CommonCrawl by LM
+    quality): every doc's unigram surprisal is ranked WITHIN its
+    language and split 30/40/30 — head = lowest-surprisal 30%.  Ranking
+    key is the exact integer milli-bits-per-token
+    ``(sum_bits·10⁶) div n_tokens`` (never the rounded float — both
+    engines rank identical integers), doc_id tiebreak, cross-multiplied
+    integer percentile cuts (the domain-percentile-filter discipline).
+
+    Shape: the surprisal scorer's one corpus pass + vocab broadcast,
+    then a per-language window rank (exchange on lang) over the
+    |docs|-row score table, folded to |langs × 3| rows."""
+    from ..operators.lm_score import unigram_surprisal_scores
+    from ..operators.sampling import hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(hash_bucket(F.col("doc_id"), "lmref") < 2000)
+    scores = unigram_surprisal_scores(docs, ref, flag_high=14.0).select(
+        "doc_id",
+        "n_tokens",
+        "sum_bits",
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN (sum_bits * 1000000) div n_tokens"
+            " ELSE 0 END"
+        ).alias("mean_mbits"),
+    )
+    from pyspark.sql import Window
+
+    ranked = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "n_tokens",
+        "mean_mbits",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.col("mean_mbits").asc(), F.col("doc_id").asc()
+            )
+        )
+        .alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    bucket = (
+        F.when(F.col("rk") * 10 <= F.col("n") * 3, F.lit("head"))
+        .when(F.col("rk") * 10 <= F.col("n") * 7, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ranked.select("lang", bucket.alias("ppl_bucket"), "n_tokens", "mean_mbits")
+        .groupBy("lang", "ppl_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.max("mean_mbits").cast("long").alias("max_mean_mbits"),
+        )
+    )
+
+
+def _ppl_buckets_sql() -> str:
+    from ..operators.lm_score import unigram_surprisal_oracle_sql
+
+    inner = unigram_surprisal_oracle_sql(
+        ref_filter=(
+            "(('0x' || substr(md5('lmref:' || doc_id), 1, 15))::BIGINT"
+            " % 10000) < 2000"
+        ),
+        flag_high=14.0,
+    )
+    return f"""
+WITH s AS ({inner}),
+m AS (
+    SELECT s.doc_id, d.lang, s.n_tokens,
+           CASE WHEN s.n_tokens > 0
+                THEN (s.sum_bits * 1000000) // s.n_tokens
+                ELSE 0 END AS mean_mbits
+    FROM s JOIN documents d USING (doc_id)
+), r AS (
+    SELECT lang, n_tokens, mean_mbits,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY mean_mbits ASC, doc_id ASC) AS rk,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+    FROM m
+)
+SELECT lang,
+       CASE WHEN rk * 10 <= n * 3 THEN 'head'
+            WHEN rk * 10 <= n * 7 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(MAX(mean_mbits) AS BIGINT) AS max_mean_mbits
+FROM r GROUP BY 1, 2
+"""
+
+
+QUERIES["corpus_perplexity_buckets"] = corpus_perplexity_buckets
+ORACLES["corpus_perplexity_buckets"] = _ppl_buckets_sql()
+
+
+def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-quality audit (the dedup twin of
+    embedding_ann_recall): for every LSH candidate pair, the
+    signature-agreement Jaccard ESTIMATE (matching permutations / 16,
+    in basis points) next to the EXACT shingle-set Jaccard, plus the
+    error — so the 16-permutation/4-band config is a measured tradeoff,
+    not a folklore setting.
+
+    Exact side reuses the inverted-index join (never all-pairs); the
+    estimate side joins the two signatures on the candidate pair — both
+    sides shuffle id-pair keys only."""
+    from ..operators.dedup import (
+        containment_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cand = minhash_lsh_pairs(docs, num_perm=16, bands=4)
+    sigs = minhash_signatures(docs, num_perm=16)
+    a = sigs.select(F.col("doc_id").alias("id_a"),
+                    F.col("signature").alias("a_sig"))
+    b = sigs.select(F.col("doc_id").alias("id_b"),
+                    F.col("signature").alias("b_sig"))
+    agree = F.expr(
+        "aggregate(zip_with(a_sig, b_sig, (x, y) -> IF(x = y, 1, 0)),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    # 10000/16 = 625 exactly: the estimate is an INTEGER multiple, no
+    # float division
+    est = cand.join(a, "id_a").join(b, "id_b").select(
+        "id_a", "id_b", (agree * F.lit(625)).cast("long").alias("est_bp"),
+    )
+    # exact Jaccard from the inverted-index pair stats, all-integer:
+    # shared·10⁴ div (|A|+|B|−shared) — never the rounded float
+    exact = containment_pairs(docs, threshold_bp=0).select(
+        "id_a",
+        "id_b",
+        F.expr("(shared * 10000) div (n_a + n_b - shared)").alias("exact_bp"),
+    )
+    return est.join(exact, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        "est_bp",
+        F.coalesce("exact_bp", F.lit(0)).alias("exact_bp"),
+        (F.col("est_bp") - F.coalesce("exact_bp", F.lit(0))).alias("err_bp"),
+    )
+
+
+def _minhash_audit_sql(num_perm: int = 16, bands: int = 4) -> str:
+    """Replays dedup_minhash_estimate_audit: the kv/sig CTEs are the
+    shared minhash chain (_minhash_kv_cte); agreement is counted over
+    the same h0..h15 columns; the exact side is the 60-bit-hash
+    inverted-index Jaccard in integer basis points."""
+    eq_terms = " + ".join(
+        f"CASE WHEN sa.h{p} = sb.h{p} THEN 1 ELSE 0 END"
+        for p in range(num_perm)
+    )
+    return f"""
+WITH {_minhash_kv_cte(num_perm, bands)},
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM kv a JOIN kv b ON a.band = b.band AND a.bk = b.bk
+                       AND a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.id_a, c.id_b,
+           CAST(({eq_terms}) * 625 AS BIGINT) AS est_bp
+    FROM cand c
+    JOIN sig sa ON c.id_a = sa.doc_id
+    JOIN sig sb ON c.id_b = sb.doc_id
+),
+sh60 AS (
+    SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+    FROM sh
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh60 GROUP BY 1),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM sh60 a JOIN sh60 b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT id_a, id_b,
+           (shared * 10000) // (sa.n_sh + sb.n_sh - shared) AS exact_bp
+    FROM shared
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+)
+SELECT e.id_a, e.id_b, e.est_bp,
+       CAST(COALESCE(x.exact_bp, 0) AS BIGINT) AS exact_bp,
+       CAST(e.est_bp - COALESCE(x.exact_bp, 0) AS BIGINT) AS err_bp
+FROM est e LEFT JOIN exact x ON e.id_a = x.id_a AND e.id_b = x.id_b
+"""
+
+
+QUERIES["dedup_minhash_estimate_audit"] = dedup_minhash_estimate_audit
+ORACLES["dedup_minhash_estimate_audit"] = _minhash_audit_sql()

@@ -1012,3 +1012,47 @@ def test_containment_flags_subsumed_doc(spark):
     assert r["containment_bp"] == 10000 and r["n_b"] == 3  # 5 words -> 3 shingles
     # and Jaccard for the same pair is 3/38 — invisible to the 0.5 bar
     assert r["shared"] == 3 and r["n_a"] == 38
+
+
+def test_minhash_audit_candidates_have_band_floor(spark):
+    """Every LSH candidate shares a FULL band (4 of 16 permutations), so
+    the signature-agreement estimate is never below 4·625 = 2500 bp; a
+    planted near-identical pair estimates high AND its exact Jaccard is
+    present (not the coalesced 0)."""
+    from test_flink_spark.plans import llm_data as L
+    import unittest.mock as um
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "wholly unrelated words here now")],
+        "doc_id LONG, text STRING",
+    )
+    with um.patch.object(L, "_docs", lambda s, sf: docs):
+        rows = L.dedup_minhash_estimate_audit(spark, "ignored").collect()
+    assert rows, "planted near-dup produced no candidate"
+    for r in rows:
+        assert r["est_bp"] >= 2500, r  # full-band agreement floor
+        assert r["err_bp"] == r["est_bp"] - r["exact_bp"]
+    planted = [r for r in rows if (r["id_a"], r["id_b"]) == (1, 2)]
+    assert planted and planted[0]["exact_bp"] > 7000
+
+
+def test_perplexity_buckets_split_30_40_30(spark):
+    """With 10 same-language docs the head/middle/tail split is exactly
+    3/4/3, ordered by surprisal: the lowest-surprisal docs (common
+    words) land in head, rare-word docs in tail."""
+    from test_flink_spark.plans import llm_data as L
+    import unittest.mock as um
+
+    common = "the quick brown fox " * 5
+    docs = spark.createDataFrame(
+        [(i, common if i < 5 else common + f"rare{i} " * (i - 3), "en")
+         for i in range(10)],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    with um.patch.object(L, "_docs", lambda s, sf: docs):
+        got = {
+            r["ppl_bucket"]: r["n_docs"]
+            for r in L.corpus_perplexity_buckets(spark, "ignored").collect()
+        }
+    assert got == {"head": 3, "middle": 4, "tail": 3}, got
