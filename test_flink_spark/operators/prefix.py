@@ -1,0 +1,79 @@
+"""Distributed prefix sums — the scale-correct replacement for the
+single-partition cumulative window.
+
+A global running sum is the canonical Spark anti-pattern: Window with no
+partitionBy moves ALL rows through one task (this repo's plan gate bans
+it).  The classic fix, packaged here once: range-repartition on the total
+order, per-partition running sums keyed by ``spark_partition_id()``, and
+the per-partition totals — a |partitions|-row driver collect, bounded by
+cluster configuration, never by data — folded into a literal offset map.
+``cum_i = offset[pid] + local_prefix_i``.
+
+Determinism note (learned at sf0.1, parts_pareto_abc): the range
+partitioner SAMPLES its boundaries per execution, so the relation must be
+pinned with an eager ``localCheckpoint`` — the offsets job and every
+downstream consumer must see the SAME pid assignment.  The cumulative
+values themselves are boundary-independent (any boundary placement that
+respects the total order yields the same prefix sums), but the offset map
+is keyed by pid, so the pids must not move between jobs.
+
+Consumers: parts_pareto_abc (ABC revenue classes), events_user_gini
+(Lorenz-curve Gini coefficient).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def partitioned_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order: Sequence[Column],
+    n_partitions: int = 16,
+) -> tuple[DataFrame, int]:
+    """Return ``(df + [__cum, __rank], grand_total)`` where ``__cum`` is
+    the inclusive running sum of ``value_col`` and ``__rank`` the 1-based
+    position, both over the TOTAL order given by ``order`` (must be a
+    strict total order — include a unique tiebreak column).
+
+    One range exchange + one bounded collect; no single-partition stage.
+    The returned DataFrame is localCheckpoint-pinned (see module
+    docstring); ``grand_total`` is a plain int for literal reuse.
+    """
+    ranged = (
+        df.repartitionByRange(n_partitions, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        r["__pid"]: (r["t"], r["n"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("t"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    grand_total = int(sum(t for t, _ in totals.values()))
+    sum_offsets, cnt_offsets = {}, {}
+    acc_s, acc_n = 0, 0
+    for pid in sorted(totals):
+        sum_offsets[pid] = acc_s
+        cnt_offsets[pid] = acc_n
+        acc_s += int(totals[pid][0])
+        acc_n += int(totals[pid][1])
+    sum_map = F.create_map(
+        *[F.lit(v) for p in sorted(sum_offsets) for v in (p, sum_offsets[p])]
+    )
+    cnt_map = F.create_map(
+        *[F.lit(v) for p in sorted(cnt_offsets) for v in (p, cnt_offsets[p])]
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order)
+    out = ranged.withColumn(
+        "__cum", sum_map[F.col("__pid")] + F.sum(value_col).over(w_local)
+    ).withColumn(
+        "__rank",
+        (cnt_map[F.col("__pid")] + F.row_number().over(w_local)).cast("long"),
+    ).drop("__pid")
+    return out, grand_total

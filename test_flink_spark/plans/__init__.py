@@ -50,6 +50,8 @@ _PROMOTED = (
     "parts_pareto_abc",
     "corpus_perplexity_buckets",
     "dedup_minhash_estimate_audit",
+    "events_user_gini",
+    "text_rake_keywords",
 )
 
 

@@ -9,12 +9,12 @@ equivalents.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import bpe
 from ..operators import graph as gr
-from ..operators import layout, sampling
+from ..operators import layout, prefix, sampling
 from ..operators import sketch as sk
 from .relational import _t
 
@@ -848,7 +848,8 @@ def parts_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     partkey ASC), per-partition running sums via a window PARTITIONED BY
     spark_partition_id, and the per-partition totals — a |partitions|-row
     collect, bounded by cluster config, not data — inlined as a literal
-    offset map.  cum_i = offset[pid] + local_prefix_i.  Integer cents
+    offset map (operators/prefix.py::partitioned_prefix_sum, shared with
+    events_user_gini).  cum_i = offset[pid] + local_prefix_i.  Integer cents
     and basis points end to end; the oracle uses the plain global window
     (DuckDB is single-node — the luxury this plan exists to avoid).
 
@@ -867,47 +868,10 @@ def parts_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum("cents").alias("rev"))
     )
-    n_range = 16
-    # eager localCheckpoint: BOTH consumers (the totals collect and the
-    # final plan) must see the SAME physical range partitioning — the
-    # range partitioner samples its boundaries per execution, so without
-    # pinning, the offsets could be collected against one pid assignment
-    # and applied to another (observed as an off-by-one class boundary
-    # at sf0.1).  O(|parts|) rows, the _shared_clusters precedent.
-    ranged = (
-        rev.repartitionByRange(
-            n_range, F.col("rev").desc(), F.col("l_partkey").asc()
-        )
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    cummed, grand_total = prefix.partitioned_prefix_sum(
+        rev, "rev", [F.col("rev").desc(), F.col("l_partkey").asc()]
     )
-    # |partitions| rows: the sanctioned bounded collect (threshold-map
-    # precedent, corpus_temperature_mix) — NOT a data-sized collect
-    totals = {
-        r["__pid"]: (r["t"], r["n"])
-        for r in ranged.groupBy("__pid")
-        .agg(F.sum("rev").alias("t"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    grand_total = sum(t for t, _ in totals.values())
-    offsets = {}
-    acc = 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid][0]
-    offset_map = F.create_map(
-        *[F.lit(v) for pid in sorted(offsets) for v in (pid, offsets[pid])]
-    )
-    w_local = Window.partitionBy("__pid").orderBy(
-        F.col("rev").desc(), F.col("l_partkey").asc()
-    )
-    classed = ranged.select(
-        "l_partkey",
-        "rev",
-        (offset_map[F.col("__pid")] + F.sum("rev").over(w_local)).alias(
-            "__cum"
-        ),
-    ).select(
+    classed = cummed.select(
         "l_partkey",
         "rev",
         # decimal(38,0) dividend: cum·10⁴ wraps int64 once total revenue

@@ -1618,3 +1618,61 @@ FROM per_w JOIN mau ON per_w.w = mau.w
 
 QUERIES["events_dau_mau_stickiness"] = events_dau_mau_stickiness
 ORACLES["events_dau_mau_stickiness"] = _STICKY_SQL
+
+
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event counts — the engagement-
+    inequality number (how concentrated is activity in power users).
+    Lorenz form over counts sorted ASCENDING with the global rank i from
+    the DISTRIBUTED prefix-sum machinery (operators/prefix.py — no
+    single-partition window even though the rank is global):
+
+        G_bp = 10⁴ · (2·Σ i·xᵢ − (n+1)·S) div (n·S)
+
+    All decimal(38,0) until the final bounded quotient (≤ 10⁴), so the
+    arithmetic never wraps at fleet scale.  One row:
+    (n_users, total_events, gini_bp)."""
+    from ..operators import prefix
+
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ranked, _total = prefix.partitioned_prefix_sum(
+        counts, "cnt", [F.col("cnt").asc(), F.col("user_id").asc()]
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("cnt").cast("long").alias("total_events"),
+        F.expr(
+            "(10000 * (2 * SUM(CAST(__rank AS DECIMAL(38,0))"
+            " * CAST(cnt AS DECIMAL(38,0)))"
+            " - CAST((COUNT(*) + 1) AS DECIMAL(38,0))"
+            " * CAST(SUM(cnt) AS DECIMAL(38,0))))"
+            " div (CAST(COUNT(*) AS DECIMAL(38,0))"
+            " * CAST(SUM(cnt) AS DECIMAL(38,0)))"
+        ).alias("gini_bp"),
+    )
+
+
+_GINI_SQL = r"""
+WITH counts AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1
+), ranked AS (
+    SELECT cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt ASC, user_id ASC) AS rk
+    FROM counts
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(cnt) AS BIGINT) AS total_events,
+       CAST((10000 * (2 * SUM(CAST(rk AS HUGEINT) * CAST(cnt AS HUGEINT))
+             - CAST(COUNT(*) + 1 AS HUGEINT) * CAST(SUM(cnt) AS HUGEINT)))
+            // (CAST(COUNT(*) AS HUGEINT) * CAST(SUM(cnt) AS HUGEINT))
+            AS BIGINT) AS gini_bp
+FROM ranked
+"""
+
+QUERIES["events_user_gini"] = events_user_gini
+ORACLES["events_user_gini"] = _GINI_SQL

@@ -3160,3 +3160,106 @@ FROM est e LEFT JOIN exact x ON e.id_a = x.id_a AND e.id_b = x.id_b
 
 QUERIES["dedup_minhash_estimate_audit"] = dedup_minhash_estimate_audit
 ORACLES["dedup_minhash_estimate_audit"] = _minhash_audit_sql()
+
+
+_RAKE_STOPS = (
+    "the a an of to in and or is are was were for on with as by at from"
+).split()
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus: split
+    each document into candidate phrases at stopwords, score every word
+    as degree/frequency (degree = Σ phrase lengths it appears in —
+    co-occurrence incl. self; frequency = occurrence count), then score
+    phrases as the sum of member word scores.  Top-20 corpus keywords by
+    (score desc, phrase asc).
+
+    Integer discipline: word_score_fp = degree·10⁴ div freq (exact in
+    both engines), phrase scores are sums of those fps — no float
+    crosses.  Shape: one narrow corpus pass to phrases (explode), one
+    word-stats aggregate (vocab-bounded), one phrase re-join via
+    explode + groupBy, TakeOrdered(20) — no global window."""
+    stop_re = "(?i)\\b(" + "|".join(_RAKE_STOPS) + ")\\b"
+    docs = _docs(spark, sf_dir)
+    phrases = (
+        docs.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.col("text"), stop_re, "|"), "\\|"
+                )
+            ).alias("p")
+        )
+        .select(F.trim(F.regexp_replace("p", "\\s+", " ")).alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    pw = phrases.select(
+        "phrase",
+        F.split(F.col("phrase"), " ").alias("ws"),
+    ).select("phrase", F.size("ws").alias("plen"), F.explode("ws").alias("w"))
+    stats = pw.groupBy("w").agg(
+        F.sum("plen").cast("long").alias("degree"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+    )
+    scored = (
+        pw.join(stats, "w")
+        .groupBy("phrase")
+        .agg(
+            # Σ over word OCCURRENCES in this phrase instance... but we
+            # grouped phrase TEXT: each identical phrase instance adds an
+            # identical word-score sum, so divide by the instance count —
+            # equivalently aggregate per phrase text over ONE instance's
+            # words: sum(score)/n_instances stays integral because every
+            # instance contributes the same integer.  Done exactly below.
+            F.sum(F.expr("(degree * 10000) div freq")).alias("raw"),
+            F.count(F.lit(1)).alias("occ"),
+            F.max("plen").alias("plen"),
+        )
+        .select(
+            "phrase",
+            F.expr("raw div (occ div plen)").alias("score_fp"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score_fp").desc(), F.col("phrase").asc())
+        .limit(20)
+        .select("phrase", F.col("score_fp").cast("long").alias("score_fp"))
+    )
+
+
+def _rake_sql() -> str:
+    stop_re = "(?i)\\b(" + "|".join(_RAKE_STOPS) + ")\\b"
+    return f"""
+WITH ph AS (
+    SELECT trim(regexp_replace(p, '\\s+', ' ', 'g')) AS phrase
+    FROM (
+        SELECT unnest(string_split(
+                   regexp_replace(text, '{stop_re}', '|', 'g'), '|')) AS p
+        FROM documents)
+    WHERE trim(regexp_replace(p, '\\s+', ' ', 'g')) <> ''
+), pw AS (
+    SELECT phrase, len(string_split(phrase, ' ')) AS plen,
+           unnest(string_split(phrase, ' ')) AS w
+    FROM ph
+), stats AS (
+    SELECT w, CAST(SUM(plen) AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS freq
+    FROM pw GROUP BY 1
+), scored AS (
+    SELECT phrase,
+           SUM((degree * 10000) // freq) AS raw,
+           COUNT(*) AS occ,
+           MAX(plen) AS plen
+    FROM pw JOIN stats USING (w)
+    GROUP BY 1
+)
+SELECT phrase,
+       CAST(raw // (occ // plen) AS BIGINT) AS score_fp
+FROM scored
+ORDER BY score_fp DESC, phrase ASC
+LIMIT 20
+"""
+
+
+QUERIES["text_rake_keywords"] = text_rake_keywords
+ORACLES["text_rake_keywords"] = _rake_sql()

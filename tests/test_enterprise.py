@@ -718,3 +718,29 @@ def test_attribution_last_touch_lookback_and_ties(spark):
             for r in events_attribution_last_touch(spark, "ignored").collect()
         }
     assert got == {"view": (1, 2000), "none": (2, 7000)}
+
+
+def test_gini_known_distributions(spark):
+    """Gini of a perfectly equal distribution is 0; of full concentration
+    (one user owns everything but the minimum) approaches the discrete
+    maximum (n-1)/n; both computed through the distributed prefix-sum
+    rank, validated against hand math."""
+    import unittest.mock as um
+
+    import test_flink_spark.plans.enterprise as E
+
+    def run(counts):
+        rows = [(u, None, "x", None, None) for u, c in counts for _ in range(c)]
+        df = spark.createDataFrame(
+            [(u, i) for i, (u, *_rest) in enumerate(rows)],
+            "user_id LONG, event_id LONG",
+        )
+        with um.patch.object(E, "_t", lambda s, sf, name: df):
+            return E.events_user_gini(spark, "ignored").collect()[0]
+
+    eq = run([(1, 5), (2, 5), (3, 5), (4, 5)])
+    assert eq["gini_bp"] == 0 and eq["n_users"] == 4
+
+    # counts 1,1,1,97: G = (2*(1+2+3+4*97) - 5*100) / (4*100) = 288/400 = 0.72
+    conc = run([(1, 1), (2, 1), (3, 1), (4, 97)])
+    assert conc["gini_bp"] == 7200 and conc["total_events"] == 100

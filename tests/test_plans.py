@@ -160,6 +160,13 @@ def test_every_registered_query_plan_is_scale_clean(spark):
     # side thresholds job, not the registered plan, so no allowance needed.)
     global_window_allowed = {
         "corpus_mix_report",
+        # false positive of the co-occurrence detector: the Window IS
+        # partitioned (by spark_partition_id — the distributed prefix
+        # sum, operators/prefix.py) and the SinglePartition exchange is
+        # the 1-ROW final aggregate fed by map-side partials — the same
+        # shape as any global count(); nothing unbounded crosses one
+        # reducer
+        "events_user_gini",
         # events_frequent_paths' rank window reads the PATH AGGREGATE
         # (<= |event types|^3 = 125 rows), never the event stream
         "events_frequent_paths",
