@@ -4,6 +4,8 @@ giant files, explicit compression)."""
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -240,3 +242,58 @@ def apply_deletes(
     _swap_publish(tmp, path)
     rows_after = spark.read.parquet(path).count()
     return rows_before, rows_after
+
+
+def idempotent_batch_sink(path: str):
+    """Exactly-once ``foreachBatch`` parquet sink: effectively-once file
+    output under the at-least-once replay foreachBatch delivers after a
+    crash (the Structured Streaming docs' own caveat — batchId is the
+    documented dedup key).
+
+    Layout: ``path/data/batch-<id>/`` holds each micro-batch's parquet;
+    ``path/_committed/batch-<id>`` is a marker created ONLY after the
+    data directory is complete and atomically renamed into place.
+    A replayed (batchId, data) is detected by its marker and skipped, so
+    re-running a failed batch never duplicates rows; a batch that
+    crashed mid-write left only an orphan tmp dir (never read — readers
+    go through ``read_committed``).  Write order is the crash-safety
+    proof: data rename FIRST, marker create SECOND — every marker
+    therefore points at complete data, and incomplete data has no
+    marker.
+
+    At scale this is the manifest-commit pattern every table format
+    (Iceberg/Delta/Hudi) formalizes; the per-batch directory keeps the
+    sink append-only so no reader ever observes a partial file.
+    """
+    data_root = os.path.join(path, "data")
+    commit_root = os.path.join(path, "_committed")
+    os.makedirs(data_root, exist_ok=True)
+    os.makedirs(commit_root, exist_ok=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(commit_root, f"batch-{batch_id}")
+        if os.path.exists(marker):  # replay of a committed batch: no-op
+            return
+        final = os.path.join(data_root, f"batch-{batch_id}")
+        tmp = final + ".__tmp"
+        batch_df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(final):  # crashed between rename and marker
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        with open(marker, "w") as fh:
+            fh.write("")
+
+    return sink
+
+
+def read_committed(spark, path: str) -> DataFrame:
+    """Read ONLY committed batches of an ``idempotent_batch_sink`` dir —
+    orphaned tmp/uncommitted data is invisible, so readers always see an
+    exactly-once view."""
+    commit_root = os.path.join(path, "_committed")
+    data_root = os.path.join(path, "data")
+    batches = sorted(os.listdir(commit_root)) if os.path.isdir(commit_root) else []
+    dirs = [os.path.join(data_root, b) for b in batches]
+    if not dirs:
+        raise ValueError(f"no committed batches under {path}")
+    return spark.read.parquet(*dirs)

@@ -1150,3 +1150,56 @@ def test_streaming_attribution_converges_to_batch(spark, tmpdirs):
         spark, tmpdirs, schema, batches, attribution)
     got = {r["channel"]: (r["conversions"], r["revenue_cents"]) for r in final}
     assert got == {"click": (1, 500)}
+
+
+def test_idempotent_batch_sink_survives_replay_and_partial_writes(spark, tmpdirs):
+    """Exactly-once file sink semantics under the three failure shapes
+    foreachBatch exposes: (1) clean run commits all batches, (2) a
+    REPLAYED batch (at-least-once delivery) is detected by its marker
+    and skipped — no duplicate rows, (3) an uncommitted partial write
+    (crash before the marker: orphan tmp dir AND renamed-but-unmarked
+    data) is invisible to read_committed."""
+    from test_flink_spark.sinks.files import (
+        idempotent_batch_sink,
+        read_committed,
+    )
+
+    out = str(tmpdirs / "sink")
+    sink = idempotent_batch_sink(out)
+    src = tmpdirs / "src"
+    src.mkdir()
+    (src / "b1.csv").write_text("1,10\n2,20\n")
+    q = (
+        spark.readStream.schema("k LONG, v LONG").csv(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmpdirs / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b2.csv").write_text("3,30\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {(r["k"], r["v"]) for r in read_committed(spark, out).collect()}
+    assert rows == {(1, 10), (2, 20), (3, 30)}
+
+    # (2) replay batch 1 verbatim — marker short-circuits, nothing changes
+    replay_df = spark.createDataFrame([(3, 30)], "k LONG, v LONG")
+    sink(replay_df, 1)
+    rows = [(r["k"], r["v"]) for r in read_committed(spark, out).collect()]
+    assert sorted(rows) == [(1, 10), (2, 20), (3, 30)], "replay duplicated rows"
+
+    # (3) crash before marker: data renamed into place but unmarked
+    import os
+
+    crash_df = spark.createDataFrame([(9, 90)], "k LONG, v LONG")
+    crash_df.write.mode("overwrite").parquet(os.path.join(out, "data", "batch-7"))
+    crash_df.write.mode("overwrite").parquet(
+        os.path.join(out, "data", "batch-8.__tmp"))
+    rows = {(r["k"], r["v"]) for r in read_committed(spark, out).collect()}
+    assert (9, 90) not in rows, "uncommitted data leaked into reads"
+    # recovery: the same batch re-delivered now commits exactly once
+    sink(crash_df, 7)
+    rows = [r for r in read_committed(spark, out).collect() if r["k"] == 9]
+    assert len(rows) == 1
