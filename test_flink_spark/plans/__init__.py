@@ -52,6 +52,8 @@ _PROMOTED = (
     "dedup_minhash_estimate_audit",
     "events_user_gini",
     "text_rake_keywords",
+    "embedding_gram_matrix",
+    "events_cep_strict_sequence",
 )
 
 

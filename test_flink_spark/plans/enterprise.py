@@ -1676,3 +1676,75 @@ FROM ranked
 
 QUERIES["events_user_gini"] = events_user_gini
 ORACLES["events_user_gini"] = _GINI_SQL
+
+
+def events_cep_strict_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink-CEP ``next()`` semantics (strict contiguity) on the batch
+    engine: per user, occurrences of view → click → purchase as three
+    CONSECUTIVE events (no intervening event of any type — the
+    distinction from pattern_view_then_click's relaxed followed-by) with
+    the whole triple inside a 7-day within() bound.  Reference framing: this is the
+    pattern class Flink's CEP library (Pattern.begin().next().next())
+    and SQL MATCH_RECOGNIZE express; on Spark it is two lead() columns
+    over the per-user sequence — one exchange, no joins.
+
+    Report per day: ``(day, matches, users)`` — strict-funnel
+    completions and distinct converting users."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_ms").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts_ms",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("ts_ms", 2).over(w).alias("ts2"),
+    )
+    hits = seq.filter(
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+        & (F.col("ts2") - F.col("ts_ms") <= 7 * _DAY_MS)
+    )
+    return (
+        hits.select(
+            F.expr("ts_ms div 86400000").alias("day"), "user_id"
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("matches"),
+            F.countDistinct("user_id").cast("long").alias("users"),
+        )
+    )
+
+
+_CEP_SQL = r"""
+WITH ev AS (
+    SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+    FROM events
+), seq AS (
+    SELECT user_id, event_type, ts_ms,
+           LEAD(event_type, 1) OVER w AS t1,
+           LEAD(event_type, 2) OVER w AS t2,
+           LEAD(ts_ms, 2) OVER w AS ts2
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC)
+)
+SELECT ts_ms // 86400000 AS day,
+       CAST(COUNT(*) AS BIGINT) AS matches,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+FROM seq
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+  AND ts2 - ts_ms <= 7 * 86400000::BIGINT
+GROUP BY 1
+"""
+
+QUERIES["events_cep_strict_sequence"] = events_cep_strict_sequence
+ORACLES["events_cep_strict_sequence"] = _CEP_SQL

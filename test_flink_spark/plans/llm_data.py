@@ -3263,3 +3263,66 @@ LIMIT 20
 
 QUERIES["text_rake_keywords"] = text_rake_keywords
 ORACLES["text_rake_keywords"] = _rake_sql()
+
+
+_GRAM_SCALE = 1024  # 2^10 quantization grid for exact integer products
+
+
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gram (scatter) matrix of the embedding corpus — the input
+    to PCA/whitening/linear-probe fits: G[i,j] = Σ_v q_i(v)·q_j(v) over
+    2¹⁰-grid quantized coordinates (float dot products are fold-order-
+    dependent across engines; integer grid products are not — the
+    quantize_error discipline).  Upper triangle only (G is symmetric):
+    dim·(dim+1)/2 = 2080 output rows at dim 64.
+
+    Shape: ONE narrow pass — the quantized array is STAGED as a column
+    (the r5 lesson: never re-evaluate an expensive expression inside a
+    transform lambda), pair products are generated map-side by nested
+    transform (no self-join, no per-vector shuffle), and the groupBy
+    carries dim²-bounded keys with map-side partial sums."""
+    emb = _emb(spark, sf_dir)
+    q = emb.withColumn(
+        "qv",
+        F.expr(
+            "transform(embedding, x -> CAST(FLOOR(x * 1024 + 0.5) AS BIGINT))"
+        ),
+    )
+    pairs = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(qv) - 1), i ->"
+                " transform(sequence(i, size(qv) - 1), j ->"
+                " struct(i AS i, j AS j, qv[i] * qv[j] AS p))))"
+            )
+        ).alias("e")
+    )
+    return (
+        pairs.select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("long").alias("gram_fp"))
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            "gram_fp",
+        )
+    )
+
+
+_GRAM_SQL = r"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(FLOOR(x * 1024 + 0.5) AS BIGINT)) AS qv,
+           len(embedding) AS d
+    FROM embeddings
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       CAST(SUM(qv[i + 1] * qv[j + 1]) AS BIGINT) AS gram_fp
+FROM q, range(0, 64) r1(i), range(0, 64) r2(j)
+WHERE i < d AND j < d AND j >= i
+GROUP BY 1, 2
+"""
+
+QUERIES["embedding_gram_matrix"] = embedding_gram_matrix
+ORACLES["embedding_gram_matrix"] = _GRAM_SQL

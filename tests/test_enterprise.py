@@ -744,3 +744,31 @@ def test_gini_known_distributions(spark):
     # counts 1,1,1,97: G = (2*(1+2+3+4*97) - 5*100) / (4*100) = 288/400 = 0.72
     conc = run([(1, 1), (2, 1), (3, 1), (4, 97)])
     assert conc["gini_bp"] == 7200 and conc["total_events"] == 100
+
+
+def test_cep_strict_contiguity_rejects_intervening_event(spark):
+    """Flink-CEP next() semantics: view,click,purchase consecutive
+    matches; view,click,OTHER,purchase does NOT (the relaxed
+    followed-by would match it); the within() bound drops slow
+    triples."""
+    import unittest.mock as um
+
+    import test_flink_spark.plans.enterprise as E
+
+    day = 86_400_000
+    rows = [
+        # u1: strict match inside the bound
+        (1, 1, "view", 0), (1, 2, "click", 1000), (1, 3, "purchase", 2000),
+        # u2: intervening 'view' breaks contiguity
+        (2, 4, "view", 0), (2, 5, "click", 1000), (2, 6, "view", 1500),
+        (2, 7, "purchase", 2000),
+        # u3: strict but outside the 7-day within() bound
+        (3, 8, "view", 0), (3, 9, "click", 1000), (3, 10, "purchase", 8 * day),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id LONG, event_id LONG, event_type STRING, ms LONG"
+    ).select("user_id", "event_id", "event_type",
+             F.timestamp_millis(F.col("ms")).alias("ts"))
+    with um.patch.object(E, "_t", lambda s, sf, name: df):
+        got = E.events_cep_strict_sequence(spark, "ignored").collect()
+    assert len(got) == 1 and got[0]["matches"] == 1 and got[0]["users"] == 1
