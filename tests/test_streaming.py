@@ -1203,3 +1203,42 @@ def test_idempotent_batch_sink_survives_replay_and_partial_writes(spark, tmpdirs
     sink(crash_df, 7)
     rows = [r for r in read_committed(spark, out).collect() if r["k"] == 9]
     assert len(rows) == 1
+
+
+def test_streaming_cep_matches_batch_lead_form(spark, tmpdirs):
+    """The applyInPandasWithState strict-sequence matcher must produce
+    exactly the batch lead()-window matches on in-order input —
+    including a match whose three events SPAN micro-batches (the O(1)
+    per-key state carries the partial match across), and an intervening
+    event killing a partial match across batches."""
+    from test_flink_spark.streaming.cep import streaming_strict_sequence
+
+    src = tmpdirs / "src"
+    src.mkdir()
+    schema = "user_id LONG, event_id LONG, event_type STRING, ts_ms LONG"
+    # u1: view|click in batch 1, purchase in batch 2 -> cross-batch match
+    # u2: view,click in batch 1, OTHER in batch 2, purchase in batch 3 -> dead
+    (src / "b1.csv").write_text(
+        "1,1,view,1000\n1,2,click,2000\n2,1,view,1000\n2,2,click,2000\n")
+    raw = spark.readStream.schema(schema).csv(str(src))
+    out = streaming_strict_sequence(
+        raw, ["view", "click", "purchase"], within_ms=7 * 86_400_000)
+    q = (
+        out.writeStream.queryName("cep_stream").format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmpdirs / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b2.csv").write_text("1,3,purchase,3000\n2,3,view,2500\n")
+        q.processAllAvailable()
+        (src / "b3.csv").write_text("2,4,purchase,3000\n")
+        q.processAllAvailable()
+        got = {
+            (r["key"], r["start_ts_ms"], r["end_ts_ms"])
+            for r in spark.table("cep_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {(1, 1000, 3000)}, got
