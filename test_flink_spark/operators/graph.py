@@ -354,3 +354,76 @@ def bfs_oracle_cte(edges_sql: str, seeds_sql: str, max_hops: int = 4) -> str:
 )"""
         )
     return ",\n".join(parts)
+
+
+def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+    """k-core peeling over a SYMMETRIZED ``edges(src, dst)`` list: each
+    round drops every node of degree < ``k`` and the edges touching it —
+    after enough rounds the survivors are exactly the k-core (the
+    density-cohesion member of the graph family: influence/communities/
+    clusters/traversal, and now cohesion).  Fixed ``rounds`` rather than
+    loop-to-fixpoint, per the house differential-testing rule (pagerank/
+    IVF/BFS): N unrolled rounds replay exactly as a CTE chain, while a
+    convergence loop does not.  The emitted per-round curve makes the
+    cap honest — if round N still shrinks, the caller sees it.
+
+    Because the edge list is symmetrized, degree(node) = COUNT(*) of its
+    src rows — one groupBy, no union of endpoints.  Survivor filtering is
+    two equi-joins against the (distinct-key) alive set: semi-join
+    semantics on the shuffle-hash fast path, never a broadcast of a
+    relation that shrinks with DATA only (alive is O(nodes)).  Rolling
+    local checkpoints bound lineage exactly as in pagerank.
+
+    Returns (round, n_nodes, n_edges): one row per peel round, counts
+    AFTER that round's peel."""
+    edges = edges.repartition(F.col("src")).cache()
+    cur = edges
+    cp_ids: set = set()
+    per_round = []
+    for i in range(1, rounds + 1):
+        alive = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        cur = (
+            cur.join(alive.hint("shuffle_hash"), "src")
+            .join(
+                alive.withColumnRenamed("src", "dst").hint("shuffle_hash"),
+                "dst",
+            )
+            .select("src", "dst")
+        )
+        cur = _rolling_checkpoint(cur, cp_ids)
+        # Eager 1-row collect per round: the rolling checkpoint frees
+        # generation i-2's blocks, so a lazily-evaluated round-1 stats
+        # frame would read freed blocks at final-union time.  The counts
+        # are O(rounds) metadata — collecting them is the same bounded-
+        # collect class as the prefix-sum offset map.
+        row = cur.agg(
+            F.countDistinct("src").alias("n_nodes"),
+            F.count(F.lit(1)).alias("n_edges"),
+        ).collect()[0]
+        per_round.append((i, int(row["n_nodes"]), int(row["n_edges"])))
+    return edges.sparkSession.createDataFrame(
+        per_round, "round long, n_nodes long, n_edges long"
+    )
+
+
+def kcore_oracle_cte(edges_sql: str, k: int = 3, rounds: int = 3) -> str:
+    """Unrolled-CTE replay of ``kcore_peel``; the caller appends a final
+    SELECT unioning the per-round stats over ``e1..e{rounds}``."""
+    parts = [f"e0 AS ({edges_sql})"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT src AS node FROM e{i - 1} GROUP BY src HAVING COUNT(*) >= {k}
+),
+e{i} AS (
+  SELECT e.src, e.dst FROM e{i - 1} e
+  JOIN a{i} s ON e.src = s.node
+  JOIN a{i} t ON e.dst = t.node
+)"""
+        )
+    return ",\n".join(parts)

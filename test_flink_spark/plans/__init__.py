@@ -54,6 +54,11 @@ _PROMOTED = (
     "text_rake_keywords",
     "embedding_gram_matrix",
     "events_cep_strict_sequence",
+    "events_cep_followed_by",
+    "events_run_lengths",
+    "corpus_token_budget_select",
+    "corpus_shard_assignment",
+    "graph_kcore_trade",
 )
 
 

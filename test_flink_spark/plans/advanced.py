@@ -919,3 +919,42 @@ FROM cum GROUP BY 1
 
 QUERIES["parts_pareto_abc"] = parts_pareto_abc
 ORACLES["parts_pareto_abc"] = _PARETO_SQL
+
+
+def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core peeling curve of the symmetrized supplier–customer trade
+    graph (same edge build as graph_pagerank_trade / graph_bfs_hops):
+    per peel round, surviving nodes and edges — the cohesion screen
+    ("which vendors/customers sit in densely interconnected trade",
+    the k-core standard).  Fixed 3 rounds, unrolled-CTE oracle
+    (operators/graph.py::kcore_peel)."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    base = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
+        base.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    return gr.kcore_peel(edges, k=3, rounds=3)
+
+
+_KCORE_SQL = (
+    "WITH "
+    + gr.kcore_oracle_cte(_PR_EDGES_SQL, k=3, rounds=3)
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS round,"
+        f" CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_edges FROM e{i}"
+        for i in (1, 2, 3)
+    )
+)
+
+QUERIES["graph_kcore_trade"] = graph_kcore_trade
+ORACLES["graph_kcore_trade"] = _KCORE_SQL

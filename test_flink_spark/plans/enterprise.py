@@ -1748,3 +1748,180 @@ GROUP BY 1
 
 QUERIES["events_cep_strict_sequence"] = events_cep_strict_sequence
 ORACLES["events_cep_strict_sequence"] = _CEP_SQL
+
+
+def events_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink-CEP ``followedBy()`` under SKIP_TILL_NEXT_MATCH: per user,
+    view → click → purchase where each step binds the FIRST qualifying
+    event after the previous one (intervening events of other types are
+    skipped — the relaxed-contiguity complement of
+    events_cep_strict_sequence's next(), and a 3-step NFA the 2-step
+    as-of join in pattern_view_then_click cannot express).  Reference
+    framing: Pattern.begin("v").followedBy("c").followedBy("p")
+    .within(Time.days(7)).
+
+    Spark shape: the NFA collapses to two stacked conditional struct-MIN
+    windows over the SAME (user, ts, event_id) sort — pass 1 annotates
+    every event with its next purchase, pass 2 takes the first following
+    click CARRYING that purchase annotation, so the view row reads the
+    whole chain.  One exchange, one sort (reused), no joins, no Python.
+
+    Report per day of the view: matches, distinct users, summed
+    end-to-end latency (view→purchase, ms)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_ms").asc(), F.col("event_id").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    p1 = ev.withColumn(
+        "np",
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.struct(
+                    F.col("ts_ms").alias("t"), F.col("event_id").alias("e")
+                ),
+            )
+        ).over(w),
+    )
+    p2 = p1.withColumn(
+        "nc",
+        F.min(
+            F.when(
+                F.col("event_type") == "click",
+                F.struct(
+                    F.col("ts_ms").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("np").alias("np"),
+                ),
+            )
+        ).over(w),
+    )
+    hits = p2.filter(
+        (F.col("event_type") == "view")
+        & F.col("nc").isNotNull()
+        & F.col("nc.np").isNotNull()
+        & (F.col("nc.np.t") - F.col("ts_ms") <= 7 * _DAY_MS)
+    )
+    return (
+        hits.select(
+            F.expr("ts_ms div 86400000").alias("day"),
+            "user_id",
+            (F.col("nc.np.t") - F.col("ts_ms")).alias("latency_ms"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("matches"),
+            F.countDistinct("user_id").cast("long").alias("users"),
+            F.sum("latency_ms").cast("long").alias("sum_latency_ms"),
+        )
+    )
+
+
+_CEP_FOLLOWED_BY_SQL = r"""
+WITH ev AS (
+    SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+), p1 AS (
+    SELECT *,
+           MIN(CASE WHEN event_type = 'purchase'
+                    THEN struct_pack(t := ts_ms, e := event_id) END)
+               OVER w AS np
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+), p2 AS (
+    SELECT *,
+           MIN(CASE WHEN event_type = 'click'
+                    THEN struct_pack(t := ts_ms, e := event_id, np := np)
+               END) OVER w AS nc
+    FROM p1
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT ts_ms // 86400000 AS day,
+       CAST(COUNT(*) AS BIGINT) AS matches,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(SUM(nc.np.t - ts_ms) AS BIGINT) AS sum_latency_ms
+FROM p2
+WHERE event_type = 'view' AND nc IS NOT NULL AND nc.np IS NOT NULL
+  AND nc.np.t - ts_ms <= 7 * 86400000::BIGINT
+GROUP BY 1
+"""
+
+QUERIES["events_cep_followed_by"] = events_cep_followed_by
+ORACLES["events_cep_followed_by"] = _CEP_FOLLOWED_BY_SQL
+
+
+def events_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink-CEP quantifier ``oneOrMore().consecutive().greedy()`` as a
+    batch run-length report: per user, MAXIMAL runs of consecutive
+    same-type events (gaps-and-islands — the island id is the
+    row_number-difference trick, identical in both dialects).  Per
+    event_type: number of maximal runs, longest run, and runs of
+    length >= 3 (the 'greedy triple-or-more' matches Flink would emit
+    once per island under SKIP_PAST_LAST_EVENT).  One exchange: both
+    row_numbers share the per-user sort, the island agg re-keys once."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    w_all = Window.partitionBy("user_id").orderBy(
+        F.col("ts_ms").asc(), F.col("event_id").asc()
+    )
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts_ms").asc(), F.col("event_id").asc()
+    )
+    islands = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias(
+            "island"
+        ),
+    )
+    runs = islands.groupBy("user_id", "event_type", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+            F.max("run_len").cast("long").alias("max_run"),
+            F.sum(F.when(F.col("run_len") >= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("runs_ge3"),
+        )
+    )
+
+
+_RUN_LENGTHS_SQL = r"""
+WITH ev AS (
+    SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+), islands AS (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts_ms ASC, event_id ASC)
+           - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts_ms ASC, event_id ASC) AS island
+    FROM ev
+), runs AS (
+    SELECT user_id, event_type, island, COUNT(*) AS run_len
+    FROM islands GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(run_len) AS BIGINT) AS max_run,
+       CAST(SUM(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS runs_ge3
+FROM runs GROUP BY 1
+"""
+
+QUERIES["events_run_lengths"] = events_run_lengths
+ORACLES["events_run_lengths"] = _RUN_LENGTHS_SQL

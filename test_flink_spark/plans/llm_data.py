@@ -3326,3 +3326,161 @@ GROUP BY 1, 2
 
 QUERIES["embedding_gram_matrix"] = embedding_gram_matrix
 ORACLES["embedding_gram_matrix"] = _GRAM_SQL
+
+
+def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained dataset selection: rank the corpus by a
+    quality score and admit documents greedily until a global token
+    budget (30% of corpus tokens) is spent — the data-selection step a
+    training pipeline runs after curation ("take the best N tokens").
+    Quality = lexical diversity in basis points (distinct-word ratio,
+    integer floor-div — engine-exact); order = (quality desc, doc_id) —
+    a strict total order so the greedy cut is deterministic.
+
+    Scale shape: the cumulative-token cut uses the distributed prefix
+    sum (operators/prefix.py) — range exchange + per-partition running
+    sums + a |partitions|-row offset collect; NO single-partition global
+    window (the plan gate bans it).  The oracle replays the same greedy
+    cut with DuckDB's global window, which is fine at oracle scale.
+
+    Report per source: docs admitted, tokens admitted, and the worst
+    quality that made the cut."""
+    from ..operators.prefix import partitioned_prefix_sum
+    from ..operators.text import words
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(words(F.col("text"))))
+        .cast("long")
+        .alias("n_distinct"),
+    )
+    q = d.filter(F.col("n_tokens") > 0).withColumn(
+        "quality_bp", F.expr("n_distinct * 10000 div n_tokens")
+    )
+    cum, total_tokens = partitioned_prefix_sum(
+        q,
+        "n_tokens",
+        [F.col("quality_bp").desc(), F.col("doc_id").asc()],
+    )
+    budget = total_tokens * 3 // 10
+    return (
+        cum.filter(F.col("__cum") <= F.lit(budget))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_selected"),
+            F.sum("n_tokens").cast("long").alias("tokens_selected"),
+            F.min("quality_bp").cast("long").alias("min_quality_bp"),
+        )
+    )
+
+
+_TOKEN_BUDGET_SQL = r"""
+WITH d AS (
+    SELECT doc_id, source,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           len(list_distinct(string_split_regex(trim(text), '\s+')))
+               AS n_distinct
+    FROM documents
+), q AS (
+    SELECT doc_id, source, n_tokens,
+           n_distinct * 10000 // n_tokens AS quality_bp
+    FROM d WHERE n_tokens > 0
+), c AS (
+    SELECT *,
+           SUM(n_tokens) OVER (ORDER BY quality_bp DESC, doc_id ASC
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(n_tokens) OVER () AS total
+    FROM q
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS docs_selected,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected,
+       CAST(MIN(quality_bp) AS BIGINT) AS min_quality_bp
+FROM c
+WHERE cum <= total * 3 // 10
+GROUP BY 1
+"""
+
+QUERIES["corpus_token_budget_select"] = corpus_token_budget_select
+ORACLES["corpus_token_budget_select"] = _TOKEN_BUDGET_SQL
+
+
+def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle → fixed-count training shards
+    (WebDataset / tf.data layout): every document gets a pseudorandom
+    but reproducible order key (the house 60-bit md5 hash), the corpus
+    is totally ordered by it, and contiguous rank ranges become 16
+    shards balanced to ±1 document — the write-layout step between
+    curation and the training loop, where shard balance decides
+    data-loader stragglers.
+
+    shard = (rank − 1) * 16 // N over the hash order: identical on any
+    engine, stable under retries (no RNG, no partition-dependent
+    state).  Rank comes from the distributed prefix machinery (range
+    exchange + offset map), never a global window.
+
+    Report per shard: docs, tokens, and the order-key span — adjacent
+    spans proves the assignment is contiguous in shuffle order, equal
+    doc counts proves balance."""
+    from ..operators.prefix import partitioned_prefix_sum
+    from ..operators.sketch import h60
+    from ..operators.text import words
+
+    n_shards = 16
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+        h60(F.col("doc_id"), "shard-shuffle-v1").alias("okey"),
+    )
+    ranked, _ = partitioned_prefix_sum(
+        d,
+        "n_tokens",
+        [F.col("okey").asc(), F.col("doc_id").asc()],
+    )
+    # N for the shard formula: one bounded 1-row collect (metadata, like
+    # the prefix offset map itself), folded in as a literal.
+    total = ranked.agg(F.max("__rank").alias("n")).collect()[0]["n"]
+    return (
+        ranked.withColumn(
+            "shard", F.expr(f"((__rank - 1) * {n_shards}) div {total}")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("okey").cast("long").alias("okey_lo"),
+            F.max("okey").cast("long").alias("okey_hi"),
+        )
+    )
+
+
+def _shard_sql() -> str:
+    from ..operators.sketch import h60_sql
+
+    okey = h60_sql("doc_id", "shard-shuffle-v1")
+    return rf"""
+WITH d AS (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           {okey} AS okey
+    FROM documents
+), r AS (
+    SELECT *,
+           ROW_NUMBER() OVER (ORDER BY okey ASC, doc_id ASC) AS rnk,
+           COUNT(*) OVER () AS n
+    FROM d
+)
+SELECT (rnk - 1) * 16 // n AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MIN(okey) AS BIGINT) AS okey_lo,
+       CAST(MAX(okey) AS BIGINT) AS okey_hi
+FROM r
+GROUP BY 1
+"""
+
+
+QUERIES["corpus_shard_assignment"] = corpus_shard_assignment
+ORACLES["corpus_shard_assignment"] = _shard_sql()

@@ -117,3 +117,105 @@ def streaming_strict_sequence(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Relaxed contiguity (followedBy, SKIP_TILL_NEXT_MATCH)
+# ---------------------------------------------------------------------------
+
+FOLLOWED_BY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("start_ts_ms", LongType()),
+        StructField("end_ts_ms", LongType()),
+    ]
+)
+
+# state: open view timestamps awaiting a click, plus (view_ts) pairs that
+# found their click (click_ts) and await a purchase.
+FOLLOWED_BY_STATE_SCHEMA = StructType(
+    [
+        StructField("open_views", ArrayType(LongType())),
+        StructField("paired_views", ArrayType(LongType())),
+        StructField("paired_clicks", ArrayType(LongType())),
+    ]
+)
+
+
+def _followed_by_func(first: str, second: str, third: str, within_ms: int):
+    def func(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            open_views, paired_views, paired_clicks = (
+                list(v) for v in state.get
+            )
+        else:
+            open_views, paired_views, paired_clicks = [], [], []
+        starts, ends = [], []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_ms", "event_id"], kind="mergesort")
+        for et, t in zip(rows["event_type"], rows["ts_ms"]):
+            t = int(t)
+            if et == first:
+                open_views.append(t)
+            elif et == second and open_views:
+                # every pending first-step binds THIS click (its first)
+                paired_views.extend(open_views)
+                paired_clicks.extend([t] * len(open_views))
+                open_views = []
+            elif et == third and paired_views:
+                for v in paired_views:
+                    if t - v <= within_ms:
+                        starts.append(v)
+                        ends.append(t)
+                paired_views, paired_clicks = [], []
+            # expire partials that can no longer satisfy within()
+            open_views = [v for v in open_views if t - v <= within_ms]
+            keep = [
+                i
+                for i, v in enumerate(paired_views)
+                if t - v <= within_ms
+            ]
+            if len(keep) != len(paired_views):
+                paired_views = [paired_views[i] for i in keep]
+                paired_clicks = [paired_clicks[i] for i in keep]
+        state.update((open_views, paired_views, paired_clicks))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(starts),
+                "start_ts_ms": starts,
+                "end_ts_ms": ends,
+            }
+        ).astype({"key": "int64", "start_ts_ms": "int64", "end_ts_ms": "int64"})
+
+    return func
+
+
+def streaming_followed_by(
+    events: DataFrame,
+    pattern: Sequence[str],
+    within_ms: int,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming twin of the batch ``events_cep_followed_by``: 3-step
+    relaxed-contiguity match (each step binds the FIRST qualifying later
+    event) per key, incremental via ``applyInPandasWithState``.
+
+    State is the live partial-match frontier: first-step events awaiting
+    step 2, and (step1, step2) pairs awaiting step 3 — bounded by the
+    ``within_ms`` horizon (expired partials are pruned on every event),
+    which is exactly Flink CEP's NFA state-with-within() bound, not
+    O(stream).  Same in-order contract as streaming_strict_sequence."""
+    if len(pattern) != 3:
+        raise ValueError("streaming_followed_by implements 3-step patterns")
+    renamed = events.withColumnRenamed(key_col, "key")
+    return renamed.groupBy("key").applyInPandasWithState(
+        _followed_by_func(*pattern, within_ms),
+        outputStructType=FOLLOWED_BY_OUTPUT_SCHEMA,
+        stateStructType=FOLLOWED_BY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1242,3 +1242,43 @@ def test_streaming_cep_matches_batch_lead_form(spark, tmpdirs):
     finally:
         q.stop()
     assert got == {(1, 1000, 3000)}, got
+
+
+def test_streaming_cep_followed_by_first_bind_semantics(spark, tmpdirs):
+    """The relaxed (followedBy) streaming matcher must reproduce the
+    batch struct-min semantics: every pending view binds the FIRST later
+    click, every (view, click) pair the FIRST later purchase — across
+    micro-batch boundaries — and a view arriving after that click waits
+    for the NEXT click (no re-binding backwards)."""
+    from test_flink_spark.streaming.cep import streaming_followed_by
+
+    src = tmpdirs / "src_fb"
+    src.mkdir()
+    schema = "user_id LONG, event_id LONG, event_type STRING, ts_ms LONG"
+    # u1: two views share the first click; purchase lands 2 batches later
+    # u2: view | click+later view | purchase -> only the first view matches
+    (src / "b1.csv").write_text(
+        "1,1,view,1000\n1,2,view,1500\n2,1,view,1000\n")
+    raw = spark.readStream.schema(schema).csv(str(src))
+    out = streaming_followed_by(
+        raw, ["view", "click", "purchase"], within_ms=7 * 86_400_000)
+    q = (
+        out.writeStream.queryName("cep_fb_stream").format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmpdirs / "ckpt_fb"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b2.csv").write_text(
+            "1,3,click,2000\n2,2,click,2000\n2,3,view,2500\n")
+        q.processAllAvailable()
+        (src / "b3.csv").write_text("1,4,purchase,3000\n2,4,purchase,3000\n")
+        q.processAllAvailable()
+        got = {
+            (r["key"], r["start_ts_ms"], r["end_ts_ms"])
+            for r in spark.table("cep_fb_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {(1, 1000, 3000), (1, 1500, 3000), (2, 1000, 3000)}, got
