@@ -77,3 +77,57 @@ def partitioned_prefix_sum(
         (cnt_map[F.col("__pid")] + F.row_number().over(w_local)).cast("long"),
     ).drop("__pid")
     return out, grand_total
+
+
+def partitioned_prefix_max(
+    df: DataFrame,
+    value_col: str,
+    order: Sequence[Column],
+    n_partitions: int = 16,
+) -> DataFrame:
+    """Running MAX of ``value_col`` over the TOTAL order given by
+    ``order`` (a strict total order — include a unique tiebreak), as
+    ``__cummax`` — the high-watermark shape (``cum_i = greatest(max of
+    all earlier partitions, local running max)``).
+
+    Same skeleton and same determinism contract as
+    ``partitioned_prefix_sum``: one range exchange, an eager
+    localCheckpoint pinning the pid assignment, a |partitions|-row
+    collect folded into a literal offset map, and a per-pid window —
+    never a single-partition global window.  Offsets are the EXCLUSIVE
+    prefix max of the per-partition maxima; the first partition gets a
+    NULL offset (greatest() ignores it)."""
+    ranged = (
+        df.repartitionByRange(n_partitions, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    maxima = {
+        r["__pid"]: r["m"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.max(value_col).alias("m"))
+        .collect()
+    }
+    offsets = {}
+    running = None
+    for pid in sorted(maxima):
+        offsets[pid] = running
+        if maxima[pid] is not None and (
+            running is None or maxima[pid] > running
+        ):
+            running = maxima[pid]
+    vtype = df.schema[value_col].dataType.simpleString()
+    off_map = F.create_map(
+        *[
+            c
+            for p in sorted(offsets)
+            for c in (F.lit(p), F.lit(offsets[p]).cast(vtype))
+        ]
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order)
+    # greatest() ignores nulls, so the first partition's null offset
+    # degrades to the local running max alone.
+    return ranged.withColumn(
+        "__cummax",
+        F.greatest(off_map[F.col("__pid")], F.max(value_col).over(w_local)),
+    ).drop("__pid")

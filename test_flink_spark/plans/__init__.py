@@ -59,6 +59,10 @@ _PROMOTED = (
     "corpus_token_budget_select",
     "corpus_shard_assignment",
     "graph_kcore_trade",
+    "corpus_classifier_auc",
+    "join_view_incremental_merge",
+    "bloom_join_prune_audit",
+    "events_watermark_lateness_audit",
 )
 
 

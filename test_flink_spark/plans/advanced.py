@@ -958,3 +958,112 @@ _KCORE_SQL = (
 
 QUERIES["graph_kcore_trade"] = graph_kcore_trade
 ORACLES["graph_kcore_trade"] = _KCORE_SQL
+
+
+def bloom_join_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning with a MEASURED false-positive audit:
+    build a Bloom filter (m = 2¹⁷ bits, k = 3 md5-derived hashes) over
+    the orders build side's customer keys, probe every customer through
+    it, and compare against the exact semi-join — per mktsegment:
+    customers, exact members, Bloom passes, and false positives.  The
+    audit proves the filter's one-sided guarantee (bloom_pass >=
+    exact_members, never a false negative) with exact numbers, the same
+    measured-not-claimed discipline as embedding_ann_recall.
+
+    Scale shape: the filter is materialized as the DISTINCT set-bit
+    table — at most m rows, bounded by CONFIG not data (the same class
+    as IVF centroids), so the probe join's build side is broadcast-sized
+    at any corpus scale; probes fan out k rows per key and pass iff all
+    k bits hit (COUNT == k).  Deterministic md5 hashing makes the whole
+    filter — bit patterns included — engine-exact."""
+    m_bits, k_hashes = 1 << 17, 3
+    od = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    set_bits = None
+    for i in range(k_hashes):
+        b = od.select((sk.h60(F.col("o_custkey"), f"bloom{i}") % m_bits).alias("bit"))
+        set_bits = b if set_bits is None else set_bits.unionAll(b)
+    set_bits = set_bits.distinct()
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    probes = None
+    for i in range(k_hashes):
+        p = cust.select(
+            "c_custkey",
+            (sk.h60(F.col("c_custkey"), f"bloom{i}") % m_bits).alias("bit"),
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    passes = (
+        probes.join(set_bits, "bit")
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == k_hashes)
+        .select("c_custkey")
+    )
+    exact = cust.join(
+        _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_semi",
+    ).select("c_custkey")
+
+    flags = (
+        cust.join(passes.withColumn("bloom_pass", F.lit(1)), "c_custkey", "left")
+        .join(exact.withColumn("is_member", F.lit(1)), "c_custkey", "left")
+        .select(
+            "c_mktsegment",
+            F.coalesce(F.col("bloom_pass"), F.lit(0)).alias("bloom_pass"),
+            F.coalesce(F.col("is_member"), F.lit(0)).alias("is_member"),
+        )
+    )
+    return flags.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("is_member").cast("long").alias("exact_members"),
+        F.sum("bloom_pass").cast("long").alias("bloom_passes"),
+        F.sum(
+            F.when((F.col("bloom_pass") == 1) & (F.col("is_member") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("false_positives"),
+    )
+
+
+def _bloom_audit_sql() -> str:
+    m_bits, k_hashes = 1 << 17, 3
+    set_union = "\nUNION\n".join(
+        f"SELECT {sk.h60_sql('o_custkey', f'bloom{i}')} % {m_bits} AS bit "
+        "FROM (SELECT DISTINCT o_custkey FROM orders)"
+        for i in range(k_hashes)
+    )
+    probe_union = "\nUNION ALL\n".join(
+        f"SELECT c_custkey, {sk.h60_sql('c_custkey', f'bloom{i}')} % {m_bits} AS bit "
+        "FROM customer"
+        for i in range(k_hashes)
+    )
+    return rf"""
+WITH set_bits AS ({set_union}),
+probes AS ({probe_union}),
+passes AS (
+    SELECT c_custkey FROM probes JOIN set_bits USING (bit)
+    GROUP BY c_custkey HAVING COUNT(*) = {k_hashes}
+),
+exact AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+flags AS (
+    SELECT c.c_mktsegment,
+           CASE WHEN p.c_custkey IS NULL THEN 0 ELSE 1 END AS bloom_pass,
+           CASE WHEN e.c_custkey IS NULL THEN 0 ELSE 1 END AS is_member
+    FROM customer c
+    LEFT JOIN passes p ON c.c_custkey = p.c_custkey
+    LEFT JOIN exact e ON c.c_custkey = e.c_custkey
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(is_member) AS BIGINT) AS exact_members,
+       CAST(SUM(bloom_pass) AS BIGINT) AS bloom_passes,
+       CAST(SUM(CASE WHEN bloom_pass = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS false_positives
+FROM flags GROUP BY 1
+"""
+
+
+QUERIES["bloom_join_prune_audit"] = bloom_join_prune_audit
+ORACLES["bloom_join_prune_audit"] = _bloom_audit_sql()

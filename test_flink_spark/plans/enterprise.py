@@ -1925,3 +1925,88 @@ FROM runs GROUP BY 1
 
 QUERIES["events_run_lengths"] = events_run_lengths
 ORACLES["events_run_lengths"] = _RUN_LENGTHS_SQL
+
+
+def events_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bound sizing from data: replay the stream in ARRIVAL
+    order (event_id is the ingestion sequence) against an ascending
+    high-watermark = running max of event time, and measure per
+    event_type how many events arrive late — at all (out of order), by
+    more than 1 minute, by more than 1 hour — plus the worst lateness.
+    This is the audit that picks W1/W2's allowed-lateness knob (§2 W3)
+    from evidence instead of folklore: the bound you choose drops
+    exactly the rows this report counts.
+
+    The synthetic feed is perfectly in-order (event_id follows ts), so
+    arrival is modeled as ts + a DETERMINISTIC 0–2 min per-event network
+    delay (md5-derived — the house engine-exact jitter); the audit
+    measures the out-of-orderness that model induces.  On real data the
+    delay column is the ingestion timestamp and the model term drops
+    out — the report shape is the deliverable.
+
+    The high-watermark is a GLOBAL running max — the textbook
+    single-partition window — so it runs on the distributed prefix-MAX
+    (operators/prefix.py::partitioned_prefix_max): range exchange on
+    arrival order, per-partition running max, exclusive per-partition
+    maxima folded in as a literal map.  The oracle uses DuckDB's plain
+    global window."""
+    from ..operators.prefix import partitioned_prefix_max
+    from ..operators.sketch import h60
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+    ).withColumn(
+        "arrival_ms",
+        F.col("ts_ms") + h60(F.col("event_id"), "arrival-v1") % 120_000,
+    )
+    hwm = partitioned_prefix_max(
+        ev, "ts_ms", [F.col("arrival_ms").asc(), F.col("event_id").asc()]
+    )
+    late = hwm.select(
+        "event_type", (F.col("__cummax") - F.col("ts_ms")).alias("late_ms")
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("late_ms") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("out_of_order"),
+        F.sum(F.when(F.col("late_ms") > 60_000, 1).otherwise(0))
+        .cast("long")
+        .alias("late_gt_1m"),
+        F.sum(F.when(F.col("late_ms") > 3_600_000, 1).otherwise(0))
+        .cast("long")
+        .alias("late_gt_1h"),
+        F.max("late_ms").cast("long").alias("max_late_ms"),
+    )
+
+
+_WM_LATENESS_SQL = r"""
+WITH ev AS (
+    SELECT event_id, event_type, epoch_ms(ts) AS ts_ms,
+           epoch_ms(ts)
+           + ('0x' || substr(md5('arrival-v1:' || event_id), 1, 15))::BIGINT
+             % 120000 AS arrival_ms
+    FROM events
+), h AS (
+    SELECT event_type,
+           MAX(ts_ms) OVER (ORDER BY arrival_ms ASC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - ts_ms AS late_ms
+    FROM ev
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS out_of_order,
+       CAST(SUM(CASE WHEN late_ms > 60000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS late_gt_1m,
+       CAST(SUM(CASE WHEN late_ms > 3600000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS late_gt_1h,
+       CAST(MAX(late_ms) AS BIGINT) AS max_late_ms
+FROM h GROUP BY 1
+"""
+
+QUERIES["events_watermark_lateness_audit"] = events_watermark_lateness_audit
+ORACLES["events_watermark_lateness_audit"] = _WM_LATENESS_SQL

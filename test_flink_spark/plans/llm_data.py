@@ -3484,3 +3484,92 @@ GROUP BY 1
 
 QUERIES["corpus_shard_assignment"] = corpus_shard_assignment
 ORACLES["corpus_shard_assignment"] = _shard_sql()
+
+
+def corpus_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the hashed-linear quality classifier against an
+    independent truth label (lang = 'en'), per source — the model-eval
+    step a curation pipeline runs before trusting a filter: AUC via the
+    Mann-Whitney rank-sum identity
+        AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos · n_neg)
+    over the STRICT total order (score, doc_id) — the doc_id tiebreak
+    makes the rank (hence the AUC) bit-identical on any engine, the
+    house alternative to tie-averaged midranks (float midranks would
+    reintroduce the decimal seam the fleet bans).  Score is the
+    classifier's integer fixed-point score_sum·10⁴ div n_tokens.
+
+    Scale shape: ranks come from a PARTITIONED window (per source),
+    never a global one; one exchange on source, integer arithmetic end
+    to end, basis-point output."""
+    from ..operators.importance import linear_quality_scores
+
+    docs = _docs(spark, sf_dir)
+    scored = linear_quality_scores(docs).select(
+        "doc_id",
+        F.expr("score_sum * 10000 div n_tokens").alias("score_fp"),
+    )
+    lab = docs.select(
+        "doc_id", "source", (F.col("lang") == "en").alias("pos")
+    )
+    j = scored.join(lab, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("score_fp").asc(), F.col("doc_id").asc()
+    )
+    ranked = j.withColumn("rnk", F.row_number().over(w).cast("long"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("pos"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.sum(F.when(F.col("pos"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_neg"),
+            F.sum(F.when(F.col("pos"), F.col("rnk")).otherwise(0))
+            .cast("long")
+            .alias("rank_sum_pos"),
+        )
+        .withColumn(
+            "auc_bp",
+            F.expr(
+                "CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
+                "(rank_sum_pos - n_pos * (n_pos + 1) div 2) * 10000 "
+                "div (n_pos * n_neg) END"
+            ).cast("long"),
+        )
+    )
+
+
+def _classifier_auc_sql() -> str:
+    from ..operators.importance import LINEAR_QUALITY_SQL
+
+    return rf"""
+WITH lq AS ({LINEAR_QUALITY_SQL}),
+j AS (
+    SELECT d.doc_id, d.source, d.lang = 'en' AS pos,
+           lq.score_sum * 10000 // lq.n_tokens AS score_fp
+    FROM documents d JOIN lq ON d.doc_id = lq.doc_id
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY score_fp ASC, doc_id ASC) AS rnk
+    FROM j
+),
+a AS (
+    SELECT source,
+           CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+           CAST(SUM(CASE WHEN pos THEN rnk ELSE 0 END) AS BIGINT)
+               AS rank_sum_pos
+    FROM r GROUP BY 1
+)
+SELECT source, n_pos, n_neg, rank_sum_pos,
+       CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+            (rank_sum_pos - n_pos * (n_pos + 1) // 2) * 10000
+            // (n_pos * n_neg) END AS BIGINT) AS auc_bp
+FROM a
+"""
+
+
+QUERIES["corpus_classifier_auc"] = corpus_classifier_auc
+ORACLES["corpus_classifier_auc"] = _classifier_auc_sql()

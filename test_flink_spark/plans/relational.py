@@ -1535,3 +1535,67 @@ GROUP BY 1, 2
 
 QUERIES["rollup_incremental_merge"] = rollup_incremental_merge
 ORACLES["rollup_incremental_merge"] = _INC_MERGE_SQL
+
+
+def join_view_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the delta-algebra
+    companion to rollup_incremental_merge's aggregate case.  The view is
+    V = customer ⋈ orders (per-mktsegment order counts + revenue); a
+    batch arrives containing BOTH new customers (c_custkey % 20 = 0
+    stands in for the newly-ingested slice) and new orders (orderdate >=
+    1998-01-01).  The join delta is the standard three-term expansion
+        ΔV = ΔC ⋈ O_old  ∪  C_old ⋈ ΔO  ∪  ΔC ⋈ ΔO
+    and the maintained view is V_old ⊎ ΔV re-aggregated.  At 100 TB this
+    is the point: each delta term joins a SMALL relation against one big
+    one (broadcast-able / semi-pruned), and the old FACT join output is
+    only touched through its bounded aggregate — the full C ⋈ O is never
+    recomputed (this plan literally contains no all×all join; the oracle
+    does the from-scratch join, proving the algebra).  Integer cents."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", (F.col("c_custkey") % 20 == 0).alias("c_new")
+    )
+    od = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1998-01-01"))).alias(
+            "o_new"
+        ),
+    )
+    c_old, c_new = cust.filter(~F.col("c_new")), cust.filter(F.col("c_new"))
+    o_old, o_new = od.filter(~F.col("o_new")), od.filter(F.col("o_new"))
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+
+    base = agg(c_old.join(o_old, c_old.c_custkey == o_old.o_custkey))
+    d1 = agg(c_new.join(o_old, c_new.c_custkey == o_old.o_custkey))
+    d2 = agg(c_old.join(o_new, c_old.c_custkey == o_new.o_custkey))
+    d3 = agg(c_new.join(o_new, c_new.c_custkey == o_new.o_custkey))
+    return (
+        base.unionByName(d1)
+        .unionByName(d2)
+        .unionByName(d3)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+_JOIN_VIEW_INC_SQL = r"""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+QUERIES["join_view_incremental_merge"] = join_view_incremental_merge
+ORACLES["join_view_incremental_merge"] = _JOIN_VIEW_INC_SQL

@@ -34,3 +34,30 @@ def test_pareto_abc_distributed_prefix_sum_matches_naive(spark):
         n, s = expected.get(cls, (0, 0))
         expected[cls] = (n + 1, s + c)
     assert got == expected, (got, expected)
+
+
+def test_partitioned_prefix_max_matches_naive_running_max(spark):
+    """The range-partition + exclusive-offset running MAX must equal the
+    naive single-pass cummax over the total order — including a maximum
+    that lands in the FIRST partition (null offset path) and values that
+    descend across a partition boundary (offset must dominate)."""
+    from pyspark.sql import functions as F
+
+    from test_flink_spark.operators.prefix import partitioned_prefix_max
+
+    # value pattern: early global max, then descending, then a late spike
+    vals = [5, 90, 12, 7, 3, 50, 2, 95, 1, 4]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "seq LONG, v LONG"
+    )
+    got = {
+        r["seq"]: r["__cummax"]
+        for r in partitioned_prefix_max(
+            df, "v", [F.col("seq").asc()], n_partitions=4
+        ).collect()
+    }
+    run, expected = None, {}
+    for i, v in enumerate(vals):
+        run = v if run is None or v > run else run
+        expected[i] = run
+    assert got == expected, (got, expected)
