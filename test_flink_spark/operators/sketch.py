@@ -479,3 +479,104 @@ cum AS (
 SELECT {g}, MAX(n)::BIGINT AS n, {", ".join(qs)}
 FROM cum GROUP BY {g}
 """
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct via pane-merged HLL sketches.
+# ---------------------------------------------------------------------------
+
+
+def hll_sliding_distinct(
+    df: DataFrame,
+    value_col: str,
+    ts_ms_col: str,
+    pane_ms: int,
+    panes_per_window: int,
+    salt: str = "hll",
+) -> DataFrame:
+    """Sliding-window distinct count the way a 100 TB stream does it:
+    build ONE register table per tumbling pane, then assemble each
+    sliding window by max-merging its ``panes_per_window`` pane sketches
+    — every event is sketched exactly once, and the explode/fan-out
+    happens on the O(panes × 256)-row SKETCH table, never on the raw
+    events (the pane-merge trick that makes sliding distinct affordable;
+    re-counting each overlapping window scans the data panes_per_window
+    times).  Window id ``w`` covers panes [w−(n−1) .. w]; leading /
+    trailing partial windows are emitted (deterministic, mirrored by the
+    oracle).
+
+    Returns (w, registers_used, hll_est) per window."""
+    base = df.withColumn("__pane", F.expr(f"{ts_ms_col} div {pane_ms}"))
+    regs = hll_registers(base, value_col, ["__pane"], salt)
+    offs = F.array(*[F.lit(i) for i in range(panes_per_window)])
+    win_regs = (
+        regs.select("__pane", "reg", "m_rank", F.explode(offs).alias("__i"))
+        .select(
+            (F.col("__pane") + F.col("__i")).alias("w"), "reg", "m_rank"
+        )
+        .groupBy("w", "reg")
+        .agg(F.max("m_rank").alias("m_rank"))
+    )
+    return hll_fold_registers(win_regs, ["w"])
+
+
+def hll_sliding_oracle_sql(
+    table: str,
+    value_expr: str,
+    ts_ms_expr: str,
+    pane_ms: int,
+    panes_per_window: int,
+    salt: str = "hll",
+) -> str:
+    """DuckDB replay of hll_sliding_distinct joined with the EXACT
+    per-window distinct (the estimator-error exhibit): per window,
+    (w, hll_est, exact_distinct, err_bp)."""
+    h = h60_sql(value_expr, salt)
+    lc_list = "[" + ", ".join(str(v) for v in _LC_TABLE) + "]"
+    scale = 1 << (_RANK_BITS + 1)
+    n = panes_per_window
+    return f"""
+WITH base AS (
+  SELECT {value_expr} AS v, {ts_ms_expr} // {pane_ms} AS pane, {h} AS h
+  FROM {table}
+),
+regs AS (
+  SELECT pane, h // {1 << 52} AS reg,
+         MAX(CASE WHEN h % {1 << _RANK_BITS} = 0 THEN {_RANK_BITS + 1}
+                  ELSE {_RANK_BITS + 1} - length(bin(h % {1 << _RANK_BITS})) END)
+           AS m_rank
+  FROM base GROUP BY pane, reg
+),
+win_regs AS (
+  SELECT pane + i AS w, reg, MAX(m_rank) AS m_rank
+  FROM regs, range(0, {n}) r(i)
+  GROUP BY 1, 2
+),
+folded AS (
+  SELECT w, COUNT(*) AS used,
+         SUM((1::BIGINT << ({_RANK_BITS + 1} - m_rank)))::BIGINT AS s_present
+  FROM win_regs GROUP BY w
+),
+est AS (
+  SELECT w, used,
+         ({_ALPHA_NUM}::BIGINT * {scale}::BIGINT)
+           // (s_present + ({HLL_M} - used) * {scale}::BIGINT) AS est_raw
+  FROM folded
+),
+hll AS (
+  SELECT w, used::BIGINT AS registers_used,
+         (CASE WHEN est_raw <= {int(2.5 * HLL_M)} AND used < {HLL_M}
+               THEN ({lc_list})[{HLL_M} - used + 1]
+               ELSE est_raw END)::BIGINT AS hll_est
+  FROM est
+),
+exact AS (
+  SELECT pane + i AS w, COUNT(DISTINCT v)::BIGINT AS exact_distinct
+  FROM base, range(0, {n}) r(i)
+  GROUP BY 1
+)
+SELECT h.w::BIGINT AS w, h.registers_used, h.hll_est, e.exact_distinct,
+       CAST(abs(h.hll_est - e.exact_distinct) * 10000 // e.exact_distinct
+            AS BIGINT) AS err_bp
+FROM hll h JOIN exact e ON h.w = e.w
+"""

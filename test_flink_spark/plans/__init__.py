@@ -63,6 +63,7 @@ _PROMOTED = (
     "join_view_incremental_merge",
     "bloom_join_prune_audit",
     "events_watermark_lateness_audit",
+    "sketch_hll_sliding_users",
 )
 
 

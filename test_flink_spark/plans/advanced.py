@@ -1067,3 +1067,53 @@ FROM flags GROUP BY 1
 
 QUERIES["bloom_join_prune_audit"] = bloom_join_prune_audit
 ORACLES["bloom_join_prune_audit"] = _bloom_audit_sql()
+
+
+_SLIDE_PANE_MS = 21_600_000  # 6 h panes
+_SLIDE_PANES = 4  # 24 h sliding window, 6 h step
+
+
+def sketch_hll_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 24 h distinct users at a 6 h step, pane-merged: one HLL
+    register table per 6 h tumbling pane, each sliding window assembled
+    by max-merging its 4 pane sketches — the fan-out happens on the
+    bounded sketch table (≤256 rows/pane), never the raw events
+    (operators/sketch.py::hll_sliding_distinct).  The exact per-window
+    distinct is joined alongside as the estimator-error exhibit (err in
+    basis points), the same measured-not-claimed discipline as the CMS
+    and ANN-recall audits; a 100 TB deployment drops the exact leg and
+    keeps only the sketch path."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    hll = sk.hll_sliding_distinct(
+        ev, "user_id", "ts_ms", _SLIDE_PANE_MS, _SLIDE_PANES
+    )
+    base = ev.withColumn("__pane", F.expr(f"ts_ms div {_SLIDE_PANE_MS}"))
+    offs = F.array(*[F.lit(i) for i in range(_SLIDE_PANES)])
+    exact = (
+        base.select("user_id", "__pane", F.explode(offs).alias("__i"))
+        .select((F.col("__pane") + F.col("__i")).alias("w"), "user_id")
+        .groupBy("w")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    )
+    return (
+        hll.join(exact, "w")
+        .select(
+            F.col("w").cast("long").alias("w"),
+            "registers_used",
+            "hll_est",
+            "exact_distinct",
+            F.expr("abs(hll_est - exact_distinct) * 10000 div exact_distinct")
+            .cast("long")
+            .alias("err_bp"),
+        )
+    )
+
+
+_HLL_SLIDING_SQL = sk.hll_sliding_oracle_sql(
+    "events", "user_id", "epoch_ms(ts)", _SLIDE_PANE_MS, _SLIDE_PANES
+)
+
+QUERIES["sketch_hll_sliding_users"] = sketch_hll_sliding_users
+ORACLES["sketch_hll_sliding_users"] = _HLL_SLIDING_SQL

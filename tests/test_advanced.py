@@ -61,3 +61,36 @@ def test_partitioned_prefix_max_matches_naive_running_max(spark):
         run = v if run is None or v > run else run
         expected[i] = run
     assert got == expected, (got, expected)
+
+
+def test_hll_sliding_pane_merge_equals_direct_window_sketch(spark):
+    """Pane-merged sliding sketches must be IDENTICAL to sketching each
+    window's raw events directly — register-max associativity across the
+    pane decomposition (the property that lets the fan-out run on the
+    sketch table instead of the data)."""
+    from pyspark.sql import functions as F
+
+    import test_flink_spark.operators.sketch as sk
+
+    rows = [(i % 37, (i * 977) % 100_000) for i in range(2_000)]
+    df = spark.createDataFrame(rows, "v LONG, ts_ms LONG")
+    pane_ms, n = 10_000, 3
+
+    merged = sk.hll_sliding_distinct(df, "v", "ts_ms", pane_ms, n)
+    got = {
+        r["w"]: (r["registers_used"], r["hll_est"]) for r in merged.collect()
+    }
+
+    offs = F.array(*[F.lit(i) for i in range(n)])
+    direct_base = (
+        df.withColumn("__pane", F.expr(f"ts_ms div {pane_ms}"))
+        .select("v", "__pane", F.explode(offs).alias("__i"))
+        .select((F.col("__pane") + F.col("__i")).alias("w"), "v")
+    )
+    direct = sk.hll_fold_registers(
+        sk.hll_registers(direct_base, "v", ["w"]), ["w"]
+    )
+    want = {
+        r["w"]: (r["registers_used"], r["hll_est"]) for r in direct.collect()
+    }
+    assert got == want
