@@ -1282,3 +1282,73 @@ def test_streaming_cep_followed_by_first_bind_semantics(spark, tmpdirs):
     finally:
         q.stop()
     assert got == {(1, 1000, 3000), (1, 1500, 3000), (2, 1000, 3000)}, got
+
+
+def test_streaming_hll_register_store_maintained_by_max_merge(spark, tmpdirs):
+    """The HLL register table must be maintainable INCREMENTALLY: a
+    foreachBatch sink that max-merges each micro-batch's registers into
+    a parquet store must end up with exactly the register table (and
+    hence the estimate) of a one-shot batch sketch over all data —
+    register-max idempotence/associativity under arbitrary batch splits,
+    the property that lets a 100 TB stream keep a 256-row running
+    sketch instead of raw history."""
+    import test_flink_spark.operators.sketch as sk
+
+    src = tmpdirs / "src_hll"
+    src.mkdir()
+    store = str(tmpdirs / "reg_store")
+    schema = "v LONG"
+    all_vals = [(i * 977) % 5_000 for i in range(3_000)]
+
+    def merge_batch(bdf, _bid):
+        s = bdf.sparkSession
+        regs = sk.hll_registers(bdf, "v", [])
+        try:
+            prev = s.read.parquet(store)
+            regs = prev.unionByName(regs)
+        except Exception:
+            pass
+        merged = (
+            regs.groupBy("reg")
+            .agg(F.max("m_rank").alias("m_rank"))
+            .coalesce(1)
+        )
+        merged.write.mode("overwrite").parquet(store + ".next")
+        # atomic-enough swap for the test (the exactly-once parquet sink
+        # with commit markers is exercised elsewhere)
+        s.read.parquet(store + ".next").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(store)
+
+    (src / "b1.csv").write_text("\n".join(str(v) for v in all_vals[:1000]) + "\n")
+    raw = spark.readStream.schema(schema).csv(str(src))
+    q = (
+        raw.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmpdirs / "ckpt_hll"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b2.csv").write_text(
+            "\n".join(str(v) for v in all_vals[1000:2200]) + "\n")
+        q.processAllAvailable()
+        (src / "b3.csv").write_text(
+            "\n".join(str(v) for v in all_vals[2200:]) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        (r["reg"], r["m_rank"]) for r in spark.read.parquet(store).collect()
+    }
+    batch_df = spark.createDataFrame([(v,) for v in all_vals], schema)
+    direct = {
+        (r["reg"], r["m_rank"])
+        for r in sk.hll_registers(batch_df, "v", []).collect()
+    }
+    assert streamed == direct
+    est_stream = sk.hll_fold_registers(
+        spark.read.parquet(store).withColumn("g", F.lit(1)), ["g"]
+    ).collect()[0]["hll_est"]
+    est_direct = sk.hll_distinct(batch_df, "v", []).collect()[0]["hll_est"]
+    assert est_stream == est_direct
