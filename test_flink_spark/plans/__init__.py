@@ -64,6 +64,7 @@ _PROMOTED = (
     "bloom_join_prune_audit",
     "events_watermark_lateness_audit",
     "sketch_hll_sliding_users",
+    "embedding_power_iteration",
 )
 
 

@@ -3573,3 +3573,80 @@ FROM a
 
 QUERIES["corpus_classifier_auc"] = corpus_classifier_auc
 ORACLES["corpus_classifier_auc"] = _classifier_auc_sql()
+
+
+_PI_RESCALE = 1 << 22  # inter-iteration down-shift keeping products in int64
+
+
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by TWO
+    integer power iterations over the exact Gram matrix — the spectral
+    read-out PCA/whitening starts from: u¹ = G·1, u² = G·v¹, each
+    intermediate down-shifted by 2²² via the sign-safe mod-subtract
+    truncation ((a − a%b) div b — exact division after rounding toward
+    zero, identical under Spark's truncating `div` and DuckDB's flooring
+    `//`) so every product stays in int64 (G entries reach ~6·10¹⁰ at
+    corpus scale; unshifted u² would need 25 digits).  Output is the
+    direction normalized to basis points of its largest component —
+    scale-free, so the down-shifts don't bias it.
+
+    Scale shape: the ONLY corpus-sized work is the Gram pass itself
+    (map-side pair products, dim²-bounded agg — embedding_gram_matrix);
+    both iterations then run on the 64×64 = dim²-row matrix, and the
+    max-|component| normalizer is a dim-bounded collect folded in as a
+    literal (the IVF-centroid collect class)."""
+    g = embedding_gram_matrix(spark, sf_dir)
+    full = g.unionByName(
+        g.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "gram_fp"
+        )
+    )
+    u1 = full.groupBy("i").agg(F.sum("gram_fp").alias("u1"))
+    v1 = u1.select(
+        F.col("i").alias("j"),
+        F.expr(f"(u1 - (u1 % {_PI_RESCALE})) div {_PI_RESCALE}").alias("v1"),
+    )
+    u2 = (
+        full.join(v1, "j")
+        .groupBy("i")
+        .agg(F.sum(F.expr("gram_fp * v1")).alias("u2"))
+    )
+    w = u2.select(
+        "i",
+        F.expr(f"(u2 - (u2 % {_PI_RESCALE})) div {_PI_RESCALE}").alias("w"),
+    ).localCheckpoint(eager=True)
+    m = max(
+        int(w.agg(F.max(F.abs(F.col("w"))).alias("m")).collect()[0]["m"] or 0),
+        1,
+    )
+    return w.select(
+        F.col("i").cast("long").alias("i"),
+        F.expr(f"(w * 10000 - ((w * 10000) % {m})) div {m}")
+        .cast("long")
+        .alias("comp_bp"),
+    )
+
+
+_POWER_ITER_SQL = rf"""
+WITH gram AS ({_GRAM_SQL}),
+full_g AS (
+    SELECT i, j, gram_fp FROM gram
+    UNION ALL
+    SELECT j AS i, i AS j, gram_fp FROM gram WHERE i <> j
+),
+u1 AS (SELECT i, SUM(gram_fp) AS u1 FROM full_g GROUP BY i),
+v1 AS (SELECT i AS j, (u1 - (u1 % {_PI_RESCALE})) // {_PI_RESCALE} AS v1
+       FROM u1),
+u2 AS (
+    SELECT f.i, SUM(f.gram_fp * v.v1) AS u2
+    FROM full_g f JOIN v1 v ON f.j = v.j GROUP BY f.i
+),
+w AS (SELECT i, (u2 - (u2 % {_PI_RESCALE})) // {_PI_RESCALE} AS w FROM u2),
+m AS (SELECT GREATEST(MAX(ABS(w)), 1) AS m FROM w)
+SELECT CAST(w.i AS BIGINT) AS i,
+       CAST((w.w * 10000 - ((w.w * 10000) % m.m)) // m.m AS BIGINT) AS comp_bp
+FROM w, m
+"""
+
+QUERIES["embedding_power_iteration"] = embedding_power_iteration
+ORACLES["embedding_power_iteration"] = _POWER_ITER_SQL
