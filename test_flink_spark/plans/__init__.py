@@ -65,6 +65,8 @@ _PROMOTED = (
     "events_watermark_lateness_audit",
     "sketch_hll_sliding_users",
     "embedding_power_iteration",
+    "events_cep_not_followed_by",
+    "events_user_entropy_segments",
 )
 
 

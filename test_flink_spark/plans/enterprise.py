@@ -2010,3 +2010,157 @@ FROM h GROUP BY 1
 
 QUERIES["events_watermark_lateness_audit"] = events_watermark_lateness_audit
 ORACLES["events_watermark_lateness_audit"] = _WM_LATENESS_SQL
+
+
+def events_cep_not_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink-CEP absence pattern — ``begin("view").notFollowedBy(
+    "purchase").within(Time.days(7))``: views with NO purchase by the
+    same user in the following 7 days (the abandonment/alerting class:
+    "signup not followed by activation", "auth not followed by
+    settlement"; in Flink this fires on the within() timeout timer).
+    Batch form: the next-purchase conditional struct-MIN window from the
+    followedBy machinery, with the match test NEGATED — null or out of
+    bound means the absence fired.
+
+    Report per day of the view: views, unconverted views, and the
+    abandonment rate in basis points (integer floor-div)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_ms").asc(), F.col("event_id").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    np_ts = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts_ms"))
+    ).over(w)
+    views = ev.withColumn("np_ts", np_ts).filter(
+        F.col("event_type") == "view"
+    )
+    flagged = views.select(
+        F.expr("ts_ms div 86400000").alias("day"),
+        (
+            F.col("np_ts").isNull()
+            | (F.col("np_ts") - F.col("ts_ms") > 7 * _DAY_MS)
+        ).alias("absent"),
+    )
+    return (
+        flagged.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_views"),
+            F.sum(F.when(F.col("absent"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unconverted"),
+        )
+        .withColumn(
+            "abandon_bp",
+            F.expr("n_unconverted * 10000 div n_views").cast("long"),
+        )
+    )
+
+
+_CEP_NOT_FOLLOWED_SQL = r"""
+WITH ev AS (
+    SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+), seq AS (
+    SELECT user_id, event_type, ts_ms,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts_ms END)
+               OVER (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np_ts
+    FROM ev
+), flagged AS (
+    SELECT ts_ms // 86400000 AS day,
+           (np_ts IS NULL OR np_ts - ts_ms > 7 * 86400000::BIGINT) AS absent
+    FROM seq WHERE event_type = 'view'
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(SUM(CASE WHEN absent THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unconverted,
+       CAST(SUM(CASE WHEN absent THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+            AS BIGINT) AS abandon_bp
+FROM flagged GROUP BY 1
+"""
+
+QUERIES["events_cep_not_followed_by"] = events_cep_not_followed_by
+ORACLES["events_cep_not_followed_by"] = _CEP_NOT_FOLLOWED_SQL
+
+
+def events_user_entropy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity segmentation: each user's event-type mix is
+    scored by its QUANTIZED Shannon code length — per type,
+    floor(log2(n_user div n_user_type)) bits (the bin()-length integer
+    log2 of the house surprisal idiom, lm_score.py — no float logs, so
+    the entropy replays bit-for-bit cross-engine), summed over the
+    user's events and normalized to millibits/event; users land in
+    half-bit segments.  The "is this account a bot" screen: single-type
+    users score 0 bits, uniform 5-type users ≈ log2 5.
+
+    Report per segment: users, events, and the millibit range.  Two
+    keyed aggregations + one map-side arithmetic pass — no windows, no
+    collects."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_ut")
+    )
+    per_user = (
+        per_type.groupBy("user_id")
+        .agg(
+            F.sum("n_ut").alias("n_u"),
+            F.collect_list(F.struct("event_type", "n_ut")).alias("mix"),
+        )
+    )
+    scored = per_user.select(
+        "user_id",
+        "n_u",
+        F.expr(
+            "aggregate(mix, CAST(0 AS BIGINT),"
+            " (acc, m) -> acc + m.n_ut *"
+            " (length(bin(n_u div m.n_ut)) - 1))"
+        ).alias("bits_total"),
+    ).select(
+        "user_id",
+        "n_u",
+        F.expr("bits_total * 1000 div n_u").alias("mb_per_event"),
+    )
+    return (
+        scored.withColumn("segment", F.expr("mb_per_event div 500"))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_u").cast("long").alias("n_events"),
+            F.min("mb_per_event").cast("long").alias("mb_min"),
+            F.max("mb_per_event").cast("long").alias("mb_max"),
+        )
+        .withColumn("segment", F.col("segment").cast("long"))
+    )
+
+
+_ENTROPY_SEG_SQL = r"""
+WITH per_type AS (
+    SELECT user_id, event_type, COUNT(*) AS n_ut
+    FROM events GROUP BY 1, 2
+), per_user AS (
+    SELECT user_id, SUM(n_ut) AS n_u FROM per_type GROUP BY 1
+), scored AS (
+    SELECT t.user_id, u.n_u,
+           SUM(t.n_ut * (length(bin(u.n_u // t.n_ut)) - 1)) AS bits_total
+    FROM per_type t JOIN per_user u ON t.user_id = u.user_id
+    GROUP BY 1, 2
+), mb AS (
+    SELECT user_id, n_u, bits_total * 1000 // n_u AS mb_per_event FROM scored
+)
+SELECT CAST(mb_per_event // 500 AS BIGINT) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_u) AS BIGINT) AS n_events,
+       CAST(MIN(mb_per_event) AS BIGINT) AS mb_min,
+       CAST(MAX(mb_per_event) AS BIGINT) AS mb_max
+FROM mb GROUP BY 1
+"""
+
+QUERIES["events_user_entropy_segments"] = events_user_entropy_segments
+ORACLES["events_user_entropy_segments"] = _ENTROPY_SEG_SQL
