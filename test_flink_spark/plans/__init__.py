@@ -67,6 +67,8 @@ _PROMOTED = (
     "embedding_power_iteration",
     "events_cep_not_followed_by",
     "events_user_entropy_segments",
+    "orders_benford_audit",
+    "events_peak_concurrency",
 )
 
 

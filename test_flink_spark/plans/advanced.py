@@ -1117,3 +1117,81 @@ _HLL_SLIDING_SQL = sk.hll_sliding_oracle_sql(
 
 QUERIES["sketch_hll_sliding_users"] = sketch_hll_sliding_users
 ORACLES["sketch_hll_sliding_users"] = _HLL_SLIDING_SQL
+
+
+# Benford first-digit expectation, basis points: floor(log10(1+1/d)*1e4).
+_BENFORD_BP = [3010, 1760, 1249, 969, 791, 669, 579, 511, 457]
+
+
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals — the forensic data-quality
+    screen (fabricated or unit-mangled monetary data diverges from the
+    log-uniform first-digit law).  Per first digit 1–9: observed count,
+    observed share (bp), Benford expectation (bp, the literal
+    floor(log10(1+1/d)·10⁴) table), and the signed gap — plus each
+    digit's χ²-style contribution scaled by 10⁴ ((obs−exp)² div exp in
+    bp² units, integer).  One narrow projection + a 9-key agg; the
+    digit comes from the cents integer's decimal string, so both
+    engines bucket identically (no float log10 at query time)."""
+    od = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    digits = od.select(
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("long")
+        .alias("d")
+    ).filter(F.col("d") >= 1)
+    exp_arr = F.array(*[F.lit(v) for v in _BENFORD_BP])
+    counted = digits.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    total = counted.agg(F.sum("n_orders")).collect()[0][0]
+    return (
+        counted.withColumn(
+            "obs_bp", F.expr(f"n_orders * 10000 div {total}").cast("long")
+        )
+        .withColumn(
+            "exp_bp",
+            F.element_at(exp_arr, F.col("d").cast("int")).cast("long"),
+        )
+        .withColumn("gap_bp", (F.col("obs_bp") - F.col("exp_bp")).cast("long"))
+        .withColumn(
+            "chi2_contrib",
+            F.expr("(obs_bp - exp_bp) * (obs_bp - exp_bp) * 10000 div exp_bp")
+            .cast("long"),
+        )
+    )
+
+
+_BENFORD_LIST = "[" + ", ".join(str(v) for v in _BENFORD_BP) + "]"
+
+_BENFORD_SQL = rf"""
+WITH cents AS (
+    SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+), digits AS (
+    SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS d
+    FROM cents
+), counted AS (
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM digits WHERE d >= 1 GROUP BY 1
+), tot AS (SELECT SUM(n_orders) AS t FROM counted),
+b AS (
+    SELECT d, n_orders,
+           n_orders * 10000 // tot.t AS obs_bp,
+           ({_BENFORD_LIST})[d] AS exp_bp
+    FROM counted, tot
+)
+SELECT d, n_orders,
+       CAST(obs_bp AS BIGINT) AS obs_bp,
+       CAST(exp_bp AS BIGINT) AS exp_bp,
+       CAST(obs_bp - exp_bp AS BIGINT) AS gap_bp,
+       CAST((obs_bp - exp_bp) * (obs_bp - exp_bp) * 10000 // exp_bp AS BIGINT)
+           AS chi2_contrib
+FROM b
+"""
+
+QUERIES["orders_benford_audit"] = orders_benford_audit
+ORACLES["orders_benford_audit"] = _BENFORD_SQL

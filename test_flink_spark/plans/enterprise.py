@@ -2164,3 +2164,115 @@ FROM mb GROUP BY 1
 
 QUERIES["events_user_entropy_segments"] = events_user_entropy_segments
 ORACLES["events_user_entropy_segments"] = _ENTROPY_SEG_SQL
+
+
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning number
+    ("how many users were on AT ONCE"), which no per-key aggregate can
+    produce: sessionize (30-min gap islands, the session_window logic),
+    explode each session into a +1 at its start and a −1 at its end,
+    and run the interval sweep — a GLOBAL running sum over (ts, +1
+    before −1) — through the distributed prefix sum
+    (operators/prefix.py), never a single-partition window.  Ties at
+    the same millisecond process starts first (delta desc), so a
+    session ending exactly when another starts counts both (closed
+    intervals, mirrored in the oracle's ORDER BY).
+
+    Report per day: peak concurrency and sessions started."""
+    from ..operators.prefix import partitioned_prefix_sum
+
+    gap = 1_800_000
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms")
+    sess = (
+        ev.withColumn(
+            "new_s",
+            F.when(
+                F.col("ts_ms") - F.lag("ts_ms").over(w) > gap, 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts_ms").alias("s_ms"), F.max("ts_ms").alias("e_ms"))
+    )
+    deltas = sess.select(
+        F.col("s_ms").alias("ts_ms"),
+        F.lit(1).cast("long").alias("delta"),
+        "user_id",
+        "sid",
+    ).unionByName(
+        sess.select(
+            F.col("e_ms").alias("ts_ms"),
+            F.lit(-1).cast("long").alias("delta"),
+            "user_id",
+            "sid",
+        )
+    )
+    swept, _ = partitioned_prefix_sum(
+        deltas,
+        "delta",
+        [
+            F.col("ts_ms").asc(),
+            F.col("delta").desc(),
+            F.col("user_id").asc(),
+            F.col("sid").asc(),
+        ],
+    )
+    return (
+        swept.select(
+            F.expr("ts_ms div 86400000").alias("day"), "__cum", "delta"
+        )
+        .groupBy("day")
+        .agg(
+            F.max("__cum").cast("long").alias("peak_concurrency"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("sessions_started"),
+        )
+    )
+
+
+_PEAK_CONCURRENCY_SQL = r"""
+WITH ev AS (
+    SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+), flagged AS (
+    SELECT user_id, ts_ms,
+           CASE WHEN ts_ms - LAG(ts_ms) OVER (PARTITION BY user_id
+                                              ORDER BY ts_ms) > 1800000
+                THEN 1 ELSE 0 END AS new_s
+    FROM ev
+), sids AS (
+    SELECT user_id, ts_ms,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+), sess AS (
+    SELECT user_id, sid, MIN(ts_ms) AS s_ms, MAX(ts_ms) AS e_ms
+    FROM sids GROUP BY 1, 2
+), deltas AS (
+    SELECT s_ms AS ts_ms, 1::BIGINT AS delta, user_id, sid FROM sess
+    UNION ALL
+    SELECT e_ms AS ts_ms, -1::BIGINT AS delta, user_id, sid FROM sess
+), swept AS (
+    SELECT ts_ms, delta,
+           SUM(delta) OVER (ORDER BY ts_ms ASC, delta DESC,
+                            user_id ASC, sid ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum
+    FROM deltas
+)
+SELECT ts_ms // 86400000 AS day,
+       CAST(MAX(cum) AS BIGINT) AS peak_concurrency,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS sessions_started
+FROM swept GROUP BY 1
+"""
+
+QUERIES["events_peak_concurrency"] = events_peak_concurrency
+ORACLES["events_peak_concurrency"] = _PEAK_CONCURRENCY_SQL
