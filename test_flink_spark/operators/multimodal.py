@@ -618,3 +618,89 @@ def wav_energy_fingerprint(
     return df.select(id_col, modality_col, payload_col).mapInPandas(
         fp, AUDIO_FP_SCHEMA
     )
+
+
+QUIET_SEG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("quiet_mask", LongType()),
+        StructField("n_quiet", LongType()),
+        StructField("n_segments", LongType()),
+        StructField("longest_run", LongType()),
+    ]
+)
+
+
+def wav_quiet_segments(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    modality_col: str = "modality",
+    n_windows: int = 32,
+) -> DataFrame:
+    """Relative VAD (voice-activity-detection-lite) over canonical mono
+    8-bit PCM WAV payloads: split the sample stream into ``n_windows``
+    windows (same floor-division bounds as the energy fingerprint), a
+    window is QUIET when its mean absolute deviation from the 128
+    midline is below the document's own mean — compared density-exact by
+    cross-multiplication (dev_w · n < dev_total · len_w), so no
+    absolute threshold needs tuning per corpus.  Emits the packed quiet
+    mask plus its run-length structure (count of quiet windows, number
+    of maximal quiet segments, longest segment) — the segmentation a
+    speech pipeline uses to cut clips before transcription.
+
+    Integer end to end → the oracle replays windows, deviations, mask
+    AND run-lengths (bin()-string splitting) in DuckDB."""
+    import struct as _struct
+
+    import numpy as np
+
+    if not 2 <= n_windows <= 63:
+        raise ValueError(f"n_windows must be in [2, 63], got {n_windows}")
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mod, raw in zip(
+                pdf[id_col], pdf[modality_col], pdf[payload_col]
+            ):
+                b = bytes(raw)
+                if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError(f"not a RIFF/WAVE payload (media_id={mid})")
+                n = _struct.unpack("<I", b[40:44])[0]
+                s = np.frombuffer(b, np.uint8, count=n, offset=44).astype(
+                    np.int64
+                )
+                dev = np.abs(s - 128)
+                bounds = [(n * w) // n_windows for w in range(n_windows + 1)]
+                d = [
+                    int(dev[bounds[w] : bounds[w + 1]].sum())
+                    for w in range(n_windows)
+                ]
+                ln = [bounds[w + 1] - bounds[w] for w in range(n_windows)]
+                dtot = sum(d)
+                mask = sum(
+                    (1 << w)
+                    for w in range(n_windows)
+                    if d[w] * n < dtot * ln[w]
+                )
+                bits = bin(mask)[2:]
+                runs = [r for r in bits.split("0") if r]
+                rows.append(
+                    (
+                        mid,
+                        mod,
+                        mask,
+                        sum(len(r) for r in runs),
+                        len(runs),
+                        max((len(r) for r in runs), default=0),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in QUIET_SEG_SCHEMA.fields]
+            )
+
+    return df.select(id_col, modality_col, payload_col).mapInPandas(
+        seg, QUIET_SEG_SCHEMA
+    )

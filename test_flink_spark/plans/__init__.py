@@ -69,6 +69,7 @@ _PROMOTED = (
     "events_user_entropy_segments",
     "orders_benford_audit",
     "events_peak_concurrency",
+    "multimodal_audio_quiet_segments",
 )
 
 

@@ -3650,3 +3650,81 @@ FROM w, m
 
 QUERIES["embedding_power_iteration"] = embedding_power_iteration
 ORACLES["embedding_power_iteration"] = _POWER_ITER_SQL
+
+
+_QUIET_WINDOWS = 32
+
+
+def multimodal_audio_quiet_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-VAD quiet-segment map per audio payload: wav_wrap each
+    doc's bytes as canonical mono 8-bit PCM, then the 32-window
+    below-own-mean deviation mask with its run-length structure
+    (operators/multimodal.py::wav_quiet_segments) — the clip-cutting
+    segmentation a speech pipeline runs before transcription, and the
+    multimodal analogue of the text repetition/run-length family.  The
+    oracle replays windows, cross-multiplied quiet bits, AND the
+    run-length decomposition (bin()-string splitting) in DuckDB."""
+    from ..operators.multimodal import wav_quiet_segments, wav_wrap
+
+    return wav_quiet_segments(
+        wav_wrap(_media(spark, sf_dir)), n_windows=_QUIET_WINDOWS
+    )
+
+
+def _quiet_seg_sql(n_windows: int = _QUIET_WINDOWS) -> str:
+    def dsum(w: int) -> str:
+        return (
+            f"CAST(list_aggregate(list_transform("
+            f"range(n_bytes * {w} // {n_windows} + 1,"
+            f" n_bytes * {w + 1} // {n_windows} + 1),"
+            f" i -> abs(('0x' || substr(h, 2*i - 1, 2))::BIGINT - 128)),"
+            f" 'sum') AS BIGINT)"
+        )
+
+    def wlen(w: int) -> str:
+        return f"(n_bytes * {w + 1} // {n_windows} - n_bytes * {w} // {n_windows})"
+
+    ds = ",\n           ".join(
+        f"COALESCE({dsum(w)}, 0) AS d{w}" for w in range(n_windows)
+    )
+    dtot = " + ".join(f"d{w}" for w in range(n_windows))
+    mask = " + ".join(
+        f"CASE WHEN d{w} * n_bytes < dtot * {wlen(w)}"
+        f" THEN CAST({1 << w} AS BIGINT) ELSE 0 END"
+        for w in range(n_windows)
+    )
+    return f"""
+WITH hx AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           hex(encode(text)) AS h,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+), d AS (
+    SELECT doc_id, modality, n_bytes,
+           {ds}
+    FROM hx
+), t AS (
+    SELECT *, ({dtot}) AS dtot FROM d
+), k AS (
+    SELECT doc_id, modality, ({mask}) AS quiet_mask FROM t
+), runs AS (
+    SELECT doc_id, modality, quiet_mask,
+           list_filter(string_split(bin(quiet_mask), '0'),
+                       s -> s <> '') AS rl
+    FROM k
+)
+SELECT doc_id AS media_id, modality, quiet_mask,
+       CAST(COALESCE(list_aggregate(list_transform(rl, s -> length(s)),
+                                    'sum'), 0) AS BIGINT) AS n_quiet,
+       CAST(len(rl) AS BIGINT) AS n_segments,
+       CAST(COALESCE(list_aggregate(list_transform(rl, s -> length(s)),
+                                    'max'), 0) AS BIGINT) AS longest_run
+FROM runs
+"""
+
+
+QUERIES["multimodal_audio_quiet_segments"] = multimodal_audio_quiet_segments
+ORACLES["multimodal_audio_quiet_segments"] = _quiet_seg_sql()
