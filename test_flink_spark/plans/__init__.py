@@ -70,6 +70,7 @@ _PROMOTED = (
     "orders_benford_audit",
     "events_peak_concurrency",
     "multimodal_audio_quiet_segments",
+    "dedup_lsh_candidate_audit",
 )
 
 

@@ -3728,3 +3728,77 @@ FROM runs
 
 QUERIES["multimodal_audio_quiet_segments"] = multimodal_audio_quiet_segments
 ORACLES["multimodal_audio_quiet_segments"] = _quiet_seg_sql()
+
+
+def dedup_lsh_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality audit of the MinHash-LSH banding against exact
+    n-gram Jaccard at the production threshold (0.5): precision and
+    recall of the LSH pair set in basis points — the measured-not-
+    claimed number for the core dedup path itself (the estimator audit
+    covers signature quality; THIS covers what banding actually
+    surfaces, i.e. the S-curve's real operating point at r=4 rows/band).
+    One full-outer join of the two pair sets (both generated by the
+    scale-shaped inverted-index / band-join plans, never all-pairs) and
+    a single global aggregate row."""
+    docs = _docs(spark, sf_dir)
+    e = (
+        ngram_jaccard_pairs(docs, threshold=0.5)
+        .select("id_a", "id_b")
+        .withColumn("in_e", F.lit(1))
+    )
+    l = (
+        minhash_lsh_pairs(docs, num_perm=16, bands=4)
+        .select("id_a", "id_b")
+        .withColumn("in_l", F.lit(1))
+    )
+    j = e.join(l, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce(F.col("in_e"), F.lit(0)).alias("in_e"),
+        F.coalesce(F.col("in_l"), F.lit(0)).alias("in_l"),
+    )
+    return (
+        j.agg(
+            F.sum("in_e").cast("long").alias("n_exact"),
+            F.sum("in_l").cast("long").alias("n_lsh"),
+            F.sum(F.col("in_e") * F.col("in_l")).cast("long").alias("n_both"),
+        )
+        .withColumn(
+            "precision_bp",
+            F.expr(
+                "CASE WHEN n_lsh > 0 THEN n_both * 10000 div n_lsh END"
+            ).cast("long"),
+        )
+        .withColumn(
+            "recall_bp",
+            F.expr(
+                "CASE WHEN n_exact > 0 THEN n_both * 10000 div n_exact END"
+            ).cast("long"),
+        )
+    )
+
+
+def _lsh_audit_sql() -> str:
+    return rf"""
+WITH e AS (SELECT id_a, id_b FROM ({ORACLES["dedup_ngram_jaccard"]})),
+l AS (SELECT id_a, id_b FROM ({ORACLES["dedup_minhash_lsh"]})),
+j AS (
+    SELECT CASE WHEN e.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_e,
+           CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_l
+    FROM e FULL OUTER JOIN l
+      ON e.id_a = l.id_a AND e.id_b = l.id_b
+), a AS (
+    SELECT CAST(SUM(in_e) AS BIGINT) AS n_exact,
+           CAST(SUM(in_l) AS BIGINT) AS n_lsh,
+           CAST(SUM(in_e * in_l) AS BIGINT) AS n_both
+    FROM j
+)
+SELECT n_exact, n_lsh, n_both,
+       CAST(CASE WHEN n_lsh > 0 THEN n_both * 10000 // n_lsh END AS BIGINT)
+           AS precision_bp,
+       CAST(CASE WHEN n_exact > 0 THEN n_both * 10000 // n_exact END
+            AS BIGINT) AS recall_bp
+FROM a
+"""
+
+
+QUERIES["dedup_lsh_candidate_audit"] = dedup_lsh_candidate_audit
+ORACLES["dedup_lsh_candidate_audit"] = _lsh_audit_sql()
