@@ -71,6 +71,7 @@ _PROMOTED = (
     "events_peak_concurrency",
     "multimodal_audio_quiet_segments",
     "dedup_lsh_candidate_audit",
+    "text_zipf_fit_audit",
 )
 
 

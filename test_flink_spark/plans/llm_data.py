@@ -3802,3 +3802,101 @@ FROM a
 
 QUERIES["dedup_lsh_candidate_audit"] = dedup_lsh_candidate_audit
 ORACLES["dedup_lsh_candidate_audit"] = _lsh_audit_sql()
+
+
+def text_zipf_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language — the corpus-health diagnostic
+    (natural text shows log-freq ≈ −s·log-rank with s ≈ 1; generated
+    or template-heavy corpora bend the curve): token frequencies per
+    lang, rank by (freq desc, term), both axes quantized to INTEGER
+    log2 buckets (the bin()-length idiom — no float logs), and the
+    least-squares slope over the bucket pairs computed from exact
+    integer sums:  slope_milli = 1000·(nΣxy − ΣxΣy) div (nΣx² − (Σx)²).
+
+    One explode + one (lang, term) agg + a per-lang rank window + one
+    per-lang reduce; slope magnitudes near 1000 ⇒ Zipfian.  Report per
+    lang: vocab size, token count, slope_milli."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.split(F.trim(F.col("text")), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    freq = toks.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    xy = freq.select(
+        "lang",
+        "cnt",
+        (F.length(F.bin(F.row_number().over(w))) - 1).alias("x"),
+        (F.length(F.bin(F.col("cnt"))) - 1).alias("y"),
+    )
+    return (
+        xy.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("CAST(x AS BIGINT) * y")).alias("sxy"),
+            F.sum(F.expr("CAST(x AS BIGINT) * x")).alias("sxx"),
+        )
+        .withColumn(
+            "slope_milli",
+            # decimal(38,0) on the FACTORS before the inner multiply (the
+            # LTTB lesson): vocab·Σxy is ~10³·vocab², which wraps int64
+            # past vocab ≈ 10⁷ — exactly the claimed-scale regime.  The
+            # QUOTIENT is ≤ ~4·10⁴, so decimal `div`'s BIGINT result
+            # cannot wrap; the oracle runs the same shape in HUGEINT.
+            F.expr(
+                "CASE WHEN CAST(vocab AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))"
+                " - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) <> 0 THEN"
+                " CAST(1000 AS DECIMAL(38,0)) *"
+                " (CAST(vocab AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0))"
+                "  - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)))"
+                " div (CAST(vocab AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))"
+                "  - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))) END"
+            ).cast("long"),
+        )
+        .select("lang", "vocab", "n_tokens", "slope_milli")
+    )
+
+
+_ZIPF_SQL = r"""
+WITH toks AS (
+    SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS term
+    FROM documents
+), freq AS (
+    SELECT lang, term, COUNT(*) AS cnt
+    FROM toks WHERE term <> '' GROUP BY 1, 2
+), xy AS (
+    SELECT lang, cnt,
+           length(bin(ROW_NUMBER() OVER (PARTITION BY lang
+                                         ORDER BY cnt DESC, term ASC))) - 1
+               AS x,
+           length(bin(cnt)) - 1 AS y
+    FROM freq
+), a AS (
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM xy GROUP BY 1
+)
+SELECT lang, vocab, n_tokens,
+       CAST(CASE WHEN vocab::HUGEINT * sxx - sx::HUGEINT * sx <> 0 THEN
+            1000::HUGEINT * (vocab::HUGEINT * sxy - sx::HUGEINT * sy)
+            // (vocab::HUGEINT * sxx - sx::HUGEINT * sx) END
+            AS BIGINT) AS slope_milli
+FROM a
+"""
+
+QUERIES["text_zipf_fit_audit"] = text_zipf_fit_audit
+ORACLES["text_zipf_fit_audit"] = _ZIPF_SQL
