@@ -3595,7 +3595,10 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     both iterations then run on the 64×64 = dim²-row matrix, and the
     max-|component| normalizer is a dim-bounded collect folded in as a
     literal (the IVF-centroid collect class)."""
-    g = embedding_gram_matrix(spark, sf_dir)
+    # pin the dim²-row Gram before mirroring: both union branches (and
+    # both iterations) reference it, and without the checkpoint each
+    # reference re-runs the full corpus pair-product pass.
+    g = embedding_gram_matrix(spark, sf_dir).localCheckpoint(eager=True)
     full = g.unionByName(
         g.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "gram_fp"
