@@ -1352,3 +1352,104 @@ def test_streaming_hll_register_store_maintained_by_max_merge(spark, tmpdirs):
     ).collect()[0]["hll_est"]
     est_direct = sk.hll_distinct(batch_df, "v", []).collect()[0]["hll_est"]
     assert est_stream == est_direct
+
+
+def test_streaming_cep_matchers_match_reference_on_random_streams(spark, tmpdirs):
+    """Randomized differential for BOTH streaming CEP matchers: 40 keys
+    × random event sequences (with gaps exceeding within()) split at
+    random per-key points into 3 micro-batches must reproduce an
+    INDEPENDENT O(n²) reference of the semantics — strict: 3 consecutive
+    events match the pattern inside the bound; relaxed: each view binds
+    the first later click, then the first later purchase, bound checked
+    at the purchase.  Exercises cross-batch state carry, frontier expiry
+    and kill-events far beyond the handcrafted cases."""
+    import random
+
+    from test_flink_spark.streaming.cep import (
+        streaming_followed_by,
+        streaming_strict_sequence,
+    )
+
+    rng = random.Random(20260814)
+    within = 5_000
+    types = ["view", "click", "purchase", "other"]
+    per_user = {}
+    for u in range(1, 41):
+        n = rng.randrange(5, 31)
+        ts, seq = 0, []
+        for i in range(n):
+            ts += rng.choice([10, 100, 900, 2_000, 6_000])
+            seq.append((u, i + 1, rng.choice(types), ts))
+        per_user[u] = seq
+
+    # independent references
+    want_strict, want_relaxed = set(), set()
+    pat = ["view", "click", "purchase"]
+    for u, seq in per_user.items():
+        for i in range(len(seq) - 2):
+            window = seq[i : i + 3]
+            if [e[2] for e in window] == pat and (
+                window[2][3] - window[0][3] <= within
+            ):
+                want_strict.add((u, window[0][3], window[2][3]))
+        for i, (_, _, et, vts) in enumerate(seq):
+            if et != "view":
+                continue
+            c = next((e for e in seq[i + 1 :] if e[2] == "click"), None)
+            if c is None:
+                continue
+            ci = seq.index(c)
+            p = next((e for e in seq[ci + 1 :] if e[2] == "purchase"), None)
+            if p is not None and p[3] - vts <= within:
+                want_relaxed.add((u, vts, p[3]))
+
+    # random per-key 3-way batch split, in-order per key
+    batches = [[], [], []]
+    for u, seq in per_user.items():
+        c1 = rng.randrange(0, len(seq) + 1)
+        c2 = rng.randrange(c1, len(seq) + 1)
+        batches[0].extend(seq[:c1])
+        batches[1].extend(seq[c1:c2])
+        batches[2].extend(seq[c2:])
+
+    schema = "user_id LONG, event_id LONG, event_type STRING, ts_ms LONG"
+    for name, builder, want in (
+        ("strict", lambda df: streaming_strict_sequence(df, pat, within),
+         want_strict),
+        ("relaxed", lambda df: streaming_followed_by(df, pat, within),
+         want_relaxed),
+    ):
+        src = tmpdirs / f"src_prop_{name}"
+        src.mkdir()
+        (src / "b0.csv").write_text(
+            "\n".join(f"{u},{e},{t},{ts}" for u, e, t, ts in batches[0])
+            + "\n" if batches[0] else "\n")
+        raw = spark.readStream.schema(schema).csv(str(src))
+        q = (
+            builder(raw)
+            .writeStream.queryName(f"cep_prop_{name}")
+            .format("memory")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmpdirs / f"ckpt_prop_{name}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for bi in (1, 2):
+                (src / f"b{bi}.csv").write_text(
+                    "\n".join(
+                        f"{u},{e},{t},{ts}" for u, e, t, ts in batches[bi]
+                    )
+                    + "\n" if batches[bi] else "\n")
+                q.processAllAvailable()
+            got = {
+                (r["key"], r["start_ts_ms"], r["end_ts_ms"])
+                for r in spark.table(f"cep_prop_{name}").collect()
+            }
+        finally:
+            q.stop()
+        assert got == want, (
+            name,
+            sorted(got - want)[:5],
+            sorted(want - got)[:5],
+        )
