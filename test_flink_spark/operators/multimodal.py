@@ -704,3 +704,65 @@ def wav_quiet_segments(
     return df.select(id_col, modality_col, payload_col).mapInPandas(
         seg, QUIET_SEG_SCHEMA
     )
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("dhash_hi", LongType()),
+        StructField("dhash_lo", LongType()),
+        StructField("n_set", LongType()),
+    ]
+)
+
+
+def dhash_ppm(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    modality_col: str = "modality",
+) -> DataFrame:
+    """Difference-hash over 9×8 P6 payloads — aHash's standard
+    complement (compose with ``resize_ppm_nearest(df, 9, 8)``): per row
+    of the 9-wide grayscale grid, bit (row·8 + col) is set when
+    gray[row][col] > gray[row][col+1] — a horizontal-gradient signature,
+    robust to global brightness shifts that move aHash's mean threshold.
+    Same two-BIGINT-halves + popcount emission as ahash_ppm, so the
+    near-dup bucketing/hamming machinery is shared.  All-integer →
+    bit-for-bit DuckDB replay."""
+    import numpy as np
+
+    def hsh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mod, raw in zip(
+                pdf[id_col], pdf[modality_col], pdf[payload_col]
+            ):
+                w, h, body = _parse_p6(bytes(raw), mid)
+                if (w, h) != (9, 8):
+                    raise ValueError(
+                        f"dhash_ppm expects 9x8 input, got {w}x{h} "
+                        f"(media_id={mid}) — resize_ppm_nearest first"
+                    )
+                img = (
+                    np.frombuffer(body, np.uint8)
+                    .reshape(8, 9, 3)
+                    .astype(np.int64)
+                )
+                gray = (img[:, :, 0] + img[:, :, 1] + img[:, :, 2]) // 3
+                bits = [
+                    1 if int(gray[r, c]) > int(gray[r, c + 1]) else 0
+                    for r in range(8)
+                    for c in range(8)
+                ]
+                hi = sum(b << i for i, b in enumerate(bits[:32]))
+                lo = sum(b << i for i, b in enumerate(bits[32:]))
+                rows.append((mid, mod, hi, lo, sum(bits)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DHASH_SCHEMA.fields]
+            )
+
+    return df.select(id_col, modality_col, payload_col).mapInPandas(
+        hsh, DHASH_SCHEMA
+    )

@@ -72,6 +72,9 @@ _PROMOTED = (
     "multimodal_audio_quiet_segments",
     "dedup_lsh_candidate_audit",
     "text_zipf_fit_audit",
+    "text_language_confusion",
+    "corpus_ngram_novelty",
+    "multimodal_image_dhash",
 )
 
 

@@ -3903,3 +3903,205 @@ FROM a
 
 QUERIES["text_zipf_fit_audit"] = text_zipf_fit_audit
 ORACLES["text_zipf_fit_audit"] = _ZIPF_SQL
+
+
+def text_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-based language identifier against
+    the labeled ``lang`` column — the model-eval companion to
+    corpus_classifier_auc for the categorical case: per (true, predicted)
+    cell the doc count, plus the per-true-language recall in basis
+    points (count on the diagonal ÷ row total, integer floor-div via a
+    row-total self-aggregation, no window).  The eval a pipeline runs
+    before trusting language routing for per-language curation gates."""
+    docs = _docs(spark, sf_dir)
+    pred = language_id(docs)
+    cells = (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    row_tot = cells.groupBy("lang").agg(F.sum("n_docs").alias("row_n"))
+    return (
+        cells.join(row_tot, "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            F.expr(
+                "CASE WHEN lang = pred_lang THEN n_docs * 10000 div row_n END"
+            )
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )
+
+
+def _lang_confusion_sql() -> str:
+    return rf"""
+WITH pred AS ({_langid_sql()}),
+cells AS (
+    SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    GROUP BY 1, 2
+),
+row_tot AS (SELECT lang, SUM(n_docs) AS row_n FROM cells GROUP BY 1)
+SELECT c.lang, c.pred_lang, c.n_docs,
+       CAST(CASE WHEN c.lang = c.pred_lang
+                 THEN c.n_docs * 10000 // r.row_n END AS BIGINT) AS recall_bp
+FROM cells c JOIN row_tot r ON c.lang = r.lang
+"""
+
+
+QUERIES["text_language_confusion"] = text_language_confusion
+ORACLES["text_language_confusion"] = _lang_confusion_sql()
+
+
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty per source: what fraction of each document's
+    distinct 3-gram shingles appears for the FIRST time in the corpus
+    in that document (first = min doc_id over the shingle's postings) —
+    the freshness/diversity audit a crawl pipeline watches to decide
+    when a source is mined out (novelty decays as a source repeats
+    itself).  Shingle machinery is the shared map-side-distinct 60-bit
+    hash (operators/dedup.py::shingle_hashes); attribution is ONE
+    groupBy(h) min + a rejoin keyed on the 8-byte hash.
+
+    Report per source: docs, distinct-shingle instances, first-seen
+    instances, novelty in basis points."""
+    from ..operators.dedup import shingle_hashes
+
+    docs = _docs(spark, sf_dir)
+    sh = shingle_hashes(docs)
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_sh").cast("long").alias("n_shingles"),
+            F.sum("n_novel").cast("long").alias("n_first_seen"),
+        )
+        .withColumn(
+            "novelty_bp",
+            F.expr("n_first_seen * 10000 div n_shingles").cast("long"),
+        )
+    )
+
+
+_NGRAM_NOVELTY_SQL = r"""
+WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM ws) WHERE s IS NOT NULL AND s <> ''
+),
+first AS (SELECT h, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+per_doc AS (
+    SELECT sh.doc_id,
+           COUNT(*) AS n_sh,
+           SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) AS n_novel
+    FROM sh JOIN first f ON sh.h = f.h
+    GROUP BY 1
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p.n_sh) AS BIGINT) AS n_shingles,
+       CAST(SUM(p.n_novel) AS BIGINT) AS n_first_seen,
+       CAST(SUM(p.n_novel) * 10000 // SUM(p.n_sh) AS BIGINT) AS novelty_bp
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY 1
+"""
+
+QUERIES["corpus_ngram_novelty"] = corpus_ngram_novelty
+ORACLES["corpus_ngram_novelty"] = _NGRAM_NOVELTY_SQL
+
+
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-hash image fingerprints: wrap 16×12 P6 → nearest
+    resize to 9×8 → dHash (operators/multimodal.py::dhash_ppm —
+    horizontal gray gradients, 64 bits as two BIGINT halves +
+    popcount).  aHash's standard complement: gradient bits survive the
+    global brightness shifts that move aHash's mean threshold, so
+    near-dup bucketing on (ahash, dhash) agreement cuts each hash's
+    false-pair class.  Oracle replays the wrap→resize→gradient chain via
+    precomputed source-byte offsets, same as the aHash oracle."""
+    from ..operators.multimodal import dhash_ppm, ppm_wrap, resize_ppm_nearest
+
+    wrapped = ppm_wrap(_media(spark, sf_dir), width=_PPM_W, height=_PPM_H)
+    return dhash_ppm(resize_ppm_nearest(wrapped, 9, 8))
+
+
+def _ppm_dhash_sql() -> str:
+    ys = [(y * _PPM_H) // 8 for y in range(8)]
+    xs = [(x * _PPM_W) // 9 for x in range(9)]
+
+    def byte_at(off: int) -> str:
+        return (
+            f"CASE WHEN {off} < n_bytes"
+            f" THEN ('0x' || substr(h, {2 * off + 1}, 2))::BIGINT ELSE 0 END"
+        )
+
+    grays = []
+    for y in ys:  # row-major over the resized 9x8 grid
+        for x in xs:
+            base = (y * _PPM_W + x) * 3
+            grays.append(
+                f"(({byte_at(base)}) + ({byte_at(base + 1)})"
+                f" + ({byte_at(base + 2)})) // 3"
+            )
+    gs = ",\n        ".join(grays)
+    # gs is row-major 9-wide: gray[r][c] = gs[r*9 + c + 1] (1-based);
+    # bit index i = r*8 + c compares gs[r*9+c+1] vs gs[r*9+c+2]
+    def bit(i: int, shift: int) -> str:
+        r, c = divmod(i, 8)
+        a, b = r * 9 + c + 1, r * 9 + c + 2
+        return (
+            f"CASE WHEN gs[{a}] > gs[{b}]"
+            f" THEN CAST({1 << shift} AS BIGINT) ELSE 0 END"
+        )
+
+    hi = " + ".join(bit(i, i) for i in range(32))
+    lo = " + ".join(bit(i + 32, i) for i in range(32))
+    n_set = " + ".join(
+        f"CASE WHEN gs[{divmod(i, 8)[0] * 9 + divmod(i, 8)[1] + 1}]"
+        f" > gs[{divmod(i, 8)[0] * 9 + divmod(i, 8)[1] + 2}]"
+        f" THEN 1 ELSE 0 END"
+        for i in range(64)
+    )
+    return f"""
+WITH hx AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           hex(encode(text)) AS h,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+), g AS (
+    SELECT doc_id, modality,
+        [{gs}] AS gs
+    FROM hx
+)
+SELECT doc_id AS media_id, modality,
+       CAST({hi} AS BIGINT) AS dhash_hi,
+       CAST({lo} AS BIGINT) AS dhash_lo,
+       CAST({n_set} AS BIGINT) AS n_set
+FROM g
+"""
+
+
+QUERIES["multimodal_image_dhash"] = multimodal_image_dhash
+ORACLES["multimodal_image_dhash"] = _ppm_dhash_sql()
