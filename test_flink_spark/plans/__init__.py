@@ -75,6 +75,8 @@ _PROMOTED = (
     "text_language_confusion",
     "corpus_ngram_novelty",
     "multimodal_image_dhash",
+    "supplier_mad_outliers",
+    "dedup_minhash_band_sweep",
 )
 
 

@@ -1195,3 +1195,97 @@ FROM b
 
 QUERIES["orders_benford_audit"] = orders_benford_audit
 ORACLES["orders_benford_audit"] = _BENFORD_SQL
+
+
+def supplier_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-nation outlier screen on supplier balances: median +
+    median-absolute-deviation instead of mean/stddev (one deep-pocketed
+    supplier shifts a mean screen; it cannot move the median), flagging
+    |x − median| > 5·MAD.  Both medians are the DISCRETE lower median —
+    the element at rank (n+1) div 2 under a strict total order
+    ((value, suppkey)) — so the whole statistic is integer-exact
+    cross-engine (interpolated percentiles are the one float seam this
+    family otherwise allows, percentile_value_by_type).  Two stacked
+    window passes per nation (rank→median, rank→MAD) + one agg; all
+    windows PARTITIONED by nation."""
+    from pyspark.sql import Window
+
+    su = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.floor(F.col("s_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+
+    w = Window.partitionBy("n_name")
+    w1 = w.orderBy(F.col("cents").asc(), F.col("s_suppkey").asc())
+    p1 = j.select(
+        "n_name",
+        "s_suppkey",
+        "cents",
+        F.row_number().over(w1).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).withColumn(
+        "med",
+        F.max(
+            F.expr("CASE WHEN rk = (n + 1) div 2 THEN cents END")
+        ).over(w),
+    )
+    w2 = w.orderBy(F.col("dev").asc(), F.col("s_suppkey").asc())
+    p2 = p1.withColumn(
+        "dev", F.abs(F.col("cents") - F.col("med"))
+    ).withColumn("rk2", F.row_number().over(w2)).withColumn(
+        "mad",
+        F.max(F.expr("CASE WHEN rk2 = (n + 1) div 2 THEN dev END")).over(w),
+    )
+    return p2.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.max("med").cast("long").alias("median_cents"),
+        F.max("mad").cast("long").alias("mad_cents"),
+        F.sum(
+            F.expr("CASE WHEN dev > 5 * mad THEN 1 ELSE 0 END")
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )
+
+
+_MAD_SQL = r"""
+WITH su AS (
+    SELECT s_suppkey, n_name,
+           CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS cents
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+), p1 AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name
+                                 ORDER BY cents ASC, s_suppkey ASC) AS rk,
+           COUNT(*) OVER (PARTITION BY n_name) AS n
+    FROM su
+), m1 AS (
+    SELECT *, MAX(CASE WHEN rk = (n + 1) // 2 THEN cents END)
+                  OVER (PARTITION BY n_name) AS med
+    FROM p1
+), p2 AS (
+    SELECT *, abs(cents - med) AS dev FROM m1
+), r2 AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name
+                                 ORDER BY dev ASC, s_suppkey ASC) AS rk2
+    FROM p2
+), m2 AS (
+    SELECT *, MAX(CASE WHEN rk2 = (n + 1) // 2 THEN dev END)
+                  OVER (PARTITION BY n_name) AS mad
+    FROM r2
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(MAX(med) AS BIGINT) AS median_cents,
+       CAST(MAX(mad) AS BIGINT) AS mad_cents,
+       CAST(SUM(CASE WHEN dev > 5 * mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM m2 GROUP BY 1
+"""
+
+QUERIES["supplier_mad_outliers"] = supplier_mad_outliers
+ORACLES["supplier_mad_outliers"] = _MAD_SQL

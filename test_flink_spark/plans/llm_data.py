@@ -4105,3 +4105,101 @@ FROM g
 
 QUERIES["multimodal_image_dhash"] = multimodal_image_dhash
 ORACLES["multimodal_image_dhash"] = _ppm_dhash_sql()
+
+
+def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-curve, measured: candidate counts AND recall/precision
+    vs exact Jaccard ≥ 0.5 at three banding configs over the SAME
+    16-permutation signatures — (bands, rows/band) ∈ {(2,8), (4,4),
+    (8,2)}.  More bands ⇒ more candidates ⇒ recall up, precision down;
+    this query turns that folklore into the table you pick production
+    banding from.  Scale shape: the expensive signature pass (one md5
+    per shingle) runs ONCE and is localCheckpoint-pinned; each config
+    only re-slices the 16-value signatures and runs its band-key
+    equality join — the same amortization a real parameter sweep uses."""
+    from ..operators.dedup import lsh_band_keys, minhash_signatures
+
+    docs = _docs(spark, sf_dir)
+    exact = (
+        ngram_jaccard_pairs(docs, threshold=0.5)
+        .select("id_a", "id_b")
+        .withColumn("in_e", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    n_exact = max(exact.count(), 1)
+    sig = minhash_signatures(docs, num_perm=16).localCheckpoint(eager=True)
+    outs = []
+    for b in (2, 4, 8):
+        banded = lsh_band_keys(sig, num_perm=16, bands=b)
+        a, bb = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(
+                bb,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .dropDuplicates()
+        )
+        flagged = cand.join(exact, ["id_a", "id_b"], "left")
+        outs.append(
+            flagged.agg(
+                F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                F.sum(F.coalesce(F.col("in_e"), F.lit(0)))
+                .cast("long")
+                .alias("n_true"),
+            ).select(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(16 // b).cast("long").alias("rows_per_band"),
+                "n_candidates",
+                "n_true",
+                F.expr(
+                    "CASE WHEN n_candidates > 0 THEN"
+                    " n_true * 10000 div n_candidates END"
+                )
+                .cast("long")
+                .alias("precision_bp"),
+                F.expr(f"n_true * 10000 div {n_exact}")
+                .cast("long")
+                .alias("recall_bp"),
+            )
+        )
+    out = outs[0]
+    for fr in outs[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+def _band_sweep_sql() -> str:
+    per_cfg = []
+    for b in (2, 4, 8):
+        per_cfg.append(
+            f"""
+SELECT CAST({b} AS BIGINT) AS bands, CAST({16 // b} AS BIGINT) AS rows_per_band,
+       n_candidates, n_true,
+       CAST(CASE WHEN n_candidates > 0
+                 THEN n_true * 10000 // n_candidates END AS BIGINT)
+           AS precision_bp,
+       CAST(n_true * 10000 // GREATEST((SELECT COUNT(*) FROM exact), 1)
+            AS BIGINT) AS recall_bp
+FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN e.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true
+    FROM (SELECT id_a, id_b FROM ({_minhash_sql(16, b)})) c
+    LEFT JOIN exact e ON c.id_a = e.id_a AND c.id_b = e.id_b
+)"""
+        )
+    union = "\nUNION ALL\n".join(per_cfg)
+    return rf"""
+WITH exact AS (SELECT id_a, id_b FROM ({_JACCARD_SQL}))
+{union}
+"""
+
+
+QUERIES["dedup_minhash_band_sweep"] = dedup_minhash_band_sweep
+ORACLES["dedup_minhash_band_sweep"] = _band_sweep_sql()
