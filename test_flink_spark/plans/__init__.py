@@ -77,6 +77,8 @@ _PROMOTED = (
     "multimodal_image_dhash",
     "supplier_mad_outliers",
     "dedup_minhash_band_sweep",
+    "multimodal_video_shot_segments",
+    "events_seasonality_acf",
 )
 
 

@@ -2276,3 +2276,110 @@ FROM swept GROUP BY 1
 
 QUERIES["events_peak_concurrency"] = events_peak_concurrency
 ORACLES["events_peak_concurrency"] = _PEAK_CONCURRENCY_SQL
+
+
+def events_seasonality_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality screen on the daily event series: signed squared
+    correlation (r²·sign, in milli-units) between the series and itself
+    at lag 1 (momentum) and lag 7 (weekly cycle), per event_type —
+    the check that justifies weekly Holt-Winters seasonality before
+    fitting it.  Pairs come from a gap-safe self-join on day+lag (a lag
+    window would silently pair across missing days); the statistic is
+    the integer cross-product form
+        sign(c)·c²·1000 div (dx·dy),  c = nΣxy − ΣxΣy
+    with decimal(38,0) on the factors (c² reaches ~10²⁶ at fleet scale;
+    the quotient is ≤ 1000 so `div`'s BIGINT result cannot wrap) — no
+    float sqrt, so no cross-engine correlation seam."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("unix_millis(ts) div 86400000").alias("day"), "event_type"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    outs = []
+    for lag in (1, 7):
+        a, b = daily.alias("a"), daily.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.day") == F.col("a.day") + lag),
+        ).select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.cnt").alias("x"),
+            F.col("b.cnt").alias("y"),
+        )
+        agg = pairs.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("CAST(x AS BIGINT) * y")).alias("sxy"),
+            F.sum(F.expr("CAST(x AS BIGINT) * x")).alias("sxx"),
+            F.sum(F.expr("CAST(y AS BIGINT) * y")).alias("syy"),
+        )
+        d = "CAST({} AS DECIMAL(38,0))"
+        c = (
+            f"({d.format('n_pairs')} * {d.format('sxy')}"
+            f" - {d.format('sx')} * {d.format('sy')})"
+        )
+        dx = (
+            f"({d.format('n_pairs')} * {d.format('sxx')}"
+            f" - {d.format('sx')} * {d.format('sx')})"
+        )
+        dy = (
+            f"({d.format('n_pairs')} * {d.format('syy')}"
+            f" - {d.format('sy')} * {d.format('sy')})"
+        )
+        outs.append(
+            agg.select(
+                "event_type",
+                F.lit(lag).cast("long").alias("lag_days"),
+                "n_pairs",
+                F.expr(
+                    f"CASE WHEN {dx} > 0 AND {dy} > 0 THEN"
+                    f" CASE WHEN {c} < 0 THEN -1 ELSE 1 END"
+                    f" * ({c} * {c} * CAST(1000 AS DECIMAL(38,0)))"
+                    f" div ({dx} * {dy}) END"
+                )
+                .cast("long")
+                .alias("signed_r2_milli"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+_ACF_SQL = r"""
+WITH daily AS (
+    SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+), pairs AS (
+    SELECT a.event_type, l.lag_days, a.cnt AS x, b.cnt AS y
+    FROM daily a
+    JOIN (VALUES (1), (7)) l(lag_days) ON TRUE
+    JOIN daily b ON b.event_type = a.event_type
+               AND b.day = a.day + l.lag_days
+), agg AS (
+    SELECT event_type, lag_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag_days AS BIGINT) AS lag_days, n_pairs,
+       CAST(CASE WHEN n_pairs::HUGEINT * sxx - sx::HUGEINT * sx > 0
+                  AND n_pairs::HUGEINT * syy - sy::HUGEINT * sy > 0 THEN
+            (CASE WHEN n_pairs::HUGEINT * sxy - sx::HUGEINT * sy < 0
+                  THEN -1 ELSE 1 END)
+            * ((n_pairs::HUGEINT * sxy - sx::HUGEINT * sy)
+               * (n_pairs::HUGEINT * sxy - sx::HUGEINT * sy) * 1000)
+            // ((n_pairs::HUGEINT * sxx - sx::HUGEINT * sx)
+                * (n_pairs::HUGEINT * syy - sy::HUGEINT * sy)) END
+            AS BIGINT) AS signed_r2_milli
+FROM agg
+"""
+
+QUERIES["events_seasonality_acf"] = events_seasonality_acf
+ORACLES["events_seasonality_acf"] = _ACF_SQL

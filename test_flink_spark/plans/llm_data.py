@@ -4203,3 +4203,64 @@ WITH exact AS (SELECT id_a, id_b FROM ({_JACCARD_SQL}))
 
 QUERIES["dedup_minhash_band_sweep"] = dedup_minhash_band_sweep
 ORACLES["dedup_minhash_band_sweep"] = _band_sweep_sql()
+
+
+def multimodal_video_shot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary structure per video payload: 64-byte frames, cuts
+    at above-own-mean energy deltas, run-length decomposition into shots
+    (operators/multimodal.py::video_shot_segments) — the segmentation
+    that precedes per-shot frame sampling, completing the video family
+    (frame-set near-dup → temporal structure).  Oracle replays frames,
+    deltas, the relative threshold AND the cut-position run lengths with
+    DuckDB list arithmetic."""
+    from ..operators.multimodal import video_shot_segments
+
+    media = _media(spark, sf_dir).filter(F.col("modality") == "video")
+    return video_shot_segments(media)
+
+
+_SHOT_SEG_SQL = r"""
+WITH hx AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    WHERE doc_id % 3 = 2
+), f AS (
+    SELECT doc_id, n_bytes, (n_bytes + 63) // 64 AS nf,
+           list_transform(range(0, (n_bytes + 63) // 64),
+               w -> COALESCE(list_aggregate(list_transform(
+                        range(64 * w + 1, least(64 * (w + 1), n_bytes) + 1),
+                        i -> ('0x' || substr(h, 2 * i - 1, 2))::BIGINT),
+                    'sum'), 0)) AS es
+    FROM hx
+), d AS (
+    SELECT doc_id, nf, es,
+           list_transform(range(1, nf), w -> abs(es[w] - es[w + 1])) AS ds
+    FROM f
+), c AS (
+    SELECT doc_id, nf,
+           list_filter(range(1, nf),
+               w -> abs(es[w] - es[w + 1]) * (nf - 1)
+                    > COALESCE(list_aggregate(ds, 'sum'), 0)) AS cuts
+    FROM d
+), r AS (
+    SELECT doc_id, nf, cuts,
+           list_concat(list_concat([0::BIGINT],
+                                   list_transform(cuts, x -> x::BIGINT)),
+                       [nf::BIGINT]) AS cp
+    FROM c
+)
+SELECT doc_id AS media_id,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(len(cuts) AS BIGINT) AS n_cuts,
+       CAST(CASE WHEN nf > 0 THEN len(cuts) + 1 ELSE 0 END AS BIGINT)
+           AS n_shots,
+       CAST(CASE WHEN nf > 0 THEN
+            list_aggregate(list_transform(range(1, len(cp)),
+                                          k -> cp[k + 1] - cp[k]), 'max')
+            ELSE 0 END AS BIGINT) AS longest_shot
+FROM r
+"""
+
+QUERIES["multimodal_video_shot_segments"] = multimodal_video_shot_segments
+ORACLES["multimodal_video_shot_segments"] = _SHOT_SEG_SQL
