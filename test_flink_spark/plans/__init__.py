@@ -79,6 +79,7 @@ _PROMOTED = (
     "dedup_minhash_band_sweep",
     "multimodal_video_shot_segments",
     "events_seasonality_acf",
+    "text_code_detection",
 )
 
 

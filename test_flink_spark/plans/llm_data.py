@@ -4264,3 +4264,67 @@ FROM r
 
 QUERIES["multimodal_video_shot_segments"] = multimodal_video_shot_segments
 ORACLES["multimodal_video_shot_segments"] = _SHOT_SEG_SQL
+
+
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose screen per source — the curation gate that routes
+    documents to a code pipeline (or drops them from a prose corpus):
+    symbol density in basis points (count of {}();=<>[] characters ÷
+    chars, integer floor-div — measured by deleting the symbol class and
+    differencing lengths, which both engines do identically), flagged at
+    > 150 bp.  Zero shuffle before the per-source agg; one narrow
+    projection over the corpus.
+
+    Report per source: docs, flagged docs, flagged share (bp), mean
+    symbol density (bp, exact sum÷count)."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), r"[{}();=<>\[\]]", ""))
+        ).alias("n_sym"),
+    ).filter(F.col("n_chars") > 0)
+    flagged = scored.withColumn(
+        "sym_bp", F.expr("n_sym * 10000 div n_chars")
+    ).withColumn("is_code", (F.col("sym_bp") > 150).cast("int"))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_code").cast("long").alias("code_docs"),
+            F.sum("sym_bp").alias("sum_sym_bp"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "code_docs",
+            F.expr("code_docs * 10000 div n_docs").cast("long").alias("code_share_bp"),
+            F.expr("sum_sym_bp div n_docs").cast("long").alias("mean_sym_bp"),
+        )
+    )
+
+
+_CODE_DETECT_SQL = r"""
+WITH scored AS (
+    SELECT source,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[{}();=<>\[\]]', '', 'g'))
+               AS n_sym
+    FROM documents WHERE length(text) > 0
+), f AS (
+    SELECT source, n_sym * 10000 // n_chars AS sym_bp FROM scored
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN sym_bp > 150 THEN 1 ELSE 0 END) AS BIGINT)
+           AS code_docs,
+       CAST(SUM(CASE WHEN sym_bp > 150 THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+            AS BIGINT) AS code_share_bp,
+       CAST(SUM(sym_bp) // COUNT(*) AS BIGINT) AS mean_sym_bp
+FROM f GROUP BY 1
+"""
+
+QUERIES["text_code_detection"] = text_code_detection
+ORACLES["text_code_detection"] = _CODE_DETECT_SQL

@@ -1056,3 +1056,39 @@ def test_perplexity_buckets_split_30_40_30(spark):
             for r in L.corpus_perplexity_buckets(spark, "ignored").collect()
         }
     assert got == {"head": 3, "middle": 4, "tail": 3}, got
+
+
+def test_video_shot_segments_matches_reference(spark):
+    """video_shot_segments must reproduce a python reference on payloads
+    with KNOWN structure: a flat video (no cuts), one hard cut (bright
+    half then dark half), and a ragged tail frame."""
+    from test_flink_spark.operators.multimodal import video_shot_segments
+
+    flat = bytes([50] * 256)                      # 4 frames, no cuts
+    cut = bytes([200] * 128 + [10] * 128)         # cut between f1 and f2
+    ragged = bytes([50] * 64 + [200] * 64 + [50] * 40)  # 3 frames, partial
+    df = spark.createDataFrame(
+        [(1, bytearray(flat)), (2, bytearray(cut)), (3, bytearray(ragged))],
+        "media_id LONG, payload BINARY",
+    )
+    got = {
+        r["media_id"]: (
+            r["n_frames"], r["n_cuts"], r["n_shots"], r["longest_shot"]
+        )
+        for r in video_shot_segments(df).collect()
+    }
+
+    def ref(b):
+        n = len(b)
+        nf = (n + 63) // 64
+        es = [sum(b[w * 64 : min((w + 1) * 64, n)]) for w in range(nf)]
+        ds = [abs(es[w] - es[w + 1]) for w in range(nf - 1)]
+        sd = sum(ds)
+        cuts = [w + 1 for w in range(nf - 1) if ds[w] * (nf - 1) > sd]
+        cp = [0] + cuts + [nf]
+        return (nf, len(cuts), len(cuts) + 1,
+                max(cp[k + 1] - cp[k] for k in range(len(cp) - 1)))
+
+    assert got == {1: ref(flat), 2: ref(cut), 3: ref(ragged)}
+    assert got[1][1] == 0          # flat: no cuts
+    assert got[2][1] == 1          # hard cut detected
