@@ -80,6 +80,8 @@ _PROMOTED = (
     "multimodal_video_shot_segments",
     "events_seasonality_acf",
     "text_code_detection",
+    "graph_degree_assortativity",
+    "events_churn_cohorts",
 )
 
 

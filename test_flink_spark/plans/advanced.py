@@ -1289,3 +1289,94 @@ FROM m2 GROUP BY 1
 
 QUERIES["supplier_mad_outliers"] = supplier_mad_outliers
 ORACLES["supplier_mad_outliers"] = _MAD_SQL
+
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the symmetrized trade graph — do
+    high-degree suppliers trade with high-degree customers, or is the
+    graph hub-and-spoke (disassortative, the usual commerce shape)?
+    Signed r²·1000 between the endpoint degrees over all directed
+    edges, in the house integer cross-product form (no float sqrt —
+    the events_seasonality_acf statistic applied to the degree pairing):
+        c = mΣxy − ΣxΣy;  signed_r2_milli = sign(c)·c²·1000 div (dx·dy)
+    with decimal(38,0)/HUGEINT factors (Σxy reaches ~|E|·deg² — far
+    past int64 at fleet scale).  One degree aggregation + two hash
+    joins of the degree table back onto the edge list."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    base = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
+        base.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pairs = (
+        edges.join(deg.withColumnRenamed("src", "src_k"), F.col("src") == F.col("src_k"))
+        .withColumnRenamed("deg", "x")
+        .drop("src_k")
+        .join(
+            deg.select(F.col("src").alias("dst_k"), F.col("deg").alias("y")),
+            F.col("dst") == F.col("dst_k"),
+        )
+        .select("x", "y")
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("CAST(x AS BIGINT) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS BIGINT) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(y AS BIGINT) * y")).alias("syy"),
+    )
+    d = "CAST({} AS DECIMAL(38,0))"
+    c = f"({d.format('m')} * {d.format('sxy')} - {d.format('sx')} * {d.format('sy')})"
+    dx = f"({d.format('m')} * {d.format('sxx')} - {d.format('sx')} * {d.format('sx')})"
+    dy = f"({d.format('m')} * {d.format('syy')} - {d.format('sy')} * {d.format('sy')})"
+    return agg.select(
+        "m",
+        F.expr(
+            f"CASE WHEN {dx} > 0 AND {dy} > 0 THEN"
+            f" CASE WHEN {c} < 0 THEN -1 ELSE 1 END"
+            f" * ({c} * {c} * CAST(1000 AS DECIMAL(38,0)))"
+            f" div ({dx} * {dy}) END"
+        )
+        .cast("long")
+        .alias("signed_r2_milli"),
+    )
+
+
+_ASSORT_SQL = rf"""
+WITH edges AS ({_PR_EDGES_SQL}),
+deg AS (SELECT src, COUNT(*) AS dg FROM edges GROUP BY 1),
+pairs AS (
+    SELECT a.dg AS x, b.dg AS y
+    FROM edges e JOIN deg a ON e.src = a.src JOIN deg b ON e.dst = b.src
+), agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM pairs
+)
+SELECT m,
+       CAST(CASE WHEN m::HUGEINT * sxx - sx::HUGEINT * sx > 0
+                  AND m::HUGEINT * syy - sy::HUGEINT * sy > 0 THEN
+            (CASE WHEN m::HUGEINT * sxy - sx::HUGEINT * sy < 0
+                  THEN -1 ELSE 1 END)
+            * ((m::HUGEINT * sxy - sx::HUGEINT * sy)
+               * (m::HUGEINT * sxy - sx::HUGEINT * sy) * 1000)
+            // ((m::HUGEINT * sxx - sx::HUGEINT * sx)
+                * (m::HUGEINT * syy - sy::HUGEINT * sy)) END
+            AS BIGINT) AS signed_r2_milli
+FROM agg
+"""
+
+QUERIES["graph_degree_assortativity"] = graph_degree_assortativity
+ORACLES["graph_degree_assortativity"] = _ASSORT_SQL

@@ -2383,3 +2383,89 @@ FROM agg
 
 QUERIES["events_seasonality_acf"] = events_seasonality_acf
 ORACLES["events_seasonality_acf"] = _ACF_SQL
+
+
+def events_churn_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn / retention / resurrection between consecutive 30-day
+    epoch-windows, the product-analytics standard: each user is
+    classified per window-boundary as retained (active in both),
+    churned (active in W, silent in W+1), new (first seen in W+1) or
+    resurrected (seen before W, silent in W, back in W+1).  Windows are
+    epoch-ms div 30 days (tz-invariant, like events_dau_mau_stickiness);
+    classification needs only each user's DISTINCT active-window set and
+    its running MIN — one per-(user, window) dedup, one partitioned
+    window pass, no self-joins.
+
+    Report per boundary (w → w+1): retained, churned, new_users,
+    resurrected, churn_bp = churned·10⁴ div active(W)."""
+    win = 30 * 86_400_000
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"unix_millis(ts) div {win}").alias("w")
+    )
+    uw = ev.groupBy("user_id", "w").agg(F.count(F.lit(1)).alias("_n")).drop("_n")
+    wspec = Window.partitionBy("user_id").orderBy("w")
+    lab = uw.select(
+        "user_id",
+        "w",
+        F.lag("w").over(wspec).alias("prev_w"),
+        F.min("w").over(
+            Window.partitionBy("user_id")
+        ).alias("first_w"),
+        F.lead("w").over(wspec).alias("next_w"),
+    )
+    # per boundary w -> w+1, counted from the side that observes it:
+    per_boundary = lab.select(
+        "user_id",
+        "w",
+        F.when(F.col("next_w") == F.col("w") + 1, 1).otherwise(0).alias("retained"),
+        F.when(
+            F.col("next_w").isNull() | (F.col("next_w") > F.col("w") + 1), 1
+        ).otherwise(0).alias("churned"),
+        F.when(F.col("first_w") == F.col("w"), 1).otherwise(0).alias("is_new"),
+        F.when(
+            F.col("prev_w").isNotNull() & (F.col("prev_w") < F.col("w") - 1), 1
+        ).otherwise(0).alias("resurrected"),
+    )
+    return (
+        per_boundary.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active_users"),
+            F.sum("retained").cast("long").alias("retained"),
+            F.sum("churned").cast("long").alias("churned"),
+            F.sum("is_new").cast("long").alias("new_users"),
+            F.sum("resurrected").cast("long").alias("resurrected"),
+        )
+        .withColumn(
+            "churn_bp",
+            F.expr("churned * 10000 div active_users").cast("long"),
+        )
+    )
+
+
+_CHURN_SQL = r"""
+WITH uw AS (
+    SELECT DISTINCT user_id, epoch_ms(ts) // 2592000000 AS w FROM events
+), lab AS (
+    SELECT user_id, w,
+           LAG(w) OVER (PARTITION BY user_id ORDER BY w) AS prev_w,
+           LEAD(w) OVER (PARTITION BY user_id ORDER BY w) AS next_w,
+           MIN(w) OVER (PARTITION BY user_id) AS first_w
+    FROM uw
+)
+SELECT w,
+       CAST(COUNT(*) AS BIGINT) AS active_users,
+       CAST(SUM(CASE WHEN next_w = w + 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS retained,
+       CAST(SUM(CASE WHEN next_w IS NULL OR next_w > w + 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS churned,
+       CAST(SUM(CASE WHEN first_w = w THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_users,
+       CAST(SUM(CASE WHEN prev_w IS NOT NULL AND prev_w < w - 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
+       CAST(SUM(CASE WHEN next_w IS NULL OR next_w > w + 1 THEN 1 ELSE 0 END)
+            * 10000 // COUNT(*) AS BIGINT) AS churn_bp
+FROM lab GROUP BY 1
+"""
+
+QUERIES["events_churn_cohorts"] = events_churn_cohorts
+ORACLES["events_churn_cohorts"] = _CHURN_SQL
