@@ -82,6 +82,7 @@ _PROMOTED = (
     "text_code_detection",
     "graph_degree_assortativity",
     "events_churn_cohorts",
+    "events_ab_srm_check",
 )
 
 

@@ -2469,3 +2469,68 @@ FROM lab GROUP BY 1
 
 QUERIES["events_churn_cohorts"] = events_churn_cohorts
 ORACLES["events_churn_cohorts"] = _CHURN_SQL
+
+
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for the A/B harness — the #1
+    experiment-validity gate (an SRM means broken assignment or
+    differential logging, and any treatment read-out is void): per day,
+    the distinct users active in each variant of the 50/50 md5 hash
+    split (the same `ab` salt as events_ab_test_report), the equal-split
+    chi-square statistic in milli-units — for a 2-cell equal split it
+    reduces exactly to (n_A − n_B)²·1000 div n, integer — and the flag
+    at the 95% bound (χ²₁ > 3.841).  Under a healthy split every day's
+    flag is 0; the day dimension localizes WHEN an assignment broke.
+
+    One distinct (day, user) dedup + one keyed agg — no windows."""
+    from ..operators.sampling import hash_bucket
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("unix_millis(ts) div 86400000").alias("day"), "user_id"
+    )
+    du = ev.groupBy("day", "user_id").agg(F.count(F.lit(1)).alias("_n")).drop("_n")
+    tagged = du.withColumn(
+        "is_a", (hash_bucket(F.col("user_id"), "ab") < 5000).cast("int")
+    )
+    return (
+        tagged.groupBy("day")
+        .agg(
+            F.sum("is_a").cast("long").alias("n_a"),
+            F.sum(F.lit(1) - F.col("is_a")).cast("long").alias("n_b"),
+        )
+        .withColumn(
+            "chi2_milli",
+            F.expr("(n_a - n_b) * (n_a - n_b) * 1000 div (n_a + n_b)")
+            .cast("long"),
+        )
+        .withColumn(
+            "srm_flag",
+            (F.col("chi2_milli") > 3841).cast("long"),
+        )
+    )
+
+
+_SRM_SQL = r"""
+WITH du AS (
+    SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id FROM events
+), tagged AS (
+    SELECT day,
+           CASE WHEN ('0x' || substr(md5('ab:' || user_id), 1, 15))::BIGINT
+                     % 10000 < 5000 THEN 1 ELSE 0 END AS is_a
+    FROM du
+), a AS (
+    SELECT day,
+           CAST(SUM(is_a) AS BIGINT) AS n_a,
+           CAST(SUM(1 - is_a) AS BIGINT) AS n_b
+    FROM tagged GROUP BY 1
+)
+SELECT day, n_a, n_b,
+       CAST((n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) AS BIGINT)
+           AS chi2_milli,
+       CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) > 3841
+                 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM a
+"""
+
+QUERIES["events_ab_srm_check"] = events_ab_srm_check
+ORACLES["events_ab_srm_check"] = _SRM_SQL
