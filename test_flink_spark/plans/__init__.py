@@ -83,6 +83,8 @@ _PROMOTED = (
     "graph_degree_assortativity",
     "events_churn_cohorts",
     "events_ab_srm_check",
+    "text_bpe_fertility",
+    "cdc_merge_apply",
 )
 
 

@@ -1380,3 +1380,55 @@ FROM agg
 
 QUERIES["graph_degree_assortativity"] = graph_degree_assortativity
 ORACLES["graph_degree_assortativity"] = _ASSORT_SQL
+
+
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — BPE tokens per whitespace word
+    (the metric that decides whether a tokenizer is fair to a language:
+    fertility ≫ 1 means the language pays more sequence length per word
+    of content, skewing both cost and loss weighting).  Composes the
+    corpus-learned tokenizer end-to-end: merges re-learned, every doc
+    encoded (text_bpe_encode's machinery), then one per-lang reduce;
+    fertility_milli = Σbpe·1000 div Σwords, integer."""
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe.bpe_encode(docs, _learned_merges(spark, sf_dir))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_words"),
+    )
+    return (
+        enc.join(base, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility_milli",
+            F.expr("n_bpe_tokens * 1000 div n_words").cast("long"),
+        )
+    )
+
+
+_BPE_FERTILITY_SQL = rf"""
+WITH enc AS ({_BPE_ENCODE_SQL}),
+base AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_words
+    FROM documents
+)
+SELECT b.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(e.n_bpe_tokens) * 1000 // SUM(b.n_words) AS BIGINT)
+           AS fertility_milli
+FROM enc e JOIN base b ON e.doc_id = b.doc_id
+GROUP BY 1
+"""
+
+QUERIES["text_bpe_fertility"] = text_bpe_fertility
+ORACLES["text_bpe_fertility"] = _BPE_FERTILITY_SQL

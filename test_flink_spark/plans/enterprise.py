@@ -2534,3 +2534,146 @@ FROM a
 
 QUERIES["events_ab_srm_check"] = events_ab_srm_check
 ORACLES["events_ab_srm_check"] = _SRM_SQL
+
+
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO accounting: the changelog's last 7 epoch-days arrive
+    as a batch against the base snapshot built from everything earlier
+    (both sides the cdc_apply_latest semantics — latest change per user,
+    'error' is the tombstone).  Applying the batch's NET per-user op to
+    the base yields the row-level attribution a warehouse MERGE reports:
+    inserted (net upsert, key absent from base), updated (key present),
+    deleted (net tombstone on a present key), plus untouched carry-over
+    and the final state's row count and integer-cents checksum — the
+    numbers an ingestion job asserts before committing a merge.
+
+    The batch cut is max(day) − 6, folded in as a literal (1-row
+    metadata collect); the oracle computes the same cut inline.  One
+    hash exchange per side on the key, one full-outer merge join."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("op"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    cut = int(
+        ev.agg(F.max("day").alias("m")).collect()[0]["m"]
+    ) - 6
+
+    def net_state(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts_ms").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "op", "cents")
+        )
+
+    base = net_state(ev.filter(F.col("day") < cut)).withColumnRenamed(
+        "op", "b_op"
+    ).withColumnRenamed("cents", "b_cents")
+    batch = net_state(ev.filter(F.col("day") >= cut)).withColumnRenamed(
+        "op", "n_op"
+    ).withColumnRenamed("cents", "n_cents")
+    m = base.join(batch, "user_id", "full_outer").select(
+        (F.col("b_op").isNotNull() & (F.col("b_op") != "error")).alias(
+            "in_base"
+        ),
+        F.col("n_op").isNotNull().alias("in_batch"),
+        (F.col("n_op") == "error").alias("batch_del"),
+        "b_cents",
+        "n_cents",
+    )
+    return m.agg(
+        F.sum(F.when(F.col("in_base"), 1).otherwise(0))
+        .cast("long")
+        .alias("base_rows"),
+        F.sum(
+            F.when(F.col("in_batch") & ~F.col("batch_del") & ~F.col("in_base"), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("inserted"),
+        F.sum(
+            F.when(F.col("in_batch") & ~F.col("batch_del") & F.col("in_base"), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("updated"),
+        F.sum(
+            F.when(F.col("batch_del") & F.col("in_base"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("deleted"),
+        F.sum(
+            F.when(F.col("in_base") & ~F.col("in_batch"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("untouched"),
+        F.sum(
+            F.when(
+                F.col("in_batch") & ~F.col("batch_del"), 1
+            ).when(F.col("in_base") & ~F.col("in_batch"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("final_rows"),
+        F.sum(
+            F.when(F.col("in_batch") & ~F.col("batch_del"), F.col("n_cents"))
+            .when(F.col("in_base") & ~F.col("in_batch"), F.col("b_cents"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("final_cents_sum"),
+    )
+
+
+_MERGE_APPLY_SQL = r"""
+WITH e AS (
+    SELECT user_id, event_id, event_type AS op, epoch_ms(ts) AS ts_ms,
+           epoch_ms(ts) // 86400000 AS day,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), cut AS (SELECT MAX(day) - 6 AS c FROM e),
+base AS (
+    SELECT user_id, op AS b_op, cents AS b_cents FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts_ms DESC, event_id DESC) AS rn
+        FROM e WHERE day < (SELECT c FROM cut)
+    ) WHERE rn = 1
+), batch AS (
+    SELECT user_id, op AS n_op, cents AS n_cents FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts_ms DESC, event_id DESC) AS rn
+        FROM e WHERE day >= (SELECT c FROM cut)
+    ) WHERE rn = 1
+), m AS (
+    SELECT (b_op IS NOT NULL AND b_op <> 'error') AS in_base,
+           n_op IS NOT NULL AS in_batch,
+           n_op = 'error' AS batch_del,
+           b_cents, n_cents
+    FROM base FULL OUTER JOIN batch USING (user_id)
+)
+SELECT
+  CAST(SUM(CASE WHEN in_base THEN 1 ELSE 0 END) AS BIGINT) AS base_rows,
+  CAST(SUM(CASE WHEN in_batch AND NOT COALESCE(batch_del, FALSE)
+                 AND NOT in_base THEN 1 ELSE 0 END) AS BIGINT) AS inserted,
+  CAST(SUM(CASE WHEN in_batch AND NOT COALESCE(batch_del, FALSE)
+                 AND in_base THEN 1 ELSE 0 END) AS BIGINT) AS updated,
+  CAST(SUM(CASE WHEN COALESCE(batch_del, FALSE) AND in_base
+                THEN 1 ELSE 0 END) AS BIGINT) AS deleted,
+  CAST(SUM(CASE WHEN in_base AND NOT in_batch THEN 1 ELSE 0 END) AS BIGINT)
+      AS untouched,
+  CAST(SUM(CASE WHEN in_batch AND NOT COALESCE(batch_del, FALSE) THEN 1
+                WHEN in_base AND NOT in_batch THEN 1 ELSE 0 END) AS BIGINT)
+      AS final_rows,
+  CAST(SUM(CASE WHEN in_batch AND NOT COALESCE(batch_del, FALSE) THEN n_cents
+                WHEN in_base AND NOT in_batch THEN b_cents ELSE 0 END)
+       AS BIGINT) AS final_cents_sum
+FROM m
+"""
+
+QUERIES["cdc_merge_apply"] = cdc_merge_apply
+ORACLES["cdc_merge_apply"] = _MERGE_APPLY_SQL
