@@ -44,13 +44,21 @@ def item_pairs(
     item_col: str = "item",
     max_items_per_user: int = 64,
     with_lift: bool = True,
+    broadcast_marginals: bool = True,
 ) -> DataFrame:
     """Co-occurrence pairs ``(item_a, item_b, n_co[, n_a, n_b, lift_ppm])``
     with item_a < item_b, over the capped distinct basket.
 
     ``with_lift=False`` skips the item marginals, the |users| scalar, and
     their joins — graph construction (k-NN edges, triangles) ranks on
-    ``n_co`` alone and shouldn't pay for columns it drops."""
+    ``n_co`` alone and shouldn't pay for columns it drops.
+
+    ``broadcast_marginals=False`` drops the broadcast hint on the
+    |items|-row marginal tables: keep the default only when the item
+    space is bounded by construction (e.g. a fixed catalog of encoded
+    ids); pass False when |items| scales with a dimension table
+    (suppliers, parts) — AQE still broadcasts at runtime when small,
+    without baking the assumption into the plan."""
     if max_items_per_user < 2:
         raise ValueError(f"max_items_per_user must be >= 2, got {max_items_per_user}")
     ui = df.select(F.col(user_col).alias("u"), F.col(item_col).alias("i")).distinct()
@@ -73,8 +81,10 @@ def item_pairs(
     # tiny scalar (one int), same family as llm_data's threshold collects
     n_users = ui.select("u").distinct().count()
     marg = capped.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
-    ma = F.broadcast(marg.select(F.col("i").alias("item_a"), F.col("n_i").alias("n_a")))
-    mb = F.broadcast(marg.select(F.col("i").alias("item_b"), F.col("n_i").alias("n_b")))
+    ma = marg.select(F.col("i").alias("item_a"), F.col("n_i").alias("n_a"))
+    mb = marg.select(F.col("i").alias("item_b"), F.col("n_i").alias("n_b"))
+    if broadcast_marginals:
+        ma, mb = F.broadcast(ma), F.broadcast(mb)
     return (
         pairs.join(ma, "item_a")
         .join(mb, "item_b")

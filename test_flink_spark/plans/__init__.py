@@ -85,6 +85,10 @@ _PROMOTED = (
     "events_ab_srm_check",
     "text_bpe_fertility",
     "cdc_merge_apply",
+    "embedding_matryoshka_overlap",
+    "text_pmi_collocations",
+    "text_feature_hashing_audit",
+    "graph_supplier_jaccard",
 )
 
 

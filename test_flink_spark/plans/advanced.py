@@ -1432,3 +1432,124 @@ GROUP BY 1
 
 QUERIES["text_bpe_fertility"] = text_bpe_fertility
 ORACLES["text_bpe_fertility"] = _BPE_FERTILITY_SQL
+
+
+# ---------------------------------------------------------------------------
+# Neighbor-set Jaccard link prediction over the trade graph.
+# ---------------------------------------------------------------------------
+
+_JACC_CAP = 16
+_JACC_MIN_CO = 2
+_JACC_TOPK = 3
+
+
+def graph_supplier_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the supplier side of the bipartite trade graph:
+    per supplier, the top-3 most similar suppliers by neighbor-set
+    Jaccard (shared customers over the union, integer basis points) —
+    the classic common-neighbor similarity (Liben-Nowell & Kleinberg
+    2003) that powers "suppliers like this one" and supplier-substitution
+    candidates.  Distinct from graph_triangle_counts (closure counting)
+    and events_item_cooccurrence (lift vs independence): Jaccard
+    normalizes by BOTH endpoint degrees.
+
+    Reuses operators/cooccur.item_pairs: per-customer supplier list
+    capped at 16 lowest suppkeys (the heavy-hub guard — pairs per
+    customer bounded at C(16,2), never O(degree^2)); degrees are counted
+    on the SAME capped relation so jaccard_bp is exactly reproducible.
+    jaccard_bp = n_co * 10000 div (n_a + n_b - n_co), pure int64."""
+    from pyspark.sql import Window
+
+    from ..operators import cooccur
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    baskets = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+    )
+    # broadcast_marginals=False: |suppliers| scales with the dimension
+    # table, so the marginal join stays hint-free (AQE decides at runtime)
+    pairs = cooccur.item_pairs(
+        baskets, "cust", "supp", _JACC_CAP, with_lift=True,
+        broadcast_marginals=False,
+    )
+    scored = pairs.filter(F.col("n_co") >= _JACC_MIN_CO).select(
+        "item_a",
+        "item_b",
+        "n_co",
+        F.expr("n_co * 10000 div (n_a + n_b - n_co)")
+        .cast("long")
+        .alias("jaccard_bp"),
+    )
+    sym = scored.select(
+        F.col("item_a").alias("supplier"),
+        F.col("item_b").alias("neighbor"),
+        "n_co",
+        "jaccard_bp",
+    ).unionAll(
+        scored.select(
+            F.col("item_b").alias("supplier"),
+            F.col("item_a").alias("neighbor"),
+            "n_co",
+            "jaccard_bp",
+        )
+    )
+    w = Window.partitionBy("supplier").orderBy(
+        F.col("jaccard_bp").desc(), F.col("neighbor").asc()
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _JACC_TOPK)
+        .select(
+            F.col("supplier").cast("long").alias("supplier"),
+            F.col("neighbor").cast("long").alias("neighbor"),
+            F.col("n_co").cast("long").alias("n_co"),
+            "jaccard_bp",
+            "rank",
+        )
+    )
+
+
+_JACCARD_SQL = rf"""
+WITH ui AS (
+    SELECT DISTINCT o_custkey AS u, l_suppkey AS i
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), capped AS (
+    SELECT u, i FROM (
+        SELECT u, i, ROW_NUMBER() OVER (PARTITION BY u ORDER BY i ASC) AS rn
+        FROM ui)
+    WHERE rn <= {_JACC_CAP}
+),
+marg AS (SELECT i, COUNT(*) AS n_i FROM capped GROUP BY 1),
+p AS (
+    SELECT a.i AS ia, b.i AS ib, COUNT(*) AS n_co
+    FROM capped a JOIN capped b ON a.u = b.u AND a.i < b.i
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_JACC_MIN_CO}
+),
+pj AS (
+    SELECT ia, ib, n_co,
+           n_co * 10000 // (ma.n_i + mb.n_i - n_co) AS jaccard_bp
+    FROM p JOIN marg ma ON ia = ma.i JOIN marg mb ON ib = mb.i
+),
+sym AS (
+    SELECT ia AS supplier, ib AS neighbor, n_co, jaccard_bp FROM pj
+    UNION ALL
+    SELECT ib AS supplier, ia AS neighbor, n_co, jaccard_bp FROM pj
+),
+rk AS (
+    SELECT supplier, neighbor, n_co, jaccard_bp,
+           ROW_NUMBER() OVER (PARTITION BY supplier
+                              ORDER BY jaccard_bp DESC, neighbor ASC) AS rank
+    FROM sym
+)
+SELECT CAST(supplier AS BIGINT) AS supplier,
+       CAST(neighbor AS BIGINT) AS neighbor,
+       CAST(n_co AS BIGINT) AS n_co,
+       CAST(jaccard_bp AS BIGINT) AS jaccard_bp,
+       CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {_JACC_TOPK}
+"""
+
+QUERIES["graph_supplier_jaccard"] = graph_supplier_jaccard
+ORACLES["graph_supplier_jaccard"] = _JACCARD_SQL

@@ -4328,3 +4328,388 @@ FROM f GROUP BY 1
 
 QUERIES["text_code_detection"] = text_code_detection
 ORACLES["text_code_detection"] = _CODE_DETECT_SQL
+
+
+def embedding_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: top-5 cosine retrieval using
+    only the FIRST 32 of 64 dimensions, scored by overlap with the
+    full-dimension top-5 per query — the measurement behind serving
+    embeddings at half width (half the memory bandwidth and ANN index
+    size) and re-ranking with full vectors.  Same broadcast-query-panel
+    brute-force baseline as embedding_cosine_topk (test-scale oracle
+    twin; production swaps in the LSH/IVF path); the half-width leg
+    slices arrays JVM-side, and the oracle folds range(1,33) over the
+    same arrays — bit-identical left-to-right double arithmetic.
+
+    Report per query: overlap count (0–5) and overlap_bp."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    full = cosine_topk(emb, queries, k=5, dim=EMB_DIM).select(
+        "query_id", "neighbor_id"
+    )
+    half_emb = emb.withColumn("embedding", F.slice("embedding", 1, 32))
+    half = cosine_topk(
+        half_emb, half_emb.filter(F.col("vec_id") < 20), k=5
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        full.join(half, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("overlap")
+        )
+        .withColumn(
+            "overlap_bp", F.expr("overlap * 10000 div 5").cast("long")
+        )
+    )
+
+
+def _matryoshka_sql() -> str:
+    cos_full = _cos_sql("qv", "cv", EMB_DIM)
+    cos_half = _cos_sql("qv", "cv", 32)
+
+    def topk(cos: str, tag: str) -> str:
+        return f"""
+{tag}_s AS (
+    SELECT query_id, neighbor_id, ROUND({cos}, 4) AS sim
+    FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+),
+{tag}_r AS (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM {tag}_s
+)"""
+
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+{topk(cos_full, "full")},
+{topk(cos_half, "half")}
+SELECT f.query_id,
+       CAST(COUNT(h.neighbor_id) AS BIGINT) AS overlap,
+       CAST(COUNT(h.neighbor_id) * 10000 // 5 AS BIGINT) AS overlap_bp
+FROM (SELECT * FROM full_r WHERE rank <= 5) f
+LEFT JOIN (SELECT * FROM half_r WHERE rank <= 5) h
+  ON f.query_id = h.query_id AND f.neighbor_id = h.neighbor_id
+GROUP BY 1
+"""
+
+
+QUERIES["embedding_matryoshka_overlap"] = embedding_matryoshka_overlap
+ORACLES["embedding_matryoshka_overlap"] = _matryoshka_sql()
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations + feature-hashing collision audit.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_SUPPORT = 3
+_PMI_TOPK = 20
+
+
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word collocations by pointwise mutual information:
+    pmi = log2(c_ab * N / (c_a * c_b)) over raw (non-distinct) adjacent
+    bigram counts, min support 3 — the association measure behind
+    phrase-merging passes in tokenizer pipelines (word2phrase, Mikolov
+    et al. 2013), complementary to text_bigram_surprisal (conditional
+    next-word probability) and text_top_bigrams (raw document frequency).
+
+    Plan shape: one token explode -> unigram groupBy (vocab-bounded,
+    broadcast back twice), one bigram explode -> groupBy; ranking happens
+    on the ROUNDED pmi with the bigram string as tie-break so cross-
+    engine float noise in log2 cannot reorder (the text_tfidf_top_terms
+    convention).  N folds in as a 1-int scalar collect."""
+    from ..operators.text import bigrams, words
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(words(F.col("text"))).alias("w"))
+    n_tokens = toks.count()  # scalar dimension, computed once
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    bic = (
+        docs.select(F.explode(bigrams(F.col("text"))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_SUPPORT)
+    )
+    # No broadcast hint: the unigram table is vocab-shaped (Heaps-sublinear
+    # but still growing at probe scale — the r5 lesson: hints on growing
+    # relations are pure risk).  AQE broadcasts it at runtime if small.
+    split = bic.withColumn("p", F.split("bg", " "))
+    joined = (
+        split.join(
+            uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")),
+            split.p[0] == F.col("w1"),
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")),
+            split.p[1] == F.col("w2"),
+        )
+        .select(
+            "bg",
+            "c_ab",
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            F.round(
+                F.log2(
+                    F.col("c_ab")
+                    * F.lit(float(n_tokens))
+                    / (F.col("c_a") * F.col("c_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return joined.orderBy(F.col("pmi").desc(), F.col("bg").asc()).limit(
+        _PMI_TOPK
+    )
+
+
+_PMI_SQL = rf"""
+WITH ws AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+toks AS (SELECT unnest(w) AS w FROM ws),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_tok FROM toks),
+uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+bi AS (
+    SELECT unnest(list_transform(range(1, greatest(len(w), 1)),
+                                 i -> w[i] || ' ' || w[i+1])) AS bg
+    FROM ws
+),
+bic AS (
+    SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bi
+    WHERE bg IS NOT NULL GROUP BY 1
+    HAVING COUNT(*) >= {_PMI_MIN_SUPPORT}
+),
+j AS (
+    SELECT bg, c_ab,
+           CAST(ua.c AS BIGINT) AS c_a, CAST(ub.c AS BIGINT) AS c_b,
+           ROUND(log2(c_ab * (SELECT n_tok FROM n)
+                      / (ua.c * ub.c)), 4) AS pmi
+    FROM bic
+    JOIN uni ua ON string_split(bg, ' ')[1] = ua.w
+    JOIN uni ub ON string_split(bg, ' ')[2] = ub.w
+)
+SELECT bg, c_ab, c_a, c_b, pmi FROM j
+ORDER BY pmi DESC, bg ASC LIMIT {_PMI_TOPK}
+"""
+
+QUERIES["text_pmi_collocations"] = text_pmi_collocations
+ORACLES["text_pmi_collocations"] = _PMI_SQL
+
+
+_FH_DIMS = (4096, 16384, 65536)
+
+
+def text_feature_hashing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision audit: project the corpus vocabulary into
+    fixed feature spaces of 2^12 / 2^14 / 2^16 buckets (the fastText /
+    Vowpal-Wabbit featurization) and measure what the projection costs —
+    occupied buckets, max bucket load, and the share of terms that lost
+    identity to a collision (collision_bp).  The number that decides how
+    small a hashed classifier's weight vector can be before quality drops.
+
+    One vocab groupBy, then ONE pass hashing each term against all three
+    dims via an exploded literal array (no per-dim rescan) and two
+    tiny aggregates (<= sum(dims) rows).  Engine-portable md5 h60 hash
+    (operators/sketch.py) so DuckDB reproduces bucket ids exactly."""
+    from ..operators.sketch import h60
+    from ..operators.text import words
+
+    docs = _docs(spark, sf_dir)
+    vocab = (
+        docs.select(F.explode(words(F.col("text"))).alias("w"))
+        .distinct()
+        .select("w", h60(F.col("w"), "feathash").alias("h"))
+    )
+    loads = (
+        vocab.select(
+            "h",
+            F.explode(
+                F.array(*[F.lit(m).cast("long") for m in _FH_DIMS])
+            ).alias("dim"),
+        )
+        .groupBy("dim", F.expr("h % dim").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("load"))
+    )
+    return (
+        loads.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("occupied"),
+            F.sum("load").cast("long").alias("vocab"),
+            F.max("load").cast("long").alias("max_load"),
+            F.sum(
+                F.when(F.col("load") > 1, F.col("load") - 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("collided_terms"),
+        )
+        .withColumn(
+            "collision_bp",
+            F.expr("collided_terms * 10000 div vocab").cast("long"),
+        )
+    )
+
+
+QUERIES["text_feature_hashing_audit"] = text_feature_hashing_audit
+
+
+def _fh_sql() -> str:
+    from ..operators.sketch import h60_sql
+
+    dims = ", ".join(str(m) for m in _FH_DIMS)
+    return rf"""
+WITH v AS (
+    SELECT DISTINCT unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents
+),
+hv AS (SELECT {h60_sql('w', 'feathash')} AS h FROM v),
+d AS (
+    SELECT h, CAST(dim AS BIGINT) AS dim
+    FROM hv CROSS JOIN (SELECT unnest([{dims}]) AS dim)
+),
+b AS (SELECT dim, h % dim AS bucket, COUNT(*) AS load FROM d GROUP BY 1, 2)
+SELECT dim,
+       CAST(COUNT(*) AS BIGINT) AS occupied,
+       CAST(SUM(load) AS BIGINT) AS vocab,
+       CAST(MAX(load) AS BIGINT) AS max_load,
+       CAST(SUM(CASE WHEN load > 1 THEN load - 1 ELSE 0 END) AS BIGINT)
+           AS collided_terms,
+       CAST(SUM(CASE WHEN load > 1 THEN load - 1 ELSE 0 END) * 10000
+            // SUM(load) AS BIGINT) AS collision_bp
+FROM b GROUP BY 1
+"""
+
+
+ORACLES["text_feature_hashing_audit"] = _fh_sql()
+
+
+# ---------------------------------------------------------------------------
+# Sign-bit binary quantization + hamming recall audit.
+# ---------------------------------------------------------------------------
+
+_BITQ_HI = (
+    "aggregate(slice(embedding, 1, 32), CAST(0 AS BIGINT), "
+    "(acc, x) -> acc * 2 + IF(x >= 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))"
+)
+_BITQ_LO = (
+    "aggregate(slice(embedding, 33, 32), CAST(0 AS BIGINT), "
+    "(acc, x) -> acc * 2 + IF(x >= 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))"
+)
+
+
+def embedding_bitq_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization audit: sign-quantize every 64-dim embedding to
+    64 bits (two 32-bit words — BIGINT-safe in both engines; a single
+    64-bit fold would wrap Spark's int64 silently while DuckDB errors),
+    retrieve top-5 by hamming distance, and score recall@5 against the
+    exact cosine top-5 — the measurement behind 32x-compressed vector
+    indexes (one bit per dim; hamming is two XOR+popcounts per
+    candidate instead of 64 multiply-adds).  ham_radius is the hamming
+    distance of the 5th binary neighbor — the re-ranking window a
+    production two-stage retriever would rescan with full vectors.
+
+    Same broadcast-20-query-panel scan as the exact baseline; all
+    distances integer, so the two legs agree across engines exactly."""
+    emb = _emb(spark, sf_dir)
+    bq = emb.select(
+        "vec_id",
+        F.expr(_BITQ_HI).alias("hi"),
+        F.expr(_BITQ_LO).alias("lo"),
+    )
+    panel = bq.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("hi").alias("q_hi"),
+        F.col("lo").alias("q_lo"),
+    )
+    ham = (
+        bq.crossJoin(F.broadcast(panel))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr("bit_count(hi ^ q_hi) + bit_count(lo ^ q_lo)")
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    ham5 = ham.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+    exact5 = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, dim=EMB_DIM
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        ham5.join(exact5, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.max("hamming").cast("long").alias("ham_radius"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("overlap"),
+        )
+        .withColumn(
+            "recall_bp", F.expr("overlap * 10000 div 5").cast("long")
+        )
+    )
+
+
+def _bitq_sql() -> str:
+    word = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(embedding[{lo}:{hi}], "
+        "x -> CASE WHEN x >= 0 THEN CAST(1 AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)), (acc, b) -> acc * 2 + b)"
+    )
+    cos = _cos_sql("qv", "cv", EMB_DIM)
+    return rf"""
+WITH b AS (
+    SELECT vec_id, {word.format(lo=1, hi=32)} AS hi,
+           {word.format(lo=33, hi=64)} AS lo
+    FROM embeddings
+),
+qb AS (SELECT vec_id AS query_id, hi AS q_hi, lo AS q_lo
+       FROM b WHERE vec_id < 20),
+h AS (
+    SELECT query_id, b.vec_id AS neighbor_id,
+           bit_count(xor(hi, q_hi)) + bit_count(xor(lo, q_lo)) AS hamming
+    FROM b CROSS JOIN qb WHERE b.vec_id <> query_id
+),
+hr AS (
+    SELECT query_id, neighbor_id, hamming,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY hamming ASC, neighbor_id ASC) AS rank
+    FROM h
+),
+h5 AS (SELECT * FROM hr WHERE rank <= 5),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+fs AS (
+    SELECT query_id, neighbor_id, ROUND({cos}, 4) AS sim
+    FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+),
+fr AS (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM fs
+),
+f5 AS (SELECT query_id, neighbor_id FROM fr WHERE rank <= 5)
+SELECT h5.query_id,
+       CAST(MAX(h5.hamming) AS BIGINT) AS ham_radius,
+       CAST(COUNT(f5.neighbor_id) AS BIGINT) AS overlap,
+       CAST(COUNT(f5.neighbor_id) * 10000 // 5 AS BIGINT) AS recall_bp
+FROM h5 LEFT JOIN f5
+  ON h5.query_id = f5.query_id AND h5.neighbor_id = f5.neighbor_id
+GROUP BY 1
+"""
+
+
+QUERIES["embedding_bitq_hamming_recall"] = embedding_bitq_hamming_recall
+ORACLES["embedding_bitq_hamming_recall"] = _bitq_sql()

@@ -101,3 +101,27 @@ def test_rolling_checkpoint_spares_foreign_caches(spark):
     assert not (gen1 & live), "prior generation must be freed"
     assert gen and gen.isdisjoint(gen1)
     foreign.unpersist()
+
+
+def test_supplier_jaccard_exact_on_tiny_graph(spark, tmp_path):
+    """Suppliers with identical customer sets score 10000 bp; a supplier
+    covering 1 of the other's 3 customers scores floor(1/3 * 10000)."""
+    from test_flink_spark.plans.advanced import graph_supplier_jaccard
+
+    orders = [(k, k) for k in (1, 2, 3)]  # o_orderkey == o_custkey
+    spark.createDataFrame(
+        orders, "o_orderkey LONG, o_custkey LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    # supplier 10 and 11 sell to all three customers; 12 to custs 1 and 2
+    # (two shared customers — the n_co >= 2 support floor keeps the pair)
+    li = [(c, s) for c in (1, 2, 3) for s in (10, 11)] + [(1, 12), (2, 12)]
+    spark.createDataFrame(
+        li, "l_orderkey LONG, l_suppkey LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    rows = graph_supplier_jaccard(spark, str(tmp_path)).collect()
+    by_pair = {(r["supplier"], r["neighbor"]): r for r in rows}
+    assert by_pair[(10, 11)]["jaccard_bp"] == 10000
+    assert by_pair[(11, 10)]["rank"] == 1
+    # (10, 12): n_co=2, degrees 3 and 2 -> 2/3
+    assert by_pair[(10, 12)]["jaccard_bp"] == 6666

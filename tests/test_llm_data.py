@@ -1092,3 +1092,46 @@ def test_video_shot_segments_matches_reference(spark):
     assert got == {1: ref(flat), 2: ref(cut), 3: ref(ragged)}
     assert got[1][1] == 0          # flat: no cuts
     assert got[2][1] == 1          # hard cut detected
+
+
+def test_pmi_ranks_exclusive_pair_above_promiscuous(spark, tmp_path, monkeypatch):
+    """A bigram whose words appear ONLY together must out-PMI an equally
+    frequent bigram of corpus-wide stopwords (PMI's defining property —
+    raw frequency ranks them identically)."""
+    from test_flink_spark.plans.llm_data import text_pmi_collocations
+
+    # 'zig zag' always together (4x); 'the of' co-occurs 4x but both words
+    # flood the rest of the corpus
+    docs = [(i, "zig zag and the of x" + str(i)) for i in range(4)] + [
+        (i + 10, "the the the of of of filler" + str(i)) for i in range(4)
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    d = tmp_path / "documents.parquet"
+    df.write.mode("overwrite").parquet(str(d.parent / "documents.parquet"))
+    out = {
+        r["bg"]: r["pmi"]
+        for r in text_pmi_collocations(spark, str(tmp_path)).collect()
+    }
+    assert "zig zag" in out
+    assert "the of" in out
+    assert out["zig zag"] > out["the of"]
+
+
+def test_feature_hashing_monotone_and_exhaustive(spark):
+    from test_flink_spark.plans.llm_data import text_feature_hashing_audit
+
+    rows = text_feature_hashing_audit(spark, SF).collect()
+    by_dim = {r["dim"]: r for r in sorted(rows, key=lambda r: r["dim"])}
+    dims = sorted(by_dim)
+    assert len(dims) == 3
+    vocab = {r["vocab"] for r in rows}
+    assert len(vocab) == 1  # same vocabulary hashed into every dim
+    for d in dims:
+        r = by_dim[d]
+        # bucket accounting must be exhaustive: every term is either the
+        # first in its bucket (occupied) or a collision casualty
+        assert r["occupied"] + r["collided_terms"] == r["vocab"]
+        assert r["max_load"] >= 1
+    # more buckets => no more collisions (monotone in dim)
+    collided = [by_dim[d]["collided_terms"] for d in dims]
+    assert collided == sorted(collided, reverse=True)

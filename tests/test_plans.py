@@ -152,6 +152,14 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         # it exists to measure the LSH path against it; same inherited
         # broadcast-query-panel BNLJ.
         "embedding_ann_recall",
+        # matryoshka overlap runs cosine_topk twice (full-dim and
+        # truncated-dim legs) over the same 20-query broadcast panel —
+        # both BNLJs are that same sanctioned baseline shape.
+        "embedding_matryoshka_overlap",
+        # bitq recall: hamming leg scans the corpus against the SAME
+        # fixed 20-row broadcast query panel (2 BIGINTs per row), and the
+        # exact leg composes cosine_topk by design (the recall baseline).
+        "embedding_bitq_hamming_recall",
     }
     # A global window is sanctioned ONLY over provably-bounded input:
     # corpus_mix_report's token_share window reads post-aggregation rows
@@ -175,6 +183,11 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         # rows here vs 20k parts), never the part table — the textbook
         # distributed-skyline plan (see parts_price_size_skyline).
         "parts_price_size_skyline",
+        # same co-occurrence false positive as events_user_gini: both
+        # row_number windows ARE partitioned (by user_id) and the
+        # SinglePartition exchange is the 1-ROW final of the summary
+        # aggregate, fed by map-side partials — a global count() shape.
+        "cdc_merge_apply",
     }
     forbidden = ("CartesianProduct", "BatchEvalPython")
     offenders = {}
