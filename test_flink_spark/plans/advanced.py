@@ -1553,3 +1553,84 @@ FROM rk WHERE rank <= {_JACC_TOPK}
 
 QUERIES["graph_supplier_jaccard"] = graph_supplier_jaccard
 ORACLES["graph_supplier_jaccard"] = _JACCARD_SQL
+
+
+# ---------------------------------------------------------------------------
+# Market-concentration HHI per nation.
+# ---------------------------------------------------------------------------
+
+def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of supplier revenue within each
+    nation — the antitrust-style market-structure metric (HHI > 2500 ppm
+    of the 1e6 scale ≈ 'highly concentrated').  Revenue converts to
+    integer cents PER ROW (floor(x*100 + 0.5) — a deterministic scalar
+    expression, identical IEEE result in both engines) so every
+    aggregate after the scan is pure int64: share_ppm = rev_s * 1e6 div
+    rev_nation, hhi_ppm = sum(share_ppm²) div 1e6.  Two partitioned
+    exchanges: (nation, supplier) partial-agg and the per-nation window."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .select(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("s_suppkey").alias("suppkey"),
+            F.expr(
+                "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("nationkey", "suppkey")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = Window.partitionBy("nationkey")
+    shares = rev.select(
+        "nationkey",
+        F.expr("rev * 1000000").alias("num"),
+        F.sum("rev").over(w).alias("tot"),
+    ).select("nationkey", F.expr("num div tot").alias("share_ppm"))
+    hhi = shares.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.expr("sum(share_ppm * share_ppm) div 1000000")
+        .cast("long")
+        .alias("hhi_ppm"),
+        F.max("share_ppm").cast("long").alias("top_share_ppm"),
+    )
+    return hhi.join(F.broadcast(na), hhi.nationkey == na.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        "n_suppliers",
+        "hhi_ppm",
+        "top_share_ppm",
+    )
+
+
+_HHI_SQL = """
+WITH rev AS (
+    SELECT s_nationkey AS nationkey, s_suppkey AS suppkey,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+               AS BIGINT)) AS rev
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY 1, 2
+),
+shares AS (
+    SELECT nationkey,
+           rev * 1000000 // SUM(rev) OVER (PARTITION BY nationkey)
+               AS share_ppm
+    FROM rev
+),
+hhi AS (
+    SELECT nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm,
+           CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm
+    FROM shares GROUP BY 1
+)
+SELECT n_name AS nation, n_suppliers, hhi_ppm, top_share_ppm
+FROM hhi JOIN nation ON nationkey = n_nationkey
+"""
+
+QUERIES["nation_revenue_hhi"] = nation_revenue_hhi
+ORACLES["nation_revenue_hhi"] = _HHI_SQL

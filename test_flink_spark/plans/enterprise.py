@@ -2677,3 +2677,96 @@ FROM m
 
 QUERIES["cdc_merge_apply"] = cdc_merge_apply
 ORACLES["cdc_merge_apply"] = _MERGE_APPLY_SQL
+
+
+# ---------------------------------------------------------------------------
+# Wilson lower-bound CTR ranking.
+# ---------------------------------------------------------------------------
+
+_WILSON_MIN_TRIALS = 10
+_WILSON_TOPK = 20
+
+
+def events_wilson_ctr_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking under uncertainty: items ordered by the 95% Wilson score
+    LOWER bound of their click proportion (clicks out of clicks+views),
+    not the raw rate — the standard fix for 'an item with 2/2 clicks
+    outranks one with 180/200' (Wilson 1927; the canonical sort-by-rating
+    formula).  Raw-rate ctr_bp is emitted alongside to show the reorder.
+
+    Float discipline: p and the bound use EXPLICIT double literals
+    (3.8416D) in identical operand order in both dialects — a bare
+    3.8416 literal parses as DECIMAL in Spark and its division rounds
+    differently than IEEE; ranking happens on the ROUNDED bound with
+    item as tie-break (the tfidf convention)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("try_cast(get_json_object(props, '$.k') AS LONG)").alias(
+            "item"
+        ),
+        "event_type",
+    ).filter(F.col("item").isNotNull())
+    counts = ev.filter(F.col("event_type").isin("click", "view")).groupBy(
+        "item"
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("clicks"),
+        F.count(F.lit(1)).cast("long").alias("trials"),
+    ).filter(F.col("trials") >= _WILSON_MIN_TRIALS)
+    scored = counts.select(
+        "item",
+        "clicks",
+        "trials",
+        F.expr("clicks * 10000 div trials").cast("long").alias("ctr_bp"),
+        F.expr(
+            "round(((CAST(clicks AS DOUBLE) / trials) + 3.8416D/(2*trials)"
+            " - 1.96D * sqrt(((CAST(clicks AS DOUBLE) / trials)"
+            "*(1.0D - (CAST(clicks AS DOUBLE) / trials))"
+            " + 3.8416D/(4*trials))/trials))"
+            " / (1.0D + 3.8416D/trials), 4)"
+        ).alias("wilson_lb"),
+    )
+    # bounded input: |items| rows (the item catalog), never the event
+    # stream — TakeOrderedAndProject over an aggregate, not a global sort
+    return (
+        scored.orderBy(F.col("wilson_lb").desc(), F.col("item").asc())
+        .limit(_WILSON_TOPK)
+        .select("item", "clicks", "trials", "ctr_bp", "wilson_lb")
+    )
+
+
+_WILSON_SQL = rf"""
+WITH ev AS (
+    SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+           event_type
+    FROM events
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+),
+counts AS (
+    SELECT item,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS clicks,
+           CAST(COUNT(*) AS BIGINT) AS trials
+    FROM ev WHERE event_type IN ('click', 'view')
+    GROUP BY 1
+    HAVING COUNT(*) >= {_WILSON_MIN_TRIALS}
+),
+scored AS (
+    SELECT item, clicks, trials,
+           CAST(clicks * 10000 // trials AS BIGINT) AS ctr_bp,
+           ROUND(((CAST(clicks AS DOUBLE) / trials)
+                  + 3.8416::DOUBLE/(2*trials)
+                  - 1.96::DOUBLE * SQRT(((CAST(clicks AS DOUBLE) / trials)
+                    *(1.0::DOUBLE - (CAST(clicks AS DOUBLE) / trials))
+                    + 3.8416::DOUBLE/(4*trials))/trials))
+                 / (1.0::DOUBLE + 3.8416::DOUBLE/trials), 4) AS wilson_lb
+    FROM counts
+)
+SELECT item, clicks, trials, ctr_bp, wilson_lb
+FROM scored
+ORDER BY wilson_lb DESC, item ASC
+LIMIT {_WILSON_TOPK}
+"""
+
+QUERIES["events_wilson_ctr_rank"] = events_wilson_ctr_rank
+ORACLES["events_wilson_ctr_rank"] = _WILSON_SQL

@@ -4713,3 +4713,97 @@ GROUP BY 1
 
 QUERIES["embedding_bitq_hamming_recall"] = embedding_bitq_hamming_recall
 ORACLES["embedding_bitq_hamming_recall"] = _bitq_sql()
+
+
+# ---------------------------------------------------------------------------
+# nDCG ranking-quality audit of the ANN path.
+# ---------------------------------------------------------------------------
+
+# Fixed-point DCG discounts: floor(1e6 / log2(rank+1)), computed ONCE here
+# and folded into BOTH dialects as integer literals — runtime arithmetic is
+# pure int64, so the audit is engine-exact (no float log at query time).
+_NDCG_W = {1: 1_000_000, 2: 630_929, 3: 500_000, 4: 430_676, 5: 386_852}
+# ideal DCG: exact top-5 gains (5,4,3,2,1) in perfect order — a constant
+_NDCG_IDCG_FP = sum((6 - r) * w for r, w in _NDCG_W.items())  # 10_271_920
+
+
+def retrieval_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@5 of the LSH ANN ranking (embedding_lsh_ann's exact parameter
+    point) against graded relevance from the exact cosine top-5
+    (gain = 6 - exact_rank, 0 for non-top-5) — the ranking-quality
+    complement to embedding_ann_recall: recall@k treats a hit at rank 1
+    and rank 5 identically, nDCG pays position.  dcg_fp is the
+    1e6-fixed-point discounted gain; ndcg_bp divides by the constant
+    ideal (gains 5..1 in perfect order).  Queries where LSH produced no
+    candidate at all drop out identically in both engines (the candidate
+    sets are bit-identical — same md5-seeded hyperplanes)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    ann = lsh_bucket_topk(
+        emb, queries, dim=EMB_DIM, k=5,
+        n_planes=_ANN_PLANES, n_tables=_ANN_TABLES,
+    ).select("query_id", "neighbor_id", "rank")
+    exact = cosine_topk(emb, queries, k=5, dim=EMB_DIM).select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(6) - F.col("rank")).cast("long").alias("gain"),
+    )
+    w_expr = "CASE rank " + " ".join(
+        f"WHEN {r} THEN {w}L" for r, w in _NDCG_W.items()
+    ) + " END"
+    return (
+        ann.join(exact, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("gain"), F.lit(0)) * F.expr(w_expr)).alias(
+                "dg"
+            ),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("dg").cast("long").alias("dcg_fp"))
+        .withColumn(
+            "ndcg_bp",
+            F.expr(f"dcg_fp * 10000 div {_NDCG_IDCG_FP}").cast("long"),
+        )
+    )
+
+
+def _ndcg_sql() -> str:
+    cos = _cos_sql("qv", "cv", EMB_DIM)
+    w_sql = "CASE a.rank " + " ".join(
+        f"WHEN {r} THEN {w}" for r, w in _NDCG_W.items()
+    ) + " END"
+    return rf"""
+WITH ann AS (
+    {_lsh_ann_sql()}
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+fs AS (
+    SELECT query_id, neighbor_id, ROUND({cos}, 4) AS sim
+    FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+),
+fr AS (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM fs
+),
+ex AS (SELECT query_id, neighbor_id, 6 - rank AS gain FROM fr
+       WHERE rank <= 5),
+dg AS (
+    SELECT a.query_id,
+           COALESCE(ex.gain, 0) * {w_sql} AS dg
+    FROM ann a LEFT JOIN ex
+      ON a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id
+)
+SELECT query_id,
+       CAST(SUM(dg) AS BIGINT) AS dcg_fp,
+       CAST(SUM(dg) * 10000 // {_NDCG_IDCG_FP} AS BIGINT) AS ndcg_bp
+FROM dg GROUP BY 1
+"""
+
+
+QUERIES["retrieval_ndcg_audit"] = retrieval_ndcg_audit
+ORACLES["retrieval_ndcg_audit"] = _ndcg_sql()

@@ -1599,3 +1599,64 @@ GROUP BY 1
 
 QUERIES["join_view_incremental_merge"] = join_view_incremental_merge
 ORACLES["join_view_incremental_merge"] = _JOIN_VIEW_INC_SQL
+
+
+def unpivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse of pivot_event_counts: melt the wide per-user event
+    matrix back to long (user_id, metric, cnt) with the user-relative
+    share in basis points — Spark's native ``DataFrame.unpivot`` (SQL
+    ``stack``) against DuckDB's ``UNPIVOT``.  Wide->long is the standard
+    prep step for per-metric features; the unpivot itself is a
+    zero-shuffle in-place row explosion, so the only exchanges are the
+    pivot groupBy and the per-user share window (both partitioned)."""
+    ev = _t(spark, sf_dir, "events")
+    metrics = ["click", "view", "purchase", "signup", "error"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", metrics)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    long = wide.unpivot(["user_id"], metrics, "metric", "cnt").filter(
+        F.col("cnt") > 0
+    )
+    w = Window.partitionBy("user_id")
+    return long.select(
+        "user_id",
+        "metric",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.expr("cnt * 10000")
+        .alias("_n")
+        .cast("long"),
+        F.sum("cnt").over(w).alias("_tot"),
+    ).select(
+        "user_id",
+        "metric",
+        "cnt",
+        F.expr("_n div _tot").cast("long").alias("share_bp"),
+    )
+
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'view') AS view,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'error') AS error
+    FROM events GROUP BY 1
+),
+long AS (
+    UNPIVOT wide ON click, view, purchase, signup, error
+    INTO NAME metric VALUE cnt
+),
+nz AS (SELECT * FROM long WHERE cnt > 0)
+SELECT user_id, metric, CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt * 10000 // SUM(cnt) OVER (PARTITION BY user_id) AS BIGINT)
+           AS share_bp
+FROM nz
+"""
+
+QUERIES["unpivot_user_event_matrix"] = unpivot_user_event_matrix
+ORACLES["unpivot_user_event_matrix"] = _UNPIVOT_SQL

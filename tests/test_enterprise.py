@@ -772,3 +772,36 @@ def test_cep_strict_contiguity_rejects_intervening_event(spark):
     with um.patch.object(E, "_t", lambda s, sf, name: df):
         got = E.events_cep_strict_sequence(spark, "ignored").collect()
     assert len(got) == 1 and got[0]["matches"] == 1 and got[0]["users"] == 1
+
+
+def test_wilson_lower_bound_dominated_by_raw_rate(spark):
+    """The Wilson bound is a LOWER confidence bound: strictly below the
+    raw proportion for every finite sample, never negative, and the
+    output must arrive ranked by it."""
+    from test_flink_spark.plans.enterprise import events_wilson_ctr_rank
+
+    rows = events_wilson_ctr_rank(spark, "/root/testdata/sf0.01").collect()
+    assert rows, "no items cleared the trials floor at sf0.01"
+    lbs = [r["wilson_lb"] for r in rows]
+    assert lbs == sorted(lbs, reverse=True)
+    for r in rows:
+        assert 0.0 <= r["wilson_lb"] < r["clicks"] / r["trials"] + 1e-9
+        # shrinkage is material at these sample sizes, not a rounding haze
+        assert r["wilson_lb"] < r["ctr_bp"] / 10000.0
+
+
+def test_hhi_bounds_and_monopoly_limit(spark):
+    """HHI lies in (0, 1e6]; a nation's top share can never exceed its
+    HHI-implied maximum (top_share² <= sum of squared shares)."""
+    from test_flink_spark.plans.advanced import nation_revenue_hhi
+
+    rows = nation_revenue_hhi(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 < r["hhi_ppm"] <= 1_000_000
+        # floor-div noise: each share loses < 1 ppm, n_suppliers of them
+        assert (
+            r["top_share_ppm"] ** 2 // 1_000_000 <= r["hhi_ppm"] + r["n_suppliers"]
+        )
+        # equal-split lower bound: hhi >= 1e6 / n (floor slack)
+        assert r["hhi_ppm"] >= 1_000_000 // r["n_suppliers"] - r["n_suppliers"]

@@ -160,6 +160,10 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         # fixed 20-row broadcast query panel (2 BIGINTs per row), and the
         # exact leg composes cosine_topk by design (the recall baseline).
         "embedding_bitq_hamming_recall",
+        # nDCG audit: the graded-relevance leg IS the exact cosine top-5
+        # baseline (cosine_topk) — same sanctioned panel BNLJ; the ANN
+        # leg under audit is the bucketed LSH path (no BNLJ).
+        "retrieval_ndcg_audit",
     }
     # A global window is sanctioned ONLY over provably-bounded input:
     # corpus_mix_report's token_share window reads post-aggregation rows
