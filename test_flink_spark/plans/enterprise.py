@@ -2770,3 +2770,153 @@ LIMIT {_WILSON_TOPK}
 
 QUERIES["events_wilson_ctr_rank"] = events_wilson_ctr_rank
 ORACLES["events_wilson_ctr_rank"] = _WILSON_SQL
+
+
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution — the position-agnostic counterpart
+    of events_attribution_last_touch: every purchase splits one unit of
+    conversion credit (and its revenue cents) EQUALLY across all
+    view/click touches by the same user in the strict 7-day lookback
+    window.  Exact integer accounting: credit in ppm with the floor
+    remainder deterministically assigned to the click channel, revenue
+    in cents likewise — per-purchase credits sum to exactly 1e6 ppm and
+    exactly `cents`, so the fleet's integer-conservation discipline
+    holds (no float credit drift).  Touchless purchases credit 'none'.
+
+    Shape: the touch counts come from RANGE-frame windows over the SAME
+    user_id exchange and ts ordering (value-range frames are tie-safe —
+    no event_id tiebreak needed, same-ms rows land in or out of the
+    frame together); the naive form is a purchases x touches time-range
+    self-join that shuffles the fact table against itself."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_ms").asc())
+        .rangeBetween(-7 * _DAY_MS, -1)
+    )
+    p = (
+        ev.withColumn(
+            "nv",
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(
+                wr
+            ),
+        )
+        .withColumn(
+            "nc",
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).over(wr),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "cents",
+            # empty RANGE frame -> NULL sum in Spark (DuckDB likewise):
+            # coalesce so touchless purchases take the n = 0 branch
+            F.coalesce(F.col("nv"), F.lit(0)).cast("long").alias("nv"),
+            F.coalesce(F.col("nc"), F.lit(0)).cast("long").alias("nc"),
+            (
+                F.coalesce(F.col("nv"), F.lit(0))
+                + F.coalesce(F.col("nc"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n"),
+        )
+        .select(
+            "cents",
+            "n",
+            F.expr("IF(n = 0, CAST(0 AS BIGINT), nv * 1000000 div n)").alias(
+                "view_ppm"
+            ),
+            F.expr(
+                "IF(n = 0, CAST(0 AS BIGINT), cents * nv div n)"
+            ).alias("view_cents"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("view").alias("channel"),
+                        F.col("view_ppm").alias("ppm"),
+                        F.col("view_cents").alias("cr"),
+                    ),
+                    F.struct(
+                        F.lit("click").alias("channel"),
+                        F.expr(
+                            "IF(n = 0, CAST(0 AS BIGINT),"
+                            " 1000000 - view_ppm)"
+                        ).alias("ppm"),
+                        F.expr(
+                            "IF(n = 0, CAST(0 AS BIGINT),"
+                            " cents - view_cents)"
+                        ).alias("cr"),
+                    ),
+                    F.struct(
+                        F.lit("none").alias("channel"),
+                        F.expr(
+                            "IF(n = 0, CAST(1000000 AS BIGINT),"
+                            " CAST(0 AS BIGINT))"
+                        ).alias("ppm"),
+                        F.expr(
+                            "IF(n = 0, cents, CAST(0 AS BIGINT))"
+                        ).alias("cr"),
+                    ),
+                )
+            ).alias("x")
+        )
+    )
+    return p.groupBy(F.col("x.channel").alias("channel")).agg(
+        F.sum("x.ppm").cast("long").alias("credit_ppm"),
+        F.sum("x.cr").cast("long").alias("revenue_cents"),
+    )
+
+
+_ATTR_LINEAR_SQL = r"""
+WITH ev AS (
+    SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), counted AS (
+    SELECT *,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts_ms
+                   RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING) AS nv,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts_ms
+                   RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING) AS nc
+    FROM ev
+), p AS (
+    SELECT cents,
+           COALESCE(nv, 0) + COALESCE(nc, 0) AS n,
+           COALESCE(nv, 0) AS nv
+    FROM counted WHERE event_type = 'purchase'
+), split AS (
+    SELECT cents, n, nv,
+           CASE WHEN n = 0 THEN 0 ELSE nv * 1000000 // n END AS view_ppm,
+           CASE WHEN n = 0 THEN 0 ELSE cents * nv // n END AS view_cents
+    FROM p
+), long AS (
+    SELECT 'view' AS channel, view_ppm AS ppm, view_cents AS cr FROM split
+    UNION ALL
+    SELECT 'click',
+           CASE WHEN n = 0 THEN 0 ELSE 1000000 - view_ppm END,
+           CASE WHEN n = 0 THEN 0 ELSE cents - view_cents END
+    FROM split
+    UNION ALL
+    SELECT 'none',
+           CASE WHEN n = 0 THEN 1000000 ELSE 0 END,
+           CASE WHEN n = 0 THEN cents ELSE 0 END
+    FROM split
+)
+SELECT channel,
+       CAST(SUM(ppm) AS BIGINT) AS credit_ppm,
+       CAST(SUM(cr) AS BIGINT) AS revenue_cents
+FROM long GROUP BY 1
+"""
+
+QUERIES["events_attribution_linear"] = events_attribution_linear
+ORACLES["events_attribution_linear"] = _ATTR_LINEAR_SQL

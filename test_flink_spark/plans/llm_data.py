@@ -4807,3 +4807,146 @@ FROM dg GROUP BY 1
 
 QUERIES["retrieval_ndcg_audit"] = retrieval_ndcg_audit
 ORACLES["retrieval_ndcg_audit"] = _ndcg_sql()
+
+
+# ---------------------------------------------------------------------------
+# Trigram inverted-index LIKE-acceleration audit (pg_trgm-style).
+# ---------------------------------------------------------------------------
+
+_TRGM_PATTERNS = ("table key", "fast merge", "scan slow", "spark a")
+
+
+def _trgm_set(pattern: str) -> list[str]:
+    return sorted({pattern[i : i + 3] for i in range(len(pattern) - 2)})
+
+
+def text_trigram_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pg_trgm-style substring-search acceleration, audited: build a
+    trigram inverted index over the corpus (distinct (doc_id, trigram) —
+    the one-explode, embarrassingly-parallel index build), answer each
+    LIKE '%pattern%' by intersecting the pattern's trigram postings
+    (HAVING count = |pattern trigrams|), and measure what the index
+    buys: candidate count vs true count, candidate precision, and
+    n_missed — which MUST be 0 (trigram containment is a necessary
+    condition; the column is the lossless-prefilter proof, not an
+    estimate).  At 100 TB this is the difference between a full-corpus
+    LIKE scan per search and one bounded postings join: the pattern
+    trigram table is a CONSTANT literal relation (broadcast-safe by
+    construction), and only candidate doc ids cross the shuffle.
+
+    Patterns and their trigram sets fold in at plan time (computed once
+    in Python, emitted as literals in BOTH dialects)."""
+    docs = _docs(spark, sf_dir)
+    postings = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.length("text") >= 3,
+                F.expr(
+                    "transform(sequence(1, length(text) - 2),"
+                    " i -> substring(text, i, 3))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("tri"),
+    ).distinct()
+    pat_rows = [
+        (p, t, len(_trgm_set(p)))
+        for p in _TRGM_PATTERNS
+        for t in _trgm_set(p)
+    ]
+    pats = spark.createDataFrame(
+        pat_rows, "pattern STRING, tri STRING, n_tri INT"
+    )
+    cand = (
+        postings.join(F.broadcast(pats), "tri")
+        .groupBy("pattern", "doc_id", "n_tri")
+        .agg(F.count(F.lit(1)).alias("hit"))
+        .filter(F.col("hit") == F.col("n_tri"))
+        .select("pattern", "doc_id")
+    )
+    pat_lits = F.array(*[F.lit(p) for p in _TRGM_PATTERNS])
+    truth = (
+        docs.select("doc_id", "text", F.explode(pat_lits).alias("pattern"))
+        .filter(F.expr("instr(text, pattern) > 0"))
+        .select("pattern", "doc_id")
+    )
+    n_cand = cand.groupBy("pattern").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    n_true = truth.groupBy("pattern").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    missed = (
+        truth.join(cand, ["pattern", "doc_id"], "left_anti")
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    return (
+        n_cand.join(n_true, "pattern", "left")
+        .join(missed, "pattern", "left")
+        .select(
+            "pattern",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            "n_candidates",
+            F.coalesce("m", F.lit(0)).cast("long").alias("n_missed"),
+            F.expr(
+                "(coalesce(n_true, 0) - coalesce(m, 0)) * 10000"
+                " div n_candidates"
+            )
+            .cast("long")
+            .alias("precision_bp"),
+        )
+    )
+
+
+def _trgm_sql() -> str:
+    pat_vals = ", ".join(
+        f"('{p}', '{t}', {len(_trgm_set(p))})"
+        for p in _TRGM_PATTERNS
+        for t in _trgm_set(p)
+    )
+    pat_list = ", ".join(f"'{p}'" for p in _TRGM_PATTERNS)
+    return rf"""
+WITH postings AS (
+    SELECT DISTINCT doc_id, tri FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(length(text) - 1, 1)),
+                                     i -> substr(text, i, 3))) AS tri
+        FROM documents
+    )
+),
+pats(pattern, tri, n_tri) AS (VALUES {pat_vals}),
+cand AS (
+    SELECT pattern, doc_id
+    FROM postings JOIN pats USING (tri)
+    GROUP BY pattern, doc_id, n_tri
+    HAVING COUNT(*) = n_tri
+),
+truth AS (
+    SELECT p.pattern, d.doc_id
+    FROM documents d CROSS JOIN (SELECT unnest([{pat_list}]) AS pattern) p
+    WHERE instr(d.text, p.pattern) > 0
+),
+nc AS (SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n_candidates
+       FROM cand GROUP BY 1),
+nt AS (SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n_true
+       FROM truth GROUP BY 1),
+ms AS (
+    SELECT t.pattern, CAST(COUNT(*) AS BIGINT) AS m
+    FROM truth t LEFT JOIN cand c
+      ON t.pattern = c.pattern AND t.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL
+    GROUP BY 1
+)
+SELECT nc.pattern,
+       CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true,
+       n_candidates,
+       CAST(COALESCE(m, 0) AS BIGINT) AS n_missed,
+       CAST((COALESCE(n_true, 0) - COALESCE(m, 0)) * 10000 // n_candidates
+            AS BIGINT) AS precision_bp
+FROM nc LEFT JOIN nt USING (pattern) LEFT JOIN ms USING (pattern)
+"""
+
+
+QUERIES["text_trigram_index_audit"] = text_trigram_index_audit
+ORACLES["text_trigram_index_audit"] = _trgm_sql()

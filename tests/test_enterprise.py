@@ -805,3 +805,25 @@ def test_hhi_bounds_and_monopoly_limit(spark):
         )
         # equal-split lower bound: hhi >= 1e6 / n (floor slack)
         assert r["hhi_ppm"] >= 1_000_000 // r["n_suppliers"] - r["n_suppliers"]
+
+
+def test_linear_attribution_conserves_credit_and_revenue(spark):
+    """Integer credit accounting must be exactly conservative: every
+    purchase contributes exactly 1e6 ppm of credit and exactly its cents
+    across the three channels (the remainder-to-click scheme)."""
+    from pyspark.sql import functions as F
+
+    from test_flink_spark.plans.enterprise import events_attribution_linear
+    from test_flink_spark.schemas import load_table
+
+    sf = "/root/testdata/sf0.01"
+    out = events_attribution_linear(spark, sf).collect()
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    n_purch = purchases.count()
+    total_cents = purchases.agg(F.sum("cents")).collect()[0][0]
+    assert sum(r["credit_ppm"] for r in out) == 1_000_000 * n_purch
+    assert sum(r["revenue_cents"] for r in out) == total_cents
+    assert {r["channel"] for r in out} == {"view", "click", "none"}

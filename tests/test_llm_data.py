@@ -1135,3 +1135,34 @@ def test_feature_hashing_monotone_and_exhaustive(spark):
     # more buckets => no more collisions (monotone in dim)
     collided = [by_dim[d]["collided_terms"] for d in dims]
     assert collided == sorted(collided, reverse=True)
+
+
+def test_trigram_index_is_lossless_prefilter(spark, tmp_path):
+    """Candidates must be a superset of true matches (n_missed == 0) and
+    a planted scattered-trigram doc must appear as a false positive."""
+    from test_flink_spark.plans.llm_data import (
+        _TRGM_PATTERNS,
+        text_trigram_index_audit,
+    )
+
+    pat = _TRGM_PATTERNS[0]  # 'table key'
+    docs = [
+        (1, f"prefix {pat} suffix"),          # true match
+        # every trigram of the pattern present, but never contiguous:
+        # each trigram island is separated by 'zz' so no longer substring
+        # of the pattern survives
+        (2, "zz".join(pat[i : i + 3] for i in range(len(pat) - 2))),
+        (3, "nothing relevant here"),
+    ]
+    spark.createDataFrame(docs, "doc_id LONG, text STRING").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["pattern"]: r
+        for r in text_trigram_index_audit(spark, str(tmp_path)).collect()
+    }
+    r = rows[pat]
+    assert r["n_missed"] == 0
+    assert r["n_true"] == 1
+    assert r["n_candidates"] == 2  # doc 2 is the engineered false positive
+    assert r["precision_bp"] == 5000
