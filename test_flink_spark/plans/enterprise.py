@@ -2920,3 +2920,202 @@ FROM long GROUP BY 1
 
 QUERIES["events_attribution_linear"] = events_attribution_linear
 ORACLES["events_attribution_linear"] = _ATTR_LINEAR_SQL
+
+
+def events_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of user lifetime (survival analysis —
+    the right-censoring-aware retention estimate marketing 'retention
+    curves' silently get wrong): a user 'dies' in their last active
+    epoch-HOUR (day granularity leaves a 2-step staircase on this feed —
+    nearly every user is active through the final days); users last seen
+    in the corpus's final hour are CENSORED
+    (still alive), so they stay in the at-risk denominator without ever
+    counting as a death.  S(t) = prod_{t' <= t} (1 - d_t'/n_t').
+
+    Engine-exact float discipline: each factor's log is
+    ln(CAST(n-d AS DOUBLE)/n) — a per-row scalar on exact integers —
+    and the cumulative sum runs in an ORDERED window frame, so both
+    engines add the same IEEE terms in the same order; the exp() result
+    is ROUND()ed (the tfidf convention).  Plan: two integer groupBys
+    (per-user last day; per-day death counts), then all remaining work
+    on the <= |days| row staircase (the sanctioned bounded-aggregate
+    global window, corpus_mix_report family)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_millis(ts) div 3600000").alias("hour")
+    )
+    last_day = ev.groupBy("user_id").agg(F.max("hour").alias("death_day"))
+    max_day = last_day.agg(F.max("death_day")).collect()[0][0]  # 1-int scalar
+    n_users = last_day.count()  # 1-int scalar
+    deaths = (
+        last_day.filter(F.col("death_day") < max_day)
+        .groupBy("death_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    # at-risk at t = users whose death_day >= t  =  n_users - (# < t):
+    # cumulative count of PRIOR death days over the bounded staircase
+    w_prior = Window.orderBy(F.col("death_day").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy(F.col("death_day").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    staircase = (
+        deaths.withColumn(
+            "n_at_risk",
+            (
+                F.lit(n_users)
+                - F.coalesce(F.sum("d").over(w_prior), F.lit(0))
+            ).cast("long"),
+        )
+        .withColumn(
+            "lnf",
+            F.expr("ln(CAST(n_at_risk - d AS DOUBLE) / n_at_risk)"),
+        )
+        .withColumn(
+            "survival", F.round(F.exp(F.sum("lnf").over(w_cum)), 4)
+        )
+    )
+    return staircase.select(
+        F.col("death_day").alias("hour"),
+        F.col("n_at_risk"),
+        F.col("d").alias("deaths"),
+        "survival",
+    )
+
+
+_KM_SQL = r"""
+WITH ev AS (
+    SELECT user_id, epoch_ms(ts) // 3600000 AS hour FROM events
+),
+last_day AS (
+    SELECT user_id, MAX(hour) AS death_day FROM ev GROUP BY 1
+),
+mx AS (SELECT MAX(death_day) AS max_day, COUNT(*) AS n_users FROM last_day),
+deaths AS (
+    SELECT death_day, CAST(COUNT(*) AS BIGINT) AS d
+    FROM last_day WHERE death_day < (SELECT max_day FROM mx)
+    GROUP BY 1
+),
+stair AS (
+    SELECT death_day, d,
+           CAST((SELECT n_users FROM mx)
+                - COALESCE(SUM(d) OVER (ORDER BY death_day ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_at_risk
+    FROM deaths
+),
+lf AS (
+    SELECT *, ln(CAST(n_at_risk - d AS DOUBLE) / n_at_risk) AS lnf
+    FROM stair
+)
+SELECT death_day AS hour, n_at_risk, d AS deaths,
+       ROUND(exp(SUM(lnf) OVER (ORDER BY death_day ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+           AS survival
+FROM lf
+"""
+
+QUERIES["events_kaplan_meier_retention"] = events_kaplan_meier_retention
+ORACLES["events_kaplan_meier_retention"] = _KM_SQL
+
+
+def events_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime-value curve by weekly acquisition cohort: users
+    cohort on their FIRST active epoch-week; every purchase lands at
+    age = weeks since cohort week; the curve is the running sum of
+    cohort revenue by age with an exact per-user LTV in milli-cents
+    (cum_cents * 1000 div cohort_users) — the growth-accounting table a
+    payback-period decision reads off.  Pure integer end to end (cents
+    per row, cumulative window sums), so the curve is engine-exact.
+
+    Shape: per-user first-day groupBy, one user_id join to attach the
+    cohort to purchases, one (cohort, age) groupBy, and a cohort-
+    partitioned cumulative window — every exchange keyed and partial-
+    aggregated; nothing global."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    first = ev.groupBy("user_id").agg(
+        F.expr("min(day) div 7").cast("long").alias("cohort_week")
+    )
+    cohort_sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    aged = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.expr("day div 7") - F.col("cohort_week"))
+            .cast("long")
+            .alias("age_week"),
+            "cents",
+        )
+        .groupBy("cohort_week", "age_week")
+        .agg(F.sum("cents").cast("long").alias("revenue_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy(F.col("age_week").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        aged.withColumn(
+            "cum_revenue_cents", F.sum("revenue_cents").over(w).cast("long")
+        )
+        .join(cohort_sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "age_week",
+            "revenue_cents",
+            "cum_revenue_cents",
+            "cohort_users",
+            F.expr("cum_revenue_cents * 1000 div cohort_users")
+            .cast("long")
+            .alias("ltv_milli_cents"),
+        )
+    )
+
+
+_LTV_SQL = r"""
+WITH ev AS (
+    SELECT user_id, event_type, epoch_ms(ts) // 86400000 AS day,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+),
+first AS (
+    SELECT user_id, CAST(MIN(day) // 7 AS BIGINT) AS cohort_week
+    FROM ev GROUP BY 1
+),
+sizes AS (
+    SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+    FROM first GROUP BY 1
+),
+aged AS (
+    SELECT cohort_week,
+           CAST(day // 7 - cohort_week AS BIGINT) AS age_week,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM ev JOIN first USING (user_id)
+    WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT *,
+           CAST(SUM(revenue_cents) OVER (PARTITION BY cohort_week
+                ORDER BY age_week ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_revenue_cents
+    FROM aged
+)
+SELECT cohort_week, age_week, revenue_cents, cum_revenue_cents,
+       cohort_users,
+       CAST(cum_revenue_cents * 1000 // cohort_users AS BIGINT)
+           AS ltv_milli_cents
+FROM cum JOIN sizes USING (cohort_week)
+"""
+
+QUERIES["events_cohort_ltv_curve"] = events_cohort_ltv_curve
+ORACLES["events_cohort_ltv_curve"] = _LTV_SQL

@@ -827,3 +827,53 @@ def test_linear_attribution_conserves_credit_and_revenue(spark):
     assert sum(r["credit_ppm"] for r in out) == 1_000_000 * n_purch
     assert sum(r["revenue_cents"] for r in out) == total_cents
     assert {r["channel"] for r in out} == {"view", "click", "none"}
+
+
+def test_kaplan_meier_staircase_invariants(spark):
+    """S(t) must be strictly decreasing in (0, 1), at-risk counts strictly
+    decreasing, and the curve must replay exactly from the integer
+    columns (the float path is just exp/ln bookkeeping)."""
+    import math
+
+    from test_flink_spark.plans.enterprise import events_kaplan_meier_retention
+
+    rows = sorted(
+        events_kaplan_meier_retention(spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r["hour"],
+    )
+    assert len(rows) > 5
+    s_prev, n_prev = 1.0 + 1e-9, float("inf")
+    acc = 1.0
+    for r in rows:
+        assert 0.0 < r["survival"] < s_prev
+        assert r["n_at_risk"] < n_prev
+        assert r["deaths"] >= 1
+        s_prev, n_prev = r["survival"], r["n_at_risk"]
+        acc *= (r["n_at_risk"] - r["deaths"]) / r["n_at_risk"]
+        assert abs(acc - r["survival"]) < 5e-4  # ROUND(,4) tolerance
+
+
+def test_ltv_curve_conserves_revenue_and_is_monotone(spark):
+    from pyspark.sql import functions as F
+
+    from test_flink_spark.plans.enterprise import events_cohort_ltv_curve
+    from test_flink_spark.schemas import load_table
+
+    sf = "/root/testdata/sf0.01"
+    rows = events_cohort_ltv_curve(spark, sf).collect()
+    ev = load_table(spark, sf, "events")
+    total = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c")
+        )
+        .agg(F.sum("c"))
+        .collect()[0][0]
+    )
+    # every purchase belongs to exactly one (cohort, age) cell
+    assert sum(r["revenue_cents"] for r in rows) == total
+    by_cohort = {}
+    for r in sorted(rows, key=lambda r: (r["cohort_week"], r["age_week"])):
+        prev = by_cohort.get(r["cohort_week"], 0)
+        assert r["cum_revenue_cents"] == prev + r["revenue_cents"]
+        by_cohort[r["cohort_week"]] = r["cum_revenue_cents"]

@@ -192,6 +192,11 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         # SinglePartition exchange is the 1-ROW final of the summary
         # aggregate, fed by map-side partials — a global count() shape.
         "cdc_merge_apply",
+        # Kaplan-Meier staircase: the cumulative windows read the PER-
+        # DEATH-HOUR AGGREGATE (<= |hours in corpus span| rows), never
+        # the event stream — bounded-aggregate family, corpus_mix_report
+        # precedent.
+        "events_kaplan_meier_retention",
     }
     forbidden = ("CartesianProduct", "BatchEvalPython")
     offenders = {}
