@@ -4950,3 +4950,140 @@ FROM nc LEFT JOIN nt USING (pattern) LEFT JOIN ms USING (pattern)
 
 QUERIES["text_trigram_index_audit"] = text_trigram_index_audit
 ORACLES["text_trigram_index_audit"] = _trgm_sql()
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid mislabel audit (Confident-Learning style).
+# ---------------------------------------------------------------------------
+
+_CM_Q = 10_000       # component quantization: q = floor(x * 1e4)
+_CM_SHIFT = 1_024    # down-shift of (q*c - S) before squaring (int64 headroom)
+
+
+def embedding_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit (the nearest-centroid core of Confident
+    Learning, Northcutt et al.): assign every vector to its nearest
+    LABEL CENTROID and report the own-label -> nearest-centroid
+    confusion counts — off-diagonal cells are the mislabel candidates a
+    data-curation pass re-reviews.
+
+    Engine-exact by construction: components quantize per row
+    (floor(x*1e4)); centroids stay RATIONAL (S_l,d, c_l) — never a float
+    mean, whose partition-order summation diverges across engines;
+    distance compares use c_l-cross-multiplied integers with one
+    documented down-shift (>>10) for int64 headroom and a fixed-
+    denominator key (num*1e4 div c_l**2, trunc-div identical in both
+    engines), label-asc tiebreak.  The quantized argmin is a DEFINED
+    deterministic statistic, not an approximation of a float one.
+
+    Scale: one posexplode pass (|corpus|*dim rows), the 512-row
+    (label, dim) stats relation is bounded by construction (broadcast
+    constant), and the candidate relation carries ids and int64 terms
+    only."""
+    emb = _emb(spark, sf_dir)
+    qv = emb.select(
+        "vec_id",
+        F.col("label").alias("own_label"),
+        F.posexplode("embedding").alias("d", "x"),
+    ).select(
+        "vec_id",
+        "own_label",
+        "d",
+        F.expr(
+            "CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0D) AS BIGINT)"
+        ).alias("q"),
+    )
+    stats = (
+        qv.groupBy(F.col("own_label").alias("l"), "d")
+        .agg(
+            F.sum("q").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    terms = (
+        qv.join(F.broadcast(stats), "d")
+        .select(
+            "vec_id",
+            "own_label",
+            "l",
+            "c",
+            F.expr(
+                f"((q * c - s) - ((q * c - s) % {_CM_SHIFT}))"
+                f" div {_CM_SHIFT}"
+            ).alias("ts"),
+        )
+        .select(
+            "vec_id",
+            "own_label",
+            "l",
+            "c",
+            # exact int64 self-multiply, never pow()'s double round-trip
+            F.expr("ts * ts").alias("t2"),
+        )
+    )
+    dist = terms.groupBy("vec_id", "own_label", "l", "c").agg(
+        F.sum("t2").alias("num")
+    )
+    keyed = dist.select(
+        "vec_id",
+        "own_label",
+        F.struct(
+            F.expr("num * 10000 div (c * c)").alias("key"),
+            F.col("l").alias("lbl"),
+        ).alias("cand"),
+    )
+    nearest = keyed.groupBy("vec_id", "own_label").agg(
+        F.min("cand").alias("best")
+    )
+    return (
+        nearest.groupBy(
+            F.col("own_label").cast("long").alias("own_label"),
+            F.col("best.lbl").cast("long").alias("nearest_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    )
+
+
+_CM_SQL = rf"""
+WITH qv AS (
+    SELECT vec_id, label AS own_label, d,
+           CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 10000.0) AS BIGINT) AS q
+    FROM embeddings, (SELECT unnest(range(1, 65)) AS d)
+),
+stats AS (
+    SELECT own_label AS l, d, SUM(q) AS s, COUNT(*) AS c
+    FROM qv GROUP BY 1, 2
+),
+shifted AS (
+    SELECT vec_id, own_label, l, c,
+           ((q * c - s) - ((q * c - s) % {_CM_SHIFT})) // {_CM_SHIFT} AS ts
+    FROM qv JOIN stats USING (d)
+),
+terms AS (
+    SELECT vec_id, own_label, l, c, ts * ts AS t2 FROM shifted
+),
+dist AS (
+    SELECT vec_id, own_label, l, c, SUM(t2) AS num
+    FROM terms GROUP BY 1, 2, 3, 4
+),
+keyed AS (
+    SELECT vec_id, own_label, l,
+           num * 10000 // (c * c) AS key
+    FROM dist
+),
+nearest AS (
+    SELECT vec_id, own_label, l AS nearest_label
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY key ASC, l ASC) AS rn
+        FROM keyed
+    ) WHERE rn = 1
+)
+SELECT CAST(own_label AS BIGINT) AS own_label,
+       CAST(nearest_label AS BIGINT) AS nearest_label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM nearest GROUP BY 1, 2
+"""
+
+QUERIES["embedding_label_confusion"] = embedding_label_confusion
+ORACLES["embedding_label_confusion"] = _CM_SQL

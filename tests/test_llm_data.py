@@ -1166,3 +1166,19 @@ def test_trigram_index_is_lossless_prefilter(spark, tmp_path):
     assert r["n_true"] == 1
     assert r["n_candidates"] == 2  # doc 2 is the engineered false positive
     assert r["precision_bp"] == 5000
+
+
+def test_label_confusion_conserves_and_beats_random(spark):
+    """Every vector lands in exactly one confusion cell, and the diagonal
+    (own centroid nearest) must far exceed the 1/|labels| random
+    baseline — the labels do cluster (cf. embedding_cluster_purity)."""
+    from test_flink_spark.plans.llm_data import embedding_label_confusion
+    from test_flink_spark.schemas import load_table
+
+    sf = "/root/testdata/sf0.01"
+    rows = embedding_label_confusion(spark, sf).collect()
+    n_vecs = load_table(spark, sf, "embeddings").count()
+    labels = {r["own_label"] for r in rows}
+    assert sum(r["n_vecs"] for r in rows) == n_vecs
+    diag = sum(r["n_vecs"] for r in rows if r["own_label"] == r["nearest_label"])
+    assert diag / n_vecs > 3.0 / len(labels)  # 0.41 measured vs 0.1 random
