@@ -131,3 +131,57 @@ def partitioned_prefix_max(
         "__cummax",
         F.greatest(off_map[F.col("__pid")], F.max(value_col).over(w_local)),
     ).drop("__pid")
+
+
+def partitioned_prefix_sums(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    order: Sequence[Column],
+    n_partitions: int = 16,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Multi-column sibling of :func:`partitioned_prefix_sum`: running
+    sums for EVERY column in ``value_cols`` over one shared total order,
+    in ONE range exchange and ONE bounded offsets collect (calling the
+    single-column form k times would pay k checkpointed exchanges and,
+    worse, k independent boundary samplings).  Adds ``__cum_<col>`` per
+    value column plus ``__rank``; returns ``(df, grand_totals)`` with
+    one total per column.  Consumer: events_ks_drift_test (two-sample
+    CDFs over the merged support)."""
+    ranged = (
+        df.repartitionByRange(n_partitions, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    aggs = [F.sum(c).alias(f"t_{c}") for c in value_cols] + [
+        F.count(F.lit(1)).alias("__n")
+    ]
+    rows = ranged.groupBy("__pid").agg(*aggs).collect()
+    totals = {r["__pid"]: r for r in rows}
+    grand = {c: int(sum(int(r[f"t_{c}"] or 0) for r in rows)) for c in value_cols}
+    offsets = {c: {} for c in value_cols}
+    cnt_offsets = {}
+    acc = {c: 0 for c in value_cols}
+    acc_n = 0
+    for pid in sorted(totals):
+        for c in value_cols:
+            offsets[c][pid] = acc[c]
+            acc[c] += int(totals[pid][f"t_{c}"] or 0)
+        cnt_offsets[pid] = acc_n
+        acc_n += int(totals[pid]["__n"])
+    w_local = Window.partitionBy("__pid").orderBy(*order)
+    out = ranged
+    for c in value_cols:
+        m = F.create_map(
+            *[F.lit(v) for p in sorted(offsets[c]) for v in (p, offsets[c][p])]
+        )
+        out = out.withColumn(
+            f"__cum_{c}", m[F.col("__pid")] + F.sum(c).over(w_local)
+        )
+    cnt_map = F.create_map(
+        *[F.lit(v) for p in sorted(cnt_offsets) for v in (p, cnt_offsets[p])]
+    )
+    out = out.withColumn(
+        "__rank",
+        (cnt_map[F.col("__pid")] + F.row_number().over(w_local)).cast("long"),
+    ).drop("__pid")
+    return out, grand

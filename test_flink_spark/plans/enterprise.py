@@ -3119,3 +3119,117 @@ FROM cum JOIN sizes USING (cohort_week)
 
 QUERIES["events_cohort_ltv_curve"] = events_cohort_ltv_curve
 ORACLES["events_cohort_ltv_curve"] = _LTV_SQL
+
+
+def events_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test on purchase-value DISTRIBUTIONS
+    between the A/B hash arms — the distribution-level complement of
+    events_ab_test_report (a z-test sees only the conversion RATE; KS
+    catches a variant that shifts the spend distribution at equal rate).
+    Exact integer arithmetic end to end: values quantize to cents per
+    row, the two empirical CDFs come from ONE distributed prefix-sum
+    pass over the merged support (operators/prefix.py — cents domain-
+    bounded, the range exchange never single-partitions), and the KS
+    statistic is the cross-multiplied max |cum_a*N_b - cum_b*N_a| with
+    d_bp = D_num*1e4 div (N_a*N_b).  The 95% decision replays
+    D² > 1.358²(n+m)/(nm) as pure int64 cross-multiplication.  Under
+    the null (hash split) `significant` SHOULD be 0 — like the SRM
+    gate, a hit means a broken pipeline, not a treatment effect.
+
+    One row: n_a, n_b, d_num, d_bp, ks_at_cents, significant."""
+    from ..operators.prefix import partitioned_prefix_sums
+    from ..operators.sampling import hash_bucket
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.when(hash_bucket(F.col("user_id"), "ab") < 5000, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("variant"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    per_cent = ev.groupBy("cents").agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("nb"),
+    )
+    cum, totals = partitioned_prefix_sums(
+        per_cent, ["na", "nb"], [F.col("cents").asc()]
+    )
+    n_a, n_b = totals["na"], totals["nb"]
+    diffed = cum.select(
+        "cents",
+        F.abs(
+            F.col("__cum_na") * F.lit(n_b) - F.col("__cum_nb") * F.lit(n_a)
+        ).alias("diff"),
+    )
+    best = diffed.agg(
+        F.max(
+            F.struct(F.col("diff").alias("d"), (-F.col("cents")).alias("negc"))
+        ).alias("s")
+    ).select(
+        F.col("s.d").alias("d_num"), (-F.col("s.negc")).alias("ks_at_cents")
+    )
+    # 1.358^2 = 1.8441...; scaled: D_num^2 > 18442*(n+m)*n*m div 10000
+    # (ceil'd constant keeps the strict inequality conservative)
+    thresh = 18442 * (n_a + n_b) * n_a * n_b // 10000
+    return best.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        F.col("d_num").cast("long").alias("d_num"),
+        F.expr(f"d_num * 10000 div {n_a * n_b}").cast("long").alias("d_bp"),
+        F.col("ks_at_cents").cast("long").alias("ks_at_cents"),
+        F.expr(f"IF(d_num * d_num > {thresh}, 1, 0)")
+        .cast("long")
+        .alias("significant"),
+    )
+
+
+_KS_SQL = r"""
+WITH ev AS (
+    SELECT CASE WHEN (('0x' || substr(md5('ab:' || user_id), 1, 15))::BIGINT)
+                     % 10000 < 5000
+                THEN 'A' ELSE 'B' END AS variant,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+),
+per_cent AS (
+    SELECT cents,
+           SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS na,
+           SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS nb
+    FROM ev GROUP BY 1
+),
+tot AS (SELECT SUM(na) AS n_a, SUM(nb) AS n_b FROM per_cent),
+cum AS (
+    SELECT cents,
+           SUM(na) OVER (ORDER BY cents ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+           SUM(nb) OVER (ORDER BY cents ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+    FROM per_cent
+),
+diffed AS (
+    SELECT cents,
+           abs(ca * (SELECT n_b FROM tot) - cb * (SELECT n_a FROM tot))
+               AS diff
+    FROM cum
+),
+best AS (
+    SELECT diff AS d_num, cents AS ks_at_cents
+    FROM diffed ORDER BY diff DESC, cents ASC LIMIT 1
+)
+SELECT CAST((SELECT n_a FROM tot) AS BIGINT) AS n_a,
+       CAST((SELECT n_b FROM tot) AS BIGINT) AS n_b,
+       CAST(d_num AS BIGINT) AS d_num,
+       CAST(d_num * 10000 // ((SELECT n_a FROM tot) * (SELECT n_b FROM tot))
+            AS BIGINT) AS d_bp,
+       CAST(ks_at_cents AS BIGINT) AS ks_at_cents,
+       CAST(CASE WHEN d_num * d_num >
+                 18442 * ((SELECT n_a FROM tot) + (SELECT n_b FROM tot))
+                       * (SELECT n_a FROM tot) * (SELECT n_b FROM tot)
+                       // 10000
+                 THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM best
+"""
+
+QUERIES["events_ks_drift_test"] = events_ks_drift_test
+ORACLES["events_ks_drift_test"] = _KS_SQL

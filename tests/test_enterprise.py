@@ -877,3 +877,35 @@ def test_ltv_curve_conserves_revenue_and_is_monotone(spark):
         prev = by_cohort.get(r["cohort_week"], 0)
         assert r["cum_revenue_cents"] == prev + r["revenue_cents"]
         by_cohort[r["cohort_week"]] = r["cum_revenue_cents"]
+
+
+def test_partitioned_prefix_sums_multi_column(spark):
+    """The multi-column prefix op must agree with a driver-side replay
+    for every value column over one shared total order."""
+    from pyspark.sql import functions as F
+
+    from test_flink_spark.operators.prefix import partitioned_prefix_sums
+
+    data = [(i, (i * 7) % 13, (i * 3) % 5) for i in range(200)]
+    df = spark.createDataFrame(data, "k LONG, a LONG, b LONG")
+    out, totals = partitioned_prefix_sums(
+        df, ["a", "b"], [F.col("k").asc()], n_partitions=7
+    )
+    rows = sorted(out.collect(), key=lambda r: r["k"])
+    ca = cb = 0
+    for i, r in enumerate(rows, 1):
+        ca += r["a"]
+        cb += r["b"]
+        assert (r["__cum_a"], r["__cum_b"], r["__rank"]) == (ca, cb, i)
+    assert totals == {"a": ca, "b": cb}
+
+
+def test_ks_drift_null_split_not_significant(spark):
+    """Under the null (hash split of one population) the KS gate must not
+    fire, and the statistic must be a small fraction of its n*m ceiling."""
+    from test_flink_spark.plans.enterprise import events_ks_drift_test
+
+    r = events_ks_drift_test(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r["significant"] == 0
+    assert 0 <= r["d_num"] <= r["n_a"] * r["n_b"]
+    assert r["d_bp"] < 2000  # D < 0.2 on a same-distribution split

@@ -197,6 +197,11 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         # the event stream — bounded-aggregate family, corpus_mix_report
         # precedent.
         "events_kaplan_meier_retention",
+        # same prefix-sum false positive as events_user_gini: the CDF
+        # windows ARE partitioned (by spark_partition_id — the
+        # distributed prefix op) and the SinglePartition exchange is the
+        # 1-ROW KS max aggregate fed by map-side partials.
+        "events_ks_drift_test",
     }
     forbidden = ("CartesianProduct", "BatchEvalPython")
     offenders = {}

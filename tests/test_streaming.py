@@ -1453,3 +1453,77 @@ def test_streaming_cep_matchers_match_reference_on_random_streams(spark, tmpdirs
             sorted(got - want)[:5],
             sorted(want - got)[:5],
         )
+
+
+def test_streaming_linear_attribution_converges_and_resplits(spark, tmpdirs):
+    """Streaming parity for LINEAR multi-touch attribution: a late touch
+    must retroactively RE-SPLIT already-attributed credit (1.0 to the
+    view becomes 0.5/0.5 once a click lands inside the lookback), with
+    the odd-cent remainder going to the click channel — so the operator
+    rides the accumulator recompute like last-touch."""
+    from pyspark.sql import Window
+
+    day = 86_400_000
+
+    def linear(df):
+        wr = (
+            Window.partitionBy("user_id")
+            .orderBy(F.col("ts_ms").asc())
+            .rangeBetween(-7 * day, -1)
+        )
+        p = (
+            df.withColumn(
+                "nv",
+                F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(wr),
+            )
+            .withColumn(
+                "nc",
+                F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).over(wr),
+            )
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                "cents",
+                F.coalesce("nv", F.lit(0)).cast("long").alias("nv"),
+                (F.coalesce("nv", F.lit(0)) + F.coalesce("nc", F.lit(0)))
+                .cast("long")
+                .alias("n"),
+            )
+            .select(
+                "cents", "n",
+                F.expr("IF(n = 0, CAST(0 AS BIGINT), nv * 1000000 div n)").alias("view_ppm"),
+                F.expr("IF(n = 0, CAST(0 AS BIGINT), cents * nv div n)").alias("view_cents"),
+            )
+        )
+        rows = p.select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit("view").alias("channel"),
+                             F.col("view_ppm").alias("ppm"),
+                             F.col("view_cents").alias("cr")),
+                    F.struct(F.lit("click").alias("channel"),
+                             F.expr("IF(n = 0, CAST(0 AS BIGINT), 1000000 - view_ppm)").alias("ppm"),
+                             F.expr("IF(n = 0, CAST(0 AS BIGINT), cents - view_cents)").alias("cr")),
+                    F.struct(F.lit("none").alias("channel"),
+                             F.expr("IF(n = 0, CAST(1000000 AS BIGINT), CAST(0 AS BIGINT))").alias("ppm"),
+                             F.expr("IF(n = 0, cents, CAST(0 AS BIGINT))").alias("cr")),
+                )
+            ).alias("x")
+        )
+        return rows.groupBy(F.col("x.channel").alias("channel")).agg(
+            F.sum("x.ppm").cast("long").alias("credit_ppm"),
+            F.sum("x.cr").cast("long").alias("revenue_cents"),
+        )
+
+    schema = "user_id LONG, event_id LONG, event_type STRING, ts_ms LONG, cents LONG"
+    batches = [
+        # purchase (501 cents) with ONE in-window view -> view gets all
+        f"1,10,view,{1 * day},0\n1,20,purchase,{8 * day},501\n",
+        # late click inside the lookback -> 50/50 re-split, odd cent to click
+        f"1,15,click,{7 * day + 1000},0\n",
+    ]
+    final = _foreachbatch_accumulate_and_apply(
+        spark, tmpdirs, schema, batches, linear)
+    got = {r["channel"]: (r["credit_ppm"], r["revenue_cents"]) for r in final}
+    assert got["view"] == (500_000, 250)
+    assert got["click"] == (500_000, 251)
+    assert got["none"] == (0, 0)
