@@ -64,6 +64,9 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     ws = words(F.col(text_col))
     # guard: sequence(1, 0) is DESCENDING in Spark ([1,0]), not empty — docs
     # shorter than n words must yield an empty shingle set explicitly
+    # (measured: binding ws via the text.bigrams array-of-one trick is a
+    # wash here — the slice lambda doesn't re-evaluate the split — so the
+    # simpler inlined form stays)
     idx = F.when(
         F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))

@@ -4427,8 +4427,15 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     toks = docs.select(F.explode(words(F.col("text"))).alias("w"))
-    n_tokens = toks.count()  # scalar dimension, computed once
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # pin the vocab-bounded unigram table: N, the w1 branch and the w2
+    # branch all read it — unpinned, each is its own full tokenize pass
+    # (measured 5.0 s -> 3.0 s at sf0.1)
+    uni = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    n_tokens = uni.agg(F.sum("c")).collect()[0][0]  # scalar, no extra scan
     bic = (
         docs.select(F.explode(bigrams(F.col("text"))).alias("bg"))
         .groupBy("bg")
