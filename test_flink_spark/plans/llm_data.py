@@ -4844,7 +4844,11 @@ def text_trigram_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Patterns and their trigram sets fold in at plan time (computed once
     in Python, emitted as literals in BOTH dialects)."""
     docs = _docs(spark, sf_dir)
-    postings = docs.select(
+    # fan out before the char-level explode: a single-file corpus arrives
+    # as ONE partition and the index build is compute-bound (the
+    # shingles() discipline)
+    fanned = docs.repartition(spark.sparkContext.defaultParallelism)
+    postings = fanned.select(
         "doc_id",
         F.explode(
             F.when(
