@@ -1634,3 +1634,126 @@ FROM hhi JOIN nation ON nationkey = n_nationkey
 
 QUERIES["nation_revenue_hhi"] = nation_revenue_hhi
 ORACLES["nation_revenue_hhi"] = _HHI_SQL
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA variance decomposition.
+# ---------------------------------------------------------------------------
+
+def part_price_anova_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA decomposition of part retail price by brand: total
+    sum of squares split into between-brand and within-brand components,
+    with eta² (the share of price variance the brand explains) in basis
+    points — the statistical yes/no behind 'does this dimension matter'
+    before anyone fits a model.
+
+    Exact integers throughout: prices quantize to cents per row, and the
+    textbook identities are cross-multiplied so no float mean exists:
+        SST*n   = n*Σx² − S²         (n rows, S = Σx)
+        SSB*n*g = Σ_b (n*S_b − n_b*S)² / (n_b*n) ... avoided — instead
+    each group's contribution uses its own exact denominator via
+    SSB = Σ_b n_b*(mean_b − mean)² cross-multiplied to
+        SSB_num_b = (n*S_b − n_b*S)² / (n_b*n)  — computed as integer
+    cross-products with ONE documented floor division per group (exact
+    to < 1 cent²; both engines truncate identically).  SSW = SST − SSB.
+    eta2_bp = SSB*10000 div SST.
+
+    Headroom: the squared deviations square in DECIMAL(38,0)/HUGEINT
+    (int64 overflows at sf0.1 — caught by the ANSI overflow error on the
+    first cut); the n*ss − s² identity fits int64 through ~sf0.3 — at
+    larger scales quantize to dimes (the daily_anomaly 10^k knob)."""
+    pa = _t(spark, sf_dir, "part").select(
+        "p_brand",
+        F.expr(
+            "CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+    )
+    grp = pa.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("cents").alias("sb"),
+        F.sum(F.expr("cents * cents")).alias("ssb_raw"),
+    )
+    tot = grp.agg(
+        F.sum("nb").alias("n"),
+        F.sum("sb").alias("s"),
+        F.sum("ssb_raw").alias("ss"),
+        F.count(F.lit(1)).alias("g"),
+    ).collect()[0]
+    n, s, ss, g = int(tot["n"]), int(tot["s"]), int(tot["ss"]), int(tot["g"])
+    # SST scaled by n:  sst_n = n*ss - s*s   (cents², exact int64 range:
+    # n ~ 2e4, ss ~ 2e4*(1e5)² = 2e14 -> 4e18; headroom documented)
+    sst_n = n * ss - s * s
+    # the squared deviation (n*sb - nb*s)^2 exceeds int64 at sf0.1 —
+    # square in DECIMAL(38,0) (HUGEINT in the oracle); the QUOTIENT fits
+    # int64 again, and Spark's integral `div` on decimals returns BIGINT
+    per_group = grp.select(
+        F.expr(
+            f"CAST(CAST(CAST({n} AS BIGINT) * sb - nb * CAST({s} AS BIGINT)"
+            f" AS DECIMAL(19,0))"
+            f" * CAST(CAST({n} AS BIGINT) * sb - nb * CAST({s} AS BIGINT)"
+            f" AS DECIMAL(19,0))"
+            f" div CAST(nb * CAST({n} AS BIGINT) AS DECIMAL(19,0))"
+            f" AS BIGINT)"
+        ).alias("ssb_contrib_n")
+    )
+    ssb_n = per_group.agg(F.sum("ssb_contrib_n")).collect()[0][0]
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                g,
+                int(sst_n),
+                int(ssb_n),
+                int(sst_n) - int(ssb_n),
+                int(ssb_n) * 10000 // int(sst_n) if sst_n else 0,
+            )
+        ],
+        "n_parts LONG, n_brands LONG, sst_n LONG, ssb_n LONG,"
+        " ssw_n LONG, eta2_bp LONG",
+    )
+
+
+_ANOVA_SQL = r"""
+WITH pa AS (
+    SELECT p_brand,
+           CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM part
+),
+grp AS (
+    SELECT p_brand, COUNT(*) AS nb, SUM(cents) AS sb,
+           SUM(cents * cents) AS ssb_raw
+    FROM pa GROUP BY 1
+),
+tot AS (
+    SELECT SUM(nb) AS n, SUM(sb) AS s, SUM(ssb_raw) AS ss,
+           COUNT(*) AS g
+    FROM grp
+),
+per_group AS (
+    SELECT CAST(CAST((SELECT n FROM tot) * sb - nb * (SELECT s FROM tot)
+                     AS HUGEINT)
+              * CAST((SELECT n FROM tot) * sb - nb * (SELECT s FROM tot)
+                     AS HUGEINT)
+              // (nb * (SELECT n FROM tot)) AS BIGINT) AS ssb_contrib_n
+    FROM grp
+),
+agg AS (
+    SELECT (SELECT n FROM tot) AS n_parts,
+           (SELECT g FROM tot) AS n_brands,
+           (SELECT n FROM tot) * (SELECT ss FROM tot)
+             - (SELECT s FROM tot) * (SELECT s FROM tot) AS sst_n,
+           SUM(ssb_contrib_n) AS ssb_n
+    FROM per_group
+)
+SELECT CAST(n_parts AS BIGINT) AS n_parts,
+       CAST(n_brands AS BIGINT) AS n_brands,
+       CAST(sst_n AS BIGINT) AS sst_n,
+       CAST(ssb_n AS BIGINT) AS ssb_n,
+       CAST(sst_n - ssb_n AS BIGINT) AS ssw_n,
+       CAST(CASE WHEN sst_n = 0 THEN 0
+                 ELSE ssb_n * 10000 // sst_n END AS BIGINT) AS eta2_bp
+FROM agg
+"""
+
+QUERIES["part_price_anova_by_brand"] = part_price_anova_by_brand
+ORACLES["part_price_anova_by_brand"] = _ANOVA_SQL

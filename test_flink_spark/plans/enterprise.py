@@ -3233,3 +3233,111 @@ FROM best
 
 QUERIES["events_ks_drift_test"] = events_ks_drift_test
 ORACLES["events_ks_drift_test"] = _KS_SQL
+
+
+_SESS_SWEEP_THRESHOLDS = (60_000, 300_000, 1_800_000)
+
+
+def events_session_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'choose your session gap' tuning table: sessionization swept
+    over three inactivity thresholds (1 min / 5 min / 30 min) in ONE
+    pass — session count, bounce share (single-event sessions), mean
+    events per session (milli) and mean duration — the numbers that
+    decide a product team's session definition instead of folklore.
+
+    Shape: ONE lag() window computes each event's inactivity gap; the
+    bounded threshold sweep explodes AFTER the gap (3x the gap rows,
+    nothing rescans raw events); session ids are a running sum of start
+    flags per (user, threshold) — every window partitioned, every
+    aggregate integer-exact."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_ms").asc(), F.col("event_id").asc()
+    )
+    gapped = ev.withColumn("gap", F.col("ts_ms") - F.lag("ts_ms").over(w))
+    thr = F.explode(
+        F.array(*[F.lit(t).cast("long") for t in _SESS_SWEEP_THRESHOLDS])
+    ).alias("threshold_ms")
+    flagged = gapped.select("user_id", "event_id", "ts_ms", "gap", thr).withColumn(
+        "start",
+        F.when(
+            F.col("gap").isNull() | (F.col("gap") > F.col("threshold_ms")), 1
+        ).otherwise(0),
+    )
+    w2 = Window.partitionBy("threshold_ms", "user_id").orderBy(
+        F.col("ts_ms").asc(), F.col("event_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    sess = flagged.withColumn("sess_id", F.sum("start").over(w2))
+    per_session = sess.groupBy("threshold_ms", "user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
+    )
+    return (
+        per_session.groupBy("threshold_ms")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("bounce_sessions"),
+            F.sum("duration_ms").alias("dur_sum"),
+        )
+        .select(
+            "threshold_ms",
+            "n_sessions",
+            F.expr("bounce_sessions * 10000 div n_sessions")
+            .cast("long")
+            .alias("bounce_bp"),
+            F.expr("n_events * 1000 div n_sessions")
+            .cast("long")
+            .alias("events_per_session_milli"),
+            F.expr("dur_sum div n_sessions").cast("long").alias("avg_duration_ms"),
+        )
+    )
+
+
+_SESS_SWEEP_SQL = rf"""
+WITH ev AS (
+    SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+),
+gapped AS (
+    SELECT *, ts_ms - LAG(ts_ms) OVER (PARTITION BY user_id
+                 ORDER BY ts_ms ASC, event_id ASC) AS gap
+    FROM ev
+),
+flagged AS (
+    SELECT user_id, event_id, ts_ms, gap,
+           CAST(t.threshold_ms AS BIGINT) AS threshold_ms,
+           CASE WHEN gap IS NULL OR gap > t.threshold_ms THEN 1 ELSE 0 END
+               AS start
+    FROM gapped CROSS JOIN (SELECT unnest([{", ".join(str(t) for t in _SESS_SWEEP_THRESHOLDS)}])
+                            AS threshold_ms) t
+),
+sess AS (
+    SELECT *, SUM(start) OVER (PARTITION BY threshold_ms, user_id
+                 ORDER BY ts_ms ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess_id
+    FROM flagged
+),
+per_session AS (
+    SELECT threshold_ms, user_id, sess_id, COUNT(*) AS n_events,
+           MAX(ts_ms) - MIN(ts_ms) AS duration_ms
+    FROM sess GROUP BY 1, 2, 3
+)
+SELECT threshold_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000
+            // COUNT(*) AS BIGINT) AS bounce_bp,
+       CAST(SUM(n_events) * 1000 // COUNT(*) AS BIGINT)
+           AS events_per_session_milli,
+       CAST(SUM(duration_ms) // COUNT(*) AS BIGINT) AS avg_duration_ms
+FROM per_session GROUP BY 1
+"""
+
+QUERIES["events_session_threshold_sweep"] = events_session_threshold_sweep
+ORACLES["events_session_threshold_sweep"] = _SESS_SWEEP_SQL

@@ -909,3 +909,25 @@ def test_ks_drift_null_split_not_significant(spark):
     assert r["significant"] == 0
     assert 0 <= r["d_num"] <= r["n_a"] * r["n_b"]
     assert r["d_bp"] < 2000  # D < 0.2 on a same-distribution split
+
+
+def test_session_sweep_monotone_in_threshold(spark):
+    """A larger inactivity gap can only MERGE sessions: session count and
+    bounce share fall (weakly) as the threshold grows; events/session
+    rises; ANOVA eta2 lies in [0, 10000]."""
+    from test_flink_spark.plans.advanced import part_price_anova_by_brand
+    from test_flink_spark.plans.enterprise import events_session_threshold_sweep
+
+    rows = sorted(
+        events_session_threshold_sweep(spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r["threshold_ms"],
+    )
+    assert len(rows) == 3
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_sessions"] <= a["n_sessions"]
+        assert b["events_per_session_milli"] >= a["events_per_session_milli"]
+
+    r = part_price_anova_by_brand(spark, "/root/testdata/sf0.01").collect()[0]
+    assert 0 <= r["eta2_bp"] <= 10_000
+    assert r["ssb_n"] + r["ssw_n"] == r["sst_n"]
+    assert r["ssw_n"] >= 0
