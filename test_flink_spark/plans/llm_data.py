@@ -5098,3 +5098,88 @@ FROM nearest GROUP BY 1, 2
 
 QUERIES["embedding_label_confusion"] = embedding_label_confusion
 ORACLES["embedding_label_confusion"] = _CM_SQL
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe recall sweep.
+# ---------------------------------------------------------------------------
+
+_NPROBE_SWEEP = (1, 2, 4)
+
+
+def embedding_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe knob, measured: recall@5 of the IVF index at
+    nprobe = 1 / 2 / 4 against nprobe = 8 — which probes ALL k = 8
+    inverted lists and is therefore the EXACT exhaustive search by
+    construction (same codebook, same integer-L2 metric, no separate
+    baseline needed).  This is the capacity-planning curve an ANN
+    deployment reads to pick its latency/recall point; the registered
+    embedding_ivf_ann pins nprobe = 2, this query shows what that
+    choice buys and costs.  The codebook trains ONCE (shared cache);
+    each sweep point re-probes, never re-trains.  Everything —
+    training, assignment, probing, rerank, recall arithmetic — is
+    replayed by the DuckDB oracle bit-for-bit."""
+    from ..operators.ivf import ivf_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    centroids = _shared_ivf_centroids(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    nq = queries.count()  # fixed panel, 1-int scalar
+    full = ivf_ann_topk(emb, queries, centroids, k=5, nprobe=8).select(
+        "query_id", "neighbor_id"
+    )
+    legs = None
+    for np_ in _NPROBE_SWEEP:
+        leg = ivf_ann_topk(emb, queries, centroids, k=5, nprobe=np_).select(
+            F.lit(np_).cast("long").alias("nprobe"),
+            "query_id",
+            "neighbor_id",
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    hits = (
+        legs.join(full, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    return hits.select(
+        "nprobe",
+        "hits",
+        F.expr(f"hits * 10000 div {nq * 5}").cast("long").alias("recall_bp"),
+    )
+
+
+def _nprobe_sweep_sql() -> str:
+    from ..operators.ivf import ivf_oracle_sql
+
+    def leg(np_: int) -> str:
+        return ivf_oracle_sql(k=8, iters=2, dim=EMB_DIM, topk=5, nprobe=np_)
+
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({np_} AS BIGINT) AS nprobe, query_id, neighbor_id"
+        f" FROM (\n{leg(np_)}\n)"
+        for np_ in _NPROBE_SWEEP
+    )
+    return rf"""
+WITH full_ivf AS (
+    SELECT query_id, neighbor_id FROM (
+{leg(8)}
+    )
+),
+legs AS (
+{union}
+),
+nq AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 20),
+hits AS (
+    SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS hits
+    FROM legs SEMI JOIN full_ivf USING (query_id, neighbor_id)
+    GROUP BY 1
+)
+SELECT nprobe, hits,
+       CAST(hits * 10000 // ((SELECT n FROM nq) * 5) AS BIGINT)
+           AS recall_bp
+FROM hits
+"""
+
+
+QUERIES["embedding_ivf_nprobe_sweep"] = embedding_ivf_nprobe_sweep
+ORACLES["embedding_ivf_nprobe_sweep"] = _nprobe_sweep_sql()

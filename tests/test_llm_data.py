@@ -1182,3 +1182,18 @@ def test_label_confusion_conserves_and_beats_random(spark):
     assert sum(r["n_vecs"] for r in rows) == n_vecs
     diag = sum(r["n_vecs"] for r in rows if r["own_label"] == r["nearest_label"])
     assert diag / n_vecs > 3.0 / len(labels)  # 0.41 measured vs 0.1 random
+
+
+def test_nprobe_sweep_recall_monotone(spark):
+    """Probing more inverted lists can only ADD candidates: recall@5 must
+    rise monotonically in nprobe and stay within [0, 10000]."""
+    from test_flink_spark.plans.llm_data import embedding_ivf_nprobe_sweep
+
+    rows = sorted(
+        embedding_ivf_nprobe_sweep(spark, SF).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 4]
+    recalls = [r["recall_bp"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert all(0 <= r <= 10_000 for r in recalls)
