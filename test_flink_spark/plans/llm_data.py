@@ -5183,3 +5183,78 @@ FROM hits
 
 QUERIES["embedding_ivf_nprobe_sweep"] = embedding_ivf_nprobe_sweep
 ORACLES["embedding_ivf_nprobe_sweep"] = _nprobe_sweep_sql()
+
+
+# ---------------------------------------------------------------------------
+# Out-of-distribution outlier scoring against the IVF codebook.
+# ---------------------------------------------------------------------------
+
+_OOD_TOPK = 20
+
+
+def embedding_ood_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOD screening for training-data curation: every vector scored by
+    its integer squared-L2 distance to the NEAREST IVF centroid (the
+    codebook the ANN path already trains — an OOD pass reuses it for
+    free), top-20 most-distant vectors reported with their assigned
+    cluster and label.  The standard 'drop the samples no cluster wants'
+    filter before contrastive/classifier training; also the place
+    mislabeled or corrupted embeddings surface first (cf.
+    embedding_label_confusion, which audits labels — this audits the
+    DISTRIBUTION).
+
+    One narrow pass: the 8 centroids fold in as literals (no join), the
+    distance array is int64-exact, and the top-20 cut is
+    TakeOrderedAndProject on (dist desc, vec_id asc)."""
+    from ..operators.ivf import _sq_dist_lit, quantize
+
+    emb = _emb(spark, sf_dir)
+    centroids = _shared_ivf_centroids(spark, sf_dir)
+    qv = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        quantize(F.col("embedding")).alias("v"),
+    )
+    dists = F.array(*[_sq_dist_lit(F.col("v"), c) for c in centroids])
+    scored = qv.select(
+        "vec_id",
+        "label",
+        dists.alias("ds"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.array_position(F.col("ds"), F.array_min(F.col("ds"))) - 1)
+        .cast("long")
+        .alias("cluster"),
+        F.array_min(F.col("ds")).cast("long").alias("min_sqdist"),
+    )
+    return scored.orderBy(
+        F.col("min_sqdist").desc(), F.col("vec_id").asc()
+    ).limit(_OOD_TOPK)
+
+
+def _ood_sql() -> str:
+    from ..operators.ivf import _oracle_dist, ivf_cte_body
+
+    dist = _oracle_dist(EMB_DIM)
+    body, final_c = ivf_cte_body(k=8, iters=2, dim=EMB_DIM)
+    return rf"""
+WITH {body},
+md AS (
+    SELECT q.vec_id, c.cid, {dist('q.v', 'c.v')} AS d,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist('q.v', 'c.v')}, c.cid) AS rn
+    FROM qv q CROSS JOIN {final_c} c
+)
+SELECT m.vec_id, CAST(e.label AS BIGINT) AS label,
+       CAST(m.cid AS BIGINT) AS cluster,
+       CAST(m.d AS BIGINT) AS min_sqdist
+FROM md m JOIN embeddings e ON m.vec_id = e.vec_id
+WHERE m.rn = 1
+ORDER BY m.d DESC, m.vec_id ASC
+LIMIT {_OOD_TOPK}
+"""
+
+
+QUERIES["embedding_ood_outliers"] = embedding_ood_outliers
+ORACLES["embedding_ood_outliers"] = _ood_sql()
