@@ -5258,3 +5258,90 @@ LIMIT {_OOD_TOPK}
 
 QUERIES["embedding_ood_outliers"] = embedding_ood_outliers
 ORACLES["embedding_ood_outliers"] = _ood_sql()
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration table (reliability diagram).
+# ---------------------------------------------------------------------------
+
+_CAL_BIN = 1_000_000
+_CAL_CLAMP = 9_999_999
+
+
+def corpus_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the hashed-linear quality classifier:
+    fixed-width score bins (clamped, width 1e6 in score_fp units) vs the
+    observed positive rate (lang = 'en', the corpus_classifier_auc
+    truth) — AUC says the model RANKS well; calibration says whether the
+    scores can be read as probabilities/thresholds, which is what a
+    curation pipeline actually does with them.  Fixed bins, not ntile:
+    quantile bins would need a global sort and make bin membership
+    depend on the corpus — fixed-width bins are scale-clean and
+    engine-total (clamp + shift keeps the bin arithmetic nonnegative,
+    so trunc-div == floor-div in both engines)."""
+    from ..operators.importance import linear_quality_scores
+
+    docs = _docs(spark, sf_dir)
+    scored = linear_quality_scores(docs).select(
+        "doc_id",
+        F.expr("score_sum * 10000 div n_tokens").alias("score_fp"),
+    )
+    j = scored.join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("pos")),
+        "doc_id",
+    ).select(
+        F.expr(
+            f"(least(greatest(score_fp, {-_CAL_CLAMP}), {_CAL_CLAMP})"
+            f" + {_CAL_CLAMP + 1}) div {_CAL_BIN}"
+        )
+        .cast("long")
+        .alias("bin"),
+        "score_fp",
+        "pos",
+    )
+    return (
+        j.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("pos"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.sum("score_fp").alias("score_sum"),
+        )
+        .select(
+            "bin",
+            F.expr(f"(bin - 10) * {_CAL_BIN}").cast("long").alias("bin_lo"),
+            "n_docs",
+            "n_pos",
+            F.expr("n_pos * 10000 div n_docs").cast("long").alias("pos_rate_bp"),
+            F.expr("score_sum div n_docs").cast("long").alias("avg_score_fp"),
+        )
+    )
+
+
+def _calibration_sql() -> str:
+    from ..operators.importance import LINEAR_QUALITY_SQL
+
+    return rf"""
+WITH lq AS ({LINEAR_QUALITY_SQL}),
+j AS (
+    SELECT (least(greatest(lq.score_sum * 10000 // lq.n_tokens,
+                           {-_CAL_CLAMP}), {_CAL_CLAMP})
+            + {_CAL_CLAMP + 1}) // {_CAL_BIN} AS bin,
+           lq.score_sum * 10000 // lq.n_tokens AS score_fp,
+           d.lang = 'en' AS pos
+    FROM documents d JOIN lq ON d.doc_id = lq.doc_id
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST((bin - 10) * {_CAL_BIN} AS BIGINT) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+            AS BIGINT) AS pos_rate_bp,
+       CAST(SUM(score_fp) // COUNT(*) AS BIGINT) AS avg_score_fp
+FROM j GROUP BY bin
+"""
+
+
+QUERIES["corpus_classifier_calibration"] = corpus_classifier_calibration
+ORACLES["corpus_classifier_calibration"] = _calibration_sql()
