@@ -59,6 +59,9 @@ ISOLATED_TOP = [
     "embedding_hybrid_rrf",
     "corpus_multimodal_dup_flags",
     "embedding_ivfadc_ann",
+    # round-6 late additions with the largest isolated footprints
+    "graph_supplier_jaccard",
+    "text_trigram_index_audit",
 ]
 
 

@@ -3341,3 +3341,75 @@ FROM per_session GROUP BY 1
 
 QUERIES["events_session_threshold_sweep"] = events_session_threshold_sweep
 ORACLES["events_session_threshold_sweep"] = _SESS_SWEEP_SQL
+
+
+_VELOCITY_WINDOW_MS = 60_000
+_VELOCITY_LIMIT = 6
+
+
+def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abuse/fraud velocity screen: each user's PEAK event rate in any
+    trailing 60-second window (a per-event RANGE-frame count — the
+    sliding maximum falls out of scanning each event's own trailing
+    window, no window-start enumeration), flagged when the peak meets
+    the rate limit (6/min).  Top-20 hottest users reported — the
+    block-list candidate feed a rate limiter consumes.
+
+    One exchange on user_id; RANGE frames are value-based, so same-ms
+    bursts (the thing a velocity check exists to catch) land in the
+    frame together regardless of row order — no tiebreak needed,
+    deterministic by construction."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_ms").asc())
+        .rangeBetween(-(_VELOCITY_WINDOW_MS - 1), 0)
+    )
+    peaks = (
+        ev.withColumn("v", F.count(F.lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(
+            F.max("v").cast("long").alias("peak_per_min"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .withColumn(
+            "flagged",
+            F.expr(f"IF(peak_per_min >= {_VELOCITY_LIMIT}, 1, 0)").cast(
+                "long"
+            ),
+        )
+    )
+    return peaks.orderBy(
+        F.col("peak_per_min").desc(), F.col("user_id").asc()
+    ).limit(20)
+
+
+_VELOCITY_SQL = rf"""
+WITH ev AS (
+    SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+),
+vel AS (
+    SELECT user_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_ms
+                RANGE BETWEEN {_VELOCITY_WINDOW_MS - 1} PRECEDING
+                AND CURRENT ROW) AS v
+    FROM ev
+),
+peaks AS (
+    SELECT user_id,
+           CAST(MAX(v) AS BIGINT) AS peak_per_min,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM vel GROUP BY 1
+)
+SELECT user_id, peak_per_min, n_events,
+       CAST(CASE WHEN peak_per_min >= {_VELOCITY_LIMIT} THEN 1 ELSE 0 END
+            AS BIGINT) AS flagged
+FROM peaks
+ORDER BY peak_per_min DESC, user_id ASC
+LIMIT 20
+"""
+
+QUERIES["events_velocity_flags"] = events_velocity_flags
+ORACLES["events_velocity_flags"] = _VELOCITY_SQL
