@@ -5119,21 +5119,72 @@ def embedding_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     each sweep point re-probes, never re-trains.  Everything —
     training, assignment, probing, rerank, recall arithmetic — is
     replayed by the DuckDB oracle bit-for-bit."""
-    from ..operators.ivf import ivf_ann_topk
+    from ..operators.ivf import _sq_dist_lit, ivf_assign, quantize, sq_dist
 
     emb = _emb(spark, sf_dir)
     centroids = _shared_ivf_centroids(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
     nq = queries.count()  # fixed panel, 1-int scalar
-    full = ivf_ann_topk(emb, queries, centroids, k=5, nprobe=8).select(
-        "query_id", "neighbor_id"
+    # ONE corpus assignment + ONE scoring join serve every sweep point:
+    # the candidate set at depth np is exactly the depth-8 candidate set
+    # filtered to probe_rank <= np (the probe ORDER per query is fixed
+    # by the codebook), so re-running assignment per leg (the first cut,
+    # 6.2 s in-sweep) is pure waste — probe ranks ride along via
+    # posexplode and each leg is a filter + rank window over the pinned
+    # candidate table.
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        quantize(F.col("embedding")).alias("qv"),
+    )
+    probe_arr = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist_lit(F.col("qv"), c).alias("d"),
+                    F.lit(cid).cast("long").alias("cid"),
+                )
+                for cid, c in enumerate(centroids)
+            ]
+        )
+    )
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.posexplode(F.transform(probe_arr, lambda s: s["cid"])).alias(
+            "probe_idx", "cluster"
+        ),
+    ).withColumn("probe_rank", (F.col("probe_idx") + 1).cast("long"))
+    inv = ivf_assign(emb, centroids)
+    scored = (
+        inv.join(F.broadcast(probes), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "probe_rank",
+            sq_dist(F.col("qv"), F.col("cv")).alias("dist"),
+        )
+        .localCheckpoint(eager=True)  # four legs read it
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    full = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
     )
     legs = None
     for np_ in _NPROBE_SWEEP:
-        leg = ivf_ann_topk(emb, queries, centroids, k=5, nprobe=np_).select(
-            F.lit(np_).cast("long").alias("nprobe"),
-            "query_id",
-            "neighbor_id",
+        leg = (
+            scored.filter(F.col("probe_rank") <= np_)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                "query_id",
+                "neighbor_id",
+            )
         )
         legs = leg if legs is None else legs.unionByName(leg)
     hits = (
