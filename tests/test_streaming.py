@@ -1527,3 +1527,57 @@ def test_streaming_linear_attribution_converges_and_resplits(spark, tmpdirs):
     assert got["view"] == (500_000, 250)
     assert got["click"] == (500_000, 251)
     assert got["none"] == (0, 0)
+
+
+def test_streaming_ks_drift_converges_to_batch(spark, tmpdirs):
+    """Streaming parity for the KS drift monitor: the statistic is a
+    global max over CDF differences, so a late value ANYWHERE can move
+    both the max and its argmax — the operator rides the foreachBatch
+    accumulator recompute.  Batches engineered so the KS location
+    MOVES when batch 2 arrives."""
+    from pyspark.sql import Window
+
+    def ks(df):
+        per_cent = df.groupBy("cents").agg(
+            F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("nb"),
+        )
+        w = Window.orderBy(F.col("cents").asc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        tot = per_cent.agg(
+            F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+        ).collect()[0]
+        na_t, nb_t = int(tot["ta"]), int(tot["tb"])
+        diffed = per_cent.select(
+            "cents",
+            F.abs(
+                F.sum("na").over(w) * F.lit(nb_t)
+                - F.sum("nb").over(w) * F.lit(na_t)
+            ).alias("diff"),
+        )
+        return diffed.agg(
+            F.max(
+                F.struct(F.col("diff").alias("d"), (-F.col("cents")).alias("negc"))
+            ).alias("s")
+        ).select(
+            F.col("s.d").cast("long").alias("d_num"),
+            (-F.col("s.negc")).cast("long").alias("ks_at_cents"),
+        )
+
+    schema = "arm STRING, cents LONG"
+    batches = [
+        # arm A low values, arm B high -> max gap at cents=100
+        "A,100\nA,100\nB,500\nB,500\n",
+        # batch 2 piles B mass BELOW 100 -> gap location and size change
+        "B,50\nB,50\nB,50\n",
+    ]
+    final = _foreachbatch_accumulate_and_apply(spark, tmpdirs, schema, batches, ks)
+    all_rows = spark.createDataFrame(
+        [("A", 100), ("A", 100), ("B", 500), ("B", 500),
+         ("B", 50), ("B", 50), ("B", 50)], schema)
+    batch = ks(all_rows).collect()
+    assert [r.asDict() for r in final] == [r.asDict() for r in batch]
+    # hand check: Na=2, Nb=5. cum at 50: (0,3) -> |0*5-3*2|=6;
+    # at 100: (2,3) -> |10-6|=4; at 500: (2,5) -> 0.  Max 6 at cents=50.
+    assert final[0]["d_num"] == 6 and final[0]["ks_at_cents"] == 50
