@@ -90,15 +90,34 @@ def isolated_timings(names: list[str]) -> dict[str, float]:
     """Spawn `bench.py --one NAME` per query; collect {name: best_sec}.
     Each subprocess is its own JVM — no shared GC/code-cache history.
     Failures degrade to omission (the sweep numbers still cover the
-    query)."""
+    query).
+
+    Wall-budgeted: external harnesses clamp the WHOLE bench run, and a
+    clamp kill mid-isolated-phase would lose the one-JSON-line output
+    entirely (sweep included).  `SPARK_GRAFT_BENCH_ISO_BUDGET` seconds
+    (default 240) bound this phase: once spent, remaining names are
+    skipped with a stderr note — partial iso evidence beats a dead
+    process."""
     import subprocess
 
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_ISO_BUDGET", "240"))
+    t_start = time.perf_counter()
     out: dict[str, float] = {}
-    for name in names:
+    for i, name in enumerate(names):
+        elapsed = time.perf_counter() - t_start
+        if elapsed > budget:
+            skipped = names[i:]
+            print(
+                f"# iso budget ({budget:.0f}s) spent after {i} queries; "
+                f"skipping {len(skipped)}: {', '.join(skipped)}",
+                file=sys.stderr,
+            )
+            break
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", name],
-                capture_output=True, text=True, timeout=600,
+                capture_output=True, text=True,
+                timeout=max(60.0, budget - elapsed),
             )
             line = proc.stdout.strip().splitlines()[-1]
             rec = json.loads(line)
