@@ -3413,3 +3413,83 @@ LIMIT 20
 
 QUERIES["events_velocity_flags"] = events_velocity_flags
 ORACLES["events_velocity_flags"] = _VELOCITY_SQL
+
+
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient of the k-NN co-occurrence item
+    graph: C = 3·triangles / wedges — the one-number 'how cliquish is
+    this graph' summary that separates community-structured graphs from
+    random ones with the same degree sequence (Watts–Strogatz).
+    Composes the registered machinery (capped baskets -> item_pairs ->
+    knn_edges -> triangle_counts); wedges = Σ_v deg(v)·(deg(v)−1)/2
+    over the SAME canonical edge set, so numerator and denominator
+    cannot drift apart.  Σ_v n_tri counts each triangle 3x, which IS
+    the 3T numerator — no separate multiply.  Four bounded scalar
+    aggregates folded driver-side (the ANOVA pattern); coeff in bp."""
+    from ..operators import cooccur
+
+    pairs = cooccur.item_pairs(
+        _event_items(spark, sf_dir), "user_id", "item", _COOC_CAP,
+        with_lift=False,
+    )
+    edges = cooccur.knn_edges(pairs, k=_KNN_K).localCheckpoint(eager=True)
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dd = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("wedges"),
+    ).collect()[0]
+    n_edges = edges.count()
+    tri3 = int(
+        cooccur.triangle_counts(edges)
+        .agg(F.coalesce(F.sum("n_tri"), F.lit(0)).alias("t3"))
+        .collect()[0]["t3"]
+    )
+    n_nodes, wedges = int(dd["n_nodes"]), int(dd["wedges"])
+    coeff_bp = tri3 * 10000 // wedges if wedges else 0
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, wedges, tri3 // 3, coeff_bp)],
+        "n_nodes LONG, n_edges LONG, wedges LONG, triangles LONG,"
+        " clustering_bp LONG",
+    )
+
+
+_CLUSTERING_SQL = rf"""
+WITH {_cooc_cte()},
+edges AS (
+    SELECT DISTINCT LEAST(item, neighbor) AS a, GREATEST(item, neighbor) AS b
+    FROM rk WHERE rank <= {_KNN_K}
+),
+deg AS (
+    SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+    ) GROUP BY 1
+),
+dd AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS wedges
+    FROM deg
+),
+tri AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS t
+    FROM edges e1
+    JOIN edges e2 ON e1.b = e2.a
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges)
+SELECT (SELECT n_nodes FROM dd) AS n_nodes,
+       (SELECT m FROM ne) AS n_edges,
+       (SELECT wedges FROM dd) AS wedges,
+       (SELECT t FROM tri) AS triangles,
+       CAST(CASE WHEN (SELECT wedges FROM dd) = 0 THEN 0
+                 ELSE (SELECT t FROM tri) * 3 * 10000
+                      // (SELECT wedges FROM dd) END AS BIGINT)
+           AS clustering_bp
+"""
+
+QUERIES["graph_clustering_coefficient"] = graph_clustering_coefficient
+ORACLES["graph_clustering_coefficient"] = _CLUSTERING_SQL
