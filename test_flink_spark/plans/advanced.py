@@ -1757,3 +1757,389 @@ FROM agg
 
 QUERIES["part_price_anova_by_brand"] = part_price_anova_by_brand
 ORACLES["part_price_anova_by_brand"] = _ANOVA_SQL
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (support / confidence / lift).
+# ---------------------------------------------------------------------------
+
+_RULES_MIN_SUPPORT_BP = 220  # ~median pair support at sf0.01 — the filter must bite
+
+
+def orders_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets at brand granularity — the
+    classic market-basket analysis (Agrawal/Srikant A-priori output for
+    itemsets of size 2), emitted as ``antecedent -> consequent`` rules
+    with integer fixed-point metrics: ``support_bp = n_ab*1e4 div
+    n_orders``, ``confidence_bp = n_ab*1e4 div n_a``, ``lift_x1000 =
+    n_ab*n_orders*1000 div (n_a*n_b)`` (decimal(38,0) factors — the
+    cross product exceeds int64 at warehouse order counts).
+
+    Scale shape: baskets dedup to (order, brand) pairs — one shuffle on
+    the composite key; the pair self-join shuffles on l_orderkey only
+    (co-partitioned equi-join, ~|basket|²/2 pairs per order, bounded by
+    the 25-brand alphabet); marginals are a 25-row relation joined to a
+    <=600-row rule table, so the metric joins are trivially local under
+    AQE.  Nothing in the plan grows super-linearly with orders.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    baskets = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    totals = baskets.groupBy().agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    marg = baskets.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_x")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(F.col("a.p_brand").alias("x"), F.col("b.p_brand").alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    both = pr.select(
+        F.col("x").alias("antecedent"), F.col("y").alias("consequent"), "n_ab"
+    ).unionAll(
+        pr.select(
+            F.col("y").alias("antecedent"), F.col("x").alias("consequent"), "n_ab"
+        )
+    )
+    ma = marg.select(F.col("p_brand").alias("antecedent"), F.col("n_x").alias("n_a"))
+    mc = marg.select(F.col("p_brand").alias("consequent"), F.col("n_x").alias("n_b"))
+    out = (
+        both.join(ma, "antecedent")
+        .join(mc, "consequent")
+        .crossJoin(F.broadcast(totals))  # 1-row totals (skew.py precedent)
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            F.expr("n_ab * 10000 div n_orders").cast("long").alias("support_bp"),
+            F.expr("n_ab * 10000 div n_a").cast("long").alias("confidence_bp"),
+            F.expr(
+                "CAST(CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("lift_x1000"),
+        )
+        .where(F.col("support_bp") >= _RULES_MIN_SUPPORT_BP)
+    )
+    return out
+
+
+_BASKET_RULES_SQL = f"""
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey, p_brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+marg AS (SELECT p_brand, COUNT(*)::BIGINT AS n_x FROM baskets GROUP BY 1),
+pr AS (
+    SELECT a.p_brand AS x, b.p_brand AS y, COUNT(*)::BIGINT AS n_ab
+    FROM baskets a
+    JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+),
+bidir AS (
+    SELECT x AS antecedent, y AS consequent, n_ab FROM pr
+    UNION ALL
+    SELECT y AS antecedent, x AS consequent, n_ab FROM pr
+),
+m AS (
+    SELECT antecedent, consequent, n_ab,
+           n_ab * 10000 // (SELECT n_orders FROM tot) AS support_bp,
+           n_ab * 10000 // ma.n_x AS confidence_bp,
+           CAST(n_ab::HUGEINT * (SELECT n_orders FROM tot) * 1000
+                // (ma.n_x::HUGEINT * mc.n_x) AS BIGINT) AS lift_x1000
+    FROM bidir
+    JOIN marg ma ON ma.p_brand = antecedent
+    JOIN marg mc ON mc.p_brand = consequent
+)
+SELECT antecedent, consequent,
+       CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(support_bp AS BIGINT) AS support_bp,
+       CAST(confidence_bp AS BIGINT) AS confidence_bp,
+       lift_x1000
+FROM m WHERE support_bp >= {_RULES_MIN_SUPPORT_BP}
+"""
+
+QUERIES["orders_basket_rules"] = orders_basket_rules
+ORACLES["orders_basket_rules"] = _BASKET_RULES_SQL
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across every TPC-H foreign-key edge.
+# ---------------------------------------------------------------------------
+
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+_PK_COLS = (
+    ("orders", "o_orderkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+    ("customer", "c_custkey"),
+)
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-table referential-integrity report: for every FK edge of the
+    schema, ``(edge, n_rows, n_null, n_bad)`` where ``n_bad`` counts
+    non-null FKs with no parent row (orphans); plus one row per primary
+    key asserting uniqueness (``n_bad = n_rows - n_distinct``).  The
+    pre-load gate a warehouse runs before trusting join results — as a
+    checked query rather than a script.
+
+    Scale shape: each edge is one left join shuffled on its own key with
+    the count folded map-side; edges are independent jobs unioned at the
+    end (7 + 4 one-row relations).  No edge materializes anything wider
+    than (fk, pk-hit) pairs.
+    """
+    rows = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = _t(spark, sf_dir, child).select(F.col(fk).alias("__fk"))
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("__pk"))
+        j = c.join(p, F.col("__fk") == F.col("__pk"), "left")
+        rows.append(
+            j.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(F.col("__fk").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null"),
+                F.sum(
+                    F.when(
+                        F.col("__fk").isNotNull() & F.col("__pk").isNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_bad"),
+            ).select(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("edge"),
+                "n_rows",
+                "n_null",
+                "n_bad",
+            )
+        )
+    for parent, pk in _PK_COLS:
+        p = _t(spark, sf_dir, parent)
+        rows.append(
+            p.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null"),
+                (F.count(F.lit(1)) - F.countDistinct(pk))
+                .cast("long")
+                .alias("n_bad"),
+            ).select(
+                F.lit(f"{parent}.{pk}!unique").alias("edge"),
+                "n_rows",
+                "n_null",
+                "n_bad",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _fk_edge_sql(child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+SELECT '{child}.{fk}->{parent}.{pk}' AS edge,
+       COUNT(*)::BIGINT AS n_rows,
+       SUM(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       SUM(CASE WHEN c.{fk} IS NOT NULL AND p.{pk} IS NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_bad
+FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}
+"""
+
+
+def _pk_unique_sql(parent: str, pk: str) -> str:
+    return f"""
+SELECT '{parent}.{pk}!unique' AS edge,
+       COUNT(*)::BIGINT AS n_rows,
+       SUM(CASE WHEN {pk} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       (COUNT(*) - COUNT(DISTINCT {pk}))::BIGINT AS n_bad
+FROM {parent}
+"""
+
+
+_FK_AUDIT_SQL = "\nUNION ALL\n".join(
+    [_fk_edge_sql(*e) for e in _FK_EDGES] + [_pk_unique_sql(*p) for p in _PK_COLS]
+)
+
+QUERIES["fk_integrity_audit"] = fk_integrity_audit
+ORACLES["fk_integrity_audit"] = _FK_AUDIT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Additive seasonal decomposition (STL-lite) of hourly event volume.
+# ---------------------------------------------------------------------------
+
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type hour-of-day seasonal profile with residual energy —
+    the additive decomposition count = daily_level + seasonal(hod) +
+    residual, all in x1000 fixed point: ``dev = c*1000 - (sum(c) over
+    day * 1000 div cells)``, ``seasonal(hod) = sum(dev) over (type,hod)
+    div n_days``, residual = dev - seasonal.  The diagnostic behind
+    `events_seasonality_acf`: ACF says *whether* a daily cycle exists,
+    this says *what shape* it has and how much variance it leaves.
+
+    Scale shape: one groupBy on (type, day, hod) with map-side partials,
+    then two partitioned windows (by (type, day) and (type, hod)) and a
+    24*|types|-row final agg — every exchange is keyed by event_type
+    plus a bounded calendar component; nothing is global.  Truncating
+    `div` agrees between engines for negative deviations (both truncate
+    toward zero).
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hour = F.expr("unix_millis(CAST(ts AS TIMESTAMP)) div 3600000")
+    cells = (
+        ev.select(
+            F.col("event_type"),
+            (hour.cast("long")).alias("hour_idx"),
+        )
+        .select(
+            "event_type",
+            F.expr("hour_idx div 24").alias("day_idx"),
+            F.expr("hour_idx % 24").alias("hod"),
+        )
+        .groupBy("event_type", "day_idx", "hod")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wday = Window.partitionBy("event_type", "day_idx")
+    dev = cells.select(
+        "event_type",
+        "day_idx",
+        "hod",
+        F.expr("c * 1000").alias("c_x1000"),
+        F.sum("c").over(wday).alias("day_sum"),
+        F.count(F.lit(1)).over(wday).alias("day_cells"),
+    ).select(
+        "event_type",
+        "day_idx",
+        "hod",
+        F.expr("c_x1000 - (day_sum * 1000 div day_cells)").alias("dev_x1000"),
+    )
+    whod = Window.partitionBy("event_type", "hod")
+    sea = dev.select(
+        "event_type",
+        "hod",
+        "dev_x1000",
+        F.expr("sum(dev_x1000)").over(whod).alias("hod_sum"),
+        F.count(F.lit(1)).over(whod).alias("n_days"),
+    ).select(
+        "event_type",
+        "hod",
+        "dev_x1000",
+        "n_days",
+        F.expr("hod_sum div n_days").alias("sea_x1000"),
+    )
+    return sea.groupBy("event_type", "hod").agg(
+        F.max("n_days").cast("long").alias("n_days"),
+        F.max("sea_x1000").cast("long").alias("seasonal_x1000"),
+        F.expr("sum(abs(dev_x1000 - sea_x1000)) div count(1)")
+        .cast("long")
+        .alias("mean_abs_resid_x1000"),
+    )
+
+
+_SEASONAL_DECOMP_SQL = """
+WITH cells AS (
+    SELECT event_type,
+           (epoch_ms(ts) // 3600000) // 24 AS day_idx,
+           (epoch_ms(ts) // 3600000) % 24 AS hod,
+           COUNT(*)::BIGINT AS c
+    FROM events GROUP BY 1, 2, 3
+),
+dev AS (
+    SELECT event_type, day_idx, hod,
+           c * 1000 - (SUM(c) OVER (PARTITION BY event_type, day_idx) * 1000
+                       // COUNT(*) OVER (PARTITION BY event_type, day_idx))
+               AS dev_x1000
+    FROM cells
+),
+sea AS (
+    SELECT event_type, hod, dev_x1000,
+           COUNT(*) OVER (PARTITION BY event_type, hod) AS n_days,
+           SUM(dev_x1000) OVER (PARTITION BY event_type, hod)
+             // COUNT(*) OVER (PARTITION BY event_type, hod) AS sea_x1000
+    FROM dev
+)
+SELECT event_type,
+       CAST(hod AS BIGINT) AS hod,
+       CAST(MAX(n_days) AS BIGINT) AS n_days,
+       CAST(MAX(sea_x1000) AS BIGINT) AS seasonal_x1000,
+       CAST(SUM(abs(dev_x1000 - sea_x1000)) // COUNT(*) AS BIGINT)
+           AS mean_abs_resid_x1000
+FROM sea GROUP BY 1, 2
+"""
+
+QUERIES["events_seasonal_decompose"] = events_seasonal_decompose
+ORACLES["events_seasonal_decompose"] = _SEASONAL_DECOMP_SQL
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (the sensitive-attribute completion of k-anonymity).
+# ---------------------------------------------------------------------------
+
+def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity over quasi-identifier groups — k-anonymity
+    (events_k_anonymity) bounds group SIZE; this bounds what a group
+    reveals: with QI = (day, value-decile) and event_type as the
+    sensitive attribute, a group where every row shares one event_type
+    leaks that attribute for every member even if the group is large
+    (homogeneity attack, Machanavajjhala et al. 2007).  Emits
+    ``(day_idx, value_bucket, n_rows, n_users, l_distinct, at_risk)``
+    with at_risk = l_distinct < 3.  One groupBy on the QI key with two
+    distinct-counts folded in the same exchange.
+    """
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.expr("unix_millis(CAST(ts AS TIMESTAMP)) div 86400000").alias("day_idx"),
+        F.expr("CAST(floor(value) AS BIGINT) div 10").alias("value_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.countDistinct("event_type").cast("long").alias("l_distinct"),
+    )
+    return g.select(
+        F.col("day_idx").cast("long"),
+        "value_bucket",
+        "n_rows",
+        "n_users",
+        "l_distinct",
+        (F.col("l_distinct") < 3).alias("at_risk"),
+    )
+
+
+_L_DIVERSITY_SQL = """
+SELECT (epoch_ms(ts) // 86400000)::BIGINT AS day_idx,
+       CAST(floor(value) AS BIGINT) // 10 AS value_bucket,
+       COUNT(*)::BIGINT AS n_rows,
+       COUNT(DISTINCT user_id)::BIGINT AS n_users,
+       COUNT(DISTINCT event_type)::BIGINT AS l_distinct,
+       COUNT(DISTINCT event_type) < 3 AS at_risk
+FROM events
+GROUP BY 1, 2
+"""
+
+QUERIES["events_l_diversity"] = events_l_diversity
+ORACLES["events_l_diversity"] = _L_DIVERSITY_SQL

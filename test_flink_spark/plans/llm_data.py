@@ -5396,3 +5396,151 @@ FROM j GROUP BY bin
 
 QUERIES["corpus_classifier_calibration"] = corpus_classifier_calibration
 ORACLES["corpus_classifier_calibration"] = _calibration_sql()
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random-projection distortion audit.
+# ---------------------------------------------------------------------------
+
+_RP_DIM_IN = 64
+_RP_DIM_OUT = 16
+
+
+def _rp_signs() -> list[list[int]]:
+    """±1 projection matrix from md5 parity — deterministic, seedless,
+    identical in both dialects because it is generated HERE and embedded
+    as unrolled literal arithmetic (never evaluated by either engine)."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest(), 16) & 1 else -1
+            for i in range(_RP_DIM_IN)
+        ]
+        for j in range(_RP_DIM_OUT)
+    ]
+
+
+def _rp_proj_terms(elem: str) -> list[str]:
+    """One unrolled ``s1*codes[1] + ...`` expression per output dim;
+    ``elem`` is a format string turning a 1-based index into an element
+    access (``element_at(codes, {i})`` in Spark, ``codes[{i}]`` duck)."""
+    return [
+        " + ".join(
+            f"({s} * {elem.format(i=i + 1)})" for i, s in enumerate(row)
+        )
+        for row in _rp_signs()
+    ]
+
+
+def embedding_random_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss distortion measurement for a ±1 random
+    projection 64 -> 16: quantize each embedding to int8 codes
+    (operators/quantize.py — engine-exact), project with a fixed md5-sign
+    matrix, and for consecutive-id vector pairs compare projected vs
+    original squared distance: ``ratio_bp = d2_proj * 1e4 div (16 *
+    d2_orig)`` (E[ratio] = 1e4 under JL; spread ~ sqrt(2/16)).  Emits the
+    distortion histogram ``(ratio_bin, n_pairs, min_ratio_bp,
+    max_ratio_bp)`` — the measured guarantee behind shipping 4x-smaller
+    vectors into every downstream shuffle.
+
+    Scale shape: projection is per-row unrolled integer arithmetic (zero
+    shuffle, codegen-fused); the pair join is an equi-join on vec_id+1
+    (co-partitioned); output is a <=10-row histogram.  All arithmetic
+    int64 with proven headroom (|proj| <= 64*127, d2_proj*1e4 <= 4.2e13).
+    """
+    from ..operators.quantize import quantize_int8
+
+    emb = _emb(spark, sf_dir)
+    q = quantize_int8(emb, "embedding", "vec_id")
+    proj = [
+        F.expr(t).cast("long").alias(f"p{j}")
+        for j, t in enumerate(_rp_proj_terms("element_at(codes, {i})"))
+    ]
+    pv = q.select("vec_id", "codes", *proj)
+    a = pv.alias("a")
+    b = pv.alias("b")
+    d2_orig = " + ".join(
+        f"(element_at(a.codes, {i}) - element_at(b.codes, {i}))"
+        f" * (element_at(a.codes, {i}) - element_at(b.codes, {i}))"
+        for i in range(1, _RP_DIM_IN + 1)
+    )
+    d2_proj = " + ".join(
+        f"(a.p{j} - b.p{j}) * (a.p{j} - b.p{j})" for j in range(_RP_DIM_OUT)
+    )
+    pairs = (
+        a.join(b, F.expr("a.vec_id + 1 = b.vec_id"))
+        .select(
+            F.expr(d2_orig).cast("long").alias("d2_orig"),
+            F.expr(d2_proj).cast("long").alias("d2_proj"),
+        )
+        .where(F.col("d2_orig") > 0)
+        .select(
+            F.expr(f"d2_proj * 10000 div ({_RP_DIM_OUT} * d2_orig)").alias(
+                "ratio_bp"
+            )
+        )
+    )
+    return pairs.groupBy(
+        F.expr("least(ratio_bp div 2000, 9)").cast("long").alias("ratio_bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("ratio_bp").cast("long").alias("min_ratio_bp"),
+        F.max("ratio_bp").cast("long").alias("max_ratio_bp"),
+    )
+
+
+def _rp_audit_sql() -> str:
+    proj_terms = _rp_proj_terms("codes[{i}]")
+    proj_cols = ",\n           ".join(
+        f"CAST({t} AS BIGINT) AS p{j}" for j, t in enumerate(proj_terms)
+    )
+    d2_orig = " + ".join(
+        f"(a.codes[{i}] - b.codes[{i}]) * (a.codes[{i}] - b.codes[{i}])"
+        for i in range(1, _RP_DIM_IN + 1)
+    )
+    d2_proj = " + ".join(
+        f"(a.p{j} - b.p{j}) * (a.p{j} - b.p{j})" for j in range(_RP_DIM_OUT)
+    )
+    return f"""
+WITH sc AS (
+    SELECT vec_id,
+           list_aggregate(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
+    FROM embeddings
+),
+c AS (
+    SELECT e.vec_id,
+           list_transform(e.embedding, x ->
+               CAST((CASE WHEN CAST(x AS DOUBLE) > 0 THEN 1
+                          WHEN CAST(x AS DOUBLE) < 0 THEN -1
+                          ELSE 0 END)
+                    * floor(abs(CAST(x AS DOUBLE)) * 127.0
+                            / (CASE WHEN sc.scale > 0 THEN sc.scale
+                                    ELSE 1.0 END) + 0.5) AS BIGINT)) AS codes
+    FROM embeddings e JOIN sc USING (vec_id)
+),
+pv AS (
+    SELECT vec_id, codes,
+           {proj_cols}
+    FROM c
+),
+pairs AS (
+    SELECT CAST({d2_orig} AS BIGINT) AS d2_orig,
+           CAST({d2_proj} AS BIGINT) AS d2_proj
+    FROM pv a JOIN pv b ON a.vec_id + 1 = b.vec_id
+),
+r AS (
+    SELECT d2_proj * 10000 // ({_RP_DIM_OUT} * d2_orig) AS ratio_bp
+    FROM pairs WHERE d2_orig > 0
+)
+SELECT CAST(least(ratio_bp // 2000, 9) AS BIGINT) AS ratio_bin,
+       COUNT(*)::BIGINT AS n_pairs,
+       CAST(MIN(ratio_bp) AS BIGINT) AS min_ratio_bp,
+       CAST(MAX(ratio_bp) AS BIGINT) AS max_ratio_bp
+FROM r GROUP BY 1
+"""
+
+
+QUERIES["embedding_random_projection_audit"] = embedding_random_projection_audit
+ORACLES["embedding_random_projection_audit"] = _rp_audit_sql()

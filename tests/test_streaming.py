@@ -1581,3 +1581,85 @@ def test_streaming_ks_drift_converges_to_batch(spark, tmpdirs):
     # hand check: Na=2, Nb=5. cum at 50: (0,3) -> |0*5-3*2|=6;
     # at 100: (2,3) -> |10-6|=4; at 500: (2,5) -> 0.  Max 6 at cents=50.
     assert final[0]["d_num"] == 6 and final[0]["ks_at_cents"] == 50
+
+
+def test_streaming_cms_store_maintained_by_sum_merge(spark, tmpdirs):
+    """The count-min sketch is SUM-mergeable (counters add), so a
+    foreachBatch sink that sum-merges each micro-batch's 4096-row CMS
+    table into a parquet store must reproduce, after any batch split,
+    exactly the one-shot batch sketch — and therefore identical point
+    estimates for the heavy hitters.  The streaming complement of
+    `sketch_cms_heavy_hitters`, same shape as the HLL max-merge twin
+    above (different merge monoid: + instead of max)."""
+    import test_flink_spark.operators.sketch as sk
+
+    src = tmpdirs / "src_cms"
+    src.mkdir()
+    store = str(tmpdirs / "cms_store")
+    schema = "v LONG"
+    # skewed values: value k appears ~ (k % 37) times-ish via repetition
+    all_vals = [(i * 613) % 500 for i in range(4_000)] + [7] * 300 + [123] * 150
+
+    def merge_batch(bdf, _bid):
+        s = bdf.sparkSession
+        regs = sk.cms_build(bdf, "v")
+        try:
+            prev = s.read.parquet(store)
+            regs = prev.unionByName(regs)
+        except Exception:
+            pass
+        merged = (
+            regs.groupBy("row_i", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .coalesce(1)
+        )
+        merged.write.mode("overwrite").parquet(store + ".next")
+        s.read.parquet(store + ".next").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(store)
+
+    (src / "b1.csv").write_text("\n".join(str(v) for v in all_vals[:1500]) + "\n")
+    raw = spark.readStream.schema(schema).csv(str(src))
+    q = (
+        raw.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmpdirs / "ckpt_cms"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b2.csv").write_text(
+            "\n".join(str(v) for v in all_vals[1500:3100]) + "\n")
+        q.processAllAvailable()
+        (src / "b3.csv").write_text(
+            "\n".join(str(v) for v in all_vals[3100:]) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        (r["row_i"], r["bucket"], r["cnt"])
+        for r in spark.read.parquet(store).collect()
+    }
+    batch_df = spark.createDataFrame([(v,) for v in all_vals], schema)
+    direct = {
+        (r["row_i"], r["bucket"], r["cnt"])
+        for r in sk.cms_build(batch_df, "v").collect()
+    }
+    assert streamed == direct and len(direct) > 0
+
+    cand = batch_df.groupBy("v").count().orderBy(
+        F.col("count").desc(), F.col("v").asc()
+    ).limit(5).select("v")
+    est_stream = {
+        (r["v"], r["cms_est"])
+        for r in sk.cms_estimate(spark.read.parquet(store), cand, "v").collect()
+    }
+    est_direct = {
+        (r["v"], r["cms_est"])
+        for r in sk.cms_estimate(sk.cms_build(batch_df, "v"), cand, "v").collect()
+    }
+    assert est_stream == est_direct
+    # the two heavy injected keys must estimate at >= their true counts
+    # (CMS never underestimates)
+    ests = dict(est_direct)
+    assert ests.get(7, 0) >= 300 and ests.get(123, 0) >= 150
