@@ -1107,3 +1107,70 @@ SELECT {keys},
             * CAST(n AS HUGEINT)) AS BIGINT) AS gain
 FROM ranked WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Additive seasonal decomposition (STL-lite) over hourly buckets.
+# ---------------------------------------------------------------------------
+
+
+def seasonal_decompose_hod(
+    df: DataFrame, key_col: str, ms_col: str
+) -> DataFrame:
+    """Hour-of-day seasonal profile per key over epoch-ms events, x1000
+    fixed point: hourly counts -> per-(key, day) mean removal -> per-
+    (key, hod) seasonal average -> residual energy.  All arithmetic is
+    truncating integer division (Spark ``div`` == DuckDB ``//`` for the
+    negative deviations: both truncate toward zero).  Emits ``(key, hod,
+    n_days, seasonal_x1000, mean_abs_resid_x1000)``.
+
+    One groupBy on (key, day, hod) with map-side partials, two windows
+    partitioned by (key, day) / (key, hod), and a 24*|keys|-row final
+    aggregate — exchanges are keyed by the series key plus a bounded
+    calendar component, never global.  Composes over any epoch-ms
+    column, so the streaming accumulate-recompute harness drives the
+    exact batch operator."""
+    cells = (
+        df.select(
+            F.col(key_col),
+            F.expr(f"({ms_col} div 3600000) div 24").alias("day_idx"),
+            F.expr(f"({ms_col} div 3600000) % 24").alias("hod"),
+        )
+        .groupBy(key_col, "day_idx", "hod")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wday = Window.partitionBy(key_col, "day_idx")
+    dev = cells.select(
+        key_col,
+        "day_idx",
+        "hod",
+        F.expr("c * 1000").alias("c_x1000"),
+        F.sum("c").over(wday).alias("day_sum"),
+        F.count(F.lit(1)).over(wday).alias("day_cells"),
+    ).select(
+        key_col,
+        "day_idx",
+        "hod",
+        F.expr("c_x1000 - (day_sum * 1000 div day_cells)").alias("dev_x1000"),
+    )
+    whod = Window.partitionBy(key_col, "hod")
+    sea = dev.select(
+        key_col,
+        "hod",
+        "dev_x1000",
+        F.expr("sum(dev_x1000)").over(whod).alias("hod_sum"),
+        F.count(F.lit(1)).over(whod).alias("n_days"),
+    ).select(
+        key_col,
+        "hod",
+        "dev_x1000",
+        "n_days",
+        F.expr("hod_sum div n_days").alias("sea_x1000"),
+    )
+    return sea.groupBy(key_col, "hod").agg(
+        F.max("n_days").cast("long").alias("n_days"),
+        F.max("sea_x1000").cast("long").alias("seasonal_x1000"),
+        F.expr("sum(abs(dev_x1000 - sea_x1000)) div count(1)")
+        .cast("long")
+        .alias("mean_abs_resid_x1000"),
+    )

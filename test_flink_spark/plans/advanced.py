@@ -2007,58 +2007,13 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     `div` agrees between engines for negative deviations (both truncate
     toward zero).
     """
-    from pyspark.sql import Window
+    from ..operators.timeseries import seasonal_decompose_hod
 
-    ev = _t(spark, sf_dir, "events")
-    hour = F.expr("unix_millis(CAST(ts AS TIMESTAMP)) div 3600000")
-    cells = (
-        ev.select(
-            F.col("event_type"),
-            (hour.cast("long")).alias("hour_idx"),
-        )
-        .select(
-            "event_type",
-            F.expr("hour_idx div 24").alias("day_idx"),
-            F.expr("hour_idx % 24").alias("hod"),
-        )
-        .groupBy("event_type", "day_idx", "hod")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    wday = Window.partitionBy("event_type", "day_idx")
-    dev = cells.select(
+    ev = _t(spark, sf_dir, "events").select(
         "event_type",
-        "day_idx",
-        "hod",
-        F.expr("c * 1000").alias("c_x1000"),
-        F.sum("c").over(wday).alias("day_sum"),
-        F.count(F.lit(1)).over(wday).alias("day_cells"),
-    ).select(
-        "event_type",
-        "day_idx",
-        "hod",
-        F.expr("c_x1000 - (day_sum * 1000 div day_cells)").alias("dev_x1000"),
+        F.expr("unix_millis(CAST(ts AS TIMESTAMP))").alias("ms"),
     )
-    whod = Window.partitionBy("event_type", "hod")
-    sea = dev.select(
-        "event_type",
-        "hod",
-        "dev_x1000",
-        F.expr("sum(dev_x1000)").over(whod).alias("hod_sum"),
-        F.count(F.lit(1)).over(whod).alias("n_days"),
-    ).select(
-        "event_type",
-        "hod",
-        "dev_x1000",
-        "n_days",
-        F.expr("hod_sum div n_days").alias("sea_x1000"),
-    )
-    return sea.groupBy("event_type", "hod").agg(
-        F.max("n_days").cast("long").alias("n_days"),
-        F.max("sea_x1000").cast("long").alias("seasonal_x1000"),
-        F.expr("sum(abs(dev_x1000 - sea_x1000)) div count(1)")
-        .cast("long")
-        .alias("mean_abs_resid_x1000"),
-    )
+    return seasonal_decompose_hod(ev, "event_type", "ms")
 
 
 _SEASONAL_DECOMP_SQL = """
@@ -2143,3 +2098,75 @@ GROUP BY 1, 2
 
 QUERIES["events_l_diversity"] = events_l_diversity
 ORACLES["events_l_diversity"] = _L_DIVERSITY_SQL
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency discovery audit.
+# ---------------------------------------------------------------------------
+
+_FD_CANDIDATES = (
+    ("part", "p_name", "p_brand"),
+    ("part", "p_brand", "p_type"),
+    ("part", "p_type", "p_size"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("nation", "n_nationkey", "n_regionkey"),
+)
+
+
+def schema_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency discovery (the Metanome/TANE
+    family reduced to candidate verification): for each candidate
+    ``lhs -> rhs`` measure how badly it fails — ``(fd, n_lhs_groups,
+    n_violating, max_rhs_distinct, violation_bp)`` where a violating
+    group is an lhs value mapping to >1 distinct rhs.  violation_bp = 0
+    certifies the FD holds exactly (a license for dictionary-encoding
+    rhs against lhs, pruning rhs from join keys, or flagging dirty
+    data).  Each candidate is ONE groupBy on its lhs with a distinct-rhs
+    count folded map-side, then a 1-row aggregate; candidates are
+    independent unioned jobs.
+    """
+    rows = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        t = _t(spark, sf_dir, table)
+        g = t.groupBy(lhs).agg(F.countDistinct(rhs).alias("n_rhs"))
+        rows.append(
+            g.agg(
+                F.count(F.lit(1)).cast("long").alias("n_lhs_groups"),
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+                F.max("n_rhs").cast("long").alias("max_rhs_distinct"),
+            ).select(
+                F.lit(f"{table}.{lhs}->{rhs}").alias("fd"),
+                "n_lhs_groups",
+                "n_violating",
+                "max_rhs_distinct",
+                F.expr("n_violating * 10000 div n_lhs_groups")
+                .cast("long")
+                .alias("violation_bp"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _fd_sql(table: str, lhs: str, rhs: str) -> str:
+    return f"""
+SELECT '{table}.{lhs}->{rhs}' AS fd,
+       COUNT(*)::BIGINT AS n_lhs_groups,
+       SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+       MAX(n_rhs)::BIGINT AS max_rhs_distinct,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) * 10000
+            // COUNT(*) AS BIGINT) AS violation_bp
+FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS n_rhs FROM {table} GROUP BY 1)
+"""
+
+
+_FD_AUDIT_SQL = "\nUNION ALL\n".join(_fd_sql(*c) for c in _FD_CANDIDATES)
+
+QUERIES["schema_fd_audit"] = schema_fd_audit
+ORACLES["schema_fd_audit"] = _FD_AUDIT_SQL

@@ -3493,3 +3493,95 @@ SELECT (SELECT n_nodes FROM dd) AS n_nodes,
 
 QUERIES["graph_clustering_coefficient"] = graph_clustering_coefficient
 ORACLES["graph_clustering_coefficient"] = _CLUSTERING_SQL
+
+
+# ---------------------------------------------------------------------------
+# Item-based collaborative-filtering recommendations.
+# ---------------------------------------------------------------------------
+
+_RECO_TOPK = 3
+
+
+def reco_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: score every (user, candidate)
+    as the summed co-occurrence strength between the candidate and the
+    items the user already has (the classic Sarwar/Amazon item-CF
+    aggregation), drop candidates the user owns, and keep the top-3 per
+    user by (score desc, item asc).  Emits ``(user_id, reco_item, score,
+    n_src, rank)`` — n_src is how many of the user's items voted.
+
+    Scale shape: the neighbor table is per-item top-5 (bounded fan-out),
+    so scoring is one equi-join expanding each basket row <=5x, one
+    (user, candidate) groupBy, one anti join against the basket, and a
+    per-user window — all shuffles keyed by user or item, nothing
+    quadratic.  The capped basket is localCheckpointed once and reused
+    by all three references instead of re-deriving the event scan."""
+    ui = _event_items(spark, sf_dir)
+    capped_src = ui.select(F.col("user_id").alias("u"), F.col("item").alias("i")).distinct()
+    w = Window.partitionBy("u").orderBy(F.col("i").asc())
+    capped = (
+        capped_src.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _COOC_CAP)
+        .drop("__rn")
+        .localCheckpoint(eager=True)
+    )
+    pairs = cooccur.item_pairs(ui, "user_id", "item", _COOC_CAP)
+    sims = cooccur.topk_neighbors(pairs, k=_COOC_TOPK).select(
+        "item", "neighbor", "n_co"
+    )
+    cand = (
+        capped.join(sims, capped.i == sims.item)
+        .groupBy(F.col("u"), F.col("neighbor").alias("reco_item"))
+        .agg(
+            F.sum("n_co").cast("long").alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_src"),
+        )
+    )
+    owned = capped.select("u", F.col("i").alias("reco_item"))
+    fresh = cand.join(owned, ["u", "reco_item"], "left_anti")
+    wr = Window.partitionBy("u").orderBy(
+        F.col("score").desc(), F.col("reco_item").asc()
+    )
+    return (
+        fresh.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _RECO_TOPK)
+        .select(
+            F.col("u").cast("long").alias("user_id"),
+            F.col("reco_item").cast("long"),
+            "score",
+            "n_src",
+            F.col("rank").cast("long"),
+        )
+    )
+
+
+_RECO_SQL = rf"""
+WITH {_cooc_cte()},
+sims AS (SELECT item, neighbor, n_co FROM rk WHERE rank <= {_COOC_TOPK}),
+cand AS (
+    SELECT c.u, s.neighbor AS reco_item,
+           SUM(s.n_co) AS score, COUNT(*) AS n_src
+    FROM capped c JOIN sims s ON c.i = s.item
+    GROUP BY 1, 2
+),
+fresh AS (
+    SELECT cand.* FROM cand
+    WHERE NOT EXISTS (SELECT 1 FROM capped x
+                      WHERE x.u = cand.u AND x.i = cand.reco_item)
+),
+rk2 AS (
+    SELECT u, reco_item, score, n_src,
+           ROW_NUMBER() OVER (PARTITION BY u
+                              ORDER BY score DESC, reco_item ASC) AS rank
+    FROM fresh
+)
+SELECT CAST(u AS BIGINT) AS user_id,
+       CAST(reco_item AS BIGINT) AS reco_item,
+       CAST(score AS BIGINT) AS score,
+       CAST(n_src AS BIGINT) AS n_src,
+       CAST(rank AS BIGINT) AS rank
+FROM rk2 WHERE rank <= {_RECO_TOPK}
+"""
+
+QUERIES["reco_item_cf_topk"] = reco_item_cf_topk
+ORACLES["reco_item_cf_topk"] = _RECO_SQL

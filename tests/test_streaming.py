@@ -1663,3 +1663,37 @@ def test_streaming_cms_store_maintained_by_sum_merge(spark, tmpdirs):
     # (CMS never underestimates)
     ests = dict(est_direct)
     assert ests.get(7, 0) >= 300 and ests.get(123, 0) >= 150
+
+
+def test_streaming_seasonal_decompose_converges_to_batch(spark, tmpdirs):
+    """Streaming parity for the STL-lite decomposition: hourly cells and
+    both window passes need the full per-key history (a late hour
+    changes its day's mean and therefore EVERY hod's seasonal term), so
+    it runs through the accumulate-recompute harness.  Batches arrive
+    out of order across days; the final emission must equal the batch
+    operator over the union."""
+    from test_flink_spark.operators.timeseries import seasonal_decompose_hod
+
+    schema = "k STRING, ms LONG"
+    H = 3600000
+    rows = []
+    # 3 days x 24 hours with a deterministic daily shape + trend for two keys
+    for d in range(3):
+        for h in range(24):
+            n = 1 + (h % 6) + d  # shape repeats per day, level drifts
+            rows += [("a", (d * 24 + h) * H + i) for i in range(n)]
+            rows += [("b", (d * 24 + h) * H + 7 * i) for i in range(2 + (h % 3))]
+    # split interleaved (day 2 partially in batch 1 — out of order)
+    b1 = [r for i, r in enumerate(rows) if i % 3 != 0]
+    b2 = [r for i, r in enumerate(rows) if i % 3 == 0]
+    fmt = lambda rs: "\n".join(f"{k},{ms}" for k, ms in rs) + "\n"
+
+    final = _foreachbatch_accumulate_and_apply(
+        spark, tmpdirs, schema, [fmt(b1), fmt(b2)],
+        lambda df: seasonal_decompose_hod(df, "k", "ms"),
+    )
+    batch_df = spark.createDataFrame(rows, schema)
+    expect = {
+        tuple(r) for r in seasonal_decompose_hod(batch_df, "k", "ms").collect()
+    }
+    assert {tuple(r) for r in final} == expect and len(expect) == 48
