@@ -2170,3 +2170,83 @@ _FD_AUDIT_SQL = "\nUNION ALL\n".join(_fd_sql(*c) for c in _FD_CANDIDATES)
 
 QUERIES["schema_fd_audit"] = schema_fd_audit
 ORACLES["schema_fd_audit"] = _FD_AUDIT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment-latency exact percentiles per order priority.
+# ---------------------------------------------------------------------------
+
+def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of order-to-ship latency (days) per order
+    priority — the SLA report, computed as value-at-rank instead of any
+    interpolating percentile: rank_p = ceil(n*p/100) = (n*p + 99) div
+    100 over the days-ascending per-priority ordering (the discrete
+    lower-percentile convention of supplier_mad_outliers).  Tied day
+    values make the value at a rank unique regardless of tie order, so
+    no tiebreak column is needed.  Emits ``(priority, n_lines, p50_days,
+    p90_days, p99_days)``.
+
+    One join shuffled on orderkey, one window exchange per priority
+    (row_number + count fused over the same sort), 5-row output."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    days = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.expr(
+                "unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 86400000"
+                " - unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000"
+            ).alias("days"),
+        )
+    )
+    w = Window.partitionBy("priority").orderBy(F.col("days").asc())
+    wn = Window.partitionBy("priority")
+    r = days.select(
+        "priority",
+        "days",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n_lines"),
+        F.max(F.when(F.col("rn") == F.expr("(n * 50 + 99) div 100"), F.col("days")))
+        .cast("long")
+        .alias("p50_days"),
+        F.max(F.when(F.col("rn") == F.expr("(n * 90 + 99) div 100"), F.col("days")))
+        .cast("long")
+        .alias("p90_days"),
+        F.max(F.when(F.col("rn") == F.expr("(n * 99 + 99) div 100"), F.col("days")))
+        .cast("long")
+        .alias("p99_days"),
+    )
+
+
+_FULFILL_SQL = """
+WITH days AS (
+    SELECT o_orderpriority AS priority,
+           epoch_ms(l_shipdate) // 86400000
+             - epoch_ms(o_orderdate) // 86400000 AS days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+r AS (
+    SELECT priority, days,
+           ROW_NUMBER() OVER (PARTITION BY priority ORDER BY days ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY priority) AS n
+    FROM days
+)
+SELECT priority,
+       CAST(MAX(n) AS BIGINT) AS n_lines,
+       CAST(MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN days END) AS BIGINT)
+           AS p50_days,
+       CAST(MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN days END) AS BIGINT)
+           AS p90_days,
+       CAST(MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN days END) AS BIGINT)
+           AS p99_days
+FROM r GROUP BY 1
+"""
+
+QUERIES["orders_fulfillment_latency"] = orders_fulfillment_latency
+ORACLES["orders_fulfillment_latency"] = _FULFILL_SQL

@@ -3585,3 +3585,67 @@ FROM rk2 WHERE rank <= {_RECO_TOPK}
 
 QUERIES["reco_item_cf_topk"] = reco_item_cf_topk
 ORACLES["reco_item_cf_topk"] = _RECO_SQL
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness profile.
+# ---------------------------------------------------------------------------
+
+def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival histogram on a log2 scale: gaps between a
+    user's consecutive events of the same type, bucketed by bit length
+    (the engine-portable integer log2 — length(bin(gap))), with min/max
+    gap per bucket.  A Poisson process decays geometrically across
+    buckets; mass piling into the low buckets plus a fat far tail is the
+    burstiness signature (sessions + idle gaps) that sizes streaming
+    state timeouts and watermark delay.
+
+    The lag() window orders by (ms, event_id) — the event_id tiebreak is
+    load-bearing: same-millisecond events otherwise make the gap
+    sequence nondeterministic across engines (the time_weighted_avg
+    lesson).  One window exchange on (type, user), one bounded groupBy.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type", "user_id")
+        .orderBy(F.col("ms").asc(), F.col("event_id").asc())
+    )
+    gaps = (
+        ev.select(
+            "event_type",
+            "user_id",
+            "event_id",
+            F.expr("unix_millis(CAST(ts AS TIMESTAMP))").alias("ms"),
+        )
+        .withColumn("gap_ms", F.col("ms") - F.lag("ms").over(w))
+        .filter(F.col("gap_ms").isNotNull())
+    )
+    return gaps.groupBy(
+        "event_type",
+        F.length(F.bin(F.col("gap_ms"))).cast("long").alias("gap_bin"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap_ms").cast("long").alias("min_gap_ms"),
+        F.max("gap_ms").cast("long").alias("max_gap_ms"),
+    )
+
+
+_INTERARRIVAL_SQL = """
+WITH gaps AS (
+    SELECT event_type,
+           epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+               PARTITION BY event_type, user_id
+               ORDER BY epoch_ms(ts) ASC, event_id ASC) AS gap_ms
+    FROM events
+)
+SELECT event_type,
+       CAST(length(bin(gap_ms)) AS BIGINT) AS gap_bin,
+       COUNT(*)::BIGINT AS n_gaps,
+       CAST(MIN(gap_ms) AS BIGINT) AS min_gap_ms,
+       CAST(MAX(gap_ms) AS BIGINT) AS max_gap_ms
+FROM gaps WHERE gap_ms IS NOT NULL
+GROUP BY 1, 2
+"""
+
+QUERIES["events_interarrival_profile"] = events_interarrival_profile
+ORACLES["events_interarrival_profile"] = _INTERARRIVAL_SQL

@@ -5544,3 +5544,65 @@ FROM r GROUP BY 1
 
 QUERIES["embedding_random_projection_audit"] = embedding_random_projection_audit
 ORACLES["embedding_random_projection_audit"] = _rp_audit_sql()
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplicate-flow matrix.
+# ---------------------------------------------------------------------------
+
+def dedup_source_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where do near-duplicates COME FROM: the MinHash-LSH candidate
+    pairs rolled up to an unordered source-pair matrix ``(source_a,
+    source_b, n_pairs, cross_source)``.  A diagonal-heavy matrix means
+    within-crawl boilerplate (fix the extractor); heavy off-diagonal
+    cells mean one source is mirroring another (dedup cross-source
+    BEFORE mixing weights, or the mirrored corpus is double-counted).
+    The curation view behind dedup_cross_lingual's language variant.
+
+    Scale shape: inherits the banded LSH pair generation (never
+    all-pairs); the two source lookups are equi-joins on doc_id against
+    a 2-column projection; output is <= |sources|² rows."""
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, num_perm=16, bands=4)
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")),
+            "id_a",
+        ).join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")),
+            "id_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn("cross_source", F.col("source_a") != F.col("source_b"))
+    )
+
+
+_SOURCE_FLOW_SQL = f"""
+WITH {_minhash_kv_cte(16, 4)},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM kv a JOIN kv b
+      ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+),
+j AS (
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b
+    FROM pairs
+    JOIN documents da ON pairs.id_a = da.doc_id
+    JOIN documents db ON pairs.id_b = db.doc_id
+)
+SELECT source_a, source_b, COUNT(*)::BIGINT AS n_pairs,
+       source_a <> source_b AS cross_source
+FROM j GROUP BY 1, 2
+"""
+
+QUERIES["dedup_source_flow_matrix"] = dedup_source_flow_matrix
+ORACLES["dedup_source_flow_matrix"] = _SOURCE_FLOW_SQL
