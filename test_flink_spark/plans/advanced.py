@@ -1788,6 +1788,9 @@ def orders_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(pt, li.l_partkey == pt.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
+        # referenced by totals, marginals, and both sides of the pair
+        # self-join — checkpoint once instead of 4 scans of lineitem
+        .localCheckpoint(eager=True)
     )
     totals = baskets.groupBy().agg(
         F.countDistinct("l_orderkey").cast("long").alias("n_orders")

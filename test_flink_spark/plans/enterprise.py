@@ -3525,7 +3525,9 @@ def reco_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__rn")
         .localCheckpoint(eager=True)
     )
-    pairs = cooccur.item_pairs(ui, "user_id", "item", _COOC_CAP)
+    # item_pairs dedups+caps internally and capping is idempotent, so the
+    # checkpointed capped basket feeds it too — one events scan total
+    pairs = cooccur.item_pairs(capped, "u", "i", _COOC_CAP)
     sims = cooccur.topk_neighbors(pairs, k=_COOC_TOPK).select(
         "item", "neighbor", "n_co"
     )

@@ -5457,7 +5457,9 @@ def embedding_random_projection_audit(spark: SparkSession, sf_dir: str) -> DataF
         F.expr(t).cast("long").alias(f"p{j}")
         for j, t in enumerate(_rp_proj_terms("element_at(codes, {i})"))
     ]
-    pv = q.select("vec_id", "codes", *proj)
+    # the projected table feeds BOTH sides of the consecutive-id join:
+    # checkpoint once or the scan+quantize+project chain runs twice
+    pv = q.select("vec_id", "codes", *proj).localCheckpoint(eager=True)
     a = pv.alias("a")
     b = pv.alias("b")
     d2_orig = " + ".join(
