@@ -3651,3 +3651,248 @@ GROUP BY 1, 2
 
 QUERIES["events_interarrival_profile"] = events_interarrival_profile
 ORACLES["events_interarrival_profile"] = _INTERARRIVAL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution.
+# ---------------------------------------------------------------------------
+
+_MKV_CHANNELS = ("click", "error", "signup", "view")
+_MKV_K = 12  # fixed-point iterations — deterministic by construction
+
+
+def _markov_absorption(
+    trans: dict, channels: tuple, removed: str | None = None, k: int = _MKV_K
+) -> int:
+    """Exact truncated fixed-point absorption: v_k(s) = (sum_t p_ppm(s->t)
+    * v_{k-1}(t)) div 1e6, CONV pinned 1e6, LOST (and the removed channel)
+    pinned 0.  All integer; the oracle replays the SAME truncated
+    iteration step by step, so convergence tolerance never enters the
+    comparison — the metric IS the 12-step value."""
+    states = ["START", *channels, "CONV", "LOST"]
+    v = {s: 0 for s in states}
+    v["CONV"] = 1_000_000
+    for _ in range(k):
+        nv = {}
+        for s in states:
+            if s == "CONV":
+                nv[s] = 1_000_000
+            elif s == "LOST" or (removed is not None and s == removed):
+                nv[s] = 0
+            else:
+                tot = sum(
+                    p * v.get(t, 0) for (f, t), p in trans.items() if f == s
+                )
+                nv[s] = tot // 1_000_000  # all terms >= 0: floor == trunc
+        v = nv
+    return v["START"]
+
+
+def events_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2016) — the
+    model-based completion of the attribution family (last-touch,
+    linear, transition matrix): per-day user journeys truncated at the
+    first purchase feed a START/channel/CONV/LOST transition matrix;
+    each channel's credit is how much the 12-step absorption probability
+    from START drops when that channel is short-circuited to LOST.
+    Emits ``(channel, base_ppm, removed_ppm, effect_bp)``.
+
+    Scale split: journey assembly + transition counting is the
+    distributed part (two chained same-partition windows on (user, day),
+    one bounded groupBy — |states|² <= 36 output rows regardless of
+    event volume).  The absorption solve collects that bounded matrix
+    and iterates exactly in integer fixed point driver-side (the
+    IVF-centroid/per-source-literal-map precedent: k-row collects only);
+    the DuckDB oracle replays the identical truncated iteration as an
+    unrolled 60-CTE chain, so the driver hash-checks the solver too."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*_MKV_CHANNELS, "purchase"))
+        .select(
+            "user_id",
+            F.expr("unix_millis(CAST(ts AS TIMESTAMP)) div 86400000").alias(
+                "day_idx"
+            ),
+            F.expr("unix_millis(CAST(ts AS TIMESTAMP))").alias("ms"),
+            "event_id",
+            "event_type",
+        )
+    )
+    wpd = Window.partitionBy("user_id", "day_idx")
+    w = wpd.orderBy(F.col("ms").asc(), F.col("event_id").asc())
+    e2 = ev.withColumn(
+        "fp_ms",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ms"))).over(wpd),
+    )
+    e3 = e2.withColumn(
+        "fp_eid",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ms") == F.col("fp_ms")),
+                F.col("event_id"),
+            )
+        ).over(wpd),
+    )
+    kept = e3.filter(F.col("event_type") != "purchase").filter(
+        F.col("fp_ms").isNull()
+        | (F.col("ms") < F.col("fp_ms"))
+        | ((F.col("ms") == F.col("fp_ms")) & (F.col("event_id") < F.col("fp_eid")))
+    )
+    coll = kept.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    seq = coll.withColumn("nxt", F.lead("event_type").over(w)).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    starts = seq.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("from_s"), F.col("event_type").alias("to_s")
+    )
+    chains = seq.filter(F.col("nxt").isNotNull()).select(
+        F.col("event_type").alias("from_s"), F.col("nxt").alias("to_s")
+    )
+    ends = seq.filter(F.col("nxt").isNull()).select(
+        F.col("event_type").alias("from_s"),
+        F.when(F.col("fp_ms").isNotNull(), F.lit("CONV"))
+        .otherwise(F.lit("LOST"))
+        .alias("to_s"),
+    )
+    conv_groups = (
+        e3.filter(F.col("fp_ms").isNotNull()).select("user_id", "day_idx").distinct()
+    )
+    touched_groups = coll.select("user_id", "day_idx").distinct()
+    empty = conv_groups.join(
+        touched_groups, ["user_id", "day_idx"], "left_anti"
+    ).select(F.lit("START").alias("from_s"), F.lit("CONV").alias("to_s"))
+    edges = starts.unionAll(chains).unionAll(ends).unionAll(empty)
+    wfrom = Window.partitionBy("from_s")
+    trans_df = (
+        edges.groupBy("from_s", "to_s")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "from_s",
+            "to_s",
+            F.expr("n * 1000000 div sum(n) over (partition by from_s)")
+            .cast("long")
+            .alias("p_ppm"),
+        )
+    )
+    trans = {
+        (r["from_s"], r["to_s"]): r["p_ppm"] for r in trans_df.collect()
+    }  # bounded: <= (|channels|+3)^2 rows by construction
+    base = _markov_absorption(trans, _MKV_CHANNELS)
+    out = []
+    for c in _MKV_CHANNELS:
+        rem = _markov_absorption(trans, _MKV_CHANNELS, removed=c)
+        eff = (base - rem) * 10000 // base if base > 0 else 0
+        out.append((c, base, rem, eff))
+    return spark.createDataFrame(
+        out, "channel string, base_ppm long, removed_ppm long, effect_bp long"
+    )
+
+
+def _markov_removal_sql() -> str:
+    channels = _MKV_CHANNELS
+    states = ["START", *channels, "CONV", "LOST"]
+    states_cte = " UNION ALL ".join(f"SELECT '{s}' AS s" for s in states)
+    variants = [("base", None)] + [(c, c) for c in channels]
+    step_ctes = []
+    for m, removed in variants:
+        step_ctes.append(
+            f"v_{m}_0 AS (SELECT s, CASE WHEN s = 'CONV' THEN 1000000"
+            f" ELSE 0 END AS v FROM states)"
+        )
+        for k in range(1, _MKV_K + 1):
+            rm = f"WHEN st.s = '{removed}' THEN 0 " if removed else ""
+            step_ctes.append(
+                f"""v_{m}_{k} AS (
+  SELECT st.s AS s,
+         CASE WHEN st.s = 'CONV' THEN 1000000
+              WHEN st.s = 'LOST' THEN 0
+              {rm}ELSE COALESCE((SELECT SUM(t.p_ppm * v.v)
+                             FROM trans t JOIN v_{m}_{k - 1} v ON t.to_s = v.s
+                             WHERE t.from_s = st.s), 0) // 1000000
+         END AS v
+  FROM states st)"""
+            )
+    finals = " UNION ALL ".join(
+        f"SELECT '{c}' AS channel,"
+        f" (SELECT v FROM v_base_{_MKV_K} WHERE s = 'START') AS base_ppm,"
+        f" (SELECT v FROM v_{c}_{_MKV_K} WHERE s = 'START') AS removed_ppm"
+        for c in channels
+    )
+    chan_list = ", ".join(f"'{c}'" for c in channels)
+    steps_joined = ",\n".join(step_ctes)
+    return f"""
+WITH e AS (
+    SELECT user_id, epoch_ms(ts) // 86400000 AS day_idx, epoch_ms(ts) AS ms,
+           event_id, event_type
+    FROM events
+    WHERE event_type IN ({chan_list}, 'purchase')
+),
+e2 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN ms END)
+                OVER (PARTITION BY user_id, day_idx) AS fp_ms
+    FROM e
+),
+e3 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ms = fp_ms
+                       THEN event_id END)
+                OVER (PARTITION BY user_id, day_idx) AS fp_eid
+    FROM e2
+),
+keptv AS (
+    SELECT * FROM e3
+    WHERE event_type <> 'purchase'
+      AND (fp_ms IS NULL OR ms < fp_ms
+           OR (ms = fp_ms AND event_id < fp_eid))
+),
+coll AS (
+    SELECT * FROM (
+        SELECT *, LAG(event_type) OVER (PARTITION BY user_id, day_idx
+                                        ORDER BY ms, event_id) AS prev
+        FROM keptv)
+    WHERE prev IS NULL OR prev <> event_type
+),
+seq AS (
+    SELECT *,
+           LEAD(event_type) OVER (PARTITION BY user_id, day_idx
+                                  ORDER BY ms, event_id) AS nxt,
+           ROW_NUMBER() OVER (PARTITION BY user_id, day_idx
+                              ORDER BY ms, event_id) AS rn
+    FROM coll
+),
+edges AS (
+    SELECT 'START' AS from_s, event_type AS to_s FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT event_type, nxt FROM seq WHERE nxt IS NOT NULL
+    UNION ALL
+    SELECT event_type,
+           CASE WHEN fp_ms IS NOT NULL THEN 'CONV' ELSE 'LOST' END
+    FROM seq WHERE nxt IS NULL
+    UNION ALL
+    SELECT 'START', 'CONV'
+    FROM (SELECT DISTINCT user_id, day_idx FROM e3 WHERE fp_ms IS NOT NULL) g
+    WHERE NOT EXISTS (SELECT 1 FROM coll c
+                      WHERE c.user_id = g.user_id AND c.day_idx = g.day_idx)
+),
+tcnt AS (SELECT from_s, to_s, COUNT(*) AS n FROM edges GROUP BY 1, 2),
+trans AS (
+    SELECT from_s, to_s,
+           n * 1000000 // SUM(n) OVER (PARTITION BY from_s) AS p_ppm
+    FROM tcnt
+),
+states AS ({states_cte}),
+{steps_joined}
+SELECT channel,
+       CAST(base_ppm AS BIGINT) AS base_ppm,
+       CAST(removed_ppm AS BIGINT) AS removed_ppm,
+       CAST(CASE WHEN base_ppm > 0
+                 THEN (base_ppm - removed_ppm) * 10000 // base_ppm
+                 ELSE 0 END AS BIGINT) AS effect_bp
+FROM ({finals})
+"""
+
+
+QUERIES["events_attribution_markov_removal"] = events_attribution_markov_removal
+ORACLES["events_attribution_markov_removal"] = _markov_removal_sql()

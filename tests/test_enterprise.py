@@ -931,3 +931,45 @@ def test_session_sweep_monotone_in_threshold(spark):
     assert 0 <= r["eta2_bp"] <= 10_000
     assert r["ssb_n"] + r["ssw_n"] == r["sst_n"]
     assert r["ssw_n"] >= 0
+
+
+def test_markov_absorption_hand_chain():
+    """Hand-checkable absorption: START -> A (certain), A splits 50/50 to
+    CONV/LOST.  v(A) = 500000 after one step, v(START) = 500000 once the
+    A value propagates; removing A severs the only path (0); removing an
+    absent channel changes nothing."""
+    from test_flink_spark.plans.enterprise import _markov_absorption
+
+    trans = {
+        ("START", "A"): 1_000_000,
+        ("A", "CONV"): 500_000,
+        ("A", "LOST"): 500_000,
+    }
+    assert _markov_absorption(trans, ("A", "B")) == 500_000
+    assert _markov_absorption(trans, ("A", "B"), removed="A") == 0
+    assert _markov_absorption(trans, ("A", "B"), removed="B") == 500_000
+
+
+def test_markov_absorption_self_loop_truncation():
+    """A 50% self-loop halves its residual mass each step: after K=12
+    truncated iterations v(START) is sum_{i=1..11} 5^i 10^{6-i} scaled —
+    the same truncation the SQL replay performs (each step one floor
+    div), pinned here against an independent per-step reference."""
+    from test_flink_spark.plans.enterprise import _markov_absorption
+
+    trans = {
+        ("START", "A"): 1_000_000,
+        ("A", "A"): 500_000,
+        ("A", "CONV"): 500_000,
+    }
+    # reference: replay the exact same recurrence independently
+    va = 0
+    for _ in range(12):
+        va_new = (500_000 * va + 500_000 * 1_000_000) // 1_000_000
+        va = va_new
+    # START lags A by one step: v(START) = value of A at step 11
+    va11 = 0
+    for _ in range(11):
+        va11 = (500_000 * va11 + 500_000 * 1_000_000) // 1_000_000
+    got = _markov_absorption(trans, ("A",))
+    assert got == va11 and got > 990_000
