@@ -22,7 +22,6 @@ reproduce signatures bit-for-bit (plans/llm_data.py).
 
 from __future__ import annotations
 
-import warnings
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -500,64 +499,15 @@ def duplicate_clusters(
     pairs = ngram_jaccard_pairs(df, text_col, id_col, threshold=threshold).select(
         "id_a", "id_b"
     )
-    edges = pairs.unionByName(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).persist()
-    labels = edges.select(F.col("id_a").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    from .graph import min_label_components
+
+    return min_label_components(
+        pairs,
+        df.select(F.col(id_col)),
+        id_col,
+        max_iter=max_iter,
+        warn_name="duplicate_clusters",
     )
-    prev: DataFrame | None = None
-    prev_sum = None
-    converged = False
-    for _ in range(max_iter):
-        # one round = ONE join + ONE aggregation: each node's new label is
-        # min over {own label} ∪ {neighbors' labels}, expressed as a union
-        # into the groupBy (no second join against the old generation)
-        nbr = edges.join(labels, edges.id_b == labels.node).select(
-            F.col("id_a").alias("node"), "label"
-        )
-        new_labels = (
-            labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label"))
-        ).persist()
-        # labels are monotonically non-increasing, so the fixed point is
-        # exactly "sum of labels unchanged"; decimal(38) keeps the sum exact
-        # at any id magnitude × corpus size (int64 could overflow)
-        label_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
-        if prev is not None:
-            prev.unpersist()  # new generation is materialized; drop the old
-        prev = new_labels
-        labels = new_labels
-        if label_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = label_sum
-    if not converged and max_iter > 0:
-        warnings.warn(
-            f"duplicate_clusters: label propagation did not converge in "
-            f"{max_iter} iterations; a duplicate chain longer than {max_iter} "
-            f"hops exists and returned cluster ids are not transitively "
-            f"minimal — raise max_iter",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-    # singletons (no incident edge) cluster with themselves
-    out = (
-        df.select(F.col(id_col))
-        .join(
-            labels.select(F.col("node").alias(id_col), "label"), id_col, "left"
-        )
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    edges.unpersist()
-    if prev is not None:
-        prev.unpersist()
-    return out
 
 
 def minhash_signature_expr(

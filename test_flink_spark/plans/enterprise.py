@@ -3896,3 +3896,146 @@ FROM ({finals})
 
 QUERIES["events_attribution_markov_removal"] = events_attribution_markov_removal
 ORACLES["events_attribution_markov_removal"] = _markov_removal_sql()
+
+
+# ---------------------------------------------------------------------------
+# Component-size histogram of the k-NN item graph.
+# ---------------------------------------------------------------------------
+
+_COMP_KEEP_BP = 500  # keep the top 5% strongest k-NN edges (basis points)
+
+
+def graph_components_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component size histogram of the strong-tie item graph
+    ``(size, n_components)`` — the macro-structure readout beside the
+    local ones (triangles, clustering coefficient): a giant component
+    means the catalog cross-sells as a whole; mid-size islands mean
+    separable product clusters; isolated items (size 1, joined back from
+    the full item universe) are the cold-start set.
+
+    "Strong tie" is adaptive, not a magic constant: of the top-10-NN
+    edge set, keep the ceil(5%) with the highest co-occurrence count.
+    The cut threshold is derived IN-PLAN from the value histogram of
+    n_co (distinct support values — a relation bounded by the edge set,
+    itself O(items·k) = catalog-bounded, never input-bounded), cum-summed
+    descending and compared against ceil(E·bp/10000) via the integer
+    idiom ``(E*bp + 9999) div 10000``; the 1-row threshold broadcasts
+    back onto the edges.  An absolute min-support constant would silently
+    keep everything at 10× the event volume — the share cut is
+    scale-invariant.
+
+    Components come from the generic min-label propagation
+    (operators/graph.py::min_label_components — the dedup_clusters loop
+    extracted over any edge list): per round one equi-join + one groupBy
+    on the catalog-bounded edge set, two-generation persistence bound,
+    exact fixed-point detection.  Output is bounded by the distinct-size
+    count."""
+    from ..operators.graph import min_label_components
+
+    items = _event_items(spark, sf_dir).select(F.col("item")).distinct()
+    pairs = cooccur.item_pairs(
+        _event_items(spark, sf_dir), "user_id", "item", _COOC_CAP,
+        with_lift=False,
+    )
+    edges0 = (
+        cooccur._ranked_sym(pairs, [], _KNN_K)
+        .select(
+            F.least("item", "neighbor").alias("a"),
+            F.greatest("item", "neighbor").alias("b"),
+            "n_co",
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # referenced 3× (hist, total, filter)
+    )
+    vh = edges0.groupBy("n_co").agg(F.count(F.lit(1)).alias("cnt"))
+    # global window over the value histogram: bounded by distinct support
+    # values <= |edges| = O(catalog * k), never by input rows
+    cum_w = Window.orderBy(F.col("n_co").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = vh.withColumn("cum_ge", F.sum("cnt").over(cum_w))
+    tot = edges0.agg(F.count(F.lit(1)).alias("e_total"))
+    thr = (
+        cum.crossJoin(F.broadcast(tot))  # 1-row totals: sanctioned
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("cum_ge")
+                        <= F.expr(
+                            f"(e_total * {_COMP_KEEP_BP} + 9999) DIV 10000"
+                        ),
+                        F.col("n_co"),
+                    )
+                ),
+                F.max("n_co"),  # even the top group exceeds the budget
+            ).alias("thr")
+        )
+    )
+    edges = (
+        edges0.crossJoin(F.broadcast(thr))
+        .filter(F.col("n_co") >= F.col("thr"))
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+    )
+    labels = min_label_components(
+        edges,
+        items,
+        "item",
+        warn_name="graph_components_knn",
+    )
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components")
+    )
+
+
+_COMPONENTS_SQL = rf"""
+WITH RECURSIVE {_cooc_cte()},
+knn_all AS (
+    SELECT DISTINCT LEAST(item, neighbor) AS a, GREATEST(item, neighbor) AS b,
+           n_co
+    FROM rk WHERE rank <= {_KNN_K}
+),
+vh AS (SELECT n_co, COUNT(*) AS cnt FROM knn_all GROUP BY 1),
+cum AS (
+    SELECT n_co,
+           SUM(cnt) OVER (ORDER BY n_co DESC ROWS UNBOUNDED PRECEDING) AS cum_ge
+    FROM vh
+),
+tot AS (SELECT COUNT(*) AS e_total FROM knn_all),
+thr AS (
+    SELECT COALESCE(
+        MIN(CASE WHEN cum_ge <= ((e_total * {_COMP_KEEP_BP} + 9999) // 10000)
+                 THEN n_co END),
+        MAX(n_co)) AS thr
+    FROM cum, tot
+),
+edges0 AS (
+    SELECT a, b FROM knn_all, thr WHERE n_co >= thr.thr
+),
+bidir_e AS (
+    SELECT a AS s, b AS d FROM edges0
+    UNION ALL
+    SELECT b, a FROM edges0
+),
+reach(s, d) AS (
+    SELECT s, d FROM bidir_e
+    UNION
+    SELECT r.s, e.d FROM reach r JOIN bidir_e e ON r.d = e.s
+),
+m AS (SELECT s AS item, MIN(d) AS mn FROM reach GROUP BY 1),
+univ AS (SELECT DISTINCT i AS item FROM ui),
+lab AS (
+    SELECT u2.item,
+           LEAST(COALESCE(m.mn, u2.item), u2.item) AS cluster_id
+    FROM univ u2 LEFT JOIN m ON u2.item = m.item
+),
+sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM lab GROUP BY 1)
+SELECT CAST(sz AS BIGINT) AS size, COUNT(*)::BIGINT AS n_components
+FROM sizes GROUP BY 1
+"""
+
+QUERIES["graph_components_knn"] = graph_components_knn
+ORACLES["graph_components_knn"] = _COMPONENTS_SQL

@@ -205,6 +205,11 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         # distributed prefix op) and the SinglePartition exchange is the
         # 1-ROW KS max aggregate fed by map-side partials.
         "events_ks_drift_test",
+        # adaptive edge-strength cut: the cum-sum window reads the VALUE
+        # HISTOGRAM of n_co (<= |distinct support values| <= |k-NN edges|
+        # = O(catalog * k)), never the event stream — bounded-aggregate
+        # family, corpus_mix_report precedent.
+        "graph_components_knn",
     }
     forbidden = ("CartesianProduct", "BatchEvalPython")
     offenders = {}
