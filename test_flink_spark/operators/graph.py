@@ -531,3 +531,114 @@ def min_label_components(
         if jmap.containsKey(rid):
             jmap.get(rid).unpersist(False)
     return out
+
+
+def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """HITS (Kleinberg 1999) over DIRECTED ``edges(src, dst)``
+    (pre-deduplicated): hub scores for src nodes, authority scores for
+    dst nodes, as ``(node, role, score_fp)`` with role in
+    {'hub', 'authority'} and score in SCALE fixed-point units.
+
+    Per iteration: auth(d) = Σ hub(s) over in-edges, renormalized to
+    max = SCALE by integer floor-division; then hub(s) = Σ auth(d) over
+    out-edges, same renorm.  The renorm multiply runs in decimal(38,0)
+    (raw ≤ max_degree·SCALE, so raw·SCALE overflows int64 exactly when
+    the graph is interesting); the quotient is ≤ SCALE and lands back in
+    int64.  The max is a 1-row aggregate broadcast back — the sanctioned
+    1-row-totals shape.  Mirrors pagerank's iteration discipline:
+    src-partitioned cached edge list (both joins reuse or co-locate with
+    it), shuffle_hash on the O(nodes) score side, per-generation rolling
+    localCheckpoint (constant-depth plans, two generations of blocks
+    live).  Oracle: hits_oracle_cte replays the identical integer
+    arithmetic, so score_fp value-hashes exactly."""
+    edges = edges.repartition(F.col("src")).cache()
+    hubs = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(SCALE).cast("long").alias("score_fp"))
+    )
+    auth: DataFrame | None = None
+    cp_a: set = set()
+    cp_h: set = set()
+    for _ in range(iterations):
+        # the renorm plan references the raw-sum twice (main branch +
+        # max aggregate under the crossJoin) — persist it so the single
+        # checkpoint job computes the edge join ONCE and the max branch
+        # reads blocks, then drop it (generation lifetime only)
+        araw = (
+            edges.join(
+                hubs.select(F.col("node").alias("src"), "score_fp").hint(
+                    "shuffle_hash"
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("score_fp").alias("raw"))
+        ).persist()
+        amax = araw.agg(F.max("raw").alias("mx"))
+        auth = _rolling_checkpoint(
+            araw.crossJoin(F.broadcast(amax)).select(
+                F.col("dst").alias("node"),
+                F.expr(f"CAST(CAST(raw AS DECIMAL(38,0)) * {SCALE} div mx AS BIGINT)").alias(
+                    "score_fp"
+                ),
+            ),
+            cp_a,
+        )
+        araw.unpersist()
+        hraw = (
+            edges.join(
+                auth.select(F.col("node").alias("dst"), "score_fp").hint(
+                    "shuffle_hash"
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.sum("score_fp").alias("raw"))
+        ).persist()
+        hmax = hraw.agg(F.max("raw").alias("mx"))
+        hubs = _rolling_checkpoint(
+            hraw.crossJoin(F.broadcast(hmax)).select(
+                F.col("src").alias("node"),
+                F.expr(f"CAST(CAST(raw AS DECIMAL(38,0)) * {SCALE} div mx AS BIGINT)").alias(
+                    "score_fp"
+                ),
+            ),
+            cp_h,
+        )
+        hraw.unpersist()
+    return hubs.select(
+        "node", F.lit("hub").alias("role"), "score_fp"
+    ).unionAll(auth.select("node", F.lit("authority").alias("role"), "score_fp"))
+
+
+def hits_oracle_cte(edges_sql: str, iterations: int = 2) -> str:
+    """Unrolled-CTE replay of ``hits`` (same integer renormalization:
+    HUGEINT product, floor-division — positive operands, so DuckDB's
+    truncating // equals Spark's div).  ``edges_sql`` must select
+    (src, dst), deduplicated.  Caller appends a SELECT over ``h{N}`` and
+    ``a{N}``."""
+    parts = [
+        f"edges AS ({edges_sql})",
+        f"h0 AS (SELECT DISTINCT src AS node, {SCALE}::BIGINT AS score_fp FROM edges)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""ar{i} AS (
+  SELECT e.dst, SUM(h.score_fp) AS raw
+  FROM edges e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"a{i} AS (SELECT dst AS node, CAST((raw::HUGEINT * {SCALE}) // (SELECT MAX(raw) FROM ar{i}) AS BIGINT) AS score_fp FROM ar{i})"
+        )
+        parts.append(
+            f"""hr{i} AS (
+  SELECT e.src, SUM(a.score_fp) AS raw
+  FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+)"""
+        )
+        parts.append(
+            f"h{i} AS (SELECT src AS node, CAST((raw::HUGEINT * {SCALE}) // (SELECT MAX(raw) FROM hr{i}) AS BIGINT) AS score_fp FROM hr{i})"
+        )
+    return ",\n".join(parts)

@@ -828,3 +828,106 @@ def video_shot_segments(
             )
 
     return df.select(id_col, payload_col).mapInPandas(seg, SHOT_SEG_SCHEMA)
+
+
+# --- pHash: DCT-II perceptual hash, integer fixed-point ---------------------
+
+# Orthonormal DCT-II basis, scaled to integers by 2^10: the SAME literal
+# matrix drives the pandas UDF (numpy int64 matmul) and the generated
+# DuckDB oracle (phash_k_terms below), so the chain is bit-exact across
+# engines by construction — floats only at module-import time, never at
+# query time.
+import math as _math
+
+PHASH_DCT_SCALE = 1024
+PHASH_C = [
+    [
+        round(
+            PHASH_DCT_SCALE
+            * _math.sqrt((1.0 if u == 0 else 2.0) / 8.0)
+            * _math.cos((2 * x + 1) * u * _math.pi / 16.0)
+        )
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+PHASH_BLOCK = 4  # keep the low-frequency 4x4 block; 15 AC bits
+
+
+def phash_k_terms() -> list[list[int]]:
+    """Per-AC-coefficient integer weights over the row-major 8×8 gray
+    vector: K[(u,v)][r*8+c] = C[u][r]·C[v][c] for (u,v) in the low 4×4
+    block, DC (0,0) excluded — the oracle generator consumes this."""
+    out = []
+    for u in range(PHASH_BLOCK):
+        for v in range(PHASH_BLOCK):
+            if u == 0 and v == 0:
+                continue
+            out.append(
+                [PHASH_C[u][r] * PHASH_C[v][c] for r in range(8) for c in range(8)]
+            )
+    return out
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("phash", LongType()),
+        StructField("n_set", LongType()),
+        StructField("dc_fp", LongType()),
+    ]
+)
+
+
+def phash_ppm(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    modality_col: str = "modality",
+) -> DataFrame:
+    """Perceptual DCT hash over 8×8 P6 payloads (pHash lineage: aHash
+    thresholds raw pixels, dHash thresholds gradients; pHash thresholds
+    the LOW-FREQUENCY SPECTRUM, so it survives brightness shifts and
+    high-frequency noise that flip aHash bits).  Per image: gray =
+    (r+g+b)//3 row-major, 2-D DCT-II D = C·G·Cᵀ in int64 fixed point
+    (PHASH_C, 2^10-scaled orthonormal basis; |D| ≤ 64·2^20·255 < 2^35 —
+    no overflow), keep the 4×4 low-frequency block minus DC, bit i set
+    when coefficient i exceeds the LOWER MEDIAN of the 15 AC values
+    (discrete rank-8 order statistic — integer-exact, the
+    supplier_mad_outliers median discipline).  dc_fp carries the DC
+    coefficient (total luminance in basis units) for brightness
+    bucketing.  Same two-XOR+popcount consumer contract as
+    ahash_ppm/dhash_ppm; 15 bits fit one BIGINT."""
+    import numpy as np
+
+    c4 = np.array(PHASH_C[:PHASH_BLOCK], dtype=np.int64)  # 4x8
+
+    def hsh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mod, raw in zip(
+                pdf[id_col], pdf[modality_col], pdf[payload_col]
+            ):
+                w, h, body = _parse_p6(bytes(raw), mid)
+                if (w, h) != (8, 8):
+                    raise ValueError(
+                        f"phash_ppm expects 8x8 input, got {w}x{h} "
+                        f"(media_id={mid}) — resize_ppm_nearest first"
+                    )
+                img = np.frombuffer(body, np.uint8).reshape(64, 3).astype(np.int64)
+                gray = ((img[:, 0] + img[:, 1] + img[:, 2]) // 3).reshape(8, 8)
+                d = c4 @ gray @ c4.T  # 4x4, exact int64
+                ac = [int(d[u, v]) for u in range(PHASH_BLOCK)
+                      for v in range(PHASH_BLOCK) if (u, v) != (0, 0)]
+                med = sorted(ac)[(len(ac) + 1) // 2 - 1]  # lower median, rank 8/15
+                bits = [1 if a > med else 0 for a in ac]
+                ph = sum(b << i for i, b in enumerate(bits))
+                rows.append((mid, mod, ph, sum(bits), int(d[0, 0])))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PHASH_SCHEMA.fields]
+            )
+
+    return df.select(id_col, modality_col, payload_col).mapInPandas(
+        hsh, PHASH_SCHEMA
+    )

@@ -91,6 +91,28 @@ _PROMOTED = (
     "graph_supplier_jaccard",
 )
 
+# r7 PROMOTION QUEUE (window was full when these landed; replace
+# _PROMOTED with exactly this list at the START of round 7 — 30 names,
+# leaving 20 slots for r7-new queries):
+# corpus_classifier_calibration dedup_source_flow_matrix
+# embedding_bitq_hamming_recall embedding_ivf_nprobe_sweep
+# embedding_label_confusion embedding_ood_outliers
+# embedding_random_projection_audit events_attribution_linear
+# events_attribution_markov_removal events_cohort_ltv_curve
+# events_interarrival_profile events_kaplan_meier_retention
+# events_ks_drift_test events_l_diversity events_seasonal_decompose
+# events_session_threshold_sweep events_velocity_flags
+# events_wilson_ctr_rank fk_integrity_audit graph_clustering_coefficient
+# graph_components_knn nation_revenue_hhi orders_basket_rules
+# orders_fulfillment_latency part_price_anova_by_brand reco_item_cf_topk
+# retrieval_ndcg_audit schema_fd_audit text_trigram_index_audit
+# unpivot_user_event_matrix
+# -- added later in r6 (append-as-built):
+# text_textrank_keywords graph_hits_trade events_cuped_adjustment
+# multimodal_image_phash
+# (derivation: registry minus union(CORRECTNESS_r01..r05) minus current
+# _PROMOTED; anything added later in r6 appends here too)
+
 
 def _ordered(attr):
     merged = {}

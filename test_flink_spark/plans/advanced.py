@@ -2253,3 +2253,57 @@ FROM r GROUP BY 1
 
 QUERIES["orders_fulfillment_latency"] = orders_fulfillment_latency
 ORACLES["orders_fulfillment_latency"] = _FULFILL_SQL
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities over the directed supplier->customer trade graph.
+# ---------------------------------------------------------------------------
+
+_HITS_ITERATIONS = 2
+
+
+def graph_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS on the DIRECTED trade graph (supplier ships-to customer, one
+    edge per distinct (l_suppkey, o_custkey) pair from lineitem ⋈
+    orders): hub scores rank suppliers by how many strong customers they
+    feed; authority scores rank customers by how many strong suppliers
+    feed them.  PageRank on the symmetrized graph
+    (graph_pagerank_trade) mixes the two roles into one score; HITS
+    keeps the bipartite direction and scores each side against the
+    other — the classic mutually-recursive centrality pair.
+
+    Integer max-renormalized power iterations (operators/graph.py::hits
+    — decimal(38) renorm product, floor-div back to int64 SCALE units);
+    the oracle unrolls the identical arithmetic (hits_oracle_cte), so
+    score_fp value-hashes exactly.  Iteration shape matches pagerank:
+    src-partitioned cached edges, shuffle_hash score side, rolling
+    checkpoints."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return gr.hits(edges, _HITS_ITERATIONS)
+
+
+_HITS_EDGES_SQL = """
+SELECT DISTINCT 'S' || l_suppkey AS src, 'C' || o_custkey AS dst
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+_HITS_SQL = (
+    "WITH "
+    + gr.hits_oracle_cte(_HITS_EDGES_SQL, _HITS_ITERATIONS)
+    + f"""
+SELECT node, 'hub' AS role, score_fp FROM h{_HITS_ITERATIONS}
+UNION ALL
+SELECT node, 'authority' AS role, score_fp FROM a{_HITS_ITERATIONS}"""
+)
+
+QUERIES["graph_hits_trade"] = graph_hits_trade
+ORACLES["graph_hits_trade"] = _HITS_SQL

@@ -4039,3 +4039,154 @@ FROM sizes GROUP BY 1
 
 QUERIES["graph_components_knn"] = graph_components_knn
 ORACLES["graph_components_knn"] = _COMPONENTS_SQL
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B readout.
+# ---------------------------------------------------------------------------
+
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. 2013) variance reduction for the hash-split A/B
+    harness: covariate x = user's event count in the PRE period (first
+    half of the corpus day span, split point derived in-plan from the
+    1-row min/max-day aggregate), metric y = user's purchase count in
+    the experiment period.  theta = cov(x,y)/var(x) pooled over both
+    variants (the covariate predates assignment, so pooling is
+    unbiased); per-variant adjusted mean =
+    mean_y - theta * (mean_x_variant - mean_x_overall).
+
+    Arithmetic discipline: every moment (n, Σx, Σy, Σxy, Σx²) is an
+    EXACT integer — products cast to decimal(38,0) BEFORE the multiply
+    on the Spark side to match DuckDB's HUGEINT SUM (the LTTB lesson:
+    int64 silently wraps at per-user counts ~1e5 × 1e9 users); theta
+    and the means become doubles only in the final identical formula in
+    both dialects, ROUND(4)ed.  Under the null (hash split), the
+    adjusted deltas shrink toward zero with ~var reduction r² — the
+    query reports both raw and adjusted means so the reduction is
+    visible.
+
+    Shape: one groupBy(user) over events, a 2-row variant aggregate and
+    a 1-row pooled aggregate, broadcast back.  Nothing wider than the
+    per-user table ever shuffles."""
+    from ..operators.sampling import hash_bucket
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_millis(ts) div 86400000").alias("day"),
+    )
+    bounds = ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )  # 1-row broadcast: the split point is data-derived, not a constant
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn("mid", F.expr("d0 + (d1 - d0) div 2"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") <= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    (F.col("day") > F.col("mid"))
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .withColumn(
+            "variant",
+            F.when(hash_bucket(F.col("user_id"), "cuped") < 5000, F.lit("A"))
+            .otherwise(F.lit("B")),
+        )
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+    )
+    per_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("x").cast("long").alias("sx_g"),
+        F.sum("y").cast("long").alias("sy_g"),
+    )
+    theta = (
+        "CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx = 0"
+        " THEN 0.0 ELSE"
+        " CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+        " / CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+        " END"
+    )
+    return (
+        per_variant.crossJoin(F.broadcast(pooled))
+        .select(
+            "variant",
+            "n_g",
+            "sx_g",
+            "sy_g",
+            F.round(F.expr("CAST(sy_g AS DOUBLE) / n_g"), 4).alias("mean_y"),
+            F.round(
+                F.expr(
+                    f"CAST(sy_g AS DOUBLE) / n_g - ({theta})"
+                    " * (CAST(sx_g AS DOUBLE) / n_g - CAST(sx AS DOUBLE) / n)"
+                ),
+                4,
+            ).alias("mean_y_adj"),
+            F.round(F.expr(theta), 4).alias("theta"),
+        )
+    )
+
+
+_CUPED_SQL = r"""
+WITH ev AS (
+    SELECT user_id, event_type, epoch_ms(ts) // 86400000 AS day FROM events
+),
+bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+per_user AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN day <= d0 + (d1 - d0) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN day > d0 + (d1 - d0) // 2
+                          AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+    FROM ev, bounds GROUP BY user_id
+),
+tagged AS (
+    SELECT x, y,
+           CASE WHEN (('0x' || substr(md5('cuped:' || user_id), 1, 15))::BIGINT
+                      % 10000) < 5000
+                THEN 'A' ELSE 'B' END AS variant
+    FROM per_user
+),
+pooled AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           SUM(x::HUGEINT * x) AS sxx,
+           SUM(x::HUGEINT * y) AS sxy
+    FROM tagged
+),
+per_variant AS (
+    SELECT variant,
+           CAST(COUNT(*) AS BIGINT) AS n_g,
+           CAST(SUM(x) AS BIGINT) AS sx_g,
+           CAST(SUM(y) AS BIGINT) AS sy_g
+    FROM tagged GROUP BY 1
+)
+SELECT variant, n_g, sx_g, sy_g,
+       ROUND(CAST(sy_g AS DOUBLE) / n_g, 4) AS mean_y,
+       ROUND(CAST(sy_g AS DOUBLE) / n_g
+             - (CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx = 0 THEN 0.0 ELSE
+                CAST(n::HUGEINT * sxy - sx::HUGEINT * sy AS DOUBLE)
+                / CAST(n::HUGEINT * sxx - sx::HUGEINT * sx AS DOUBLE) END)
+               * (CAST(sx_g AS DOUBLE) / n_g - CAST(sx AS DOUBLE) / n), 4) AS mean_y_adj,
+       ROUND(CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx = 0 THEN 0.0 ELSE
+             CAST(n::HUGEINT * sxy - sx::HUGEINT * sy AS DOUBLE)
+             / CAST(n::HUGEINT * sxx - sx::HUGEINT * sx AS DOUBLE) END, 4) AS theta
+FROM per_variant, pooled
+"""
+
+QUERIES["events_cuped_adjustment"] = events_cuped_adjustment
+ORACLES["events_cuped_adjustment"] = _CUPED_SQL

@@ -5608,3 +5608,187 @@ FROM j GROUP BY 1, 2
 
 QUERIES["dedup_source_flow_matrix"] = dedup_source_flow_matrix
 ORACLES["dedup_source_flow_matrix"] = _SOURCE_FLOW_SQL
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords: PageRank over the word co-occurrence graph.
+# ---------------------------------------------------------------------------
+
+_TEXTRANK_ITERATIONS = 5
+
+
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keywords by TextRank (Mihalcea & Tarau 2004): PageRank over
+    the undirected word co-occurrence graph — nodes are words, an edge
+    links words that appear ADJACENT anywhere in the corpus (window 1,
+    distinct pairs, self-pairs dropped).  Frequency-based rankings
+    (text_tfidf_top_terms, text_top_bigrams) score words in isolation;
+    TextRank scores by graph centrality, surfacing connector words that
+    co-occur with many distinct high-scoring neighbors.
+
+    Pure composition of existing engine pieces: operators/text.bigrams
+    (codegen array expr, O(len) per doc) builds pairs, operators/graph.
+    pagerank (int64 fixed-point, co-partitioned cached edges, rolling
+    checkpoint) ranks them, and the oracle replays the identical
+    fixed-point arithmetic via pagerank_oracle_cte — the DuckDB CTE and
+    the Spark loop agree bit-for-bit, so rank_fp is value-hashed, not
+    tolerance-compared.  Edge count is O(vocab²) worst case but
+    vocab-bounded, never corpus-bounded: the distinct() collapses the
+    100 TB token stream to the adjacency structure before PageRank runs.
+    Symmetrization guarantees out-degree >= 1 (no dangling mass)."""
+    from ..operators import graph as gr
+    from ..operators.text import bigrams
+
+    docs = _docs(spark, sf_dir)
+    bg = docs.select(F.explode(bigrams(F.col("text"))).alias("bg"))
+    sp = F.split(F.col("bg"), " ")
+    und = (
+        bg.select(
+            F.element_at(sp, 1).alias("w1"), F.element_at(sp, 2).alias("w2")
+        )
+        .filter((F.col("w1") != F.col("w2")) & (F.col("w1") != "") & (F.col("w2") != ""))
+        .select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+        .distinct()
+    )
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    ranks = gr.pagerank(edges, _TEXTRANK_ITERATIONS)
+    w = Window.orderBy(F.col("rank_fp").desc(), F.col("word").asc())
+    # global rank window over the VOCABULARY-sized rank table (31 rows
+    # here; bounded by |vocab|, never the corpus) — corpus_mix_report
+    # precedent
+    return ranks.select(
+        F.col("node").alias("word"), "rank_fp"
+    ).withColumn("kw_rank", F.row_number().over(w).cast("long"))
+
+
+_TEXTRANK_EDGES_SQL = r"""
+WITH ws AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+adj AS (
+    SELECT unnest(list_transform(range(1, greatest(len(w), 1)),
+                                 i -> struct_pack(x := w[i], y := w[i+1]))) AS p
+    FROM ws
+),
+und AS (
+    SELECT DISTINCT LEAST(p.x, p.y) AS a, GREATEST(p.x, p.y) AS b
+    FROM adj
+    WHERE p.y IS NOT NULL AND p.x <> p.y AND p.x <> '' AND p.y <> ''
+)
+SELECT a AS src, b AS dst FROM und
+UNION ALL
+SELECT b AS src, a AS dst FROM und
+"""
+
+
+def _textrank_sql() -> str:
+    from ..operators import graph as gr
+
+    return (
+        "WITH "
+        + gr.pagerank_oracle_cte(_TEXTRANK_EDGES_SQL, _TEXTRANK_ITERATIONS)
+        + f""",
+final AS (
+  SELECT node AS word, rank_fp,
+         ROW_NUMBER() OVER (ORDER BY rank_fp DESC, node ASC) AS kw_rank
+  FROM r{_TEXTRANK_ITERATIONS}
+)
+SELECT word, rank_fp, CAST(kw_rank AS BIGINT) AS kw_rank FROM final"""
+    )
+
+
+QUERIES["text_textrank_keywords"] = text_textrank_keywords
+ORACLES["text_textrank_keywords"] = _textrank_sql()
+
+
+# ---------------------------------------------------------------------------
+# pHash: DCT-domain perceptual image hash.
+# ---------------------------------------------------------------------------
+
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual hashes: wrap 16×12 P6 → nearest resize to 8×8 →
+    pHash (operators/multimodal.py::phash_ppm — integer fixed-point
+    DCT-II, low 4×4 block, bits vs the lower-median AC coefficient).
+    Completes the image near-dup ladder: aHash (pixel vs mean), dHash
+    (gradient sign), pHash (spectrum vs median) — the three standard
+    perceptual hashes, each a groupBy/join bucketing key, never pairwise
+    pixels.  The oracle replays the identical arithmetic: the SAME
+    2^10-scaled DCT basis integers are baked into both the pandas UDF
+    and the generated SQL (phash_k_terms), so phash/dc_fp value-hash
+    exactly."""
+    from ..operators.multimodal import phash_ppm, ppm_wrap, resize_ppm_nearest
+
+    wrapped = ppm_wrap(_media(spark, sf_dir), width=_PPM_W, height=_PPM_H)
+    return phash_ppm(resize_ppm_nearest(wrapped, 8, 8))
+
+
+def _ppm_phash_sql() -> str:
+    from ..operators.multimodal import PHASH_BLOCK, PHASH_C, phash_k_terms
+
+    ys = [(y * _PPM_H) // 8 for y in range(8)]
+    xs = [(x * _PPM_W) // 8 for x in range(8)]
+
+    def byte_at(off: int) -> str:
+        return (
+            f"CASE WHEN {off} < n_bytes"
+            f" THEN ('0x' || substr(h, {2 * off + 1}, 2))::BIGINT ELSE 0 END"
+        )
+
+    grays = []
+    for y in ys:  # row-major over the resized 8x8, matching phash_ppm
+        for x in xs:
+            base = (y * _PPM_W + x) * 3
+            grays.append(
+                f"(({byte_at(base)}) + ({byte_at(base + 1)})"
+                f" + ({byte_at(base + 2)})) // 3"
+            )
+    gs = ",\n        ".join(grays)
+
+    def dot(ks: list[int]) -> str:
+        return " + ".join(
+            f"{k} * gs[{p + 1}]" for p, k in enumerate(ks) if k != 0
+        )
+
+    acs = ",\n        ".join(dot(ks) for ks in phash_k_terms())
+    dc = dot([PHASH_C[0][r] * PHASH_C[0][c] for r in range(8) for c in range(8)])
+    n_ac = PHASH_BLOCK * PHASH_BLOCK - 1
+    med_rank = (n_ac + 1) // 2  # lower median, 1-based into the sorted list
+    return f"""
+WITH hx AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           hex(encode(text)) AS h,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+), g AS (
+    SELECT doc_id, modality,
+        [{gs}] AS gs
+    FROM hx
+), d AS (
+    SELECT doc_id, modality,
+        [{acs}] AS ac,
+        CAST({dc} AS BIGINT) AS dc_fp
+    FROM g
+), m AS (
+    SELECT doc_id, modality, ac, dc_fp,
+           list_sort(ac)[{med_rank}] AS med
+    FROM d
+)
+SELECT doc_id AS media_id, modality,
+       CAST(list_aggregate(list_transform(range(1, {n_ac + 1}),
+            i -> CASE WHEN ac[i] > med THEN 1 << (i - 1) ELSE 0 END),
+            'sum') AS BIGINT) AS phash,
+       CAST(list_aggregate(list_transform(range(1, {n_ac + 1}),
+            i -> CASE WHEN ac[i] > med THEN 1 ELSE 0 END),
+            'sum') AS BIGINT) AS n_set,
+       dc_fp
+FROM m
+"""
+
+
+QUERIES["multimodal_image_phash"] = multimodal_image_phash
+ORACLES["multimodal_image_phash"] = _ppm_phash_sql()

@@ -125,3 +125,40 @@ def test_supplier_jaccard_exact_on_tiny_graph(spark, tmp_path):
     assert by_pair[(11, 10)]["rank"] == 1
     # (10, 12): n_co=2, degrees 3 and 2 -> 2/3
     assert by_pair[(10, 12)]["jaccard_bp"] == 6666
+
+
+def test_hits_bipartite_roles_and_normalization(spark):
+    # s1 feeds {c1, c2, c3}; s2 feeds {c1} only: s1 is the stronger hub,
+    # and c1 (fed by both) the stronger authority.  Max-renorm pins the
+    # best of each role at exactly SCALE.
+    pairs = [("s1", "c1"), ("s1", "c2"), ("s1", "c3"), ("s2", "c1")]
+    out = gr.hits(_edges(spark, pairs), iterations=2).collect()
+    hubs = {r["node"]: r["score_fp"] for r in out if r["role"] == "hub"}
+    auth = {r["node"]: r["score_fp"] for r in out if r["role"] == "authority"}
+    assert set(hubs) == {"s1", "s2"} and set(auth) == {"c1", "c2", "c3"}
+    assert hubs["s1"] == gr.SCALE and hubs["s2"] < gr.SCALE
+    assert auth["c1"] == gr.SCALE and auth["c2"] < gr.SCALE
+    assert auth["c2"] == auth["c3"]  # symmetric leaves tie exactly
+
+
+def test_min_label_components_chain_converges(spark):
+    # a 40-node chain needs 39 one-hop rounds but only ~6 with the
+    # pointer jump — max_iter=8 converging proves the doubling works
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a LONG, id_b LONG"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node LONG")
+    out = gr.min_label_components(pairs, nodes, "node", max_iter=8)
+    labels = {r["node"]: r["cluster_id"] for r in out.collect()}
+    assert set(labels.values()) == {0}  # one component, min id 0
+
+
+def test_min_label_components_isolated_nodes_self_label(spark):
+    pairs = spark.createDataFrame([(10, 11)], "id_a LONG, id_b LONG")
+    nodes = spark.createDataFrame([(10,), (11,), (99,)], "node LONG")
+    labels = {
+        r["node"]: r["cluster_id"]
+        for r in gr.min_label_components(pairs, nodes, "node").collect()
+    }
+    assert labels == {10: 10, 11: 10, 99: 99}

@@ -1197,3 +1197,51 @@ def test_nprobe_sweep_recall_monotone(spark):
     recalls = [r["recall_bp"] for r in rows]
     assert recalls == sorted(recalls)
     assert all(0 <= r <= 10_000 for r in recalls)
+
+
+def test_phash_brightness_invariance_and_parity(spark):
+    """pHash's selling point over aHash: a uniform brightness shift
+    changes only the DC coefficient, so phash bits are IDENTICAL while
+    dc_fp moves; an unrelated image lands many bits away.  Also pins
+    numpy parity with a hand-computed reference via the shared basis."""
+    import numpy as np
+
+    from test_flink_spark.operators.multimodal import (
+        PHASH_BLOCK,
+        PHASH_C,
+        phash_ppm,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 200, (8, 8, 3), dtype=np.uint8)
+    bright = np.minimum(base.astype(np.int64) + 30, 255).astype(np.uint8)
+    far = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+
+    def p6(img):
+        return b"P6\n8 8\n255\n" + img.tobytes()
+
+    df = spark.createDataFrame(
+        [(0, "image", p6(base)), (1, "image", p6(bright)), (2, "image", p6(far))],
+        "media_id LONG, modality STRING, payload BINARY",
+    )
+    got = {r["media_id"]: r.asDict() for r in phash_ppm(df).collect()}
+
+    # hand reference for the base image
+    c4 = np.array(PHASH_C[:PHASH_BLOCK], dtype=np.int64)
+    gray = (base.astype(np.int64).sum(axis=2) // 3)
+    d = c4 @ gray @ c4.T
+    ac = [int(d[u, v]) for u in range(4) for v in range(4) if (u, v) != (0, 0)]
+    med = sorted(ac)[7]
+    ref = sum((1 if a > med else 0) << i for i, a in enumerate(ac))
+    assert got[0]["phash"] == ref and got[0]["dc_fp"] == int(d[0, 0])
+
+    # +30 brightness: all 15 AC coefficients unchanged -> identical hash
+    # (+30 shifts gray by exactly 10 everywhere: gray' = (r+g+b+90)//3,
+    # and no channel saturates at <200+30)
+    assert got[1]["phash"] == got[0]["phash"]
+    assert got[1]["dc_fp"] > got[0]["dc_fp"]
+
+    def ham(a, b):
+        return bin(a["phash"] ^ b["phash"]).count("1")
+
+    assert ham(got[0], got[2]) >= 4  # unrelated image: far in hamming space

@@ -167,6 +167,11 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         # baseline (cosine_topk) — same sanctioned panel BNLJ; the ANN
         # leg under audit is the bucketed LSH path (no BNLJ).
         "retrieval_ndcg_audit",
+        # CUPED: the 1-row pooled-moments aggregate broadcast into the
+        # 2-row per-variant table — broadcast-1-row scalar shape
+        # (skew_key_report precedent); the per-user day split likewise
+        # joins a 1-row min/max-day bounds aggregate.
+        "events_cuped_adjustment",
     }
     # A global window is sanctioned ONLY over provably-bounded input:
     # corpus_mix_report's token_share window reads post-aggregation rows
@@ -210,6 +215,10 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         # = O(catalog * k)), never the event stream — bounded-aggregate
         # family, corpus_mix_report precedent.
         "graph_components_knn",
+        # TextRank: the kw_rank window reads the PAGERANK RESULT over the
+        # word graph (<= |vocab| rows; 31 here), never the corpus —
+        # bounded-aggregate family.
+        "text_textrank_keywords",
     }
     forbidden = ("CartesianProduct", "BatchEvalPython")
     offenders = {}
@@ -296,13 +305,18 @@ SF_BIG = "/root/testdata/sf0.1"
 
 
 def _hinted_relations(fn, spark, sf):
-    """Build fn(spark, sf), returning the DataFrames passed to F.broadcast."""
+    """Build fn(spark, sf), returning the ROW COUNT of every DataFrame
+    passed to F.broadcast.  Counted AT HINT TIME, not after fn returns:
+    hints inside rolling-checkpoint loops (hits, min_label_components)
+    reference checkpoint generations whose blocks a later iteration
+    frees — a deferred .count() dies with checkpointRDDBlockIdNotFound
+    (localCheckpoint has no lineage fallback)."""
     import pyspark.sql.functions as SFN
 
     real, rec = SFN.broadcast, []
 
     def spy(df):
-        rec.append(df)
+        rec.append(df.count())
         return real(df)
 
     SFN.broadcast = spy
@@ -323,8 +337,7 @@ def _growing_hints(fn, spark):
     big = _hinted_relations(fn, spark, SF_BIG)
     assert len(small) == len(big), "hint count differs between SFs"
     out = []
-    for i, (s, b) in enumerate(zip(small, big)):
-        ns, nb = s.count(), b.count()
+    for i, (ns, nb) in enumerate(zip(small, big)):
         if nb > 3 * ns + 20:
             out.append((i, ns, nb))
     return out
