@@ -583,3 +583,71 @@ def band_keys_expr(signature: Column, num_perm: int = 16, bands: int = 4) -> Col
             ).alias("band_key"),
         ),
     )
+
+
+def simhash_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup connected components ``(id_col, cluster_id)``:
+    32-bit simhash → ``n_bands`` equal-width band buckets (pigeonhole:
+    hamming <= n_bands-1 guarantees >= 1 identical band, so banding is
+    lossless for ``max_hamming`` <= n_bands-1) → XOR+bit_count verify →
+    min-label connected components (operators/graph.py — pointer-jumped,
+    rolling-checkpointed).  Never all-pairs: the only join is band-key
+    equality; the hash rides through the band explode so the verify
+    needs no join back.  See plans/llm_data.dedup_simhash_clusters for
+    the registered query + DuckDB oracle."""
+    from .graph import min_label_components
+
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banding is lossy: max_hamming={max_hamming} needs "
+            f"> {n_bands - 1} bands (pigeonhole)"
+        )
+    width = 32 // n_bands
+    sh = simhash(df, text_col=text_col, id_col=id_col, bits=32).localCheckpoint(
+        eager=True
+    )  # referenced by both sides of the band self-join
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"(simhash >> {width * b}) & {(1 << width) - 1}").alias(
+                    "key"
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sh.select(
+        F.col(id_col), "simhash", F.explode(band_structs).alias("bk")
+    ).select(F.col(id_col), "simhash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    edges = cand.filter(
+        F.expr(f"bit_count(ha ^ hb) <= {max_hamming}")
+    ).select("id_a", "id_b")
+    return min_label_components(
+        edges,
+        df.select(F.col(id_col)),
+        id_col,
+        warn_name="simhash_clusters",
+    )

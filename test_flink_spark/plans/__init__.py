@@ -109,7 +109,7 @@ _PROMOTED = (
 # unpivot_user_event_matrix
 # -- added later in r6 (append-as-built):
 # text_textrank_keywords graph_hits_trade events_cuped_adjustment
-# multimodal_image_phash
+# multimodal_image_phash dedup_simhash_clusters events_power_mde
 # (derivation: registry minus union(CORRECTNESS_r01..r05) minus current
 # _PROMOTED; anything added later in r6 appends here too)
 

@@ -4190,3 +4190,100 @@ FROM per_variant, pooled
 
 QUERIES["events_cuped_adjustment"] = events_cuped_adjustment
 ORACLES["events_cuped_adjustment"] = _CUPED_SQL
+
+
+# ---------------------------------------------------------------------------
+# A/B power analysis: minimum detectable effect at the current sample.
+# ---------------------------------------------------------------------------
+
+def events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-sizing readout for the hash-split A/B harness: given
+    the CURRENT sample (n_a, n_b from the 'ab' split) and the baseline
+    conversion measured on variant B, the minimum detectable effect at
+    alpha = 5% two-sided / 80% power:
+        mde = (z_{0.975} + z_{0.80}) * sqrt(p(1-p) * (1/n_a + 1/n_b))
+    plus the per-variant n required to detect a 1pp absolute lift
+    (n_per_arm = 2 * (z_a + z_b)^2 * p(1-p) / 0.01^2, ceil'd).  The
+    companion to events_ab_test_report: that one answers "did it move",
+    this one answers "how much COULD we have seen" — the pair is the
+    standard experiment-review page.
+
+    z quantiles are shared DOUBLE literals (1.959964, 0.841621 — 'D'
+    suffix on the Spark side: bare decimal literals parse as DECIMAL,
+    the Wilson-rank lesson); everything else derives from exact integer
+    counts in one identical float formula per dialect, ROUND(6).
+
+    Shape: one distinct-user conditional aggregate -> a 1-row report.
+    Map-side partials; nothing but the per-user table shuffles."""
+    from ..operators.sampling import hash_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") > 9.0))
+            .cast("int")
+        ).alias("conv")
+    )
+    tagged = per_user.withColumn(
+        "variant",
+        F.when(hash_bucket(F.col("user_id"), "ab") < 5000, F.lit("A")).otherwise(
+            F.lit("B")
+        ),
+    )
+    agg = tagged.groupBy().agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("variant") == "B", F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    z = "(1.959964D + 0.841621D)"
+    p = "(CAST(conv_b AS DOUBLE) / n_b)"
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_b",
+        F.round(F.expr(p), 6).alias("p_base"),
+        F.round(
+            F.expr(f"{z} * sqrt({p} * (1.0D - {p}) * (1.0D / n_a + 1.0D / n_b))"),
+            6,
+        ).alias("mde_abs"),
+        F.expr(
+            f"CAST(ceil(2.0D * {z} * {z} * {p} * (1.0D - {p}) / 0.0001D) AS BIGINT)"
+        ).alias("n_per_arm_1pp"),
+    )
+
+
+_POWER_MDE_SQL = r"""
+WITH per_user AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'purchase' AND value > 9.0
+                    THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY 1
+), tagged AS (
+    SELECT conv,
+           CASE WHEN (('0x' || substr(md5('ab:' || user_id), 1, 15))::BIGINT
+                      % 10000) < 5000
+                THEN 'A' ELSE 'B' END AS variant
+    FROM per_user
+), agg AS (
+    SELECT CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+    FROM tagged
+)
+SELECT n_a, n_b, conv_b,
+       ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS p_base,
+       ROUND((1.959964 + 0.841621)
+             * sqrt((CAST(conv_b AS DOUBLE) / n_b)
+                    * (1.0 - CAST(conv_b AS DOUBLE) / n_b)
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS mde_abs,
+       CAST(ceil(2.0 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                 * (CAST(conv_b AS DOUBLE) / n_b)
+                 * (1.0 - CAST(conv_b AS DOUBLE) / n_b) / 0.0001) AS BIGINT)
+           AS n_per_arm_1pp
+FROM agg
+"""
+
+QUERIES["events_power_mde"] = events_power_mde
+ORACLES["events_power_mde"] = _POWER_MDE_SQL

@@ -5792,3 +5792,80 @@ FROM m
 
 QUERIES["multimodal_image_phash"] = multimodal_image_phash
 ORACLES["multimodal_image_phash"] = _ppm_phash_sql()
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup clusters: banded candidates -> hamming verify -> CC.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_CLUSTER_BANDS = 4   # 8-bit bands over the 32-bit hash
+_SIMHASH_CLUSTER_MAX_HAM = 3  # pigeonhole: <= bands-1 flips => >=1 equal band
+
+
+def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup CLUSTERS ``(doc_id, cluster_id)``: the third
+    clustering path beside n-gram Jaccard (dedup_clusters) and MinHash
+    bands — candidate pairs from 8-bit band-equality buckets over the
+    32-bit SimHash (pigeonhole: hamming <= 3 implies >= 1 of 4 bands
+    identical, so banding is LOSSLESS for the threshold), verified by
+    one XOR+bit_count, then connected components via the shared
+    min-label propagation (operators/dedup.py::simhash_clusters →
+    operators/graph.py::min_label_components).  Never all-pairs: the
+    only join is band-key equality on a bucketed table.  Band geometry
+    scales with the hash, not the corpus: production widens to a 64-bit
+    SimHash with 16-bit bands before bucket occupancy grows."""
+    from ..operators.dedup import simhash_clusters
+
+    return simhash_clusters(
+        _docs(spark, sf_dir),
+        n_bands=_SIMHASH_CLUSTER_BANDS,
+        max_hamming=_SIMHASH_CLUSTER_MAX_HAM,
+    )
+
+
+def _simhash_clusters_sql() -> str:
+    # reuse the simhash CTE body (strip the leading WITH and final SELECT)
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(32)
+    )
+    fold = " + ".join(
+        f"CASE WHEN v{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(32)
+    )
+    nb = _SIMHASH_CLUSTER_BANDS
+    return rf"""
+WITH RECURSIVE
+w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM w),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY 1),
+s AS (SELECT doc_id, {fold} AS simhash FROM v),
+bands AS (
+    SELECT doc_id, simhash, b AS band, (simhash >> (8 * b)) & 255 AS key
+    FROM s, (SELECT unnest(range({nb})) AS b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.simhash AS ha, b.simhash AS hb
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+e0 AS (
+    SELECT id_a, id_b FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {_SIMHASH_CLUSTER_MAX_HAM}
+),
+bidir AS (SELECT id_a AS s, id_b AS d FROM e0 UNION ALL SELECT id_b, id_a FROM e0),
+reach(s, d) AS (
+    SELECT s, d FROM bidir
+    UNION
+    SELECT r.s, e.d FROM reach r JOIN bidir e ON r.d = e.s
+),
+m AS (SELECT s AS doc_id, MIN(d) AS mn FROM reach GROUP BY 1)
+SELECT dd.doc_id,
+       LEAST(COALESCE(m.mn, dd.doc_id), dd.doc_id) AS cluster_id
+FROM documents dd LEFT JOIN m ON dd.doc_id = m.doc_id
+"""
+
+
+QUERIES["dedup_simhash_clusters"] = dedup_simhash_clusters
+ORACLES["dedup_simhash_clusters"] = _simhash_clusters_sql()

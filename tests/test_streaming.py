@@ -1697,3 +1697,38 @@ def test_streaming_seasonal_decompose_converges_to_batch(spark, tmpdirs):
         tuple(r) for r in seasonal_decompose_hod(batch_df, "k", "ms").collect()
     }
     assert {tuple(r) for r in final} == expect and len(expect) == 48
+
+
+def test_streaming_simhash_clusters_converge_to_batch(spark, tmpdirs):
+    """Streaming parity for simhash_clusters: cluster membership is
+    retroactive (a late near-duplicate can join — or bridge — existing
+    clusters), so the streaming twin is the accumulator recompute, and
+    the final emission must equal the batch operator over the union of
+    all batches.  Batch 1 establishes two exact-dup clusters; batch 2's
+    late arrivals join the FIRST cluster and add a singleton."""
+    from test_flink_spark.operators.dedup import simhash_clusters
+
+    schema = "doc_id LONG, text STRING"
+    x = "alpha beta gamma delta epsilon"
+    y = "one two three four five six"
+    batches = [
+        f'1,"{x}"\n2,"{x}"\n3,"{y}"\n4,"{y}"\n',
+        f'5,"{x}"\n6,"zeta eta theta iota kappa"\n',
+    ]
+    final = _foreachbatch_accumulate_and_apply(
+        spark, tmpdirs, schema, batches,
+        lambda df: simhash_clusters(df).orderBy("doc_id"),
+    )
+    all_rows = spark.createDataFrame(
+        [(1, x), (2, x), (3, y), (4, y), (5, x),
+         (6, "zeta eta theta iota kappa")],
+        schema,
+    )
+    batch = simhash_clusters(all_rows).orderBy("doc_id").collect()
+    assert [r.asDict() for r in final] == [r.asDict() for r in batch]
+    got = {r["doc_id"]: r["cluster_id"] for r in final}
+    # exact dups share a cluster rooted at the min id; late doc 5 joined
+    # cluster 1 retroactively; doc 6 stays a singleton
+    assert got[1] == got[2] == got[5] == 1
+    assert got[3] == got[4] == 3
+    assert got[6] == 6
