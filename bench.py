@@ -41,7 +41,7 @@ HEADLINE = [
     "corpus_curation_pipeline",
 ]
 
-# The 8 most expensive registered queries (r5 ranking): ALSO measured in a
+# The 8 most expensive registered queries (r6 ranking): ALSO measured in a
 # fresh JVM each, min-of-3, after the sweep.  Rationale (r5 verdict item
 # 5): the in-sweep numbers ride a JVM that just ran 170+ queries — GC and
 # code-cache pressure plus host variance (±25% observed between rounds)
@@ -51,17 +51,18 @@ HEADLINE = [
 # fresh-JVM).  Isolated runs build cold caches (shared dedup stages
 # included), so iso >= in-sweep for shared-stage consumers is expected.
 ISOLATED_TOP = [
+    # regenerated from the r6 sweep's top-8 (BENCH_r06, shared-stage
+    # accounting lines excluded), heaviest first so a budget cut drops
+    # the LIGHTEST line, never the heaviest (the r6 failure: the iso
+    # budget went to a 1.35 s line while the 7.99 s line went unmeasured)
+    "dedup_simhash_clusters",
+    "graph_components_knn",
+    "graph_kcore_trade",
     "graph_pagerank_trade",
+    "dedup_minhash_band_sweep",
     "embedding_near_dup_lsh",
+    "graph_hits_trade",
     "text_winnowing_fingerprints",
-    "graph_bfs_hops",
-    "text_sparse_cosine_topk",
-    "embedding_hybrid_rrf",
-    "corpus_multimodal_dup_flags",
-    "embedding_ivfadc_ann",
-    # round-6 late additions with the largest isolated footprints
-    "graph_supplier_jaccard",
-    "text_trigram_index_audit",
 ]
 
 
@@ -95,12 +96,12 @@ def isolated_timings(names: list[str]) -> dict[str, float]:
     Wall-budgeted: external harnesses clamp the WHOLE bench run, and a
     clamp kill mid-isolated-phase would lose the one-JSON-line output
     entirely (sweep included).  `SPARK_GRAFT_BENCH_ISO_BUDGET` seconds
-    (default 240) bound this phase: once spent, remaining names are
+    (default 280) bound this phase: once spent, remaining names are
     skipped with a stderr note — partial iso evidence beats a dead
     process."""
     import subprocess
 
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_ISO_BUDGET", "240"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_ISO_BUDGET", "280"))
     t_start = time.perf_counter()
     out: dict[str, float] = {}
     for i, name in enumerate(names):

@@ -28,90 +28,54 @@ from . import advanced, enterprise, llm_data, reference_queries, relational, tpc
 # window never reached them.  That is exactly how 41 queries accumulated
 # zero driver rows through r4.)
 #
-# Window accounting for THIS round (r6): after r5 the union of
-# CORRECTNESS_r01..r05 covers 170 of 173 — the only rows ever missing a
-# driver look are the three added post-window in r5.  _PROMOTED therefore
-# lists exactly those three plus every query NEW in r6; once this round's
-# snapshot lands, driver coverage is 100% of the registry.  Remaining
-# window slots re-verify earlier queries in module order (free
-# regression signal, not wasted rows).
+# Window accounting for THIS round (r7): union(CORRECTNESS_r01..r06)
+# covers 220 of 256 — the 36 below are everything registered after the
+# r6 window filled.  Once this round's snapshot lands, driver coverage is
+# 100% of the r6 registry; r7-new queries append after these 36 (14 free
+# slots).  tests/test_plans.py::test_promotion_window_covers_registry
+# enforces this invariant at commit time.
 _MODULE_ORDER = (reference_queries, enterprise, advanced, llm_data, relational, tpch_extra)
 _PROMOTED = (
-    # queued since r5 — first driver look
-    "events_robust_trend",
-    "graph_bfs_hops",
-    "events_ab_test_report",
-    # new in r6 — first driver look
-    "dedup_containment",
-    "events_changepoint_binseg",
-    "events_attribution_last_touch",
-    "events_dau_mau_stickiness",
-    "rollup_incremental_merge",
-    "parts_pareto_abc",
-    "corpus_perplexity_buckets",
-    "dedup_minhash_estimate_audit",
-    "events_user_gini",
-    "text_rake_keywords",
-    "embedding_gram_matrix",
-    "events_cep_strict_sequence",
-    "events_cep_followed_by",
-    "events_run_lengths",
-    "corpus_token_budget_select",
-    "corpus_shard_assignment",
-    "graph_kcore_trade",
-    "corpus_classifier_auc",
-    "join_view_incremental_merge",
-    "bloom_join_prune_audit",
-    "events_watermark_lateness_audit",
-    "sketch_hll_sliding_users",
-    "embedding_power_iteration",
-    "events_cep_not_followed_by",
-    "events_user_entropy_segments",
-    "orders_benford_audit",
-    "events_peak_concurrency",
-    "multimodal_audio_quiet_segments",
-    "dedup_lsh_candidate_audit",
-    "text_zipf_fit_audit",
-    "text_language_confusion",
-    "corpus_ngram_novelty",
-    "multimodal_image_dhash",
-    "supplier_mad_outliers",
-    "dedup_minhash_band_sweep",
-    "multimodal_video_shot_segments",
-    "events_seasonality_acf",
-    "text_code_detection",
-    "graph_degree_assortativity",
-    "events_churn_cohorts",
-    "events_ab_srm_check",
-    "text_bpe_fertility",
-    "cdc_merge_apply",
-    "embedding_matryoshka_overlap",
-    "text_pmi_collocations",
-    "text_feature_hashing_audit",
-    "graph_supplier_jaccard",
+    # r7 queue: everything registered in r6 after the window filled —
+    # registry minus union(CORRECTNESS_r01..r06); 36 names, 14 free slots.
+    "events_wilson_ctr_rank",
+    "events_attribution_linear",
+    "events_kaplan_meier_retention",
+    "events_cohort_ltv_curve",
+    "events_ks_drift_test",
+    "events_session_threshold_sweep",
+    "events_velocity_flags",
+    "graph_clustering_coefficient",
+    "reco_item_cf_topk",
+    "events_interarrival_profile",
+    "events_attribution_markov_removal",
+    "graph_components_knn",
+    "events_cuped_adjustment",
+    "events_power_mde",
+    "nation_revenue_hhi",
+    "part_price_anova_by_brand",
+    "orders_basket_rules",
+    "fk_integrity_audit",
+    "events_seasonal_decompose",
+    "events_l_diversity",
+    "schema_fd_audit",
+    "orders_fulfillment_latency",
+    "graph_hits_trade",
+    "embedding_bitq_hamming_recall",
+    "retrieval_ndcg_audit",
+    "text_trigram_index_audit",
+    "embedding_label_confusion",
+    "embedding_ivf_nprobe_sweep",
+    "embedding_ood_outliers",
+    "corpus_classifier_calibration",
+    "embedding_random_projection_audit",
+    "dedup_source_flow_matrix",
+    "text_textrank_keywords",
+    "multimodal_image_phash",
+    "dedup_simhash_clusters",
+    "unpivot_user_event_matrix",
 )
 
-# r7 PROMOTION QUEUE (window was full when these landed; replace
-# _PROMOTED with exactly this list at the START of round 7 — 30 names,
-# leaving 20 slots for r7-new queries):
-# corpus_classifier_calibration dedup_source_flow_matrix
-# embedding_bitq_hamming_recall embedding_ivf_nprobe_sweep
-# embedding_label_confusion embedding_ood_outliers
-# embedding_random_projection_audit events_attribution_linear
-# events_attribution_markov_removal events_cohort_ltv_curve
-# events_interarrival_profile events_kaplan_meier_retention
-# events_ks_drift_test events_l_diversity events_seasonal_decompose
-# events_session_threshold_sweep events_velocity_flags
-# events_wilson_ctr_rank fk_integrity_audit graph_clustering_coefficient
-# graph_components_knn nation_revenue_hhi orders_basket_rules
-# orders_fulfillment_latency part_price_anova_by_brand reco_item_cf_topk
-# retrieval_ndcg_audit schema_fd_audit text_trigram_index_audit
-# unpivot_user_event_matrix
-# -- added later in r6 (append-as-built):
-# text_textrank_keywords graph_hits_trade events_cuped_adjustment
-# multimodal_image_phash dedup_simhash_clusters events_power_mde
-# (derivation: registry minus union(CORRECTNESS_r01..r05) minus current
-# _PROMOTED; anything added later in r6 appends here too)
 
 
 def _ordered(attr):

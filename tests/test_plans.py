@@ -5,6 +5,7 @@ regression in plan shape fails CI, not just the benchmark."""
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import functions as F
@@ -12,6 +13,7 @@ from pyspark.sql import functions as F
 from test_flink_spark.schemas import load_table
 
 SF = "/root/testdata/sf0.01"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _plan(df) -> str:
@@ -426,3 +428,30 @@ def test_no_registered_query_returns_decimal(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"DecimalType columns in registered schemas: {offenders}"
+
+
+def test_promotion_window_covers_registry():
+    """Every registered query must be driver-verified or queued in the
+    next 50-row window.  This is the r4 failure mode (41 queries with
+    zero driver rows) folded into a commit-time gate: if a new query
+    lands outside both union(CORRECTNESS_r*) and _PROMOTED[:50], this
+    fails until it is promoted."""
+    import glob
+    import json
+
+    import __spark_entry__ as entry
+    from test_flink_spark.plans import _PROMOTED
+
+    union = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            union |= set(json.load(fh).keys())
+
+    registry = set(entry.queries().keys())
+    uncovered = registry - union - set(_PROMOTED[:50])
+    assert not uncovered, (
+        f"{len(uncovered)} registered queries have no driver verification "
+        f"and are not in the next promotion window: {sorted(uncovered)}"
+    )
+    # the window itself must not overflow 50 driver slots
+    assert len(_PROMOTED) <= 50, f"_PROMOTED has {len(_PROMOTED)} > 50 names"
