@@ -444,6 +444,123 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return voted.select(F.col(id_col), sh.alias("simhash"))
 
 
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash as TWO 32-bit BIGINT words ``(sh_lo, sh_hi)`` — the
+    production-width form of :func:`simhash`.  A single signed BIGINT
+    cannot hold bit 63 portably (Spark would fold a negative literal,
+    DuckDB would error on ``1 << 63``), so the hash rides as two
+    non-negative 32-bit words, the same representation as the binary
+    quantization in plans/llm_data.embedding_bitq_hamming_recall; hamming
+    distance is the SUM of two XOR+bit_counts.  Word bits come from two
+    disjoint 32-bit slices of the SAME md5 (chars 1-8 and 9-16) — md5
+    bits are independent, and the oracle reproduces both slices exactly.
+    """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    w = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
+    hw = w.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long").alias("hlo"),
+        F.conv(F.substring(F.md5(F.col("w")), 9, 8), 16, 10).cast("long").alias("hhi"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col(word), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"{word}_v{b}")
+        for word in ("hlo", "hhi")
+        for b in range(32)
+    ]
+    voted = hw.groupBy(id_col).agg(*votes)
+
+    def _fold(word: str) -> Column:
+        return sum(
+            (
+                F.when(F.col(f"{word}_v{b}") >= 0, F.lit(2 ** b).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for b in range(32)
+            ),
+            F.lit(0).cast("long"),
+        )
+
+    return voted.select(
+        F.col(id_col), _fold("hlo").alias("sh_lo"), _fold("hhi").alias("sh_hi")
+    )
+
+
+def simhash_clusters_w64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """64-bit SimHash near-dup connected components — the 100-TB-safe band
+    geometry.  The 32-bit form (:func:`simhash_clusters` with 4 bands) has
+    8-bit band keys: <= 256 distinct values per band, so bucket occupancy
+    is O(corpus/256) and the band-equality self-join degrades toward
+    quadratic as the corpus grows.  Here the 64-bit hash gives 4 bands of
+    16 bits — 65,536 keys per band, 256x more buckets, occupancy
+    O(corpus/65536) — while the pigeonhole guarantee is unchanged
+    (hamming <= 3 flips across 4 bands still leaves >= 1 band identical,
+    so banding stays LOSSLESS for the threshold).  Bands 0-1 slice
+    ``sh_lo``, bands 2-3 slice ``sh_hi``; verification is two
+    XOR+bit_counts summed.  Everything downstream (distinct candidate
+    pairs, min-label CC) is shared with the 32-bit path."""
+    from .graph import min_label_components
+
+    n_bands = 4
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banding is lossy: max_hamming={max_hamming} needs "
+            f"> {n_bands - 1} bands (pigeonhole)"
+        )
+    sh = simhash64(df, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=True
+    )  # referenced by both sides of the band self-join
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(
+                    f"(sh_lo >> {16 * b}) & 65535"
+                    if b < 2
+                    else f"(sh_hi >> {16 * (b - 2)}) & 65535"
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sh.select(
+        F.col(id_col), "sh_lo", "sh_hi", F.explode(band_structs).alias("bk")
+    ).select(F.col(id_col), "sh_lo", "sh_hi", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sh_lo").alias("la"),
+            F.col("a.sh_hi").alias("ha"),
+            F.col("b.sh_lo").alias("lb"),
+            F.col("b.sh_hi").alias("hb"),
+        )
+        .distinct()
+    )
+    edges = cand.filter(
+        F.expr(f"bit_count(la ^ lb) + bit_count(ha ^ hb) <= {max_hamming}")
+    ).select("id_a", "id_b")
+    return min_label_components(
+        edges,
+        df.select(F.col(id_col)),
+        id_col,
+        warn_name="simhash_clusters_w64",
+    )
+
+
 def duplicate_clusters(
     df: DataFrame,
     text_col: str = "text",

@@ -74,6 +74,9 @@ _PROMOTED = (
     "multimodal_image_phash",
     "dedup_simhash_clusters",
     "unpivot_user_event_matrix",
+    # new in r7 — first driver look
+    "dedup_simhash_clusters_w64",
+    "dedup_simhash_band_occupancy",
 )
 
 

@@ -5869,3 +5869,227 @@ FROM documents dd LEFT JOIN m ON dd.doc_id = m.doc_id
 
 QUERIES["dedup_simhash_clusters"] = dedup_simhash_clusters
 ORACLES["dedup_simhash_clusters"] = _simhash_clusters_sql()
+
+
+# ---------------------------------------------------------------------------
+# 64-bit SimHash clusters: the 100-TB-safe band geometry (r6 verdict item 2).
+# ---------------------------------------------------------------------------
+
+def dedup_simhash_clusters_w64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup clusters at PRODUCTION band width: 64-bit hash as
+    two 32-bit BIGINT words, 4 bands x 16 bits (65,536 keys/band — 256x
+    the bucket count of the 32-bit form, so band-bucket occupancy is
+    O(corpus/65536) instead of O(corpus/256)), hamming verify as the sum
+    of two XOR+bit_counts, then the shared min-label connected
+    components.  Pigeonhole is unchanged (hamming <= 3 across 4 bands
+    leaves >= 1 identical band), so banding stays lossless for the
+    threshold while the self-join stops degrading with corpus growth —
+    the scale posture dedup_simhash_clusters documents but cannot
+    deliver.  See dedup_simhash_band_occupancy for the measured
+    occupancy contrast between the two geometries."""
+    from ..operators.dedup import simhash_clusters_w64
+
+    return simhash_clusters_w64(
+        _docs(spark, sf_dir), max_hamming=_SIMHASH_CLUSTER_MAX_HAM
+    )
+
+
+def _simhash_clusters_w64_sql() -> str:
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN ({word} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS {word}_v{b}"
+        for word in ("hlo", "hhi")
+        for b in range(32)
+    )
+
+    def fold(word: str) -> str:
+        return " + ".join(
+            f"CASE WHEN {word}_v{b} >= 0 THEN CAST({1 << b} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END"
+            for b in range(32)
+        )
+
+    return rf"""
+WITH RECURSIVE
+w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+h AS (SELECT doc_id,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT AS hlo,
+             ('0x' || substr(md5(w), 9, 8))::BIGINT AS hhi
+      FROM w),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY 1),
+s AS (SELECT doc_id, {fold("hlo")} AS sh_lo, {fold("hhi")} AS sh_hi FROM v),
+bands AS (
+    SELECT doc_id, sh_lo, sh_hi, b AS band,
+           CASE WHEN b < 2 THEN (sh_lo >> (16 * b)) & 65535
+                ELSE (sh_hi >> (16 * (b - 2))) & 65535 END AS key
+    FROM s, (SELECT unnest(range(4)) AS b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.sh_lo AS la, a.sh_hi AS ha,
+                    b.sh_lo AS lb, b.sh_hi AS hb
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+e0 AS (
+    SELECT id_a, id_b FROM cand
+    WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb))
+          <= {_SIMHASH_CLUSTER_MAX_HAM}
+),
+bidir AS (SELECT id_a AS s, id_b AS d FROM e0 UNION ALL SELECT id_b, id_a FROM e0),
+reach(s, d) AS (
+    SELECT s, d FROM bidir
+    UNION
+    SELECT r.s, e.d FROM reach r JOIN bidir e ON r.d = e.s
+),
+m AS (SELECT s AS doc_id, MIN(d) AS mn FROM reach GROUP BY 1)
+SELECT dd.doc_id,
+       LEAST(COALESCE(m.mn, dd.doc_id), dd.doc_id) AS cluster_id
+FROM documents dd LEFT JOIN m ON dd.doc_id = m.doc_id
+"""
+
+
+QUERIES["dedup_simhash_clusters_w64"] = dedup_simhash_clusters_w64
+ORACLES["dedup_simhash_clusters_w64"] = _simhash_clusters_w64_sql()
+
+
+# ---------------------------------------------------------------------------
+# Band-occupancy audit: w32 vs w64 geometry, measured not asserted.
+# ---------------------------------------------------------------------------
+
+def dedup_simhash_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket occupancy for BOTH SimHash geometries, side by side:
+    per (geometry, band) — distinct keys used, max bucket size, and the
+    exact candidate-pair bill SUM(k*(k-1)/2) the band self-join must pay.
+    This is the scale evidence behind dedup_simhash_clusters_w64: the
+    32-bit/8-bit-band geometry concentrates the corpus into <= 256
+    buckets per band (pair bill grows ~quadratically with corpus), the
+    64-bit/16-bit-band geometry spreads the same corpus over 65,536 keys.
+    Pure groupBy arithmetic — the only heavy stages are the two shared
+    simhash passes."""
+    from ..operators.dedup import simhash, simhash64
+
+    docs = _docs(spark, sf_dir)
+    sh32 = simhash(docs, bits=32)
+    b32 = (
+        sh32.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.expr(f"(simhash >> {8 * b}) & 255").alias("key"),
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select(F.lit("w32").alias("geometry"), "bk.band", "bk.key")
+    )
+    sh64 = simhash64(docs)
+    b64 = (
+        sh64.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.expr(
+                                f"(sh_lo >> {16 * b}) & 65535"
+                                if b < 2
+                                else f"(sh_hi >> {16 * (b - 2)}) & 65535"
+                            ).alias("key"),
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select(F.lit("w64").alias("geometry"), "bk.band", "bk.key")
+    )
+    per_key = (
+        b32.unionByName(b64)
+        .groupBy("geometry", "band", "key")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return (
+        per_key.groupBy("geometry", "band")
+        .agg(
+            F.sum("k").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("k").cast("long").alias("max_bucket"),
+            F.sum(F.expr("k * (k - 1)")).cast("long").alias("cand_pairs_x2"),
+        )
+        .select(
+            "geometry",
+            F.col("band").cast("long").alias("band"),
+            "n_docs",
+            "n_keys",
+            "max_bucket",
+            (F.col("cand_pairs_x2") / 2).cast("long").alias("cand_pairs"),
+        )
+    )
+
+
+def _simhash_band_occupancy_sql() -> str:
+    votes32 = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(32)
+    )
+    fold32 = " + ".join(
+        f"CASE WHEN v{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(32)
+    )
+    votes64 = ",\n           ".join(
+        f"SUM(CASE WHEN ({word} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS {word}_v{b}"
+        for word in ("hlo", "hhi")
+        for b in range(32)
+    )
+
+    def fold64(word: str) -> str:
+        return " + ".join(
+            f"CASE WHEN {word}_v{b} >= 0 THEN CAST({1 << b} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END"
+            for b in range(32)
+        )
+
+    return rf"""
+WITH
+w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+h32 AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM w),
+v32 AS (SELECT doc_id, {votes32} FROM h32 GROUP BY 1),
+s32 AS (SELECT doc_id, {fold32} AS simhash FROM v32),
+h64 AS (SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 8))::BIGINT AS hlo,
+               ('0x' || substr(md5(w), 9, 8))::BIGINT AS hhi
+        FROM w),
+v64 AS (SELECT doc_id, {votes64} FROM h64 GROUP BY 1),
+s64 AS (SELECT doc_id, {fold64("hlo")} AS sh_lo, {fold64("hhi")} AS sh_hi FROM v64),
+bands AS (
+    SELECT 'w32' AS geometry, b AS band, (simhash >> (8 * b)) & 255 AS key
+    FROM s32, (SELECT unnest(range(4)) AS b)
+    UNION ALL
+    SELECT 'w64' AS geometry, b AS band,
+           CASE WHEN b < 2 THEN (sh_lo >> (16 * b)) & 65535
+                ELSE (sh_hi >> (16 * (b - 2))) & 65535 END AS key
+    FROM s64, (SELECT unnest(range(4)) AS b)
+),
+per_key AS (
+    SELECT geometry, band, key, COUNT(*) AS k
+    FROM bands GROUP BY 1, 2, 3
+)
+SELECT geometry,
+       CAST(band AS BIGINT) AS band,
+       CAST(SUM(k) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(k) AS BIGINT) AS max_bucket,
+       CAST(SUM(k * (k - 1)) / 2 AS BIGINT) AS cand_pairs
+FROM per_key
+GROUP BY 1, 2
+"""
+
+
+QUERIES["dedup_simhash_band_occupancy"] = dedup_simhash_band_occupancy
+ORACLES["dedup_simhash_band_occupancy"] = _simhash_band_occupancy_sql()

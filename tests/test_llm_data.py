@@ -7,7 +7,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from test_flink_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash
+from test_flink_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash64,
+)
 from test_flink_spark.operators.multimodal import decode_stub
 from test_flink_spark.operators.similarity import cosine_topk, lsh_bucket_topk
 from test_flink_spark.schemas import load_table
@@ -42,6 +47,40 @@ def test_simhash_locality(spark):
     d12 = bin(h[1] ^ h[2]).count("1")
     d13 = bin(h[1] ^ h[3]).count("1")
     assert d12 < d13, f"near-dup hamming {d12} should beat unrelated {d13}"
+
+
+def test_simhash64_locality_and_band_occupancy(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # 1 word differs
+        (3, "completely unrelated words about spark and flink engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    h = {
+        r["doc_id"]: (r["sh_lo"], r["sh_hi"])
+        for r in simhash64(df).collect()
+    }
+    for lo, hi in h.values():  # two non-negative 32-bit words, bit 63 never set
+        assert 0 <= lo < 2**32 and 0 <= hi < 2**32
+    d12 = bin(h[1][0] ^ h[2][0]).count("1") + bin(h[1][1] ^ h[2][1]).count("1")
+    d13 = bin(h[1][0] ^ h[3][0]).count("1") + bin(h[1][1] ^ h[3][1]).count("1")
+    assert d12 < d13, f"near-dup hamming {d12} should beat unrelated {d13}"
+
+    # the point of the w64 geometry: the same corpus spreads over 256x
+    # more band keys, so the candidate-pair bill collapses per band
+    from test_flink_spark.plans.llm_data import dedup_simhash_band_occupancy
+
+    occ = {
+        (r["geometry"], r["band"]): r
+        for r in dedup_simhash_band_occupancy(spark, SF).collect()
+    }
+    for band in range(4):
+        w32, w64 = occ[("w32", band)], occ[("w64", band)]
+        assert w64["n_keys"] > w32["n_keys"], (band, w64["n_keys"], w32["n_keys"])
+        assert w64["cand_pairs"] < w32["cand_pairs"], (
+            f"band {band}: w64 pair bill {w64['cand_pairs']} did not beat "
+            f"w32 {w32['cand_pairs']}"
+        )
 
 
 def test_minhash_finds_jaccard_pairs(spark):
