@@ -77,6 +77,7 @@ _PROMOTED = (
     # new in r7 — first driver look
     "dedup_simhash_clusters_w64",
     "dedup_simhash_band_occupancy",
+    "dedup_clusters_incremental",
 )
 
 

@@ -6093,3 +6093,88 @@ GROUP BY 1, 2
 
 QUERIES["dedup_simhash_band_occupancy"] = dedup_simhash_band_occupancy
 ORACLES["dedup_simhash_band_occupancy"] = _simhash_band_occupancy_sql()
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected components: shard edges merge into prior labels.
+# ---------------------------------------------------------------------------
+
+def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup CLUSTERING — the CC complement of
+    dedup_incremental_shard (r6 verdict item 4).  Sources src15..src19
+    arrive as a NEW shard against an existing corpus whose state is two
+    persisted artifacts: the prior cluster labels (min-label CC over the
+    pre-shard Jaccard graph) and the shingle inverted index.  New edges
+    (shard-shard + shard-corpus, exact n-gram Jaccard >= 0.5 through the
+    index probe — never all-pairs) are condensed onto prior cluster ids
+    and min-label CC runs over THAT graph only: O(shard + touched
+    clusters), independent of corpus size
+    (operators/dedup.py::incremental_cluster_merge).
+
+    The oracle is the FULL-RECOMPUTE transitive closure over the whole
+    corpus — identical SQL to dedup_clusters — so the green hash IS the
+    proof that incremental reconciliation equals batch CC."""
+    from ..operators.dedup import (
+        duplicate_clusters,
+        incremental_cluster_merge,
+        shingle_hashes,
+    )
+
+    docs = _docs(spark, sf_dir)
+    srcn = F.substring("source", 4, 10).cast("int")
+    shard = docs.filter(srcn >= _SHARD_MIN_SRC)
+    index_docs = docs.filter(srcn < _SHARD_MIN_SRC)
+    # persisted state in production; recomputed here so the query is
+    # self-contained (the differential pytest feeds a genuinely persisted
+    # prior through the same operator)
+    prior = duplicate_clusters(index_docs, threshold=0.5)
+
+    sh_shard = shingle_hashes(shard).localCheckpoint(eager=True)  # probe + self-join
+    sh_index = shingle_hashes(index_docs)
+    s, c = sh_shard.alias("s"), sh_index.alias("c")
+    p_sc = (
+        s.join(c, F.col("s.h") == F.col("c.h"))
+        .groupBy(
+            F.col("s.doc_id").alias("id_a"), F.col("c.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    a, b = sh_shard.alias("a"), sh_shard.alias("b")
+    p_ss = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = (
+        sh_shard.unionByName(sh_index)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    new_edges = (
+        p_sc.unionByName(p_ss)
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        # same rounded-threshold semantics as ngram_jaccard_pairs, so the
+        # incremental edge set matches the batch path bit-for-bit
+        .filter(
+            F.round(
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                4,
+            )
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    return incremental_cluster_merge(prior, new_edges, docs.select("doc_id"))
+
+
+QUERIES["dedup_clusters_incremental"] = dedup_clusters_incremental
+ORACLES["dedup_clusters_incremental"] = _clusters_sql()

@@ -1284,3 +1284,45 @@ def test_phash_brightness_invariance_and_parity(spark):
         return bin(a["phash"] ^ b["phash"]).count("1")
 
     assert ham(got[0], got[2]) >= 4  # unrelated image: far in hamming space
+
+
+def test_incremental_cluster_merge_equals_full_recompute(spark):
+    """The production shape: prior labels are PERSISTED (round-tripped
+    through parquet, lineage severed), a new shard's edges merge in via
+    the condensed-graph CC, and the result must be row-identical to a
+    full batch recompute over corpus+shard."""
+    import tempfile
+
+    from test_flink_spark.operators.dedup import (
+        duplicate_clusters,
+        incremental_cluster_merge,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    srcn = F.substring("source", 4, 10).cast("int")
+    index_docs, shard = docs.filter(srcn < 15), docs.filter(srcn >= 15)
+
+    with tempfile.TemporaryDirectory() as td:
+        duplicate_clusters(index_docs, threshold=0.5).write.parquet(
+            f"{td}/prior"
+        )
+        prior = spark.read.parquet(f"{td}/prior")
+        shard_ids = {r["doc_id"] for r in shard.select("doc_id").collect()}
+        new_edges = ngram_jaccard_pairs(docs, threshold=0.5).filter(
+            F.col("id_a").isin(shard_ids) | F.col("id_b").isin(shard_ids)
+        )
+        inc = {
+            (r["doc_id"], r["cluster_id"])
+            for r in incremental_cluster_merge(
+                prior, new_edges, docs.select("doc_id")
+            ).collect()
+        }
+    full = {
+        (r["doc_id"], r["cluster_id"])
+        for r in duplicate_clusters(docs, threshold=0.5).collect()
+    }
+    assert inc == full, (
+        f"incremental diverged from batch on {len(inc ^ full)} rows: "
+        f"{sorted(inc ^ full)[:6]}"
+    )
