@@ -78,6 +78,7 @@ _PROMOTED = (
     "dedup_simhash_clusters_w64",
     "dedup_simhash_band_occupancy",
     "dedup_clusters_incremental",
+    "events_cep_within",
 )
 
 

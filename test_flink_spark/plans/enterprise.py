@@ -4287,3 +4287,146 @@ FROM agg
 
 QUERIES["events_power_mde"] = events_power_mde
 ORACLES["events_power_mde"] = _POWER_MDE_SQL
+
+
+# ---------------------------------------------------------------------------
+# CEP within() horizon sweep with timeout side-outputs (r6 verdict item 8).
+# ---------------------------------------------------------------------------
+
+_CEP_WITHIN_HORIZONS_MS = (3_600_000, 21_600_000, 86_400_000, 604_800_000)
+
+
+def events_cep_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink CEP's ``within()`` knob as data: the view→click→purchase
+    followedBy pattern evaluated under FOUR horizons (1 h, 6 h, 1 d,
+    7 d) in ONE pass, with the TIMED-OUT partial matches counted per
+    stage — the side output Flink's ``PatternTimeoutFunction`` emits
+    (a match times out at stage 1 if no click binds within the horizon,
+    at stage 2 if the click bound but no purchase follows in time).
+
+    Spark shape: the two stacked conditional struct-MIN windows from
+    events_cep_followed_by run ONCE (they are horizon-independent: under
+    SKIP_TILL_NEXT_MATCH each step binds the FIRST qualifying event, so
+    the horizon only classifies the already-bound chain); a 4-way
+    explode on the view rows then aggregates per horizon.  One window
+    exchange + one 4x fan-out of the smallest row set — the sweep costs
+    no more than the single-horizon query.
+
+    Streaming twin: streaming/cep.py::streaming_followed_by_with_timeouts
+    (per-key NFA frontier that EMITS expired partials as it prunes them);
+    parity pinned by the randomized differential in tests."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_ms").asc(), F.col("event_id").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    p1 = ev.withColumn(
+        "np",
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.struct(
+                    F.col("ts_ms").alias("t"), F.col("event_id").alias("e")
+                ),
+            )
+        ).over(w),
+    )
+    p2 = p1.withColumn(
+        "nc",
+        F.min(
+            F.when(
+                F.col("event_type") == "click",
+                F.struct(
+                    F.col("ts_ms").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("np").alias("np"),
+                ),
+            )
+        ).over(w),
+    )
+    views = p2.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts_ms",
+        F.col("nc.t").alias("c_t"),
+        F.col("nc.np.t").alias("p_t"),
+    )
+    sweep = views.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(h).cast("long") for h in _CEP_WITHIN_HORIZONS_MS])
+        ).alias("horizon_ms"),
+    )
+    h = F.col("horizon_ms")
+    click_in = F.col("c_t").isNotNull() & (F.col("c_t") - F.col("ts_ms") <= h)
+    purchase_in = F.col("p_t").isNotNull() & (
+        F.col("p_t") - F.col("ts_ms") <= h
+    )
+    is_match = click_in & purchase_in
+    return (
+        sweep.groupBy("horizon_ms")
+        .agg(
+            F.sum(F.when(is_match, 1).otherwise(0)).cast("long").alias("matches"),
+            F.countDistinct(F.when(is_match, F.col("user_id")))
+            .cast("long")
+            .alias("users"),
+            F.sum(F.when(~click_in, 1).otherwise(0))
+            .cast("long")
+            .alias("t1_timeouts"),
+            F.sum(F.when(click_in & ~purchase_in, 1).otherwise(0))
+            .cast("long")
+            .alias("t2_timeouts"),
+            F.coalesce(
+                F.sum(F.when(is_match, F.col("p_t") - F.col("ts_ms"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("sum_latency_ms"),
+        )
+    )
+
+
+_CEP_WITHIN_SQL = rf"""
+WITH ev AS (
+    SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+), p1 AS (
+    SELECT *,
+           MIN(CASE WHEN event_type = 'purchase'
+                    THEN struct_pack(t := ts_ms, e := event_id) END)
+               OVER w AS np
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+), p2 AS (
+    SELECT *,
+           MIN(CASE WHEN event_type = 'click'
+                    THEN struct_pack(t := ts_ms, e := event_id, np := np)
+               END) OVER w AS nc
+    FROM p1
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+), v AS (
+    SELECT user_id, ts_ms, nc.t AS c_t, nc.np.t AS p_t
+    FROM p2 WHERE event_type = 'view'
+), sweep AS (
+    SELECT v.*, h.horizon_ms,
+           (c_t IS NOT NULL AND c_t - ts_ms <= h.horizon_ms) AS click_in,
+           (p_t IS NOT NULL AND p_t - ts_ms <= h.horizon_ms) AS purchase_in
+    FROM v, (SELECT unnest([{", ".join(str(h) + "::BIGINT" for h in _CEP_WITHIN_HORIZONS_MS)}]) AS horizon_ms) h
+)
+SELECT horizon_ms,
+       CAST(SUM(CASE WHEN click_in AND purchase_in THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+       CAST(COUNT(DISTINCT CASE WHEN click_in AND purchase_in THEN user_id END) AS BIGINT) AS users,
+       CAST(SUM(CASE WHEN NOT click_in THEN 1 ELSE 0 END) AS BIGINT) AS t1_timeouts,
+       CAST(SUM(CASE WHEN click_in AND NOT purchase_in THEN 1 ELSE 0 END) AS BIGINT) AS t2_timeouts,
+       CAST(COALESCE(SUM(CASE WHEN click_in AND purchase_in THEN p_t - ts_ms END), 0) AS BIGINT) AS sum_latency_ms
+FROM sweep
+GROUP BY 1
+"""
+
+QUERIES["events_cep_within"] = events_cep_within
+ORACLES["events_cep_within"] = _CEP_WITHIN_SQL

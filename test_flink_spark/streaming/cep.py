@@ -219,3 +219,127 @@ def streaming_followed_by(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# followedBy + within() with TIMED-OUT partials as a side output
+# ---------------------------------------------------------------------------
+
+TIMEOUT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("kind", StringType()),
+        StructField("start_ts_ms", LongType()),
+        StructField("end_ts_ms", LongType()),
+    ]
+)
+
+
+def _followed_by_timeout_func(first: str, second: str, third: str, within_ms: int):
+    """Like ``_followed_by_func`` but every partial match the ``within``
+    horizon kills is EMITTED, not just dropped — Flink's
+    ``PatternTimeoutFunction`` side output.  Rows are
+    (key, kind, start_ts_ms, end_ts_ms) with kind ∈ {'match',
+    'timeout1', 'timeout2'}: timeout1 = the first step bound but no
+    second step arrived inside the horizon (end_ts_ms = expiry instant
+    start+within, the timestamp Flink's timer would fire at); timeout2 =
+    first and second bound, no third in time (end_ts_ms = the bound
+    second-step ts).  Expiry is checked BEFORE the arriving event binds
+    (an event at exactly start+within can still complete a match —
+    within() is inclusive — but the first event strictly past the
+    horizon kills the partial), which also fixes a stage-attribution
+    subtlety the match-only matcher could ignore: a first-step partial
+    whose earliest second-step candidate lies beyond the horizon is a
+    STAGE-1 timeout (it must expire before binding), not a stage-2 one.
+    A partial with no further traffic on its key never expires here —
+    that is the documented watermark-timer gap of this in-order matcher;
+    the batch sweep (plans/enterprise.py::events_cep_within) is the
+    end-of-data truth, and the parity test drains frontiers with a
+    flush event past every horizon."""
+
+    def func(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            open_views, paired_views, paired_clicks = (
+                list(v) for v in state.get
+            )
+        else:
+            open_views, paired_views, paired_clicks = [], [], []
+        kinds, starts, ends = [], [], []
+
+        def emit(kind: str, s: int, e: int) -> None:
+            kinds.append(kind)
+            starts.append(s)
+            ends.append(e)
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_ms", "event_id"], kind="mergesort")
+        for et, t in zip(rows["event_type"], rows["ts_ms"]):
+            t = int(t)
+            # expire FIRST: anything strictly past the horizon is dead
+            # before this event can bind it
+            still_open = []
+            for v in open_views:
+                if t - v > within_ms:
+                    emit("timeout1", v, v + within_ms)
+                else:
+                    still_open.append(v)
+            open_views = still_open
+            keep_v, keep_c = [], []
+            for v, c in zip(paired_views, paired_clicks):
+                if t - v > within_ms:
+                    emit("timeout2", v, c)
+                else:
+                    keep_v.append(v)
+                    keep_c.append(c)
+            paired_views, paired_clicks = keep_v, keep_c
+            if et == first:
+                open_views.append(t)
+            elif et == second and open_views:
+                # all remaining opens are inside the horizon by the prune
+                paired_views.extend(open_views)
+                paired_clicks.extend([t] * len(open_views))
+                open_views = []
+            elif et == third and paired_views:
+                for v in paired_views:
+                    emit("match", v, t)
+                paired_views, paired_clicks = [], []
+        state.update((open_views, paired_views, paired_clicks))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(starts),
+                "kind": kinds,
+                "start_ts_ms": starts,
+                "end_ts_ms": ends,
+            }
+        ).astype(
+            {"key": "int64", "start_ts_ms": "int64", "end_ts_ms": "int64"}
+        )
+
+    return func
+
+
+def streaming_followed_by_with_timeouts(
+    events: DataFrame,
+    pattern: Sequence[str],
+    within_ms: int,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming twin of events_cep_within at a single horizon: the
+    3-step relaxed-contiguity matcher whose ``within`` expiries are a
+    side output.  State stays the bounded partial-match frontier."""
+    if len(pattern) != 3:
+        raise ValueError(
+            "streaming_followed_by_with_timeouts implements 3-step patterns"
+        )
+    renamed = events.withColumnRenamed(key_col, "key")
+    return renamed.groupBy("key").applyInPandasWithState(
+        _followed_by_timeout_func(*pattern, within_ms),
+        outputStructType=TIMEOUT_OUTPUT_SCHEMA,
+        stateStructType=FOLLOWED_BY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

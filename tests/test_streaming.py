@@ -1732,3 +1732,100 @@ def test_streaming_simhash_clusters_converge_to_batch(spark, tmpdirs):
     assert got[1] == got[2] == got[5] == 1
     assert got[3] == got[4] == 3
     assert got[6] == 6
+
+
+def test_streaming_cep_within_timeouts_match_reference(spark, tmpdirs):
+    """Randomized differential for the timeout-emitting matcher: the
+    match rows AND the per-stage timed-out partials must reproduce an
+    independent O(n²) reference of Flink's within() semantics (timeout1
+    = no click inside the horizon, timeout2 = click bound but no
+    purchase in time), across random 3-way micro-batch splits.  A final
+    flush event per key past every horizon drains the frontier — the
+    role the event-time timer plays on unbounded input."""
+    import random
+
+    from test_flink_spark.streaming.cep import (
+        streaming_followed_by_with_timeouts,
+    )
+
+    rng = random.Random(20260815)
+    within = 5_000
+    types = ["view", "click", "purchase", "other"]
+    per_user = {}
+    max_ts = 0
+    for u in range(1, 26):
+        n = rng.randrange(5, 31)
+        ts, seq = 0, []
+        for i in range(n):
+            ts += rng.choice([10, 100, 900, 2_000, 6_000])
+            seq.append((u, i + 1, rng.choice(types), ts))
+        per_user[u] = seq
+        max_ts = max(max_ts, ts)
+
+    want = set()
+    for u, seq in per_user.items():
+        for i, (_, _, et, vts) in enumerate(seq):
+            if et != "view":
+                continue
+            c = next((e for e in seq[i + 1 :] if e[2] == "click"), None)
+            if c is None or c[3] - vts > within:
+                want.add((u, "timeout1", vts, vts + within))
+                continue
+            ci = seq.index(c)
+            p = next((e for e in seq[ci + 1 :] if e[2] == "purchase"), None)
+            if p is None or p[3] - vts > within:
+                want.add((u, "timeout2", vts, c[3]))
+            else:
+                want.add((u, "match", vts, p[3]))
+
+    batches = [[], [], []]
+    for u, seq in per_user.items():
+        c1 = rng.randrange(0, len(seq) + 1)
+        c2 = rng.randrange(c1, len(seq) + 1)
+        batches[0].extend(seq[:c1])
+        batches[1].extend(seq[c1:c2])
+        batches[2].extend(seq[c2:])
+    flush = [
+        (u, 10_000, "other", max_ts + within + 1) for u in per_user
+    ]
+
+    schema = "user_id LONG, event_id LONG, event_type STRING, ts_ms LONG"
+    src = tmpdirs / "src_within"
+    src.mkdir()
+    (src / "b0.csv").write_text(
+        "\n".join(f"{u},{e},{t},{ts}" for u, e, t, ts in batches[0]) + "\n"
+        if batches[0]
+        else "\n"
+    )
+    raw = spark.readStream.schema(schema).csv(str(src))
+    q = (
+        streaming_followed_by_with_timeouts(
+            raw, ["view", "click", "purchase"], within
+        )
+        .writeStream.queryName("cep_within_stream")
+        .format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmpdirs / "ckpt_within"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for bi, rows_b in ((1, batches[1]), (2, batches[2]), (3, flush)):
+            (src / f"b{bi}.csv").write_text(
+                "\n".join(f"{u},{e},{t},{ts}" for u, e, t, ts in rows_b)
+                + "\n"
+                if rows_b
+                else "\n"
+            )
+            q.processAllAvailable()
+        got = {
+            (r["key"], r["kind"], r["start_ts_ms"], r["end_ts_ms"])
+            for r in spark.table("cep_within_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want, (
+        f"{len(got - want)} spurious / {len(want - got)} missing; "
+        f"sample spurious={sorted(got - want)[:4]} "
+        f"missing={sorted(want - got)[:4]}"
+    )
