@@ -627,3 +627,315 @@ SELECT i.neighbor_id AS vec_id, i.cluster,
        d.neighbor_id IS NULL AS keep
 FROM inv i LEFT JOIN dropped d ON i.neighbor_id = d.neighbor_id
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: true product quantization (Jégou et al., IVFADC with PQ codes)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4       # subspaces
+PQ_KSUB = 16   # codewords per subspace (production: 256)
+
+
+def pq_train(
+    corpus: DataFrame,
+    coarse: list[list[int]],
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 2,
+    dim: int = 64,
+    seed: str = "pq",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Train ``m`` per-subspace codebooks of ``ksub`` codewords each on the
+    RESIDUALS from the coarse quantizer — real product quantization, the
+    100 TB serving format (dim·8 bytes/vector → m code bytes + 8).
+
+    Same determinism contract as :func:`ivf_train` so the DuckDB oracle
+    replays training bit-for-bit: md5-ordered seeding per subspace
+    (``md5('pq{s}:' || vid)``), integer squared-L2 assignment with
+    lowest-cid tie-break, ``floor(sum/count)`` centroid updates, empty
+    clusters keep their codeword.
+
+    One-pass shape: the residual table explodes to (vid, s, 16-dim slice)
+    rows ONCE (localCheckpointed — seeding + every Lloyd pass reuse it),
+    each iteration is a single narrow assignment pass (all m codebooks as
+    literals, branch on ``s``) + ONE groupBy(s, cluster) whose output is
+    m·ksub summary rows to the driver — never the vectors.  At corpus
+    scale training runs on a hash sample exactly like ivf_train."""
+    dsub = dim // m
+    inv = ivf_assign(corpus, coarse, id_col, vec_col)
+    cent_lit = F.array(*[F.array(*[F.lit(int(v)) for v in c]) for c in coarse])
+    res = inv.select(
+        F.col("neighbor_id").alias("vid"),
+        F.zip_with(
+            F.col("cv"),
+            F.element_at(cent_lit, (F.col("cluster") + 1).cast("int")),
+            lambda a, b: a - b,
+        ).alias("r"),
+    )
+    sub = (
+        res.select(
+            "vid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).cast("int").alias("s"),
+                            F.slice("r", s * dsub + 1, dsub).alias("qv"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("vid", "e.s", "e.qv")
+        .localCheckpoint(eager=True)
+    )
+    wnd = Window.partitionBy("s").orderBy("h", "vid")
+    seed_rows = (
+        sub.withColumn(
+            "h",
+            F.md5(
+                F.concat(
+                    F.lit(seed),
+                    F.col("s").cast("string"),
+                    F.lit(":"),
+                    F.col("vid").cast("string"),
+                )
+            ),
+        )
+        .withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") <= ksub)
+        .select("s", (F.col("rk") - 1).alias("cid"), "qv")
+        .collect()
+    )
+    books: list[list[list[int]]] = [[None] * ksub for _ in range(m)]
+    for r in seed_rows:
+        books[r["s"]][r["cid"]] = list(r["qv"])
+    for _ in range(iters):
+        assign = F.when(F.col("s") == 0, _argmin_cluster(F.col("qv"), books[0]))
+        for s in range(1, m):
+            assign = assign.when(
+                F.col("s") == s, _argmin_cluster(F.col("qv"), books[s])
+            )
+        sums = (
+            sub.withColumn("cluster", assign)
+            .groupBy("s", "cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dsub)],
+            )
+            .collect()
+        )
+        updated = {
+            (int(r["s"]), int(r["cluster"])): [
+                math.floor(r[f"s{i}"] / r["n"]) for i in range(dsub)
+            ]
+            for r in sums
+        }
+        books = [
+            [updated.get((s, cid), books[s][cid]) for cid in range(ksub)]
+            for s in range(m)
+        ]
+    return books
+
+
+def ivfpq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse: list[list[int]],
+    books: list[list[list[int]]],
+    k: int = 5,
+    nprobe: int = 2,
+    refine: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN search over PQ-coded inverted lists: each corpus vector is
+    m code bytes + its list id; candidates are scored by integer
+    squared-L2 against the PQ-reconstructed vector (coarse centroid +
+    per-subspace codeword — asymmetric distance), top ``k·refine``
+    survivors rerank exactly — ``(query_id, neighbor_id, dist, rank)``.
+
+    Same plan skeleton as :func:`ivfadc_ann_topk` (probe equality join,
+    reconstruct below the join so rv materializes once per vector, exact
+    refine touches k·refine rows/query); encoding + reconstruction run as
+    exact int64 numpy in one Arrow batch per partition (the sq8 lesson:
+    interpreted HOF lambdas pay per-row; every value is < 2^63 so numpy
+    is bit-identical to a JVM fold).  numpy ``argmin`` takes the FIRST
+    minimum — the same lowest-cid tie-break as the oracle's
+    ``ORDER BY dist, cid``."""
+    import pandas as pd
+
+    m, ksub = len(books), len(books[0])
+    dsub = len(books[0][0])
+    inv = ivf_assign(corpus, coarse, id_col, vec_col)
+    coarse_arr, books_arr = coarse, books  # closure broadcast: m·ksub·dsub ints
+
+    def _encode(batches):
+        import numpy as np
+
+        cents = np.asarray(coarse_arr, dtype=np.int64)
+        bk = np.asarray(books_arr, dtype=np.int64)  # (m, ksub, dsub)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["cv"].to_numpy()).astype(np.int64, copy=False)
+            cl = pdf["cluster"].to_numpy().astype(np.int64)
+            r = x - cents[cl]
+            codes = np.empty((len(x), m), dtype=np.int64)
+            rv = cents[cl].copy()
+            for s in range(m):
+                rs = r[:, s * dsub : (s + 1) * dsub]
+                d = ((rs[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
+                c = d.argmin(axis=1)
+                codes[:, s] = c
+                rv[:, s * dsub : (s + 1) * dsub] += bk[s][c]
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cluster": cl,
+                    "codes": list(codes),
+                    "rv": list(rv),
+                }
+            )
+
+    inv_r = inv.mapInPandas(
+        _encode,
+        "neighbor_id bigint, cluster bigint, codes array<bigint>, rv array<bigint>",
+    )
+    probes = _probe_clusters(queries, coarse, nprobe, id_col, vec_col)
+    cands = inv_r.join(F.broadcast(probes), on="cluster").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    approx = cands.select(
+        "query_id",
+        "neighbor_id",
+        "qv",
+        sq_dist(F.col("qv"), F.col("rv")).alias("adist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    survivors = approx.withColumn("arank", F.row_number().over(w)).filter(
+        F.col("arank") <= k * refine
+    )
+    exact = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    )
+    reranked = survivors.join(exact, on="neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        sq_dist(F.col("qv"), F.col("cv")).alias("dist"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return reranked.withColumn("rank", F.row_number().over(w2).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivfpq_oracle_sql(
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    seed: str = "ivf",
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    pq_iters: int = 2,
+    pq_seed: str = "pq",
+    topk: int = 5,
+    nprobe: int = 2,
+    refine: int = 3,
+    query_pred: str = "vec_id < 20",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB replay of the ENTIRE IVF-PQ pipeline: shared coarse CTEs,
+    per-subspace residual k-means (seeding + every Lloyd iteration
+    unrolled), code assignment, codeword reconstruction, ADC ranking,
+    exact refine — bit-identical to the Spark path by the same
+    integer-exactness argument as the module docstring."""
+    dsub = dim // m
+    dist = _oracle_dist(dim)
+    sdist = _oracle_dist(dsub)
+    rng = f"range(1, {dim + 1})"
+    srng = f"range(1, {dsub + 1})"
+    body, final_c = ivf_cte_body(k, iters, dim, seed, table)
+    parts = [
+        f"""
+res AS (SELECT i.neighbor_id AS vid, i.cluster,
+               list_transform({rng}, j -> i.cv[j] - c.v[j]) AS r
+        FROM inv i JOIN {final_c} c ON i.cluster = c.cid),
+sub AS (SELECT vid, s,
+               list_transform({srng}, j -> r[s * {dsub} + j]) AS qv
+        FROM res, (SELECT unnest(range({m})) AS s)),
+pc0 AS (SELECT s, ROW_NUMBER() OVER (PARTITION BY s
+            ORDER BY md5('{pq_seed}' || s || ':' || CAST(vid AS VARCHAR)), vid)
+            - 1 AS cid, qv AS v
+        FROM sub
+        QUALIFY cid < {ksub})"""
+    ]
+    prev = "pc0"
+    for it in range(1, pq_iters + 1):
+        a, u, c = f"pa{it}", f"pu{it}", f"pc{it}"
+        parts.append(
+            f"""
+{a} AS (SELECT vid, s, qv, cid FROM (
+        SELECT q.vid, q.s, q.qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.s, q.vid
+                   ORDER BY {sdist('q.qv', 'c.v')}, c.cid) AS rn
+        FROM sub q JOIN {prev} c ON q.s = c.s) WHERE rn = 1),
+{u} AS (SELECT s, cid, list(ci ORDER BY i) AS v FROM (
+        SELECT s, cid, i,
+               CAST(floor(SUM(qv[i]) * 1.0 / COUNT(*)) AS BIGINT) AS ci
+        FROM {a}, {srng} t(i) GROUP BY s, cid, i) GROUP BY s, cid),
+{c} AS (SELECT p.s, p.cid, COALESCE(u.v, p.v) AS v
+        FROM {prev} p LEFT JOIN {u} u ON p.s = u.s AND p.cid = u.cid)"""
+        )
+        prev = c
+    parts.append(
+        f"""
+codes AS (SELECT vid, s, cid FROM (
+        SELECT q.vid, q.s, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.s, q.vid
+                   ORDER BY {sdist('q.qv', 'c.v')}, c.cid) AS rn
+        FROM sub q JOIN {prev} c ON q.s = c.s) WHERE rn = 1),
+rcat AS (SELECT k.vid, flatten(list(c.v ORDER BY k.s)) AS catv
+         FROM codes k JOIN {prev} c ON k.s = c.s AND k.cid = c.cid
+         GROUP BY k.vid),
+pqrecon AS (SELECT i.neighbor_id, i.cluster,
+                   list_transform({rng}, j -> c.v[j] + rc.catv[j]) AS rv
+            FROM inv i
+            JOIN {final_c} c ON i.cluster = c.cid
+            JOIN rcat rc ON rc.vid = i.neighbor_id),
+qprobes AS (SELECT query_id, qv2 AS qv, cid AS cluster FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv2, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {dist('q.v', 'c.v')}, c.cid) AS rn
+        FROM (SELECT * FROM qv WHERE {query_pred}) q
+        CROSS JOIN {final_c} c) WHERE rn <= {nprobe}),
+adc AS (SELECT p.query_id, p.qv, r.neighbor_id,
+               {dist('p.qv', 'r.rv')} AS adist
+        FROM qprobes p JOIN pqrecon r ON p.cluster = r.cluster
+        WHERE r.neighbor_id <> p.query_id),
+psurv AS (SELECT query_id, qv, neighbor_id FROM (
+        SELECT query_id, qv, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adist, neighbor_id) AS arank
+        FROM adc) WHERE arank <= {topk * refine}),
+prr AS (SELECT s.query_id, s.neighbor_id,
+               {dist('s.qv', 'i.cv')} AS dist
+        FROM psurv s JOIN inv i ON s.neighbor_id = i.neighbor_id)"""
+    )
+    return f"""
+WITH {body},{",".join(parts)}
+SELECT query_id, neighbor_id, dist, CAST(rn AS BIGINT) AS rank
+FROM (SELECT query_id, neighbor_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY dist, neighbor_id) AS rn
+      FROM prr)
+WHERE rn <= {topk}
+"""

@@ -79,6 +79,7 @@ _PROMOTED = (
     "dedup_simhash_band_occupancy",
     "dedup_clusters_incremental",
     "events_cep_within",
+    "embedding_ivfpq_ann",
 )
 
 

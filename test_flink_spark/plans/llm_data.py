@@ -6178,3 +6178,63 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_clusters_incremental"] = dedup_clusters_incremental
 ORACLES["dedup_clusters_incremental"] = _clusters_sql()
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: true product quantization ANN (r6 verdict item 6).
+# ---------------------------------------------------------------------------
+
+_PQ_BOOKS_CACHE: dict[tuple, list] = {}
+
+
+def _shared_pq_books(spark: SparkSession, sf_dir: str) -> list:
+    """Per-subspace PQ codebooks, memoized like the coarse centroids —
+    production persists them next to the codebook; every PQ consumer in
+    a session shares one training run."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    books = _PQ_BOOKS_CACHE.get(key)
+    if books is None:
+        from ..operators.ivf import pq_train
+
+        books = pq_train(
+            _emb(spark, sf_dir),
+            _shared_ivf_centroids(spark, sf_dir),
+            dim=EMB_DIM,
+        )
+        _PQ_BOOKS_CACHE[key] = books
+    return books
+
+
+def embedding_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE product-quantization ANN (IVF-PQ, Jégou et al.): per-subspace
+    residual codebooks (4 subspaces x 16 codewords here; 256 at
+    production width) instead of IVFADC's scalar SQ8 codes — each vector
+    stored as 4 code bytes + a list id, the actual 100 TB serving format
+    (16x smaller than SQ8's dim bytes, 128x smaller than raw).  Same
+    train+assign+ADC+refine pipeline and the same oracle-replay
+    strategy: coarse k-means, per-subspace residual k-means, code
+    assignment, reconstruction, ADC ranking and the exact top-k·refine
+    rerank are ALL integer-exact, so the DuckDB oracle replays training
+    and search bit-for-bit (operators/ivf.py::ivfpq_oracle_sql).
+    Recall@5 vs the exact baseline is pytest-measured next to IVFADC's."""
+    from ..operators.ivf import ivfpq_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    coarse = _shared_ivf_centroids(spark, sf_dir)
+    books = _shared_pq_books(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivfpq_ann_topk(
+        emb, queries, coarse, books, k=5, nprobe=2, refine=3
+    ).select("query_id", "neighbor_id", "dist", "rank")
+
+
+def _ivfpq_sql() -> str:
+    from ..operators.ivf import ivfpq_oracle_sql
+
+    return ivfpq_oracle_sql(
+        k=8, iters=2, dim=EMB_DIM, topk=5, nprobe=2, refine=3
+    )
+
+
+QUERIES["embedding_ivfpq_ann"] = embedding_ivfpq_ann
+ORACLES["embedding_ivfpq_ann"] = _ivfpq_sql()
