@@ -487,26 +487,18 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
-def simhash_clusters_w64(
+def simhash64_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """64-bit SimHash near-dup connected components — the 100-TB-safe band
-    geometry.  The 32-bit form (:func:`simhash_clusters` with 4 bands) has
-    8-bit band keys: <= 256 distinct values per band, so bucket occupancy
-    is O(corpus/256) and the band-equality self-join degrades toward
-    quadratic as the corpus grows.  Here the 64-bit hash gives 4 bands of
-    16 bits — 65,536 keys per band, 256x more buckets, occupancy
-    O(corpus/65536) — while the pigeonhole guarantee is unchanged
-    (hamming <= 3 flips across 4 bands still leaves >= 1 band identical,
-    so banding stays LOSSLESS for the threshold).  Bands 0-1 slice
-    ``sh_lo``, bands 2-3 slice ``sh_hi``; verification is two
-    XOR+bit_counts summed.  Everything downstream (distinct candidate
-    pairs, min-label CC) is shared with the 32-bit path."""
-    from .graph import min_label_components
-
+    """Verified 64-bit-SimHash near-dup pairs ``(id_a, id_b)``,
+    ``id_a < id_b`` — the candidate+verify stage of
+    :func:`simhash_clusters_w64`, exposed so other consumers (the dedup
+    cascade audit) can reuse the pair set without the CC loop.  4 bands
+    of 16 bits over the two 32-bit words, hamming = two XOR+bit_counts
+    summed; pigeonhole keeps banding lossless for ``max_hamming`` <= 3."""
     n_bands = 4
     if max_hamming > n_bands - 1:
         raise ValueError(
@@ -550,9 +542,40 @@ def simhash_clusters_w64(
         )
         .distinct()
     )
-    edges = cand.filter(
+    return cand.filter(
         F.expr(f"bit_count(la ^ lb) + bit_count(ha ^ hb) <= {max_hamming}")
     ).select("id_a", "id_b")
+
+
+def simhash_clusters_w64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """64-bit SimHash near-dup connected components — the 100-TB-safe band
+    geometry.  The 32-bit form (:func:`simhash_clusters` with 4 bands) has
+    8-bit band keys: <= 256 distinct values per band, so bucket occupancy
+    is O(corpus/256) and the band-equality self-join degrades toward
+    quadratic as the corpus grows.  Here the 64-bit hash gives 4 bands of
+    16 bits — 65,536 keys per band, 256x more buckets, occupancy
+    O(corpus/65536) — while the pigeonhole guarantee is unchanged
+    (hamming <= 3 flips across 4 bands still leaves >= 1 band identical,
+    so banding stays LOSSLESS for the threshold).  Bands 0-1 slice
+    ``sh_lo``, bands 2-3 slice ``sh_hi``; verification is two
+    XOR+bit_counts summed.  Everything downstream (distinct candidate
+    pairs, min-label CC) is shared with the 32-bit path."""
+    from .graph import min_label_components
+
+    n_bands = 4
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banding is lossy: max_hamming={max_hamming} needs "
+            f"> {n_bands - 1} bands (pigeonhole)"
+        )
+    edges = simhash64_pairs(
+        df, text_col=text_col, id_col=id_col, max_hamming=max_hamming
+    )
     return min_label_components(
         edges,
         df.select(F.col(id_col)),

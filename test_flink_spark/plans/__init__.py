@@ -80,6 +80,8 @@ _PROMOTED = (
     "dedup_clusters_incremental",
     "events_cep_within",
     "embedding_ivfpq_ann",
+    "embedding_pq_distortion_audit",
+    "corpus_dedup_cascade_audit",
 )
 
 

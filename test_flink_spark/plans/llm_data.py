@@ -6238,3 +6238,370 @@ def _ivfpq_sql() -> str:
 
 QUERIES["embedding_ivfpq_ann"] = embedding_ivfpq_ann
 ORACLES["embedding_ivfpq_ann"] = _ivfpq_sql()
+
+
+def embedding_pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quantization distortion per subspace — the audit a 100 TB
+    serving deployment reads before trusting ADC ranking: for each of
+    the m subspaces, corpus size, distinct codewords actually used, the
+    largest codeword bucket (codebook collapse shows up here first),
+    and the integer squared reconstruction error (sum / floor-avg /
+    max).  Shares the coarse codebook and PQ books with
+    embedding_ivfpq_ann; the oracle replays coarse + per-subspace
+    training and re-derives every per-vector error, so the distortion
+    numbers themselves are bit-checked, not sampled."""
+    import pandas as pd
+
+    from ..operators.ivf import ivf_assign
+
+    emb = _emb(spark, sf_dir)
+    coarse = _shared_ivf_centroids(spark, sf_dir)
+    books = _shared_pq_books(spark, sf_dir)
+    m, dsub = len(books), len(books[0][0])
+    inv = ivf_assign(emb, coarse)
+    coarse_arr, books_arr = coarse, books
+
+    def _errs(batches):
+        import numpy as np
+
+        cents = np.asarray(coarse_arr, dtype=np.int64)
+        bk = np.asarray(books_arr, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["cv"].to_numpy()).astype(np.int64, copy=False)
+            cl = pdf["cluster"].to_numpy().astype(np.int64)
+            r = x - cents[cl]
+            out_s, out_c, out_e = [], [], []
+            for s in range(m):
+                rs = r[:, s * dsub : (s + 1) * dsub]
+                d = ((rs[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
+                c = d.argmin(axis=1)
+                out_s.append(np.full(len(x), s, dtype=np.int64))
+                out_c.append(c)
+                out_e.append(d[np.arange(len(x)), c])
+            yield pd.DataFrame(
+                {
+                    "s": np.concatenate(out_s),
+                    "code": np.concatenate(out_c),
+                    "sqerr": np.concatenate(out_e),
+                }
+            )
+
+    per_vec = inv.mapInPandas(_errs, "s bigint, code bigint, sqerr bigint")
+    per_code = per_vec.groupBy("s", "code").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sqerr").alias("se"),
+        F.max("sqerr").alias("me"),
+    )
+    return (
+        per_code.groupBy("s")
+        .agg(
+            F.sum("n").cast("long").alias("n_vecs"),
+            F.count(F.lit(1)).cast("long").alias("codes_used"),
+            F.max("n").cast("long").alias("max_code_bucket"),
+            F.sum("se").cast("long").alias("sum_sqerr"),
+            F.max("me").cast("long").alias("max_sqerr"),
+        )
+        .select(
+            "s",
+            "n_vecs",
+            "codes_used",
+            "max_code_bucket",
+            "sum_sqerr",
+            "max_sqerr",
+            F.expr("sum_sqerr div n_vecs").cast("long").alias("avg_sqerr"),
+        )
+    )
+
+
+def _pq_distortion_sql() -> str:
+    from ..operators.ivf import PQ_KSUB, PQ_M, ivf_cte_body, _oracle_dist
+
+    dim = EMB_DIM
+    m, ksub, dsub = PQ_M, PQ_KSUB, EMB_DIM // PQ_M
+    sdist = _oracle_dist(dsub)
+    rng = f"range(1, {dim + 1})"
+    srng = f"range(1, {dsub + 1})"
+    body, final_c = ivf_cte_body(k=8, iters=2, dim=dim)
+    # identical per-subspace training CTEs as ivfpq_oracle_sql (2 iters)
+    parts = [
+        f"""
+res AS (SELECT i.neighbor_id AS vid, i.cluster,
+               list_transform({rng}, j -> i.cv[j] - c.v[j]) AS r
+        FROM inv i JOIN {final_c} c ON i.cluster = c.cid),
+sub AS (SELECT vid, s,
+               list_transform({srng}, j -> r[s * {dsub} + j]) AS qv
+        FROM res, (SELECT unnest(range({m})) AS s)),
+pc0 AS (SELECT s, ROW_NUMBER() OVER (PARTITION BY s
+            ORDER BY md5('pq' || s || ':' || CAST(vid AS VARCHAR)), vid)
+            - 1 AS cid, qv AS v
+        FROM sub
+        QUALIFY cid < {ksub})"""
+    ]
+    prev = "pc0"
+    for it in (1, 2):
+        a, u, c = f"pa{it}", f"pu{it}", f"pc{it}"
+        parts.append(
+            f"""
+{a} AS (SELECT vid, s, qv, cid FROM (
+        SELECT q.vid, q.s, q.qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.s, q.vid
+                   ORDER BY {sdist('q.qv', 'c.v')}, c.cid) AS rn
+        FROM sub q JOIN {prev} c ON q.s = c.s) WHERE rn = 1),
+{u} AS (SELECT s, cid, list(ci ORDER BY i) AS v FROM (
+        SELECT s, cid, i,
+               CAST(floor(SUM(qv[i]) * 1.0 / COUNT(*)) AS BIGINT) AS ci
+        FROM {a}, {srng} t(i) GROUP BY s, cid, i) GROUP BY s, cid),
+{c} AS (SELECT p.s, p.cid, COALESCE(u.v, p.v) AS v
+        FROM {prev} p LEFT JOIN {u} u ON p.s = u.s AND p.cid = u.cid)"""
+        )
+        prev = c
+    return f"""
+WITH {body},{",".join(parts)},
+errs AS (SELECT vid, s, cid AS code, sqerr FROM (
+        SELECT q.vid, q.s, c.cid, {sdist('q.qv', 'c.v')} AS sqerr,
+               ROW_NUMBER() OVER (PARTITION BY q.s, q.vid
+                   ORDER BY {sdist('q.qv', 'c.v')}, c.cid) AS rn
+        FROM sub q JOIN {prev} c ON q.s = c.s) WHERE rn = 1),
+per_code AS (SELECT s, code, COUNT(*) AS n, SUM(sqerr) AS se, MAX(sqerr) AS me
+             FROM errs GROUP BY 1, 2)
+SELECT s,
+       CAST(SUM(n) AS BIGINT) AS n_vecs,
+       CAST(COUNT(*) AS BIGINT) AS codes_used,
+       CAST(MAX(n) AS BIGINT) AS max_code_bucket,
+       CAST(SUM(se) AS BIGINT) AS sum_sqerr,
+       CAST(MAX(me) AS BIGINT) AS max_sqerr,
+       CAST(SUM(se) // SUM(n) AS BIGINT) AS avg_sqerr
+FROM per_code
+GROUP BY 1
+"""
+
+
+QUERIES["embedding_pq_distortion_audit"] = embedding_pq_distortion_audit
+ORACLES["embedding_pq_distortion_audit"] = _pq_distortion_sql()
+
+
+# ---------------------------------------------------------------------------
+# Dedup cascade funnel: exact -> containment -> jaccard -> simhash64.
+# ---------------------------------------------------------------------------
+
+def corpus_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup FUNNEL a production curation pipeline reports after each
+    ingest: four detectors run cheap-to-expensive — exact fingerprint,
+    n-gram containment (>= 50%), exact Jaccard (>= 0.5), 64-bit SimHash
+    (hamming <= 3) — and each stage is credited only with documents no
+    EARLIER stage already flagged.  Per stage: total docs the detector
+    flags on its own, newly flagged in cascade position, cumulative
+    flags, and corpus survivors.  Flag convention: the higher doc id of
+    a pair is the duplicate (min-id-canonical, the dedup_exact rule)
+    uniformly across stages, so stage overlap is measured on one policy.
+
+    All four detectors are the registered operators' own pair stages
+    (shared inverted-index / band joins — nothing new shuffles), and the
+    oracle recomputes all four from scratch, so the funnel arithmetic is
+    value-checked end to end.  The 4x4 running-sum self-join replaces a
+    single-partition window: stage rows are a 4-row aggregate, but the
+    fleet-wide global-window ban stays clean."""
+    from ..operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+        simhash64_pairs,
+        words,
+    )
+
+    docs = _docs(spark, sf_dir)
+    norm = F.array_join(words(F.col("text")), " ")
+    fp = docs.select("doc_id", F.md5(norm).alias("fp"))
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"))
+    exact_flags = (
+        fp.join(canon, "fp")
+        .filter(F.col("doc_id") > F.col("canonical_id"))
+        .select("doc_id")
+    )
+    stages = [
+        ("exact", exact_flags),
+        (
+            "containment",
+            containment_pairs(docs, threshold_bp=5000).select(
+                F.col("id_b").alias("doc_id")
+            ),
+        ),
+        (
+            "jaccard05",
+            ngram_jaccard_pairs(docs, threshold=0.5).select(
+                F.col("id_b").alias("doc_id")
+            ),
+        ),
+        (
+            "simhash64_h3",
+            simhash64_pairs(docs, max_hamming=3).select(
+                F.col("id_b").alias("doc_id")
+            ),
+        ),
+    ]
+    flags = None
+    for i, (name, df) in enumerate(stages, start=1):
+        tagged = df.distinct().select(
+            "doc_id",
+            F.lit(i).cast("long").alias("stage"),
+            F.lit(name).alias("stage_name"),
+        )
+        flags = tagged if flags is None else flags.unionByName(tagged)
+    # explicit stage dimension: a detector that flags NOTHING still owns a
+    # funnel row (flagged=0), otherwise the report silently shrinks
+    dim = spark.createDataFrame(
+        [(i, name) for i, (name, _) in enumerate(stages, start=1)],
+        "stage LONG, stage_name STRING",
+    )
+    per_stage = flags.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("flagged")
+    )
+    new_per_stage = (
+        flags.groupBy("doc_id")
+        .agg(F.min("stage").alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_flags"))
+    )
+    joined = (
+        dim.join(per_stage, "stage", "left")
+        .join(new_per_stage, "stage", "left")
+        .select(
+            "stage",
+            "stage_name",
+            F.coalesce("flagged", F.lit(0)).cast("long").alias("flagged"),
+            F.coalesce("new_flags", F.lit(0)).cast("long").alias("new_flags"),
+        )
+    )
+    # running sum over 4 rows via inequality self-join (no global window)
+    cum_src = joined.select(
+        F.col("stage").alias("cstage"), F.col("new_flags").alias("cnew")
+    )
+    cum = (
+        joined.join(F.broadcast(cum_src), F.col("cstage") <= F.col("stage"))
+        .groupBy("stage", "stage_name", "flagged", "new_flags")
+        .agg(F.sum("cnew").cast("long").alias("cum_flagged"))
+    )
+    total = docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    return cum.join(F.broadcast(total)).select(
+        "stage",
+        "stage_name",
+        "flagged",
+        "new_flags",
+        "cum_flagged",
+        (F.col("n_docs") - F.col("cum_flagged")).cast("long").alias("survivors"),
+    )
+
+
+def _dedup_cascade_sql() -> str:
+    from ..operators.ivf import _oracle_dist  # noqa: F401 (doc parity only)
+
+    votes64 = ",\n           ".join(
+        f"SUM(CASE WHEN ({word} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS {word}_v{b}"
+        for word in ("hlo", "hhi")
+        for b in range(32)
+    )
+
+    def fold64(word: str) -> str:
+        return " + ".join(
+            f"CASE WHEN {word}_v{b} >= 0 THEN CAST({1 << b} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END"
+            for b in range(32)
+        )
+
+    return rf"""
+WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+fp AS (SELECT doc_id,
+              md5(array_to_string(string_split_regex(trim(text), '\s+'), ' ')) AS fp
+       FROM documents),
+exact_flags AS (
+    SELECT f.doc_id FROM fp f
+    JOIN (SELECT fp, MIN(doc_id) AS canonical_id FROM fp GROUP BY 1) c
+      ON f.fp = c.fp
+    WHERE f.doc_id > c.canonical_id
+),
+sh AS (
+    SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM ws) WHERE s IS NOT NULL AND s <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+contain_flags AS (
+    SELECT id_b AS doc_id FROM shared
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE (shared * 10000) // LEAST(sa.n_sh, sb.n_sh) >= 5000
+),
+jac_flags AS (
+    SELECT id_b AS doc_id FROM shared
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.5
+),
+wrd AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+h64 AS (SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 8))::BIGINT AS hlo,
+               ('0x' || substr(md5(w), 9, 8))::BIGINT AS hhi
+        FROM wrd),
+v64 AS (SELECT doc_id, {votes64} FROM h64 GROUP BY 1),
+s64 AS (SELECT doc_id, {fold64("hlo")} AS sh_lo, {fold64("hhi")} AS sh_hi FROM v64),
+bands AS (
+    SELECT doc_id, sh_lo, sh_hi, b AS band,
+           CASE WHEN b < 2 THEN (sh_lo >> (16 * b)) & 65535
+                ELSE (sh_hi >> (16 * (b - 2))) & 65535 END AS key
+    FROM s64, (SELECT unnest(range(4)) AS b)
+),
+sim_flags AS (
+    SELECT DISTINCT b.doc_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3
+),
+flags AS (
+    SELECT DISTINCT doc_id, 1 AS stage, 'exact' AS stage_name FROM exact_flags
+    UNION ALL
+    SELECT DISTINCT doc_id, 2, 'containment' FROM contain_flags
+    UNION ALL
+    SELECT DISTINCT doc_id, 3, 'jaccard05' FROM jac_flags
+    UNION ALL
+    SELECT DISTINCT doc_id, 4, 'simhash64_h3' FROM sim_flags
+),
+dim AS (
+    SELECT * FROM (VALUES (1, 'exact'), (2, 'containment'),
+                          (3, 'jaccard05'), (4, 'simhash64_h3'))
+         AS t(stage, stage_name)
+),
+per_stage AS (
+    SELECT stage, CAST(COUNT(*) AS BIGINT) AS flagged
+    FROM flags GROUP BY 1
+),
+new_per AS (
+    SELECT stage, CAST(COUNT(*) AS BIGINT) AS new_flags FROM (
+        SELECT doc_id, MIN(stage) AS stage FROM flags GROUP BY 1
+    ) GROUP BY 1
+),
+joined AS (
+    SELECT d.stage, d.stage_name,
+           CAST(COALESCE(p.flagged, 0) AS BIGINT) AS flagged,
+           CAST(COALESCE(n.new_flags, 0) AS BIGINT) AS new_flags
+    FROM dim d
+    LEFT JOIN per_stage p ON d.stage = p.stage
+    LEFT JOIN new_per n ON d.stage = n.stage
+)
+SELECT CAST(j.stage AS BIGINT) AS stage, j.stage_name, j.flagged, j.new_flags,
+       CAST(SUM(c.new_flags) AS BIGINT) AS cum_flagged,
+       CAST((SELECT COUNT(*) FROM documents) - SUM(c.new_flags) AS BIGINT) AS survivors
+FROM joined j JOIN joined c ON c.stage <= j.stage
+GROUP BY 1, 2, 3, 4
+"""
+
+
+QUERIES["corpus_dedup_cascade_audit"] = corpus_dedup_cascade_audit
+ORACLES["corpus_dedup_cascade_audit"] = _dedup_cascade_sql()

@@ -141,6 +141,10 @@ def test_every_registered_query_plan_is_scale_clean(spark):
     # query set against a single corpus scan — the documented baseline).
     bnlj_allowed = {
         "q22_idle_customers",
+        # 4-row funnel running-sum inequality self-join + 1-row corpus
+        # total — both broadcast tiny-aggregate shapes (the alternative
+        # was a single-partition global window).
+        "corpus_dedup_cascade_audit",
         "q11_important_stock",  # 1-row global-total scalar join, same shape as q22
         "skew_key_report",  # 1-row (total_rows, n_keys) scalar join, same shape
         # 1-row n_orders totals broadcast into the <=600-row rule table —

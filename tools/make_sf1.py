@@ -1,0 +1,169 @@
+#!/usr/bin/env python3
+"""Synthesize a 10x (sf≈1) scale probe from the driver's sf0.1 tables into
+/root/repo/.sf1 — SCALE EVIDENCE ONLY, never an oracle input for the
+registry (the driver's own testdata stops at sf0.1; r6 verdict item 5
+asks for one decade more to catch bucket-occupancy blowups and quadratic
+candidate growth before they reach 100 TB).
+
+Structure-preserving replication, 10 replicas each:
+- relational keys shift by replica x (max_key+1): ten disjoint copies of
+  the trade graph — per-copy structure identical, node/edge count 10x.
+- documents: per-replica VOCABULARY BIJECTION (md5-seeded permutation of
+  the corpus vocab).  Jaccard/simhash near-dup structure inside each
+  replica is EXACTLY the original's, while replicas share only
+  accidental vocabulary overlap — so band buckets, inverted indexes and
+  candidate volumes face genuinely 10x distinct content.
+- embeddings: per-replica dimension permutation + deterministic sign
+  flips — an orthogonal transform, so within-replica L2/cosine geometry
+  is exact, across replicas decorrelated.
+- events: user/event ids shift (10x users over the same time range).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sf1")
+R = 10
+
+
+def perm(seed: str, n: int) -> list[int]:
+    """Deterministic permutation of range(n) by md5 sort (engine-free)."""
+    return sorted(range(n), key=lambda i: hashlib.md5(f"{seed}:{i}".encode()).hexdigest())
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+
+    def src(t: str) -> str:
+        return f"read_parquet('{SRC}/{t}.parquet')"
+
+    def write(t: str, sql: str) -> None:
+        con.execute(f"COPY ({sql}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {n} rows")
+
+    # fixed-size dims: verbatim
+    for t in ("region", "nation"):
+        write(t, f"SELECT * FROM {src(t)}")
+
+    shifts = {  # table -> (key cols, entity whose max+1 is the stride)
+        "customer": {"c_custkey": "c_custkey"},
+        "supplier": {"s_suppkey": "s_suppkey"},
+        "part": {"p_partkey": "p_partkey"},
+        "orders": {"o_orderkey": "o_orderkey", "o_custkey": None},
+        "lineitem": {"l_orderkey": None, "l_partkey": None, "l_suppkey": None},
+    }
+    strides = {}
+    for t, cols in shifts.items():
+        for c, own in cols.items():
+            if own:
+                strides[c] = con.execute(
+                    f"SELECT max({c}) + 1 FROM {src(t)}"
+                ).fetchone()[0]
+    strides["o_custkey"] = strides["c_custkey"]
+    strides["l_orderkey"] = strides["o_orderkey"]
+    strides["l_partkey"] = strides["p_partkey"]
+    strides["l_suppkey"] = strides["s_suppkey"]
+    for t, cols in shifts.items():
+        names = [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM {src(t)}").fetchall()]
+        proj = ", ".join(
+            f"{c} + r.r * {strides[c]} AS {c}" if c in cols else c for c in names
+        )
+        write(t, f"SELECT {proj} FROM {src(t)}, (SELECT unnest(range({R})) AS r) r")
+
+    # events: shift ids, keep the time range (10x traffic density)
+    ev_stride_e = con.execute(f"SELECT max(event_id)+1 FROM {src('events')}").fetchone()[0]
+    ev_stride_u = con.execute(f"SELECT max(user_id)+1 FROM {src('events')}").fetchone()[0]
+    write(
+        "events",
+        f"SELECT event_id + r.r * {ev_stride_e} AS event_id, ts, "
+        f"user_id + r.r * {ev_stride_u} AS user_id, event_type, value, props "
+        f"FROM {src('events')}, (SELECT unnest(range({R})) AS r) r",
+    )
+
+    # documents: vocab bijection per replica
+    vocab = [
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS w "
+            f"FROM {src('documents')} WHERE trim(text) <> '' ORDER BY w"
+        ).fetchall()
+    ]
+    nv = len(vocab)
+    print(f"vocab: {nv} words")
+    maps = []  # replica -> {word: word'}
+    for r in range(R):
+        if r == 0:
+            maps.append({w: w for w in vocab})
+        else:
+            p = perm(f"sf1-doc-{r}", nv)
+            maps.append({vocab[i]: vocab[p[i]] for i in range(nv)})
+    con.execute("CREATE TABLE vmap (r BIGINT, w VARCHAR, w2 VARCHAR)")
+    con.executemany(
+        "INSERT INTO vmap VALUES (?, ?, ?)",
+        [(r, w, w2) for r in range(R) for w, w2 in maps[r].items()],
+    )
+    d_stride = con.execute(f"SELECT max(doc_id)+1 FROM {src('documents')}").fetchone()[0]
+    write(
+        "documents",
+        f"""
+WITH base AS (
+    SELECT doc_id, text, lang, source, n_chars, r.r AS r
+    FROM {src('documents')}, (SELECT unnest(range({R})) AS r) r
+), toks AS (
+    SELECT doc_id, r, lang, source,
+           string_split_regex(trim(text), '\\s+') AS ws
+    FROM base
+), flat AS (
+    SELECT doc_id, r, lang, source,
+           unnest(ws) AS w, unnest(range(len(ws))) AS pos
+    FROM toks
+), mapped AS (
+    SELECT f.doc_id, f.r, f.lang, f.source,
+           string_agg(v.w2, ' ' ORDER BY f.pos) AS text
+    FROM flat f JOIN vmap v ON v.r = f.r AND v.w = f.w
+    GROUP BY f.doc_id, f.r, f.lang, f.source
+)
+SELECT doc_id + r * {d_stride} AS doc_id, text, lang, source,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM mapped
+""",
+    )
+
+    # embeddings: dimension permutation + sign flips per replica
+    dim = con.execute(f"SELECT len(embedding) FROM {src('embeddings')} LIMIT 1").fetchone()[0]
+    rows = []
+    for r in range(R):
+        p = perm(f"sf1-emb-{r}", dim) if r else list(range(dim))
+        for j in range(dim):
+            sgn = 1 if r == 0 or int(
+                hashlib.md5(f"sf1-sgn-{r}:{j}".encode()).hexdigest()[:4], 16
+            ) % 2 == 0 else -1
+            rows.append((r, j + 1, p[j] + 1, sgn))
+    con.execute("CREATE TABLE emap (r BIGINT, j BIGINT, src_j BIGINT, sgn INTEGER)")
+    con.executemany("INSERT INTO emap VALUES (?, ?, ?, ?)", rows)
+    v_stride = con.execute(f"SELECT max(vec_id)+1 FROM {src('embeddings')}").fetchone()[0]
+    write(
+        "embeddings",
+        f"""
+WITH base AS (
+    SELECT vec_id, embedding, label, r.r AS r
+    FROM {src('embeddings')}, (SELECT unnest(range({R})) AS r) r
+)
+SELECT b.vec_id + b.r * {v_stride} AS vec_id,
+       list(CAST(b.embedding[e.src_j] * e.sgn AS FLOAT) ORDER BY e.j) AS embedding,
+       b.label
+FROM base b JOIN emap e ON e.r = b.r
+GROUP BY b.vec_id, b.r, b.label
+""",
+    )
+
+
+if __name__ == "__main__":
+    main()
