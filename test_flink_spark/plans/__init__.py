@@ -82,6 +82,7 @@ _PROMOTED = (
     "embedding_ivfpq_ann",
     "embedding_pq_distortion_audit",
     "corpus_dedup_cascade_audit",
+    "embedding_near_dup_lsh_scaled",
 )
 
 

@@ -441,14 +441,16 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _near_dup_lsh_sql() -> str:
+def _near_dup_lsh_sql(n_planes: int = _LSH_PLANES, n_tables: int = _LSH_TABLES) -> str:
     """DuckDB replica of near_dup_pairs_lsh: same hyperplanes (md5-seeded),
-    same sign-bit buckets, same first-collision dedup, same rerank/round."""
+    same sign-bit buckets, same first-collision dedup, same rerank/round.
+    Parameterized on the band geometry so the scaled variant
+    (embedding_near_dup_lsh_scaled) shares one generator."""
     from ..operators.similarity import hyperplanes_seeded
 
     rows = []
-    for t in range(_LSH_TABLES):
-        planes = hyperplanes_seeded(EMB_DIM, _LSH_PLANES, seed=t)
+    for t in range(n_tables):
+        planes = hyperplanes_seeded(EMB_DIM, n_planes, seed=t)
         for p, coefs in enumerate(planes):
             lit = ", ".join(repr(c) for c in coefs)
             rows.append(f"({t}, {p}, [{lit}]::DOUBLE[])")
@@ -477,7 +479,7 @@ cand AS (
     FROM e a JOIN e b ON a.t = b.t AND a.bucket = b.bucket
                       AND a.vec_id < b.vec_id
     WHERE list_position(
-              list_transform(range(1, {_LSH_TABLES + 1}),
+              list_transform(range(1, {n_tables + 1}),
                              i -> a.buckets[i] = b.buckets[i]),
               true) = a.t + 1
 )
@@ -6605,3 +6607,36 @@ GROUP BY 1, 2, 3, 4
 
 QUERIES["corpus_dedup_cascade_audit"] = corpus_dedup_cascade_audit
 ORACLES["corpus_dedup_cascade_audit"] = _dedup_cascade_sql()
+
+
+# ---------------------------------------------------------------------------
+# LSH near-dup at PRODUCTION geometry (sf1 probe finding, round 7).
+# ---------------------------------------------------------------------------
+
+_LSH_SCALED_PLANES = 10  # 1024 buckets/table: B = n/2^planes stays bounded
+_LSH_SCALED_TABLES = 8
+
+
+def embedding_near_dup_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_near_dup_lsh at the geometry that SURVIVES corpus growth.
+    The 6-plane registered point has 64 buckets/table — bucket occupancy
+    is O(n/64), so candidate pairs grow quadratically: the sf1 scale
+    probe measured 200 s at 20k vectors (44x its sf0.1 isolated time)
+    against ~22 s for every well-bucketed peer.  The sizing rule is the
+    same one the 64-bit SimHash fix applies to band keys: buckets must
+    scale with the corpus, planes = ceil(log2(n / B_target)) — here 10
+    planes keep expected occupancy ~n/1024, and OR-amplification across
+    the 8 tables buys back recall at the high-similarity thresholds
+    where LSH dedup actually runs.  Same operator, same md5-seeded plane
+    replay in the oracle (shared parameterized generator), so both
+    geometry points are driver-verified bit-for-bit."""
+    return near_dup_pairs_lsh(
+        _emb(spark, sf_dir), threshold=0.35, dim=EMB_DIM,
+        n_planes=_LSH_SCALED_PLANES, n_tables=_LSH_SCALED_TABLES,
+    )
+
+
+QUERIES["embedding_near_dup_lsh_scaled"] = embedding_near_dup_lsh_scaled
+ORACLES["embedding_near_dup_lsh_scaled"] = _near_dup_lsh_sql(
+    _LSH_SCALED_PLANES, _LSH_SCALED_TABLES
+)
