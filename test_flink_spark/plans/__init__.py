@@ -83,6 +83,7 @@ _PROMOTED = (
     "embedding_pq_distortion_audit",
     "corpus_dedup_cascade_audit",
     "embedding_near_dup_lsh_scaled",
+    "embedding_ivfpq_refine_sweep",
 )
 
 

@@ -6640,3 +6640,155 @@ QUERIES["embedding_near_dup_lsh_scaled"] = embedding_near_dup_lsh_scaled
 ORACLES["embedding_near_dup_lsh_scaled"] = _near_dup_lsh_sql(
     _LSH_SCALED_PLANES, _LSH_SCALED_TABLES
 )
+
+
+_PQ_REFINE_SWEEP = (1, 3, 10)
+
+
+def embedding_ivfpq_refine_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refine knob of IVF-PQ, measured: recall@5 at refine = 1/3/10
+    against the refine-everything truth (exact rerank of EVERY probed
+    candidate at the same nprobe=2 — so the sweep isolates pure
+    ADC-ordering loss, the quantity PQ distortion actually costs at
+    query time; the pytest for embedding_ivfpq_ann measured 0.26/0.54/
+    0.76 at 3/10/20 on this corpus).  Third panel of the serving-config
+    trio: nprobe sweep (probe cost), distortion audit (code quality),
+    refine sweep (rerank budget).
+
+    One-pass discipline (the nprobe-sweep lesson, 6.2 -> 2.9 s): PQ
+    encode + reconstruct run ONCE; every candidate carries both its ADC
+    rank and its exact distance, so each sweep leg is a filter + rank
+    window over one pinned candidate table.  Oracle: full train+search
+    replay per leg via the shared parameterized generator."""
+    import pandas as pd
+
+    from ..operators.ivf import _probe_clusters, ivf_assign, sq_dist
+
+    emb = _emb(spark, sf_dir)
+    coarse = _shared_ivf_centroids(spark, sf_dir)
+    books = _shared_pq_books(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    nq = queries.count()  # fixed panel, 1-int scalar
+    # ivfpq_ann_topk reranks survivors only; the sweep needs (arank,
+    # exact dist) on EVERY candidate, so the candidate stage is inlined
+    # with the exact vector riding along (cv2):
+    inv = ivf_assign(emb, coarse)
+    m, dsub = len(books), len(books[0][0])
+    coarse_arr, books_arr = coarse, books
+
+    def _encode(batches):
+        import numpy as np
+
+        cents = np.asarray(coarse_arr, dtype=np.int64)
+        bk = np.asarray(books_arr, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["cv"].to_numpy()).astype(np.int64, copy=False)
+            cl = pdf["cluster"].to_numpy().astype(np.int64)
+            r = x - cents[cl]
+            rv = cents[cl].copy()
+            for s in range(m):
+                rs = r[:, s * dsub : (s + 1) * dsub]
+                d = ((rs[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
+                rv[:, s * dsub : (s + 1) * dsub] += bk[s][d.argmin(axis=1)]
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cluster": cl,
+                    "cv2": list(x),
+                    "rv": list(rv),
+                }
+            )
+
+    inv_r = inv.mapInPandas(
+        _encode,
+        "neighbor_id bigint, cluster bigint, cv2 array<bigint>, rv array<bigint>",
+    )
+    probes = _probe_clusters(queries, coarse, 2, "vec_id", "embedding")
+    cands = inv_r.join(F.broadcast(probes), on="cluster").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    scored = (
+        cands.select(
+            "query_id",
+            "neighbor_id",
+            sq_dist(F.col("qv"), F.col("rv")).alias("adist"),
+            sq_dist(F.col("qv"), F.col("cv2")).alias("dist"),
+        )
+        .withColumn("arank", F.row_number().over(wa))
+        .localCheckpoint(eager=True)  # every sweep leg + truth read it
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    truth = (
+        scored.withColumn("rank", F.row_number().over(wd))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    legs = None
+    for r_ in _PQ_REFINE_SWEEP:
+        leg = (
+            scored.filter(F.col("arank") <= 5 * r_)
+            .withColumn("rank", F.row_number().over(wd))
+            .filter(F.col("rank") <= 5)
+            .select(
+                F.lit(r_).cast("long").alias("refine"),
+                "query_id",
+                "neighbor_id",
+            )
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    hits = (
+        legs.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("refine")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    return hits.select(
+        "refine",
+        "hits",
+        F.expr(f"hits * 10000 div {nq * 5}").cast("long").alias("recall_bp"),
+    )
+
+
+def _ivfpq_refine_sweep_sql() -> str:
+    from ..operators.ivf import ivfpq_oracle_sql
+
+    def leg(refine: int) -> str:
+        return ivfpq_oracle_sql(
+            k=8, iters=2, dim=EMB_DIM, topk=5, nprobe=2, refine=refine
+        )
+
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r_} AS BIGINT) AS refine, query_id, neighbor_id"
+        f" FROM (\n{leg(r_)}\n)"
+        for r_ in _PQ_REFINE_SWEEP
+    )
+    return rf"""
+WITH truth AS (
+    SELECT query_id, neighbor_id FROM (
+{leg(1_000_000)}
+    )
+),
+legs AS (
+{union}
+),
+nq AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 20),
+hits AS (
+    SELECT refine, CAST(COUNT(*) AS BIGINT) AS hits
+    FROM legs SEMI JOIN truth USING (query_id, neighbor_id)
+    GROUP BY 1
+)
+SELECT refine, hits,
+       CAST(hits * 10000 // ((SELECT n FROM nq) * 5) AS BIGINT)
+           AS recall_bp
+FROM hits
+"""
+
+
+QUERIES["embedding_ivfpq_refine_sweep"] = embedding_ivfpq_refine_sweep
+ORACLES["embedding_ivfpq_refine_sweep"] = _ivfpq_refine_sweep_sql()
