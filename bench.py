@@ -51,18 +51,18 @@ HEADLINE = [
 # fresh-JVM).  Isolated runs build cold caches (shared dedup stages
 # included), so iso >= in-sweep for shared-stage consumers is expected.
 ISOLATED_TOP = [
-    # regenerated from the r6 sweep's top-8 (BENCH_r06, shared-stage
+    # regenerated from the round-7 pre-flight sweep's top-8 (shared-stage
     # accounting lines excluded), heaviest first so a budget cut drops
     # the LIGHTEST line, never the heaviest (the r6 failure: the iso
     # budget went to a 1.35 s line while the 7.99 s line went unmeasured)
     "dedup_simhash_clusters",
-    "graph_components_knn",
+    "dedup_clusters_incremental",
+    "corpus_dedup_cascade_audit",
+    "dedup_simhash_clusters_w64",
     "graph_kcore_trade",
     "graph_pagerank_trade",
+    "graph_components_knn",
     "dedup_minhash_band_sweep",
-    "embedding_near_dup_lsh",
-    "graph_hits_trade",
-    "text_winnowing_fingerprints",
 ]
 
 

@@ -6116,64 +6116,38 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the FULL-RECOMPUTE transitive closure over the whole
     corpus — identical SQL to dedup_clusters — so the green hash IS the
     proof that incremental reconciliation equals batch CC."""
-    from ..operators.dedup import (
-        duplicate_clusters,
-        incremental_cluster_merge,
-        shingle_hashes,
-    )
+    from ..operators.dedup import incremental_cluster_merge, ngram_jaccard_pairs
+    from ..operators.graph import min_label_components
 
     docs = _docs(spark, sf_dir)
     srcn = F.substring("source", 4, 10).cast("int")
-    shard = docs.filter(srcn >= _SHARD_MIN_SRC)
     index_docs = docs.filter(srcn < _SHARD_MIN_SRC)
+    # ONE shingle pass + ONE inverted-index self-join over the full
+    # corpus yields BOTH edge classes (Jaccard is a pair-local quantity,
+    # so index-pair similarities computed here equal the index-only
+    # computation bit-for-bit); the first cut ran the index self-join
+    # inside duplicate_clusters plus a second shard-vs-all probe join —
+    # 7.2 s in-sweep, three shingle passes.  Pair endpoints classify by
+    # one slim (doc_id, is_shard) map join on each side.
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    flags = docs.select(
+        "doc_id", (srcn >= _SHARD_MIN_SRC).alias("is_shard")
+    )
+    fa = flags.select(F.col("doc_id").alias("id_a"), F.col("is_shard").alias("sa"))
+    fb = flags.select(F.col("doc_id").alias("id_b"), F.col("is_shard").alias("sb"))
+    tagged = pairs.join(fa, "id_a").join(fb, "id_b").localCheckpoint(
+        eager=True
+    )  # prior CC and the merge both read it
+    prior_edges = tagged.filter(~F.col("sa") & ~F.col("sb")).select("id_a", "id_b")
+    new_edges = tagged.filter(F.col("sa") | F.col("sb")).select("id_a", "id_b")
     # persisted state in production; recomputed here so the query is
     # self-contained (the differential pytest feeds a genuinely persisted
     # prior through the same operator)
-    prior = duplicate_clusters(index_docs, threshold=0.5)
-
-    sh_shard = shingle_hashes(shard).localCheckpoint(eager=True)  # probe + self-join
-    sh_index = shingle_hashes(index_docs)
-    s, c = sh_shard.alias("s"), sh_index.alias("c")
-    p_sc = (
-        s.join(c, F.col("s.h") == F.col("c.h"))
-        .groupBy(
-            F.col("s.doc_id").alias("id_a"), F.col("c.doc_id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    a, b = sh_shard.alias("a"), sh_shard.alias("b")
-    p_ss = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sizes = (
-        sh_shard.unionByName(sh_index)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    new_edges = (
-        p_sc.unionByName(p_ss)
-        .join(sa, "id_a")
-        .join(sb, "id_b")
-        # same rounded-threshold semantics as ngram_jaccard_pairs, so the
-        # incremental edge set matches the batch path bit-for-bit
-        .filter(
-            F.round(
-                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")),
-                4,
-            )
-            >= 0.5
-        )
-        .select("id_a", "id_b")
+    prior = min_label_components(
+        prior_edges,
+        index_docs.select("doc_id"),
+        "doc_id",
+        warn_name="dedup_clusters_incremental.prior",
     )
     return incremental_cluster_merge(prior, new_edges, docs.select("doc_id"))
 
@@ -6405,12 +6379,7 @@ def corpus_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked end to end.  The 4x4 running-sum self-join replaces a
     single-partition window: stage rows are a 4-row aggregate, but the
     fleet-wide global-window ban stays clean."""
-    from ..operators.dedup import (
-        containment_pairs,
-        ngram_jaccard_pairs,
-        simhash64_pairs,
-        words,
-    )
+    from ..operators.dedup import shingle_hashes, simhash64_pairs, words
 
     docs = _docs(spark, sf_dir)
     norm = F.array_join(words(F.col("text")), " ")
@@ -6421,20 +6390,38 @@ def corpus_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") > F.col("canonical_id"))
         .select("doc_id")
     )
+    # containment and jaccard read the SAME (shared, n_a, n_b) pair base —
+    # the oracle already factors it; building it once here halves the
+    # inverted-index self-join, the cascade's dominant exchange (measured
+    # 5.8 s in-sweep with two independent operator calls)
+    sh = shingle_hashes(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pair_base = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .localCheckpoint(eager=True)  # both stages read it
+    )
+    contain_flags = pair_base.filter(
+        F.expr("shared * 10000 div least(n_a, n_b) >= 5000")
+    ).select(F.col("id_b").alias("doc_id"))
+    jac_flags = pair_base.filter(
+        F.round(
+            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4
+        )
+        >= 0.5
+    ).select(F.col("id_b").alias("doc_id"))
     stages = [
         ("exact", exact_flags),
-        (
-            "containment",
-            containment_pairs(docs, threshold_bp=5000).select(
-                F.col("id_b").alias("doc_id")
-            ),
-        ),
-        (
-            "jaccard05",
-            ngram_jaccard_pairs(docs, threshold=0.5).select(
-                F.col("id_b").alias("doc_id")
-            ),
-        ),
+        ("containment", contain_flags),
+        ("jaccard05", jac_flags),
         (
             "simhash64_h3",
             simhash64_pairs(docs, max_hamming=3).select(
