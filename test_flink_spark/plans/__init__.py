@@ -84,6 +84,8 @@ _PROMOTED = (
     "corpus_dedup_cascade_audit",
     "embedding_near_dup_lsh_scaled",
     "embedding_ivfpq_refine_sweep",
+    "graph_ppr_suppliers",
+    "events_cep_branching",
 )
 
 

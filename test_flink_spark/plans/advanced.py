@@ -2307,3 +2307,49 @@ SELECT node, 'authority' AS role, score_fp FROM a{_HITS_ITERATIONS}"""
 
 QUERIES["graph_hits_trade"] = graph_hits_trade
 ORACLES["graph_hits_trade"] = _HITS_SQL
+
+
+def graph_ppr_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the symmetrized trade graph, teleporting
+    to the 10 lowest-key suppliers that actually trade — "which customers
+    and suppliers sit closest to this trusted seed set", the
+    graph-proximity scorer behind seed-based curation and account-risk
+    propagation (operators/graph.py::personalized_pagerank; same
+    fixed-point arithmetic and iteration shape as graph_pagerank_trade,
+    so the two rankings are directly comparable).  The oracle replays
+    all 5 iterations including the floor-div teleport base."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    base = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
+        base.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    seeds = (
+        li.filter(F.col("l_suppkey") < 10)
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("node")
+        )
+        .distinct()
+    )
+    return gr.personalized_pagerank(edges, seeds, _PR_ITERATIONS)
+
+
+_PPR_SEEDS_SQL = """
+SELECT DISTINCT 'S' || l_suppkey AS node FROM lineitem WHERE l_suppkey < 10
+"""
+
+_PPR_SQL = (
+    "WITH "
+    + gr.ppr_oracle_cte(_PR_EDGES_SQL, _PPR_SEEDS_SQL, _PR_ITERATIONS)
+    + f"\nSELECT node, rank_fp FROM r{_PR_ITERATIONS}"
+)
+
+QUERIES["graph_ppr_suppliers"] = graph_ppr_suppliers
+ORACLES["graph_ppr_suppliers"] = _PPR_SQL

@@ -4430,3 +4430,104 @@ GROUP BY 1
 
 QUERIES["events_cep_within"] = events_cep_within
 ORACLES["events_cep_within"] = _CEP_WITHIN_SQL
+
+
+def events_cep_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink-CEP branching step — ``followedBy("x").where(click OR
+    signup)`` — under SKIP_TILL_NEXT_MATCH: per user, view → (click OR
+    signup) → purchase inside 7 days, reporting WHICH branch the middle
+    step bound.  The OR step binds the FIRST qualifying event of EITHER
+    type; the branch split tells a funnel owner which on-ramp actually
+    feeds conversions.  Same two stacked conditional struct-MIN windows
+    as events_cep_followed_by — the branch predicate is just a wider
+    CASE, so the sweep costs one exchange like its single-type sibling.
+    Per (day of view, branch): matches and distinct users."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_ms").asc(), F.col("event_id").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    p1 = ev.withColumn(
+        "np",
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.struct(
+                    F.col("ts_ms").alias("t"), F.col("event_id").alias("e")
+                ),
+            )
+        ).over(w),
+    )
+    p2 = p1.withColumn(
+        "nb",
+        F.min(
+            F.when(
+                F.col("event_type").isin("click", "signup"),
+                F.struct(
+                    F.col("ts_ms").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("event_type").alias("branch"),
+                    F.col("np").alias("np"),
+                ),
+            )
+        ).over(w),
+    )
+    hits = p2.filter(
+        (F.col("event_type") == "view")
+        & F.col("nb").isNotNull()
+        & F.col("nb.np").isNotNull()
+        & (F.col("nb.np.t") - F.col("ts_ms") <= 7 * _DAY_MS)
+    )
+    return (
+        hits.select(
+            F.expr("ts_ms div 86400000").alias("day"),
+            F.col("nb.branch").alias("branch"),
+            "user_id",
+        )
+        .groupBy("day", "branch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("matches"),
+            F.countDistinct("user_id").cast("long").alias("users"),
+        )
+    )
+
+
+_CEP_BRANCHING_SQL = r"""
+WITH ev AS (
+    SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+), p1 AS (
+    SELECT *,
+           MIN(CASE WHEN event_type = 'purchase'
+                    THEN struct_pack(t := ts_ms, e := event_id) END)
+               OVER w AS np
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+), p2 AS (
+    SELECT *,
+           MIN(CASE WHEN event_type IN ('click', 'signup')
+                    THEN struct_pack(t := ts_ms, e := event_id,
+                                     branch := event_type, np := np)
+               END) OVER w AS nb
+    FROM p1
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT ts_ms // 86400000 AS day,
+       nb.branch AS branch,
+       CAST(COUNT(*) AS BIGINT) AS matches,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+FROM p2
+WHERE event_type = 'view' AND nb IS NOT NULL AND nb.np IS NOT NULL
+  AND nb.np.t - ts_ms <= 7 * 86400000::BIGINT
+GROUP BY 1, 2
+"""
+
+QUERIES["events_cep_branching"] = events_cep_branching
+ORACLES["events_cep_branching"] = _CEP_BRANCHING_SQL
