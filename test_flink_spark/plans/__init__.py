@@ -86,6 +86,7 @@ _PROMOTED = (
     "embedding_ivfpq_refine_sweep",
     "graph_ppr_suppliers",
     "events_cep_branching",
+    "dedup_detector_agreement",
 )
 
 

@@ -6779,3 +6779,169 @@ FROM hits
 
 QUERIES["embedding_ivfpq_refine_sweep"] = embedding_ivfpq_refine_sweep
 ORACLES["embedding_ivfpq_refine_sweep"] = _ivfpq_refine_sweep_sql()
+
+
+def dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise AGREEMENT between the two fuzzy-dedup detectors — exact
+    n-gram Jaccard (>= 0.5) and 64-bit SimHash (hamming <= 3) — stratified
+    by true Jaccard in 10%-wide buckets: per bucket, pairs both flag,
+    pairs only Jaccard flags (SimHash misses = its false negatives at
+    that similarity), pairs only SimHash flags (its false positives —
+    cosine-of-profile lookalikes with low shingle overlap).  This is the
+    calibration table a curation owner reads before trusting the cheap
+    detector at 100 TB where the exact one can't run.  One shared pair
+    base (the cascade discipline) + the banded SimHash pair stage; the
+    outer union of the two pair sets joins back to sizes so zero-overlap
+    SimHash pairs land in bucket 0 instead of vanishing."""
+    from ..operators.dedup import shingle_hashes, simhash64_pairs
+
+    docs = _docs(spark, sf_dir)
+    sh = shingle_hashes(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    base = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("shared * 10000 div (n_a + n_b - shared)").alias("jbp"),
+        )
+        .localCheckpoint(eager=True)  # flag derivation + stratification
+    )
+    jac = base.filter(
+        # bp-floor threshold (jbp >= 5000), applied identically in this
+        # query's oracle.  NOTE: ngram_jaccard_pairs' cut is
+        # round(j,4) >= 0.5, which additionally admits j in
+        # [0.49995, 0.5) — a half-ulp band this audit classifies as
+        # jaccard_bucket 4 instead; the detectors' own registered
+        # queries keep their own cuts
+        F.col("jbp") >= 5000
+    ).select("id_a", "id_b", F.lit(True).alias("in_jac"))
+    sim = simhash64_pairs(docs, max_hamming=3).select(
+        "id_a", "id_b", F.lit(True).alias("in_sim")
+    )
+    uni = (
+        jac.join(sim, ["id_a", "id_b"], "full_outer")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("in_jac", F.lit(False)).alias("in_jac"),
+            F.coalesce("in_sim", F.lit(False)).alias("in_sim"),
+        )
+        .join(base.select("id_a", "id_b", "jbp"), ["id_a", "id_b"], "left")
+        .select(
+            "in_jac",
+            "in_sim",
+            F.coalesce("jbp", F.lit(0)).alias("jbp"),
+        )
+    )
+    return (
+        uni.groupBy(F.expr("jbp div 1000").cast("long").alias("jaccard_bucket"))
+        .agg(
+            F.sum(F.when(F.col("in_jac") & F.col("in_sim"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_both"),
+            F.sum(F.when(F.col("in_jac") & ~F.col("in_sim"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_jaccard_only"),
+            F.sum(F.when(~F.col("in_jac") & F.col("in_sim"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_simhash_only"),
+        )
+    )
+
+
+def _detector_agreement_sql() -> str:
+    votes64 = ",\n           ".join(
+        f"SUM(CASE WHEN ({word} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS {word}_v{b}"
+        for word in ("hlo", "hhi")
+        for b in range(32)
+    )
+
+    def fold64(word: str) -> str:
+        return " + ".join(
+            f"CASE WHEN {word}_v{b} >= 0 THEN CAST({1 << b} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END"
+            for b in range(32)
+        )
+
+    return rf"""
+WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM ws) WHERE s IS NOT NULL AND s <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+base AS (
+    SELECT id_a, id_b,
+           (shared * 10000) // (sa.n_sh + sb.n_sh - shared) AS jbp
+    FROM shared
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+),
+jac AS (SELECT id_a, id_b, true AS in_jac FROM base WHERE jbp >= 5000),
+wrd AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+h64 AS (SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 8))::BIGINT AS hlo,
+               ('0x' || substr(md5(w), 9, 8))::BIGINT AS hhi
+        FROM wrd),
+v64 AS (SELECT doc_id, {votes64} FROM h64 GROUP BY 1),
+s64 AS (SELECT doc_id, {fold64("hlo")} AS sh_lo, {fold64("hhi")} AS sh_hi FROM v64),
+bands AS (
+    SELECT doc_id, sh_lo, sh_hi, b AS band,
+           CASE WHEN b < 2 THEN (sh_lo >> (16 * b)) & 65535
+                ELSE (sh_hi >> (16 * (b - 2))) & 65535 END AS key
+    FROM s64, (SELECT unnest(range(4)) AS b)
+),
+sim AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, true AS in_sim
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3
+),
+uni AS (
+    SELECT COALESCE(j.id_a, s.id_a) AS id_a,
+           COALESCE(j.id_b, s.id_b) AS id_b,
+           COALESCE(j.in_jac, false) AS in_jac,
+           COALESCE(s.in_sim, false) AS in_sim
+    FROM jac j FULL OUTER JOIN sim s ON j.id_a = s.id_a AND j.id_b = s.id_b
+),
+strat AS (
+    SELECT u.in_jac, u.in_sim, COALESCE(b.jbp, 0) AS jbp
+    FROM uni u LEFT JOIN base b ON u.id_a = b.id_a AND u.id_b = b.id_b
+)
+SELECT CAST(jbp // 1000 AS BIGINT) AS jaccard_bucket,
+       CAST(SUM(CASE WHEN in_jac AND in_sim THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       CAST(SUM(CASE WHEN in_jac AND NOT in_sim THEN 1 ELSE 0 END) AS BIGINT) AS n_jaccard_only,
+       CAST(SUM(CASE WHEN NOT in_jac AND in_sim THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash_only
+FROM strat
+GROUP BY 1
+"""
+
+
+QUERIES["dedup_detector_agreement"] = dedup_detector_agreement
+ORACLES["dedup_detector_agreement"] = _detector_agreement_sql()
