@@ -6362,6 +6362,52 @@ ORACLES["embedding_pq_distortion_audit"] = _pq_distortion_sql()
 # Dedup cascade funnel: exact -> containment -> jaccard -> simhash64.
 # ---------------------------------------------------------------------------
 
+# (shared, n_a, n_b) over every shingle-sharing pair: the table BOTH the
+# cascade funnel and the detector-agreement audit read.  Memoized per
+# (application, sf_dir) with an eager localCheckpoint — the
+# _shared_clusters accounting discipline: a pipeline computes its pair
+# stage once and every consumer reads it.
+_PAIR_BASE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _shared_pair_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _PAIR_BASE_CACHE.get(key)
+    if df is None:
+        from ..operators.dedup import shingle_hashes
+
+        docs = _docs(spark, sf_dir)
+        sh = shingle_hashes(docs)
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        a, b = sh.alias("a"), sh.alias("b")
+        df = (
+            a.join(
+                b,
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")
+                ),
+                "id_a",
+            )
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")
+                ),
+                "id_b",
+            )
+            .localCheckpoint(eager=True)
+        )
+        _PAIR_BASE_CACHE[key] = df
+    return df
+
+
 def corpus_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup FUNNEL a production curation pipeline reports after each
     ingest: four detectors run cheap-to-expensive — exact fingerprint,
@@ -6379,7 +6425,7 @@ def corpus_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked end to end.  The 4x4 running-sum self-join replaces a
     single-partition window: stage rows are a 4-row aggregate, but the
     fleet-wide global-window ban stays clean."""
-    from ..operators.dedup import shingle_hashes, simhash64_pairs, words
+    from ..operators.dedup import simhash64_pairs, words
 
     docs = _docs(spark, sf_dir)
     norm = F.array_join(words(F.col("text")), " ")
@@ -6394,21 +6440,7 @@ def corpus_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle already factors it; building it once here halves the
     # inverted-index self-join, the cascade's dominant exchange (measured
     # 5.8 s in-sweep with two independent operator calls)
-    sh = shingle_hashes(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pair_base = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
-        .localCheckpoint(eager=True)  # both stages read it
-    )
+    pair_base = _shared_pair_base(spark, sf_dir)
     contain_flags = pair_base.filter(
         F.expr("shared * 10000 div least(n_a, n_b) >= 5000")
     ).select(F.col("id_b").alias("doc_id"))
@@ -6793,36 +6825,13 @@ def dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     base (the cascade discipline) + the banded SimHash pair stage; the
     outer union of the two pair sets joins back to sizes so zero-overlap
     SimHash pairs land in bucket 0 instead of vanishing."""
-    from ..operators.dedup import shingle_hashes, simhash64_pairs
+    from ..operators.dedup import simhash64_pairs
 
     docs = _docs(spark, sf_dir)
-    sh = shingle_hashes(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    base = (
-        shared.join(
-            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")),
-            "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            F.expr("shared * 10000 div (n_a + n_b - shared)").alias("jbp"),
-        )
-        .localCheckpoint(eager=True)  # flag derivation + stratification
+    base = _shared_pair_base(spark, sf_dir).select(
+        "id_a",
+        "id_b",
+        F.expr("shared * 10000 div (n_a + n_b - shared)").alias("jbp"),
     )
     jac = base.filter(
         # bp-floor threshold (jbp >= 5000), applied identically in this
