@@ -55,10 +55,12 @@ ISOLATED_TOP = [
     # accounting lines excluded), heaviest first so a budget cut drops
     # the LIGHTEST line, never the heaviest (the r6 failure: the iso
     # budget went to a 1.35 s line while the 7.99 s line went unmeasured)
+    # r8: dedup_simhash_clusters is now the (faster) w64 implementation —
+    # the retired w32 form was this list's heaviest line; the separate
+    # _w64 entry collapsed into the canonical name.
     "dedup_simhash_clusters",
     "dedup_clusters_incremental",
     "corpus_dedup_cascade_audit",
-    "dedup_simhash_clusters_w64",
     "graph_kcore_trade",
     "graph_pagerank_trade",
     "graph_components_knn",

@@ -714,6 +714,13 @@ def pq_train(
     books: list[list[list[int]]] = [[None] * ksub for _ in range(m)]
     for r in seed_rows:
         books[r["s"]][r["cid"]] = list(r["qv"])
+    for s, book in enumerate(books):
+        n_seeded = sum(1 for cw in book if cw is not None)
+        if n_seeded < ksub:
+            raise ValueError(
+                f"pq_train: subspace {s} has only {n_seeded} < ksub={ksub} "
+                f"training rows — shrink ksub or enlarge the training set"
+            )
     for _ in range(iters):
         assign = F.when(F.col("s") == 0, _argmin_cluster(F.col("qv"), books[0]))
         for s in range(1, m):

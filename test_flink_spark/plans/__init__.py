@@ -28,66 +28,70 @@ from . import advanced, enterprise, llm_data, reference_queries, relational, tpc
 # window never reached them.  That is exactly how 41 queries accumulated
 # zero driver rows through r4.)
 #
-# Window accounting for THIS round (r7): union(CORRECTNESS_r01..r06)
-# covers 220 of 256 — the 36 below are everything registered after the
-# r6 window filled.  Once this round's snapshot lands, driver coverage is
-# 100% of the r6 registry; r7-new queries append after these 36 (14 free
-# slots).  tests/test_plans.py::test_promotion_window_covers_registry
-# enforces this invariant at commit time.
+# Window accounting for THIS round (r8): union(CORRECTNESS_r01..r07)
+# covers the whole r7 registry, so the window's job changed from closing
+# coverage debt to ROTATING stale certificates (r7 verdict item 2): new
+# queries lead, then the stalest cohort oldest-first
+# (tools/verified_age.py).  Two gates enforce it at commit time:
+# tests/test_plans.py::test_promotion_window_covers_registry (no query
+# outside union+window) and ::test_promotion_window_rotates_stalest
+# (nothing unverified for >= 6 rounds stays out of the window).
 _MODULE_ORDER = (reference_queries, enterprise, advanced, llm_data, relational, tpch_extra)
 _PROMOTED = (
-    # r7 queue: everything registered in r6 after the window filled —
-    # registry minus union(CORRECTNESS_r01..r06); 36 names, 14 free slots.
-    "events_wilson_ctr_rank",
-    "events_attribution_linear",
-    "events_kaplan_meier_retention",
-    "events_cohort_ltv_curve",
-    "events_ks_drift_test",
-    "events_session_threshold_sweep",
-    "events_velocity_flags",
-    "graph_clustering_coefficient",
-    "reco_item_cf_topk",
-    "events_interarrival_profile",
-    "events_attribution_markov_removal",
-    "graph_components_knn",
-    "events_cuped_adjustment",
-    "events_power_mde",
-    "nation_revenue_hhi",
-    "part_price_anova_by_brand",
-    "orders_basket_rules",
-    "fk_integrity_audit",
-    "events_seasonal_decompose",
-    "events_l_diversity",
-    "schema_fd_audit",
-    "orders_fulfillment_latency",
-    "graph_hits_trade",
-    "embedding_bitq_hamming_recall",
-    "retrieval_ndcg_audit",
-    "text_trigram_index_audit",
-    "embedding_label_confusion",
-    "embedding_ivf_nprobe_sweep",
-    "embedding_ood_outliers",
-    "corpus_classifier_calibration",
-    "embedding_random_projection_audit",
-    "dedup_source_flow_matrix",
-    "text_textrank_keywords",
-    "multimodal_image_phash",
-    "dedup_simhash_clusters",
-    "unpivot_user_event_matrix",
-    # new in r7 — first driver look
-    "dedup_simhash_clusters_w64",
-    "dedup_simhash_band_occupancy",
-    "dedup_clusters_incremental",
-    "events_cep_within",
-    "embedding_ivfpq_ann",
-    "embedding_pq_distortion_audit",
-    "corpus_dedup_cascade_audit",
-    "embedding_near_dup_lsh_scaled",
-    "embedding_ivfpq_refine_sweep",
-    "graph_ppr_suppliers",
-    "events_cep_branching",
-    "dedup_detector_agreement",
+    # r8 rotation window (r7 verdict item 2): verified-age rotation.
+    # New r8 queries lead (first driver look), then the 29 queries last
+    # driver-verified in r2 (forced by test_promotion_window_rotates_stalest
+    # at MAX_AGE=6), then the oldest of the r3 cohort as fill.
+    # Regenerate with: python tools/verified_age.py --fill N
+    # --- new in r8 (first driver look) ---
+    # --- last verified r2 (forced) ---
+    "asof_join_last_error",
+    "asof_join_next_error",
+    "asof_join_with_tolerance",
+    "banded_proximity_counts",
+    "count_distinct_exact",
+    "cube_lineitem",
+    "date_functions_sweep",
+    "distinct_user_event_pairs",
+    "except_users_without_errors",
+    "first_event_per_user_day",
+    "full_outer_join_balances",
+    "grouping_sets_orders",
+    "hourly_unique_users",
+    "intersect_view_and_purchase_users",
+    "ntile_price_quartiles",
+    "pivot_event_counts",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q22_idle_customers",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "range_join_ship_window",
+    "rollup_lineitem",
+    "salted_skew_aggregate",
+    "scalar_functions_sweep",
+    "union_all_account_balances",
+    "union_distinct_users",
+    "window_order_analytics",
+    # --- last verified r3 (fill; trim from the END for new-r8 slots) ---
+    "anti_join_customers_no_orders",
+    "broadcast_join_parts",
+    "bucketed_join_revenue",
+    "corpus_build_dataset",
+    "corpus_curation_pipeline",
+    "corpus_curation_strict",
+    "corpus_decontaminate",
+    "corpus_length_histogram",
+    "corpus_mix_report",
+    "corpus_pii_redaction",
+    "corpus_temperature_mix",
+    "corpus_train_split",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_minhash_lsh",
 )
+
 
 
 

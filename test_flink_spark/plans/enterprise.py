@@ -4312,6 +4312,13 @@ def events_cep_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange + one 4x fan-out of the smallest row set — the sweep costs
     no more than the single-horizon query.
 
+    Boundary convention: an event at EXACTLY start+horizon still binds
+    (``c_t - ts_ms <= h`` below) — inclusive, an intentional divergence
+    from Flink's NFA, which times out partials at ``timestamp -
+    startTimestamp >= windowTime`` (boundary = expired).  Batch, oracle,
+    streaming matcher, and the differential reference all share the
+    inclusive cut, so no internal inconsistency exists.
+
     Streaming twin: streaming/cep.py::streaming_followed_by_with_timeouts
     (per-key NFA frontier that EMITS expired partials as it prunes them);
     parity pinned by the randomized differential in tests."""

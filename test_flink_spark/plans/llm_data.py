@@ -413,21 +413,43 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_blocked(_emb(spark, sf_dir), threshold=0.35, dim=EMB_DIM)
 
 
-_LSH_PLANES = 6
 _LSH_TABLES = 8
+_LSH_MIN_PLANES = 6   # floor: below this the buckets are a cross join
+_LSH_MAX_PLANES = 16  # cap: plane literals baked into the oracle SQL
+
+
+def _lsh_adaptive_planes(n: int) -> int:
+    """Corpus-derived hyperplane count: smallest p in [6, 16) with
+    n <= 2**(p+1) (expected bucket occupancy <= ~2 vectors/bucket), else
+    16.  Integer-threshold ladder, NOT floating log2, so Spark and the
+    DuckDB oracle derive the identical count at every corpus size (the
+    oracle replays the same CASE ladder over COUNT(*)).  This is the
+    sizing rule the round-7 sf1 probe forced: a fixed 6-plane geometry
+    (64 buckets/table) measured 200 s at 10x data — O(n^2/64) candidate
+    pairs — while 10 derived planes ran in 23 s.  Buckets must scale
+    with the corpus, exactly like SimHash band keys."""
+    for p in range(_LSH_MIN_PLANES, _LSH_MAX_PLANES):
+        if n <= (1 << (p + 1)):
+            return p
+    return _LSH_MAX_PLANES
 
 
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-candidate + exact-rerank near-dup pairs at the SELECTIVE
-    parameter point (6 planes × 8 tables = 64 buckets/table): candidates are
-    ~12% of all pairs on this near-isotropic corpus instead of ~99.8% at the
-    full-recall setting (2 planes × 24 tables), which measured 33 s at sf0.1
-    — a cross join wearing an LSH costume.  The price is recall (~36% of
-    τ=0.35 borderline pairs here; ≥98% in the real near-dup regime sim≥0.9,
-    pytest-measured on a clustered corpus) — which is why the ORACLE for
-    this query reproduces the whole ALGORITHM in SQL (md5-seeded planes →
-    sign buckets → first-collision candidate dedup → exact rerank), not the
-    brute-force semantics: the driver verifies every emitted pair and every
+    """LSH-candidate + exact-rerank near-dup pairs at CORPUS-ADAPTIVE
+    geometry: planes = _lsh_adaptive_planes(COUNT(*)) (occupancy ~<= 2
+    vectors/bucket at any scale), 8 OR-amplified tables.  Through round 7
+    this name carried a fixed 6-plane point whose sf1 probe measured
+    200 s at 10x data (44x) — retired; the derived count (8 at sf0.01's
+    500 vectors, 10 at sf0.1's 2000, 14 at sf1's 20000) keeps candidate
+    volume linear in the corpus.  The count() driving the derivation is
+    parquet-footer metadata, not a data scan.  Recall at τ=0.35 on this
+    near-isotropic corpus is partial by design (≥98% in the real
+    near-dup regime sim≥0.9, pytest-measured on a clustered corpus) —
+    which is why the ORACLE reproduces the whole ALGORITHM in SQL
+    (same COUNT(*)→planes ladder, md5-seeded plane PREFIX — plane p
+    depends only on (p, seed), so the 16 baked literals serve every
+    derived count → sign buckets → first-collision candidate dedup →
+    exact rerank): the driver verifies every emitted pair and every
     recall loss bit-for-bit.  Exact-by-construction near-dup at low
     thresholds is ``embedding_near_dup`` (block matmul)."""
     # broadcast_vectors stays at the default False: the (id → vec, norm)
@@ -435,36 +457,48 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r5 gate's bug class (fine at 2k vectors, driver-fatal at 10^9).
     # The candidate re-rank joins on id — the planner still broadcasts
     # the small side at bench scale from size stats.
+    emb = _emb(spark, sf_dir)
+    n_planes = _lsh_adaptive_planes(emb.count())
     return near_dup_pairs_lsh(
-        _emb(spark, sf_dir), threshold=0.35, dim=EMB_DIM,
-        n_planes=_LSH_PLANES, n_tables=_LSH_TABLES,
+        emb, threshold=0.35, dim=EMB_DIM,
+        n_planes=n_planes, n_tables=_LSH_TABLES,
     )
 
 
-def _near_dup_lsh_sql(n_planes: int = _LSH_PLANES, n_tables: int = _LSH_TABLES) -> str:
-    """DuckDB replica of near_dup_pairs_lsh: same hyperplanes (md5-seeded),
-    same sign-bit buckets, same first-collision dedup, same rerank/round.
-    Parameterized on the band geometry so the scaled variant
-    (embedding_near_dup_lsh_scaled) shares one generator."""
+def _near_dup_lsh_sql(n_tables: int = _LSH_TABLES) -> str:
+    """DuckDB replica of near_dup_pairs_lsh at the adaptive geometry:
+    same hyperplanes (md5-seeded, prefix-stable in the plane index — the
+    16 baked plane literals serve every derived count), same COUNT(*) →
+    plane-count integer ladder, same sign-bit buckets, same
+    first-collision dedup, same rerank/round."""
     from ..operators.similarity import hyperplanes_seeded
 
     rows = []
     for t in range(n_tables):
-        planes = hyperplanes_seeded(EMB_DIM, n_planes, seed=t)
+        planes = hyperplanes_seeded(EMB_DIM, _LSH_MAX_PLANES, seed=t)
         for p, coefs in enumerate(planes):
             lit = ", ".join(repr(c) for c in coefs)
             rows.append(f"({t}, {p}, [{lit}]::DOUBLE[])")
     values = ",\n".join(rows)
+    ladder = " ".join(
+        f"WHEN n <= {1 << (p + 1)} THEN {p}"
+        for p in range(_LSH_MIN_PLANES, _LSH_MAX_PLANES)
+    )
     dot = _DOT.format(a="v.embedding", b="pl.coefs", d=EMB_DIM + 1)
     cos = _cos_sql("va.embedding", "vb.embedding")
     return f"""
 WITH planes(t, p, coefs) AS (VALUES
 {values}
 ),
+params AS (
+    SELECT CASE {ladder} ELSE {_LSH_MAX_PLANES} END AS np
+    FROM (SELECT COUNT(*) AS n FROM embeddings)
+),
 v AS (SELECT vec_id, embedding FROM embeddings),
 dots AS (
     SELECT v.vec_id, pl.t, pl.p, {dot} AS dot
     FROM v CROSS JOIN planes pl
+    WHERE pl.p < (SELECT np FROM params)
 ),
 bk AS (
     SELECT vec_id, t,
@@ -5798,86 +5832,21 @@ ORACLES["multimodal_image_phash"] = _ppm_phash_sql()
 
 # ---------------------------------------------------------------------------
 # SimHash near-dup clusters: banded candidates -> hamming verify -> CC.
+# 64-bit hash, 16-bit bands — the 100-TB-safe geometry.  The 32-bit /
+# 8-bit-band form this name carried through round 7 was RETIRED from the
+# registry after the sf1 scale probe measured it at 56.9 s vs 21.7 s for
+# this geometry at 10x data (8-bit bands = <=256 keys/band, so the band
+# self-join's candidate bill grows quadratically with the corpus; pair
+# bill 2.54 M vs 188 k at sf0.1).  The w32 operator survives only inside
+# dedup_simhash_band_occupancy, where its quadratic candidate bill is the
+# measured quantity (bounded by the audit's aggregation), and in the
+# streaming parity test.
 # ---------------------------------------------------------------------------
 
-_SIMHASH_CLUSTER_BANDS = 4   # 8-bit bands over the 32-bit hash
 _SIMHASH_CLUSTER_MAX_HAM = 3  # pigeonhole: <= bands-1 flips => >=1 equal band
 
 
 def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup CLUSTERS ``(doc_id, cluster_id)``: the third
-    clustering path beside n-gram Jaccard (dedup_clusters) and MinHash
-    bands — candidate pairs from 8-bit band-equality buckets over the
-    32-bit SimHash (pigeonhole: hamming <= 3 implies >= 1 of 4 bands
-    identical, so banding is LOSSLESS for the threshold), verified by
-    one XOR+bit_count, then connected components via the shared
-    min-label propagation (operators/dedup.py::simhash_clusters →
-    operators/graph.py::min_label_components).  Never all-pairs: the
-    only join is band-key equality on a bucketed table.  Band geometry
-    scales with the hash, not the corpus: production widens to a 64-bit
-    SimHash with 16-bit bands before bucket occupancy grows."""
-    from ..operators.dedup import simhash_clusters
-
-    return simhash_clusters(
-        _docs(spark, sf_dir),
-        n_bands=_SIMHASH_CLUSTER_BANDS,
-        max_hamming=_SIMHASH_CLUSTER_MAX_HAM,
-    )
-
-
-def _simhash_clusters_sql() -> str:
-    # reuse the simhash CTE body (strip the leading WITH and final SELECT)
-    votes = ",\n           ".join(
-        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
-        for b in range(32)
-    )
-    fold = " + ".join(
-        f"CASE WHEN v{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-        for b in range(32)
-    )
-    nb = _SIMHASH_CLUSTER_BANDS
-    return rf"""
-WITH RECURSIVE
-w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
-h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM w),
-v AS (SELECT doc_id, {votes} FROM h GROUP BY 1),
-s AS (SELECT doc_id, {fold} AS simhash FROM v),
-bands AS (
-    SELECT doc_id, simhash, b AS band, (simhash >> (8 * b)) & 255 AS key
-    FROM s, (SELECT unnest(range({nb})) AS b)
-),
-cand AS (
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                    a.simhash AS ha, b.simhash AS hb
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-),
-e0 AS (
-    SELECT id_a, id_b FROM cand
-    WHERE bit_count(xor(ha, hb)) <= {_SIMHASH_CLUSTER_MAX_HAM}
-),
-bidir AS (SELECT id_a AS s, id_b AS d FROM e0 UNION ALL SELECT id_b, id_a FROM e0),
-reach(s, d) AS (
-    SELECT s, d FROM bidir
-    UNION
-    SELECT r.s, e.d FROM reach r JOIN bidir e ON r.d = e.s
-),
-m AS (SELECT s AS doc_id, MIN(d) AS mn FROM reach GROUP BY 1)
-SELECT dd.doc_id,
-       LEAST(COALESCE(m.mn, dd.doc_id), dd.doc_id) AS cluster_id
-FROM documents dd LEFT JOIN m ON dd.doc_id = m.doc_id
-"""
-
-
-QUERIES["dedup_simhash_clusters"] = dedup_simhash_clusters
-ORACLES["dedup_simhash_clusters"] = _simhash_clusters_sql()
-
-
-# ---------------------------------------------------------------------------
-# 64-bit SimHash clusters: the 100-TB-safe band geometry (r6 verdict item 2).
-# ---------------------------------------------------------------------------
-
-def dedup_simhash_clusters_w64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup clusters at PRODUCTION band width: 64-bit hash as
     two 32-bit BIGINT words, 4 bands x 16 bits (65,536 keys/band — 256x
     the bucket count of the 32-bit form, so band-bucket occupancy is
@@ -5885,10 +5854,10 @@ def dedup_simhash_clusters_w64(spark: SparkSession, sf_dir: str) -> DataFrame:
     of two XOR+bit_counts, then the shared min-label connected
     components.  Pigeonhole is unchanged (hamming <= 3 across 4 bands
     leaves >= 1 identical band), so banding stays lossless for the
-    threshold while the self-join stops degrading with corpus growth —
-    the scale posture dedup_simhash_clusters documents but cannot
-    deliver.  See dedup_simhash_band_occupancy for the measured
-    occupancy contrast between the two geometries."""
+    threshold while the self-join stops degrading with corpus growth.
+    See dedup_simhash_band_occupancy for the measured occupancy contrast
+    between the two geometries (this name was the 32-bit form through
+    round 7; retired per the sf1 probe, see section comment)."""
     from ..operators.dedup import simhash_clusters_w64
 
     return simhash_clusters_w64(
@@ -5950,8 +5919,8 @@ FROM documents dd LEFT JOIN m ON dd.doc_id = m.doc_id
 """
 
 
-QUERIES["dedup_simhash_clusters_w64"] = dedup_simhash_clusters_w64
-ORACLES["dedup_simhash_clusters_w64"] = _simhash_clusters_w64_sql()
+QUERIES["dedup_simhash_clusters"] = dedup_simhash_clusters
+ORACLES["dedup_simhash_clusters"] = _simhash_clusters_w64_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -6444,11 +6413,12 @@ def corpus_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     contain_flags = pair_base.filter(
         F.expr("shared * 10000 div least(n_a, n_b) >= 5000")
     ).select(F.col("id_b").alias("doc_id"))
+    # integer basis-point floor: floor(10000*s/u) >= 5000 is EXACTLY
+    # s/u >= 0.5, so Spark and the oracle's exact-rational cut agree at
+    # every boundary (round(j,4) >= 0.5 diverged for true Jaccard in
+    # [0.49995, 0.5) — latent until union >= ~10k shingles, r7 ADVICE)
     jac_flags = pair_base.filter(
-        F.round(
-            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4
-        )
-        >= 0.5
+        F.expr("shared * 10000 div (n_a + n_b - shared) >= 5000")
     ).select(F.col("id_b").alias("doc_id"))
     stages = [
         ("exact", exact_flags),
@@ -6564,7 +6534,7 @@ jac_flags AS (
     SELECT id_b AS doc_id FROM shared
     JOIN sizes sa ON id_a = sa.doc_id
     JOIN sizes sb ON id_b = sb.doc_id
-    WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.5
+    WHERE (shared * 10000) // (sa.n_sh + sb.n_sh - shared) >= 5000
 ),
 wrd AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
 h64 AS (SELECT doc_id,
@@ -6628,37 +6598,6 @@ QUERIES["corpus_dedup_cascade_audit"] = corpus_dedup_cascade_audit
 ORACLES["corpus_dedup_cascade_audit"] = _dedup_cascade_sql()
 
 
-# ---------------------------------------------------------------------------
-# LSH near-dup at PRODUCTION geometry (sf1 probe finding, round 7).
-# ---------------------------------------------------------------------------
-
-_LSH_SCALED_PLANES = 10  # 1024 buckets/table: B = n/2^planes stays bounded
-_LSH_SCALED_TABLES = 8
-
-
-def embedding_near_dup_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embedding_near_dup_lsh at the geometry that SURVIVES corpus growth.
-    The 6-plane registered point has 64 buckets/table — bucket occupancy
-    is O(n/64), so candidate pairs grow quadratically: the sf1 scale
-    probe measured 200 s at 20k vectors (44x its sf0.1 isolated time)
-    against ~22 s for every well-bucketed peer.  The sizing rule is the
-    same one the 64-bit SimHash fix applies to band keys: buckets must
-    scale with the corpus, planes = ceil(log2(n / B_target)) — here 10
-    planes keep expected occupancy ~n/1024, and OR-amplification across
-    the 8 tables buys back recall at the high-similarity thresholds
-    where LSH dedup actually runs.  Same operator, same md5-seeded plane
-    replay in the oracle (shared parameterized generator), so both
-    geometry points are driver-verified bit-for-bit."""
-    return near_dup_pairs_lsh(
-        _emb(spark, sf_dir), threshold=0.35, dim=EMB_DIM,
-        n_planes=_LSH_SCALED_PLANES, n_tables=_LSH_SCALED_TABLES,
-    )
-
-
-QUERIES["embedding_near_dup_lsh_scaled"] = embedding_near_dup_lsh_scaled
-ORACLES["embedding_near_dup_lsh_scaled"] = _near_dup_lsh_sql(
-    _LSH_SCALED_PLANES, _LSH_SCALED_TABLES
-)
 
 
 _PQ_REFINE_SWEEP = (1, 3, 10)

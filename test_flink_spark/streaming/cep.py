@@ -246,7 +246,13 @@ def _followed_by_timeout_func(first: str, second: str, third: str, within_ms: in
     first and second bound, no third in time (end_ts_ms = the bound
     second-step ts).  Expiry is checked BEFORE the arriving event binds
     (an event at exactly start+within can still complete a match —
-    within() is inclusive — but the first event strictly past the
+    within() is inclusive HERE, an intentional divergence from Flink's
+    NFA, which expires partials when timestamp - startTimestamp >=
+    windowTime, i.e. treats the boundary instant as already timed out;
+    this engine's batch sweep, SQL oracle, streaming matcher, and the
+    O(n²) differential reference all share the inclusive convention, so
+    the divergence is external-fidelity only, never internal — but the
+    first event strictly past the
     horizon kills the partial), which also fixes a stage-attribution
     subtlety the match-only matcher could ignore: a first-step partial
     whose earliest second-step candidate lies beyond the horizon is a

@@ -459,3 +459,46 @@ def test_promotion_window_covers_registry():
     )
     # the window itself must not overflow 50 driver slots
     assert len(_PROMOTED) <= 50, f"_PROMOTED has {len(_PROMOTED)} > 50 names"
+
+
+def test_promotion_window_rotates_stalest():
+    """r7 verdict item 2: union coverage alone lets verification rot — a
+    query driver-verified in r2 and never re-checked runs today's code on
+    a six-round-old certificate (shared-stage refactors touch consumers
+    whose last check predates them).  Gate: every registered query must
+    have been driver-verified within the last MAX_AGE rounds OR sit in
+    the upcoming _PROMOTED window.  With a 266+-query registry and 50
+    driver slots a full rotation takes ~5 rounds, so MAX_AGE=6 forces the
+    stalest cohort into every window without starving new-query slots.
+    tools/verified_age.py prints the cohort to paste."""
+    import glob
+    import json
+
+    import __spark_entry__ as entry
+    from test_flink_spark.plans import _PROMOTED
+
+    MAX_AGE = 6
+    last: dict[str, int] = {}
+    newest = 0
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        r = int(re.search(r"_r(\d+)", os.path.basename(path)).group(1))
+        newest = max(newest, r)
+        with open(path) as fh:
+            for name, res in json.load(fh).items():
+                ok = bool(res.get("hash_match")) or (
+                    res.get("hash_match") is None and bool(res.get("rows_match"))
+                )
+                if ok:
+                    last[name] = max(last.get(name, 0), r)
+    current = newest + 1  # the round the _PROMOTED window will run in
+    window = set(_PROMOTED[:50])
+    rotten = sorted(
+        name
+        for name in entry.queries()
+        if current - last.get(name, 0) >= MAX_AGE and name not in window
+    )
+    assert not rotten, (
+        f"{len(rotten)} queries were last driver-verified >= {MAX_AGE} "
+        f"rounds ago and are not queued for re-verification "
+        f"(tools/verified_age.py --fill N): {rotten}"
+    )

@@ -130,11 +130,19 @@ WITH base AS (
     FROM flat f JOIN vmap v ON v.r = f.r AND v.w = f.w
     GROUP BY f.doc_id, f.r, f.lang, f.source
 )
-SELECT doc_id + r * {d_stride} AS doc_id, text, lang, source,
-       CAST(length(text) AS BIGINT) AS n_chars
-FROM mapped
+SELECT b.doc_id + b.r * {d_stride} AS doc_id,
+       COALESCE(m.text, b.text) AS text, b.lang, b.source,
+       CAST(COALESCE(length(m.text), b.n_chars) AS BIGINT) AS n_chars
+FROM base b LEFT JOIN mapped m ON m.doc_id = b.doc_id AND m.r = b.r
 """,
     )
+    # the vocab join drops empty/whitespace-only docs from `mapped`; the
+    # LEFT JOIN above unions them back with their original text so every
+    # replica carries exactly src_rows documents (r7 ADVICE: the inner-join
+    # form silently shrank the scale probe's denominator)
+    n_doc = con.execute(f"SELECT count(*) FROM '{DST}/documents.parquet'").fetchone()[0]
+    n_src = con.execute(f"SELECT count(*) FROM {src('documents')}").fetchone()[0]
+    assert n_doc == n_src * R, f"documents replication lost rows: {n_doc} != {n_src}*{R}"
 
     # embeddings: dimension permutation + sign flips per replica
     dim = con.execute(f"SELECT len(embedding) FROM {src('embeddings')} LIMIT 1").fetchone()[0]
