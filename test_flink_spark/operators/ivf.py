@@ -647,6 +647,7 @@ def pq_train(
     seed: str = "pq",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_frac: float = 1.0,
 ) -> list[list[list[int]]]:
     """Train ``m`` per-subspace codebooks of ``ksub`` codewords each on the
     RESIDUALS from the coarse quantizer — real product quantization, the
@@ -662,9 +663,26 @@ def pq_train(
     rows ONCE (localCheckpointed — seeding + every Lloyd pass reuse it),
     each iteration is a single narrow assignment pass (all m codebooks as
     literals, branch on ``s``) + ONE groupBy(s, cluster) whose output is
-    m·ksub summary rows to the driver — never the vectors.  At corpus
-    scale training runs on a hash sample exactly like ivf_train."""
+    m·ksub summary rows to the driver — never the vectors.
+
+    ``train_frac`` trains on a deterministic hash sample, the same
+    ``hash_bucket(id, seed + '-train')`` arithmetic as :func:`ivf_train`
+    — at corpus scale codebook training runs on a sample while encoding
+    touches everything (train-on-sample, encode-everything).  The sample
+    filter is applied to the corpus BEFORE residual assignment, so the
+    training passes (coarse assign + explode + seeding + Lloyd) each
+    scan only the sample; per-row assignment is independent, so the
+    sampled residuals are bit-identical to filtering afterwards and the
+    DuckDB replay (``ivfpq_oracle_sql(pq_train_frac=...)``, which
+    filters the exploded ``sub`` table) proves it."""
     dsub = dim // m
+    if train_frac < 1.0:
+        from .sampling import hash_bucket
+
+        corpus = corpus.filter(
+            hash_bucket(F.col(id_col), f"{seed}-train")
+            < round(train_frac * 10_000)
+        )
     inv = ivf_assign(corpus, coarse, id_col, vec_col)
     cent_lit = F.array(*[F.array(*[F.lit(int(v)) for v in c]) for c in coarse])
     res = inv.select(
@@ -859,18 +877,34 @@ def ivfpq_oracle_sql(
     refine: int = 3,
     query_pred: str = "vec_id < 20",
     table: str = "embeddings",
+    train_frac: float = 1.0,
+    pq_train_frac: float = 1.0,
 ) -> str:
     """DuckDB replay of the ENTIRE IVF-PQ pipeline: shared coarse CTEs,
     per-subspace residual k-means (seeding + every Lloyd iteration
     unrolled), code assignment, codeword reconstruction, ADC ranking,
     exact refine — bit-identical to the Spark path by the same
-    integer-exactness argument as the module docstring."""
+    integer-exactness argument as the module docstring.
+
+    ``train_frac`` / ``pq_train_frac`` mirror the deterministic
+    hash-bucket training samples of :func:`ivf_train` and
+    :func:`pq_train`: seeding and Lloyd run on the sample (``tsub``),
+    code assignment and search on the full corpus."""
     dsub = dim // m
     dist = _oracle_dist(dim)
     sdist = _oracle_dist(dsub)
     rng = f"range(1, {dim + 1})"
     srng = f"range(1, {dsub + 1})"
-    body, final_c = ivf_cte_body(k, iters, dim, seed, table)
+    body, final_c = ivf_cte_body(k, iters, dim, seed, table, train_frac)
+    ptrain = "sub"
+    sample_cte = ""
+    if pq_train_frac < 1.0:
+        cutoff = round(pq_train_frac * 10_000)
+        sample_cte = f"""
+tsub AS (SELECT * FROM sub
+         WHERE (('0x' || substr(md5('{pq_seed}-train:' || CAST(vid AS VARCHAR)),
+                 1, 15))::BIGINT % 10000) < {cutoff}),"""
+        ptrain = "tsub"
     parts = [
         f"""
 res AS (SELECT i.neighbor_id AS vid, i.cluster,
@@ -878,11 +912,11 @@ res AS (SELECT i.neighbor_id AS vid, i.cluster,
         FROM inv i JOIN {final_c} c ON i.cluster = c.cid),
 sub AS (SELECT vid, s,
                list_transform({srng}, j -> r[s * {dsub} + j]) AS qv
-        FROM res, (SELECT unnest(range({m})) AS s)),
+        FROM res, (SELECT unnest(range({m})) AS s)),{sample_cte}
 pc0 AS (SELECT s, ROW_NUMBER() OVER (PARTITION BY s
             ORDER BY md5('{pq_seed}' || s || ':' || CAST(vid AS VARCHAR)), vid)
             - 1 AS cid, qv AS v
-        FROM sub
+        FROM {ptrain}
         QUALIFY cid < {ksub})"""
     ]
     prev = "pc0"
@@ -894,7 +928,7 @@ pc0 AS (SELECT s, ROW_NUMBER() OVER (PARTITION BY s
         SELECT q.vid, q.s, q.qv, c.cid,
                ROW_NUMBER() OVER (PARTITION BY q.s, q.vid
                    ORDER BY {sdist('q.qv', 'c.v')}, c.cid) AS rn
-        FROM sub q JOIN {prev} c ON q.s = c.s) WHERE rn = 1),
+        FROM {ptrain} q JOIN {prev} c ON q.s = c.s) WHERE rn = 1),
 {u} AS (SELECT s, cid, list(ci ORDER BY i) AS v FROM (
         SELECT s, cid, i,
                CAST(floor(SUM(qv[i]) * 1.0 / COUNT(*)) AS BIGINT) AS ci

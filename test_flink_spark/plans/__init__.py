@@ -44,6 +44,7 @@ _PROMOTED = (
     # at MAX_AGE=6), then the oldest of the r3 cohort as fill.
     # Regenerate with: python tools/verified_age.py --fill N
     # --- new in r8 (first driver look) ---
+    "embedding_ivfpq_sampled_train",
     # --- last verified r2 (forced) ---
     "asof_join_last_error",
     "asof_join_next_error",

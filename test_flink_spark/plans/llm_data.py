@@ -6893,3 +6893,130 @@ GROUP BY 1
 
 QUERIES["dedup_detector_agreement"] = dedup_detector_agreement
 ORACLES["dedup_detector_agreement"] = _detector_agreement_sql()
+
+
+# ---------------------------------------------------------------------------
+# Sampled-train IVF-PQ: train-on-sample, encode-everything (r7 verdict
+# item 4).
+# ---------------------------------------------------------------------------
+
+_SAMPLED_TRAIN_FRAC = 0.5
+
+
+def embedding_ivfpq_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF-PQ training posture: codebooks (coarse AND
+    per-subspace PQ) trained on a deterministic hash SAMPLE of the
+    corpus, everything encoded and searched — train cost becomes
+    O(sample), independent of corpus growth (the sf1 probe measured
+    full-corpus training dominating the r7 pipeline at 10x data).
+    Output is the recall-parity audit against the full-train codebooks:
+    per query, result-set sizes, top-5 overlap, and rank-1 agreement —
+    the evidence that the sampled codebook serves within tolerance.
+
+    Both pipelines' training, encoding, ADC and refine are integer-exact
+    and replayed bit-for-bit by the oracle (ivfpq_oracle_sql with
+    train_frac/pq_train_frac mirroring operators/ivf.py's hash_bucket
+    sample), so the parity numbers themselves are value-checked, not
+    asserted.  The full-train side reuses the session-memoized coarse
+    centroids and PQ books shared with embedding_ivfpq_ann — in-sweep
+    this query pays only the sampled train."""
+    from ..operators.ivf import ivf_train, ivfpq_ann_topk, pq_train
+
+    emb = _emb(spark, sf_dir)
+    coarse_s = ivf_train(
+        emb, k=8, iters=2, dim=EMB_DIM, train_frac=_SAMPLED_TRAIN_FRAC
+    )
+    books_s = pq_train(
+        emb, coarse_s, dim=EMB_DIM, train_frac=_SAMPLED_TRAIN_FRAC
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    sampled = ivfpq_ann_topk(
+        emb, queries, coarse_s, books_s, k=5, nprobe=2, refine=3
+    ).select("query_id", "neighbor_id", "rank")
+    full = ivfpq_ann_topk(
+        emb,
+        queries,
+        _shared_ivf_centroids(spark, sf_dir),
+        _shared_pq_books(spark, sf_dir),
+        k=5,
+        nprobe=2,
+        refine=3,
+    ).select("query_id", "neighbor_id", "rank")
+    base = sampled.select("query_id").union(full.select("query_id")).distinct()
+    n_s = sampled.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled")
+    )
+    n_f = full.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_full")
+    )
+    common = (
+        sampled.select("query_id", "neighbor_id")
+        .join(full.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    r1 = (
+        sampled.filter(F.col("rank") == 1)
+        .select("query_id", F.col("neighbor_id").alias("nid_s"))
+        .join(
+            full.filter(F.col("rank") == 1).select(
+                "query_id", F.col("neighbor_id").alias("nid_f")
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            (F.col("nid_s") == F.col("nid_f")).cast("long").alias("rank1_agree"),
+        )
+    )
+    return (
+        base.join(n_s, "query_id", "left")
+        .join(n_f, "query_id", "left")
+        .join(common, "query_id", "left")
+        .join(r1, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce("n_full", F.lit(0)).cast("long").alias("n_full"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.coalesce("rank1_agree", F.lit(0)).cast("long").alias("rank1_agree"),
+        )
+    )
+
+
+def _ivfpq_sampled_train_sql() -> str:
+    from ..operators.ivf import ivfpq_oracle_sql
+
+    samp = ivfpq_oracle_sql(
+        k=8, iters=2, dim=EMB_DIM, topk=5, nprobe=2, refine=3,
+        train_frac=_SAMPLED_TRAIN_FRAC, pq_train_frac=_SAMPLED_TRAIN_FRAC,
+    )
+    full = ivfpq_oracle_sql(k=8, iters=2, dim=EMB_DIM, topk=5, nprobe=2, refine=3)
+    return f"""
+WITH samp AS ({samp}), fl AS ({full}),
+base AS (SELECT DISTINCT query_id FROM
+         (SELECT query_id FROM samp UNION ALL SELECT query_id FROM fl)),
+cs AS (SELECT query_id, COUNT(*) AS n_sampled FROM samp GROUP BY 1),
+cf AS (SELECT query_id, COUNT(*) AS n_full FROM fl GROUP BY 1),
+cm AS (SELECT s.query_id, COUNT(*) AS n_common
+       FROM samp s JOIN fl f
+         ON s.query_id = f.query_id AND s.neighbor_id = f.neighbor_id
+       GROUP BY 1),
+r1 AS (SELECT s.query_id,
+              CASE WHEN s.neighbor_id = f.neighbor_id THEN 1 ELSE 0 END
+                  AS rank1_agree
+       FROM (SELECT query_id, neighbor_id FROM samp WHERE rank = 1) s
+       JOIN (SELECT query_id, neighbor_id FROM fl WHERE rank = 1) f
+         USING (query_id))
+SELECT b.query_id,
+       CAST(COALESCE(cs.n_sampled, 0) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(cf.n_full, 0) AS BIGINT) AS n_full,
+       CAST(COALESCE(cm.n_common, 0) AS BIGINT) AS n_common,
+       CAST(COALESCE(r1.rank1_agree, 0) AS BIGINT) AS rank1_agree
+FROM base b LEFT JOIN cs USING (query_id) LEFT JOIN cf USING (query_id)
+LEFT JOIN cm USING (query_id) LEFT JOIN r1 USING (query_id)
+"""
+
+
+QUERIES["embedding_ivfpq_sampled_train"] = embedding_ivfpq_sampled_train
+ORACLES["embedding_ivfpq_sampled_train"] = _ivfpq_sampled_train_sql()

@@ -349,3 +349,118 @@ def streaming_followed_by_with_timeouts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Branching middle step (followedBy("x").where(click OR signup)) with
+# branch attribution — streaming twin of events_cep_branching.
+# ---------------------------------------------------------------------------
+
+BRANCH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("branch", StringType()),
+        StructField("start_ts_ms", LongType()),
+        StructField("end_ts_ms", LongType()),
+    ]
+)
+
+# open first-step events awaiting the OR step, plus (view_ts, branch)
+# partials that bound a middle event and await the final step
+BRANCH_STATE_SCHEMA = StructType(
+    [
+        StructField("open_views", ArrayType(LongType())),
+        StructField("paired_views", ArrayType(LongType())),
+        StructField("paired_branches", ArrayType(StringType())),
+    ]
+)
+
+
+def _branching_func(
+    first: str, seconds: Sequence[str], third: str, within_ms: int
+):
+    seconds = set(seconds)
+
+    def func(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            open_views, paired_views, paired_branches = (
+                list(v) for v in state.get
+            )
+        else:
+            open_views, paired_views, paired_branches = [], [], []
+        keys, branches, starts, ends = [], [], [], []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_ms", "event_id"], kind="mergesort")
+        for et, t in zip(rows["event_type"], rows["ts_ms"]):
+            t = int(t)
+            if et == first:
+                open_views.append(t)
+            elif et in seconds and open_views:
+                # every pending first-step binds THIS event as its OR
+                # step and remembers WHICH branch fired — the single
+                # addition over _followed_by_func
+                paired_views.extend(open_views)
+                paired_branches.extend([et] * len(open_views))
+                open_views = []
+            elif et == third and paired_views:
+                for v, br in zip(paired_views, paired_branches):
+                    if t - v <= within_ms:
+                        keys.append(key[0])
+                        branches.append(br)
+                        starts.append(v)
+                        ends.append(t)
+                paired_views, paired_branches = [], []
+            # expire partials that can no longer satisfy within()
+            open_views = [v for v in open_views if t - v <= within_ms]
+            keep = [
+                i for i, v in enumerate(paired_views) if t - v <= within_ms
+            ]
+            if len(keep) != len(paired_views):
+                paired_views = [paired_views[i] for i in keep]
+                paired_branches = [paired_branches[i] for i in keep]
+        state.update((open_views, paired_views, paired_branches))
+        yield pd.DataFrame(
+            {
+                "key": pd.Series(keys, dtype="int64"),
+                "branch": pd.Series(branches, dtype="object"),
+                "start_ts_ms": pd.Series(starts, dtype="int64"),
+                "end_ts_ms": pd.Series(ends, dtype="int64"),
+            }
+        )
+
+    return func
+
+
+def streaming_branching(
+    events: DataFrame,
+    first: str,
+    seconds: Sequence[str],
+    third: str,
+    within_ms: int,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming twin of the batch ``events_cep_branching``
+    (plans/enterprise.py): view → (click OR signup) → purchase per key
+    under SKIP_TILL_NEXT_MATCH, emitting WHICH branch the OR step bound
+    — ``(key, branch, start_ts_ms, end_ts_ms)``.
+
+    Same conditional-frontier state machine as streaming_followed_by
+    with the branch name riding along in state: first-step events
+    awaiting the OR step, and (first_ts, branch) partials awaiting the
+    final step, both pruned at the ``within_ms`` horizon so state stays
+    O(live partials) per key, never O(stream).  Same in-order contract
+    and inclusive within() boundary as the other matchers (see
+    _followed_by_timeout_func for the documented divergence from
+    Flink's exclusive NFA timeout)."""
+    renamed = events.withColumnRenamed(key_col, "key")
+    return renamed.groupBy("key").applyInPandasWithState(
+        _branching_func(first, list(seconds), third, within_ms),
+        outputStructType=BRANCH_OUTPUT_SCHEMA,
+        stateStructType=BRANCH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1829,3 +1829,171 @@ def test_streaming_cep_within_timeouts_match_reference(spark, tmpdirs):
         f"sample spurious={sorted(got - want)[:4]} "
         f"missing={sorted(want - got)[:4]}"
     )
+
+
+def test_streaming_cep_branching_matches_reference(spark, tmpdirs):
+    """Randomized differential for the OR-step branching matcher
+    (streaming/cep.py::streaming_branching, the streaming twin of
+    events_cep_branching): 40 keys × random sequences over FIVE event
+    types split into 3 micro-batches must reproduce an independent
+    O(n²) reference — each view binds the FIRST later click-OR-signup
+    (remembering which branch fired), then the first purchase after
+    that, within() checked view→purchase.  Exercises cross-batch state
+    carry of the branch attribution and frontier expiry."""
+    import random
+
+    from test_flink_spark.streaming.cep import streaming_branching
+
+    rng = random.Random(20260815)
+    within = 5_000
+    types = ["view", "click", "signup", "purchase", "other"]
+    per_user = {}
+    for u in range(1, 41):
+        n = rng.randrange(5, 31)
+        ts, seq = 0, []
+        for i in range(n):
+            ts += rng.choice([10, 100, 900, 2_000, 6_000])
+            seq.append((u, i + 1, rng.choice(types), ts))
+        per_user[u] = seq
+
+    want = set()
+    for u, seq in per_user.items():
+        for i, (_, _, et, vts) in enumerate(seq):
+            if et != "view":
+                continue
+            mid = next(
+                (e for e in seq[i + 1 :] if e[2] in ("click", "signup")), None
+            )
+            if mid is None:
+                continue
+            mi = seq.index(mid)
+            p = next((e for e in seq[mi + 1 :] if e[2] == "purchase"), None)
+            if p is not None and p[3] - vts <= within:
+                want.add((u, mid[2], vts, p[3]))
+
+    batches = [[], [], []]
+    for u, seq in per_user.items():
+        c1 = rng.randrange(0, len(seq) + 1)
+        c2 = rng.randrange(c1, len(seq) + 1)
+        batches[0].extend(seq[:c1])
+        batches[1].extend(seq[c1:c2])
+        batches[2].extend(seq[c2:])
+
+    schema = "user_id LONG, event_id LONG, event_type STRING, ts_ms LONG"
+    src = tmpdirs / "src_branching"
+    src.mkdir()
+    (src / "b0.csv").write_text(
+        "\n".join(f"{u},{e},{t},{ts}" for u, e, t, ts in batches[0]) + "\n"
+        if batches[0]
+        else "\n"
+    )
+    raw = spark.readStream.schema(schema).csv(str(src))
+    q = (
+        streaming_branching(
+            raw, "view", ["click", "signup"], "purchase", within
+        )
+        .writeStream.queryName("cep_branching")
+        .format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmpdirs / "ckpt_branching"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for bi in (1, 2):
+            (src / f"b{bi}.csv").write_text(
+                "\n".join(f"{u},{e},{t},{ts}" for u, e, t, ts in batches[bi])
+                + "\n"
+                if batches[bi]
+                else "\n"
+            )
+            q.processAllAvailable()
+        got = {
+            (r["key"], r["branch"], r["start_ts_ms"], r["end_ts_ms"])
+            for r in spark.table("cep_branching").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want, (sorted(got - want)[:5], sorted(want - got)[:5])
+    # both branches must actually occur, or the differential is vacuous
+    assert {b for _, b, _, _ in want} == {"click", "signup"}
+
+
+def test_streaming_cluster_ingest_matches_batch_cc(spark, tmpdirs):
+    """Streaming incremental CLUSTERING (streaming/cluster_ingest.py):
+    three micro-batches through foreachBatch must leave persisted labels
+    IDENTICAL to the batch connected-components over the union of all
+    docs — including a batch whose single new document BRIDGES two
+    existing clusters, forcing a retroactive relabel of old docs (the
+    case per-doc state stores cannot express).  Edge rule is
+    ngram_jaccard_pairs' own cut, so the comparison is bit-equal, not
+    approximate."""
+    from test_flink_spark.operators.dedup import ngram_jaccard_pairs
+    from test_flink_spark.operators.graph import min_label_components
+    from test_flink_spark.streaming.cluster_ingest import (
+        streaming_cluster_ingest,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta"
+    b = "one two three four five six"
+    c = "red green blue yellow purple orange"
+    bridge = f"{a} {b}"  # J(bridge, a) = J(bridge, b) = 4/10 >= 0.3
+    batches = [
+        [(1, a), (2, a), (10, b), (11, b), (20, c)],
+        [(3, a)],
+        [(15, bridge)],
+    ]
+    threshold = 0.3
+
+    schema = "doc_id LONG, text STRING"
+    src = tmpdirs / "src_cluster_ingest"
+    src.mkdir()
+    state = tmpdirs / "cluster_state"
+
+    def write_batch(i):
+        (src / f"b{i}.csv").write_text(
+            "\n".join(f'{d},"{t}"' for d, t in batches[i]) + "\n"
+        )
+
+    write_batch(0)
+    raw = spark.readStream.schema(schema).csv(str(src))
+    q = streaming_cluster_ingest(
+        raw,
+        str(state),
+        str(tmpdirs / "ckpt_cluster_ingest"),
+        threshold=threshold,
+    )
+    try:
+        q.processAllAvailable()
+        for i in (1, 2):
+            write_batch(i)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got_v2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in spark.read.parquet(str(state / "labels_v2")).collect()
+    }
+    union = spark.createDataFrame(
+        [r for batch in batches for r in batch], schema
+    )
+    edges = ngram_jaccard_pairs(union, threshold=threshold).select(
+        "id_a", "id_b"
+    )
+    want = {
+        r["doc_id"]: r["cluster_id"]
+        for r in min_label_components(
+            edges, union.select("doc_id"), "doc_id"
+        ).collect()
+    }
+    assert got_v2 == want
+    # the bridge batch must have RELABELED the second cluster: before
+    # batch 2, docs 10/11 rooted at 10; after, everything roots at 1
+    got_v1 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in spark.read.parquet(str(state / "labels_v1")).collect()
+    }
+    assert got_v1[10] == got_v1[11] == 10 and got_v1[1] == got_v1[3] == 1
+    assert got_v2[10] == got_v2[11] == got_v2[15] == 1
+    assert got_v2[20] == 20
