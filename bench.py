@@ -65,6 +65,8 @@ ISOLATED_TOP = [
     "graph_pagerank_trade",
     "graph_components_knn",
     "dedup_minhash_band_sweep",
+    # next-heaviest r7 line, filling the slot the _w64 collapse freed
+    "graph_ppr_suppliers",
 ]
 
 

@@ -283,3 +283,267 @@ SELECT d.{id_col},
        COALESCE(a.fp_md5, md5('')) AS fp_md5
 FROM {table} d LEFT JOIN agg a USING ({id_col})
 """
+
+
+def duplicate_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    ext: int = 10,
+    max_df: int = 8,
+    min_len: int | None = None,
+) -> DataFrame:
+    """Longest duplicated SUBSTRING per document pair (bounded
+    extend-and-verify) — the exact-substring dedup modality
+    ``span_ownership``'s fixed-width fingerprints miss at other
+    alignments (r7 verdict item 6): ``(id_a, id_b, len_tokens, start_a,
+    start_b)``, the longest exact common token run found around a shared
+    winnowing anchor, extension capped at ``ext`` tokens each side.
+
+    Why anchors instead of a suffix array: winnowing's guarantee (MOSS)
+    is that any common substring spanning >= w consecutive k-grams
+    (>= w+k-1 tokens) contains a selection window lying entirely inside
+    the match in BOTH documents, and the window minimum over identical
+    gram hashes is the same gram — so every such duplicate yields an
+    anchor-hash collision at the same relative offset, and bounded
+    exact extension from the collision recovers the match without any
+    all-pairs or all-suffix structure.  Matches shorter than w+k-1 may
+    be missed (standard winnowing trade); ``min_len`` defaults to that
+    guarantee threshold so reported rows are exactly the guaranteed
+    zone.
+
+    Scale shape: anchors are one (id, hash, min-pos) row per selected
+    gram hash per doc (winnowing density ~2/(w+1) of grams); hashes
+    anchored in more than ``max_df`` docs are dropped before the join
+    (the boilerplate quadratic-pair guard, same role as
+    ngram_jaccard_pairs' max_doc_freq — df > 2 already means the text
+    is corpus-common, not a pairwise duplicate signal); each surviving
+    anchor carries a BOUNDED context slice of 2·ext+k tokens, so the
+    equi-join on the anchor hash ships fixed-size rows and the
+    extension arithmetic is row-local — never a second pass over the
+    corpus, never document bodies keyed by pair.  Per pair, the longest
+    match wins (ties: smallest start_a, then start_b) in one
+    max-of-struct aggregation.
+
+    Exactness: extension compares raw TOKENS (60-bit anchor hash
+    collisions are re-verified token-wise before extension), and every
+    step is integer arithmetic both engines replay bit-for-bit."""
+    from pyspark.sql import Window
+
+    if min_len is None:
+        min_len = w + k - 1
+    ws = words(F.col(text_col))
+    idx = F.when(
+        F.size(ws) >= k, F.sequence(F.lit(1), F.size(ws) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, k)))
+    posed = df.select(
+        F.col(id_col), F.posexplode(F.transform(grams, _h60)).alias("pos0", "h")
+    )
+    by_pos = Window.partitionBy(id_col).orderBy("pos0")
+    wmin = F.min("h").over(by_pos.rowsBetween(-(w - 1), 0))
+    sel = (
+        posed.withColumn("wmin", wmin)
+        .withColumn("selmax", F.max("wmin").over(by_pos.rowsBetween(0, w - 1)))
+        .filter(F.col("h") == F.col("selmax"))
+        # 1-based token position of the gram start, the cross-engine
+        # position convention (posexplode is 0-based, the oracle 1-based)
+        .select(F.col(id_col), "h", (F.col("pos0") + 1).alias("pos1"))
+    )
+    anch = sel.groupBy(id_col, "h").agg(F.min("pos1").alias("pos"))
+    keep = (
+        anch.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter((F.col("df_") >= 2) & (F.col("df_") <= max_df))
+        .select("h")
+    )
+    lo = F.greatest(F.col("pos") - ext, F.lit(1))
+    ctxed = (
+        anch.join(keep, "h")
+        .join(df.select(F.col(id_col), ws.alias("wds")), id_col)
+        .select(
+            F.col(id_col),
+            "h",
+            "pos",
+            F.slice("wds", lo, F.col("pos") + (k - 1) + ext - lo + 1).alias("ctx"),
+            (F.col("pos") - lo + 1).alias("off"),
+        )
+    )
+    a = ctxed.select(
+        F.col(id_col).alias("id_a"),
+        F.col("h"),
+        F.col("pos").alias("pa"),
+        F.col("ctx").alias("ca"),
+        F.col("off").alias("oa"),
+    )
+    b = ctxed.select(
+        F.col(id_col).alias("id_b"),
+        F.col("h"),
+        F.col("pos").alias("pb"),
+        F.col("ctx").alias("cb"),
+        F.col("off").alias("ob"),
+    )
+    pairs = a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
+
+    def _tok(ctx, off, delta):
+        # F.get is 0-based and NULL-safe out of range (never wraps) —
+        # exactly DuckDB's positive-index list semantics
+        return F.get(ctx, off + delta - F.lit(1))
+
+    def _run(deltas_a, deltas_b):
+        flags = F.transform(
+            F.sequence(F.lit(1), F.lit(ext)),
+            lambda i: F.when(
+                F.coalesce(
+                    _tok(F.col("ca"), F.col("oa"), deltas_a(i))
+                    == _tok(F.col("cb"), F.col("ob"), deltas_b(i)),
+                    F.lit(False),
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        p = F.array_position(flags, 0)  # 0 when no mismatch in range
+        return F.when(p == 0, F.lit(ext)).otherwise(p - 1)
+
+    left = _run(lambda i: -i, lambda i: -i)
+    right = _run(lambda i: F.lit(k - 1) + i, lambda i: F.lit(k - 1) + i)
+    aeq = F.forall(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.coalesce(
+                _tok(F.col("ca"), F.col("oa"), j)
+                == _tok(F.col("cb"), F.col("ob"), j),
+                F.lit(False),
+            ),
+        ),
+        lambda x: x,
+    )
+    scored = (
+        pairs.withColumn("l_", left)
+        .withColumn("r_", right)
+        .filter(aeq)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("l_") + k + F.col("r_")).alias("len_tokens"),
+            (F.col("pa") - F.col("l_")).alias("start_a"),
+            (F.col("pb") - F.col("l_")).alias("start_b"),
+        )
+        .filter(F.col("len_tokens") >= min_len)
+    )
+    best = scored.groupBy("id_a", "id_b").agg(
+        F.max(
+            F.struct(
+                F.col("len_tokens").alias("l"),
+                (-F.col("start_a")).alias("nsa"),
+                (-F.col("start_b")).alias("nsb"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "id_a",
+        "id_b",
+        F.col("m.l").cast("long").alias("len_tokens"),
+        (-F.col("m.nsa")).cast("long").alias("start_a"),
+        (-F.col("m.nsb")).cast("long").alias("start_b"),
+    )
+
+
+def duplicate_substrings_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    ext: int = 10,
+    max_df: int = 8,
+    min_len: int | None = None,
+) -> str:
+    """DuckDB replay of :func:`duplicate_substrings`: same winnowing
+    anchors, same df cap, same bounded token-exact extension (DuckDB
+    positive list indexing is NULL out of range, matching Spark's
+    ``F.get``; the explicit ``>= 1`` guards stop DuckDB's negative
+    wrap-around), same longest-match-per-pair tie-break."""
+    if min_len is None:
+        min_len = w + k - 1
+    gram = " || ' ' || ".join(f"w[pos + {j}]" for j in range(k)).replace(
+        "w[pos + 0]", "w[pos]"
+    )
+    lflags = (
+        f"list_transform(range(1, {ext + 1}), i -> CASE WHEN pa - i >= 1 "
+        f"AND pb - i >= 1 AND COALESCE(wa[pa - i] = wb[pb - i], FALSE) "
+        f"THEN 1 ELSE 0 END)"
+    )
+    rflags = (
+        f"list_transform(range(1, {ext + 1}), i -> CASE WHEN "
+        f"COALESCE(wa[pa + {k - 1} + i] = wb[pb + {k - 1} + i], FALSE) "
+        f"THEN 1 ELSE 0 END)"
+    )
+    aeq = " AND ".join(
+        f"COALESCE(wa[pa + {j}] = wb[pb + {j}], FALSE)" for j in range(k)
+    )
+    return rf"""
+WITH ws AS (
+    SELECT {id_col}, string_split_regex(trim({text_col}), '\s+') AS w
+    FROM {table}
+), g AS (
+    SELECT {id_col}, unnest(range(1, greatest(len(w) - {k - 2}, 1))) AS pos, w
+    FROM ws
+), gh AS (
+    SELECT {id_col}, pos,
+           ('0x' || substr(md5({gram}), 1, 15))::BIGINT AS h
+    FROM g
+), m AS (
+    SELECT {id_col}, pos, h,
+           MIN(h) OVER (PARTITION BY {id_col} ORDER BY pos
+                        ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS wmin
+    FROM gh
+), s AS (
+    SELECT {id_col}, pos, h,
+           MAX(wmin) OVER (PARTITION BY {id_col} ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+             AS selmax
+    FROM m
+), anch AS (
+    SELECT {id_col}, h, MIN(pos) AS pos FROM s WHERE h = selmax GROUP BY 1, 2
+), keep AS (
+    SELECT h FROM anch GROUP BY h HAVING COUNT(*) BETWEEN 2 AND {max_df}
+), a2 AS (
+    SELECT anch.* FROM anch JOIN keep USING (h)
+), pr AS (
+    SELECT x.{id_col} AS id_a, x.pos AS pa, y.{id_col} AS id_b, y.pos AS pb
+    FROM a2 x JOIN a2 y ON x.h = y.h AND x.{id_col} < y.{id_col}
+), ctxed AS (
+    SELECT p.id_a, p.id_b, p.pa, p.pb, wa.w AS wa, wb.w AS wb
+    FROM pr p
+    JOIN ws wa ON wa.{id_col} = p.id_a
+    JOIN ws wb ON wb.{id_col} = p.id_b
+), calc0 AS (
+    -- list_position returns 0 (this DuckDB) or NULL (older) when the
+    -- value is absent; normalize to 0 = "no mismatch in range", the
+    -- same convention as Spark's array_position
+    SELECT id_a, id_b, pa, pb,
+           COALESCE(list_position({lflags}, 0), 0) AS lp,
+           COALESCE(list_position({rflags}, 0), 0) AS rp,
+           ({aeq}) AS anchor_eq
+    FROM ctxed
+), calc AS (
+    SELECT id_a, id_b, pa, pb,
+           CASE WHEN lp = 0 THEN {ext} ELSE lp - 1 END AS l,
+           CASE WHEN rp = 0 THEN {ext} ELSE rp - 1 END AS r,
+           anchor_eq
+    FROM calc0
+), scored AS (
+    SELECT id_a, id_b, l + {k} + r AS len_tokens,
+           pa - l AS start_a, pb - l AS start_b
+    FROM calc WHERE anchor_eq AND l + {k} + r >= {min_len}
+)
+SELECT id_a, id_b, CAST(len_tokens AS BIGINT) AS len_tokens,
+       CAST(start_a AS BIGINT) AS start_a, CAST(start_b AS BIGINT) AS start_b
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+          ORDER BY len_tokens DESC, start_a ASC, start_b ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+"""

@@ -45,6 +45,7 @@ _PROMOTED = (
     # Regenerate with: python tools/verified_age.py --fill N
     # --- new in r8 (first driver look) ---
     "embedding_ivfpq_sampled_train",
+    "corpus_dup_substrings",
     # --- last verified r2 (forced) ---
     "asof_join_last_error",
     "asof_join_next_error",

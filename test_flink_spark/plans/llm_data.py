@@ -7020,3 +7020,38 @@ LEFT JOIN cm USING (query_id) LEFT JOIN r1 USING (query_id)
 
 QUERIES["embedding_ivfpq_sampled_train"] = embedding_ivfpq_sampled_train
 ORACLES["embedding_ivfpq_sampled_train"] = _ivfpq_sampled_train_sql()
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup: longest duplicated run via winnowing anchors
+# (r7 verdict item 6).
+# ---------------------------------------------------------------------------
+
+
+def corpus_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest exactly-duplicated token run per document pair — the
+    suffix-style dedup modality (Lee et al. 2022's duplicated-substring
+    removal) that corpus_span_dedup's fixed-width fingerprints miss at
+    unaligned offsets and winnowing alone only fingerprints: shared
+    winnowing anchors (k=3 grams, w=4 windows — every common run of
+    >= 6 tokens is guaranteed a shared anchor), doc-frequency-capped
+    anchor-hash equi-join, then bounded token-exact extend-and-verify
+    (±10 tokens) around each collision, longest match kept per pair.
+    Output ``(id_a, id_b, len_tokens, start_a, start_b)``.  The oracle
+    replays the entire algorithm (anchors, cap, extension arithmetic,
+    tie-break) so every reported span and every boundary clamp is
+    value-checked; pytest additionally plants duplicates at adversarial
+    alignments and verifies recovered spans against construction."""
+    from ..operators.span_dedup import duplicate_substrings
+
+    return duplicate_substrings(_docs(spark, sf_dir), k=3, w=4, ext=10, max_df=8)
+
+
+def _dup_substrings_sql() -> str:
+    from ..operators.span_dedup import duplicate_substrings_oracle_sql
+
+    return duplicate_substrings_oracle_sql(k=3, w=4, ext=10, max_df=8)
+
+
+QUERIES["corpus_dup_substrings"] = corpus_dup_substrings
+ORACLES["corpus_dup_substrings"] = _dup_substrings_sql()
