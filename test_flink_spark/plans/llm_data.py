@@ -6906,21 +6906,36 @@ _SAMPLED_TRAIN_FRAC = 0.5
 def embedding_ivfpq_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production IVF-PQ training posture: codebooks (coarse AND
     per-subspace PQ) trained on a deterministic hash SAMPLE of the
-    corpus, everything encoded and searched — train cost becomes
-    O(sample), independent of corpus growth (the sf1 probe measured
-    full-corpus training dominating the r7 pipeline at 10x data).
-    Output is the recall-parity audit against the full-train codebooks:
-    per query, result-set sizes, top-5 overlap, and rank-1 agreement —
-    the evidence that the sampled codebook serves within tolerance.
+    corpus, everything encoded and searched — train cost scales with the
+    sample, not the corpus (sf1 measured: full-train 24.8 s, frac=0.5
+    13.2 s, frac=0.1 9.8 s — the r7 probe's dominant cost gone).
+    Output is the recall-vs-TRUTH audit for BOTH codebooks: per query,
+    the exact integer-L2 top-5 (the truth both approximations chase) and
+    how many of those five each variant's IVF-PQ top-5 recovered —
+    ``(query_id, n_exact, hits_sampled, hits_full)``.  The claim under
+    test is that sampling the TRAIN SET does not cost recall; comparing
+    each variant to the truth (rather than to each other) is the honest
+    metric on this near-isotropic corpus, where nprobe=2 list membership
+    is codebook-sensitive even though recall is not (sampled-vs-full
+    RESULT overlap is ~9% at sf0.1 while recall-vs-truth is 14/100
+    sampled vs 15/100 full — identical within noise at the documented
+    nprobe=2/refine=3 operating point; this query replaced its first,
+    overlap-based form after that measurement).
 
-    Both pipelines' training, encoding, ADC and refine are integer-exact
-    and replayed bit-for-bit by the oracle (ivfpq_oracle_sql with
-    train_frac/pq_train_frac mirroring operators/ivf.py's hash_bucket
-    sample), so the parity numbers themselves are value-checked, not
-    asserted.  The full-train side reuses the session-memoized coarse
-    centroids and PQ books shared with embedding_ivfpq_ann — in-sweep
-    this query pays only the sampled train."""
-    from ..operators.ivf import ivf_train, ivfpq_ann_topk, pq_train
+    Everything — both trainings, encodings, searches, the exact
+    baseline, and the hit arithmetic — is integer-exact and replayed by
+    the oracle (ivfpq_oracle_sql with train_frac/pq_train_frac mirroring
+    operators/ivf.py's hash_bucket sample).  The full-train side reuses
+    the session-memoized codebooks shared with embedding_ivfpq_ann.
+    The exact leg is the sanctioned 20-row broadcast-query-panel BNLJ
+    (cosine_topk precedent, see tests/test_plans.py allowlist)."""
+    from ..operators.ivf import (
+        ivf_train,
+        ivfpq_ann_topk,
+        pq_train,
+        quantize,
+        sq_dist,
+    )
 
     emb = _emb(spark, sf_dir)
     coarse_s = ivf_train(
@@ -6932,7 +6947,7 @@ def embedding_ivfpq_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame
     queries = emb.filter(F.col("vec_id") < 20)
     sampled = ivfpq_ann_topk(
         emb, queries, coarse_s, books_s, k=5, nprobe=2, refine=3
-    ).select("query_id", "neighbor_id", "rank")
+    ).select("query_id", "neighbor_id")
     full = ivfpq_ann_topk(
         emb,
         queries,
@@ -6941,80 +6956,84 @@ def embedding_ivfpq_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame
         k=5,
         nprobe=2,
         refine=3,
-    ).select("query_id", "neighbor_id", "rank")
-    base = sampled.select("query_id").union(full.select("query_id")).distinct()
-    n_s = sampled.groupBy("query_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sampled")
+    ).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), quantize(F.col("embedding")).alias("q")
     )
-    n_f = full.groupBy("query_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_full")
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), quantize(F.col("embedding")).alias("c")
     )
-    common = (
-        sampled.select("query_id", "neighbor_id")
-        .join(full.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
     )
-    r1 = (
-        sampled.filter(F.col("rank") == 1)
-        .select("query_id", F.col("neighbor_id").alias("nid_s"))
-        .join(
-            full.filter(F.col("rank") == 1).select(
-                "query_id", F.col("neighbor_id").alias("nid_f")
-            ),
-            "query_id",
-        )
+    exact5 = (
+        cv.crossJoin(F.broadcast(qv))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
-            (F.col("nid_s") == F.col("nid_f")).cast("long").alias("rank1_agree"),
+            "neighbor_id",
+            sq_dist(F.col("q"), F.col("c")).alias("dist"),
         )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    n_ex = exact5.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    hits_s = (
+        sampled.join(exact5, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits_sampled"))
+    )
+    hits_f = (
+        full.join(exact5, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits_full"))
     )
     return (
-        base.join(n_s, "query_id", "left")
-        .join(n_f, "query_id", "left")
-        .join(common, "query_id", "left")
-        .join(r1, "query_id", "left")
+        n_ex.join(hits_s, "query_id", "left")
+        .join(hits_f, "query_id", "left")
         .select(
             "query_id",
-            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
-            F.coalesce("n_full", F.lit(0)).cast("long").alias("n_full"),
-            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
-            F.coalesce("rank1_agree", F.lit(0)).cast("long").alias("rank1_agree"),
+            "n_exact",
+            F.coalesce("hits_sampled", F.lit(0)).cast("long").alias("hits_sampled"),
+            F.coalesce("hits_full", F.lit(0)).cast("long").alias("hits_full"),
         )
     )
 
 
 def _ivfpq_sampled_train_sql() -> str:
-    from ..operators.ivf import ivfpq_oracle_sql
+    from ..operators.ivf import QUANT, _oracle_dist, ivfpq_oracle_sql
 
     samp = ivfpq_oracle_sql(
         k=8, iters=2, dim=EMB_DIM, topk=5, nprobe=2, refine=3,
         train_frac=_SAMPLED_TRAIN_FRAC, pq_train_frac=_SAMPLED_TRAIN_FRAC,
     )
     full = ivfpq_oracle_sql(k=8, iters=2, dim=EMB_DIM, topk=5, nprobe=2, refine=3)
+    dist = _oracle_dist(EMB_DIM)
     return f"""
 WITH samp AS ({samp}), fl AS ({full}),
-base AS (SELECT DISTINCT query_id FROM
-         (SELECT query_id FROM samp UNION ALL SELECT query_id FROM fl)),
-cs AS (SELECT query_id, COUNT(*) AS n_sampled FROM samp GROUP BY 1),
-cf AS (SELECT query_id, COUNT(*) AS n_full FROM fl GROUP BY 1),
-cm AS (SELECT s.query_id, COUNT(*) AS n_common
-       FROM samp s JOIN fl f
-         ON s.query_id = f.query_id AND s.neighbor_id = f.neighbor_id
-       GROUP BY 1),
-r1 AS (SELECT s.query_id,
-              CASE WHEN s.neighbor_id = f.neighbor_id THEN 1 ELSE 0 END
-                  AS rank1_agree
-       FROM (SELECT query_id, neighbor_id FROM samp WHERE rank = 1) s
-       JOIN (SELECT query_id, neighbor_id FROM fl WHERE rank = 1) f
-         USING (query_id))
-SELECT b.query_id,
-       CAST(COALESCE(cs.n_sampled, 0) AS BIGINT) AS n_sampled,
-       CAST(COALESCE(cf.n_full, 0) AS BIGINT) AS n_full,
-       CAST(COALESCE(cm.n_common, 0) AS BIGINT) AS n_common,
-       CAST(COALESCE(r1.rank1_agree, 0) AS BIGINT) AS rank1_agree
-FROM base b LEFT JOIN cs USING (query_id) LEFT JOIN cf USING (query_id)
-LEFT JOIN cm USING (query_id) LEFT JOIN r1 USING (query_id)
+qq AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+       FROM embeddings),
+ex AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {dist('q.v', 'c.v')}, c.vec_id) AS rn
+        FROM (SELECT * FROM qq WHERE vec_id < 20) q
+        CROSS JOIN qq c
+        WHERE c.vec_id <> q.vec_id) WHERE rn <= 5),
+ne AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY 1),
+hs AS (SELECT s.query_id, COUNT(*) AS hits_sampled
+       FROM samp s JOIN ex USING (query_id, neighbor_id) GROUP BY 1),
+hf AS (SELECT f.query_id, COUNT(*) AS hits_full
+       FROM fl f JOIN ex USING (query_id, neighbor_id) GROUP BY 1)
+SELECT ne.query_id,
+       CAST(ne.n_exact AS BIGINT) AS n_exact,
+       CAST(COALESCE(hs.hits_sampled, 0) AS BIGINT) AS hits_sampled,
+       CAST(COALESCE(hf.hits_full, 0) AS BIGINT) AS hits_full
+FROM ne LEFT JOIN hs USING (query_id) LEFT JOIN hf USING (query_id)
 """
 
 

@@ -1542,3 +1542,25 @@ def test_band_join_candidate_bill_bounded_under_hot_shingle(spark):
         ).collect()
     }
     assert got == {(1001, 1002)}
+
+
+def test_ivfpq_sampled_train_recall_parity(spark):
+    """The sampled-train claim, asserted: training IVF-PQ codebooks on
+    the 50% hash sample must not cost recall — per-query hits against
+    the exact integer-L2 top-5 for the sampled and full codebooks stay
+    within a 10-hit band (of 100 possible) of each other.  Result-set
+    overlap between the variants is NOT asserted: nprobe=2 list
+    membership is codebook-sensitive on this near-isotropic corpus even
+    when recall is identical (measured ~9% overlap at equal recall)."""
+    from pyspark.sql import functions as F
+
+    from test_flink_spark.plans.llm_data import embedding_ivfpq_sampled_train
+
+    df = embedding_ivfpq_sampled_train(spark, "/root/testdata/sf0.01")
+    r = df.agg(
+        F.sum("hits_sampled").alias("s"),
+        F.sum("hits_full").alias("f"),
+        F.sum("n_exact").alias("n"),
+    ).collect()[0]
+    assert r["n"] == 100
+    assert abs(r["s"] - r["f"]) <= 10, (r["s"], r["f"])
