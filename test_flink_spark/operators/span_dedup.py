@@ -294,6 +294,7 @@ def duplicate_substrings(
     ext: int = 10,
     max_df: int = 8,
     min_len: int | None = None,
+    per_pair_best: bool = True,
 ) -> DataFrame:
     """Longest duplicated SUBSTRING per document pair (bounded
     extend-and-verify) — the exact-substring dedup modality
@@ -433,6 +434,16 @@ def duplicate_substrings(
         )
         .filter(F.col("len_tokens") >= min_len)
     )
+    if not per_pair_best:
+        # every verified extended match — the coverage/trim consumers'
+        # input (duplicate_span_coverage merges these intervals per doc)
+        return scored.select(
+            "id_a",
+            "id_b",
+            F.col("len_tokens").cast("long").alias("len_tokens"),
+            F.col("start_a").cast("long").alias("start_a"),
+            F.col("start_b").cast("long").alias("start_b"),
+        )
     best = scored.groupBy("id_a", "id_b").agg(
         F.max(
             F.struct(
@@ -451,23 +462,21 @@ def duplicate_substrings(
     )
 
 
-def duplicate_substrings_oracle_sql(
-    table: str = "documents",
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 3,
-    w: int = 4,
-    ext: int = 10,
-    max_df: int = 8,
-    min_len: int | None = None,
+def _dup_substrings_cte_body(
+    table: str,
+    text_col: str,
+    id_col: str,
+    k: int,
+    w: int,
+    ext: int,
+    max_df: int,
+    min_len: int,
 ) -> str:
-    """DuckDB replay of :func:`duplicate_substrings`: same winnowing
-    anchors, same df cap, same bounded token-exact extension (DuckDB
-    positive list indexing is NULL out of range, matching Spark's
-    ``F.get``; the explicit ``>= 1`` guards stop DuckDB's negative
-    wrap-around), same longest-match-per-pair tie-break."""
-    if min_len is None:
-        min_len = w + k - 1
+    """Shared WITH-body (through the ``scored`` CTE) for the
+    duplicate-substring oracles — anchors, df cap, bounded extension,
+    verification; :func:`duplicate_substrings_oracle_sql` adds the
+    per-pair tie-break, :func:`duplicate_span_coverage_oracle_sql` the
+    interval merge."""
     gram = " || ' ' || ".join(f"w[pos + {j}]" for j in range(k)).replace(
         "w[pos + 0]", "w[pos]"
     )
@@ -484,8 +493,7 @@ def duplicate_substrings_oracle_sql(
     aeq = " AND ".join(
         f"COALESCE(wa[pa + {j}] = wb[pb + {j}], FALSE)" for j in range(k)
     )
-    return rf"""
-WITH ws AS (
+    return rf"""ws AS (
     SELECT {id_col}, string_split_regex(trim({text_col}), '\s+') AS w
     FROM {table}
 ), g AS (
@@ -539,11 +547,188 @@ WITH ws AS (
     SELECT id_a, id_b, l + {k} + r AS len_tokens,
            pa - l AS start_a, pb - l AS start_b
     FROM calc WHERE anchor_eq AND l + {k} + r >= {min_len}
-)
+)"""
+
+
+def duplicate_substrings_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    ext: int = 10,
+    max_df: int = 8,
+    min_len: int | None = None,
+) -> str:
+    """DuckDB replay of :func:`duplicate_substrings`: same winnowing
+    anchors, same df cap, same bounded token-exact extension (DuckDB
+    positive list indexing is NULL out of range, matching Spark's
+    ``F.get``; the explicit ``>= 1`` guards stop DuckDB's negative
+    wrap-around), same longest-match-per-pair tie-break."""
+    if min_len is None:
+        min_len = w + k - 1
+    body = _dup_substrings_cte_body(
+        table, text_col, id_col, k, w, ext, max_df, min_len
+    )
+    return f"""
+WITH {body}
 SELECT id_a, id_b, CAST(len_tokens AS BIGINT) AS len_tokens,
        CAST(start_a AS BIGINT) AS start_a, CAST(start_b AS BIGINT) AS start_b
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a, id_b
           ORDER BY len_tokens DESC, start_a ASC, start_b ASC) AS rn
       FROM scored)
 WHERE rn = 1
+"""
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    ext: int = 10,
+    max_df: int = 8,
+    min_len: int | None = None,
+) -> DataFrame:
+    """Per-document duplicated-TOKEN coverage from the substring
+    detector: every verified extended match contributes an interval to
+    BOTH endpoint docs; overlapping intervals are merged (classic
+    gaps-and-islands on a per-doc window — running max of prior interval
+    ends marks island starts) and the union length is reported as
+    ``(id_col, n_tokens, n_spans, covered_tokens, coverage_bp)`` for
+    EVERY input doc.  This is the actionable number substring dedup
+    exists to produce (Lee et al. 2022 trim/drop policies threshold on
+    exactly this fraction); ``span_ownership``'s dup_frac counts
+    fixed-width fingerprints, which double-counts overlap and misses
+    unaligned duplication.
+
+    Integer-exact throughout: interval endpoints are token positions,
+    the merge is window arithmetic on them, and coverage_bp =
+    floor(10000·covered/n_tokens) — the oracle replays every step.
+    Scale: intervals per doc are bounded by its anchor count; the merge
+    windows ride the doc-id partitioning (no global window)."""
+    from pyspark.sql import Window
+
+    spans = duplicate_substrings(
+        df, text_col, id_col, k, w, ext, max_df, min_len, per_pair_best=False
+    )
+    iv = spans.select(
+        F.col("id_a").alias(id_col),
+        F.col("start_a").alias("s"),
+        (F.col("start_a") + F.col("len_tokens") - 1).alias("e"),
+    ).unionByName(
+        spans.select(
+            F.col("id_b").alias(id_col),
+            F.col("start_b").alias("s"),
+            (F.col("start_b") + F.col("len_tokens") - 1).alias("e"),
+        )
+    )
+    # the merge runs on DISTINCT intervals: duplicates contribute nothing
+    # to a union, and deduping makes the (s, e) sort keys UNIQUE per doc —
+    # ROWS-framed windows over tied keys are where parallel window
+    # implementations wobble (observed: DuckDB 1.0 with 32 threads split
+    # an island across duplicate rows nondeterministically, ~1 doc per
+    # 50k; Spark's rowsBetween has the same theoretical tie hazard)
+    ivd = iv.distinct()
+    wo = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max = F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    isl = ivd.withColumn(
+        "new_isl", (F.col("s") > F.coalesce(prev_max, F.lit(-1))).cast("long")
+    ).withColumn(
+        "isl", F.sum("new_isl").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_isl = isl.groupBy(id_col, "isl").agg(
+        (F.max("e") - F.min("s") + 1).alias("cov")
+    )
+    per_doc = per_isl.groupBy(id_col).agg(
+        F.sum("cov").cast("long").alias("covered_tokens")
+    )
+    nsp = iv.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_spans"))
+    toks = df.select(
+        F.col(id_col), F.size(words(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    return (
+        toks.join(nsp, id_col, "left")
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long")
+            .alias("covered_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr(
+                    "coalesce(covered_tokens, 0) * 10000 div n_tokens"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("coverage_bp"),
+        )
+    )
+
+
+def duplicate_span_coverage_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    ext: int = 10,
+    max_df: int = 8,
+    min_len: int | None = None,
+) -> str:
+    """DuckDB replay of :func:`duplicate_span_coverage`: shared
+    anchor/extension body, same gaps-and-islands interval merge, same
+    integer basis-point coverage."""
+    if min_len is None:
+        min_len = w + k - 1
+    body = _dup_substrings_cte_body(
+        table, text_col, id_col, k, w, ext, max_df, min_len
+    )
+    return rf"""
+WITH {body},
+iv AS (
+    SELECT id_a AS {id_col}, start_a AS s, start_a + len_tokens - 1 AS e
+    FROM scored
+    UNION ALL
+    SELECT id_b, start_b, start_b + len_tokens - 1 FROM scored
+), ivd AS (
+    -- DISTINCT before the merge windows: unique (s, e) keys per doc, so
+    -- the ROWS frames never see ties (parallel-window nondeterminism on
+    -- duplicate rows, observed in DuckDB 1.0 at 32 threads)
+    SELECT DISTINCT {id_col}, s, e FROM iv
+), marked AS (
+    SELECT {id_col}, s, e,
+           CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY {id_col}
+                    ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 1 ELSE 0 END AS new_isl
+    FROM ivd
+), isl AS (
+    SELECT {id_col}, s, e,
+           SUM(new_isl) OVER (PARTITION BY {id_col} ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+    FROM marked
+), per_isl AS (
+    SELECT {id_col}, isl, MAX(e) - MIN(s) + 1 AS cov FROM isl GROUP BY 1, 2
+), per_doc AS (
+    SELECT {id_col}, SUM(cov) AS covered_tokens FROM per_isl GROUP BY 1
+), nsp AS (
+    SELECT {id_col}, COUNT(*) AS n_spans FROM iv GROUP BY 1
+), toks AS (
+    SELECT {id_col},
+           len(string_split_regex(trim({text_col}), '\s+')) AS n_tokens
+    FROM {table}
+)
+SELECT t.{id_col},
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(p.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       CAST(CASE WHEN t.n_tokens > 0
+                 THEN (COALESCE(p.covered_tokens, 0) * 10000) // t.n_tokens
+                 ELSE 0 END AS BIGINT) AS coverage_bp
+FROM toks t LEFT JOIN nsp n USING ({id_col}) LEFT JOIN per_doc p USING ({id_col})
 """

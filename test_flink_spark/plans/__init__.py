@@ -46,6 +46,7 @@ _PROMOTED = (
     # --- new in r8 (first driver look) ---
     "embedding_ivfpq_sampled_train",
     "corpus_dup_substrings",
+    "corpus_dup_span_coverage",
     # --- last verified r2 (forced) ---
     "asof_join_last_error",
     "asof_join_next_error",

@@ -7074,3 +7074,31 @@ def _dup_substrings_sql() -> str:
 
 QUERIES["corpus_dup_substrings"] = corpus_dup_substrings
 ORACLES["corpus_dup_substrings"] = _dup_substrings_sql()
+
+
+def corpus_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token COVERAGE — the number the substring
+    detector exists to produce: for every doc, how many of its tokens
+    lie inside at least one exactly-duplicated run (all verified
+    extended matches from corpus_dup_substrings' anchor machinery, both
+    endpoints, merged as intervals per doc), as an integer basis-point
+    fraction.  Lee et al. 2022's trim/drop policies threshold on exactly
+    this; span_ownership's fixed-width dup_frac both double-counts
+    overlapping windows and misses unaligned duplication.  The oracle
+    replays anchors, extension, the gaps-and-islands interval merge and
+    the bp arithmetic end-to-end."""
+    from ..operators.span_dedup import duplicate_span_coverage
+
+    return duplicate_span_coverage(
+        _docs(spark, sf_dir), k=3, w=4, ext=10, max_df=8
+    )
+
+
+def _dup_span_coverage_sql() -> str:
+    from ..operators.span_dedup import duplicate_span_coverage_oracle_sql
+
+    return duplicate_span_coverage_oracle_sql(k=3, w=4, ext=10, max_df=8)
+
+
+QUERIES["corpus_dup_span_coverage"] = corpus_dup_span_coverage
+ORACLES["corpus_dup_span_coverage"] = _dup_span_coverage_sql()

@@ -173,6 +173,11 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         # baseline (cosine_topk) — same sanctioned panel BNLJ; the ANN
         # leg under audit is the bucketed LSH path (no BNLJ).
         "retrieval_ndcg_audit",
+        # sampled-train recall audit: the truth leg is the exact
+        # integer-L2 top-5 over the SAME fixed 20-row broadcast query
+        # panel (cosine_topk precedent); both IVF-PQ legs under audit
+        # probe via equi-joins (no BNLJ).
+        "embedding_ivfpq_sampled_train",
         # CUPED: the 1-row pooled-moments aggregate broadcast into the
         # 2-row per-variant table — broadcast-1-row scalar shape
         # (skew_key_report precedent); the per-user day split likewise
