@@ -285,6 +285,108 @@ FROM {table} d LEFT JOIN agg a USING ({id_col})
 """
 
 
+def anchor_contexts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    ext: int = 10,
+) -> DataFrame:
+    """Winnowing-selected anchors with bounded context slices:
+    ``(id_col, h, pos, ctx, off)`` where ``ctx`` is the 2·ext+k-token
+    window around the anchor gram and ``off`` the anchor's 1-based
+    offset within it.  One row per (doc, anchor hash) at the MIN
+    position.  No frequency policy here — callers apply whichever cap
+    their join needs (duplicate_substrings: 2..max_df across the corpus;
+    substring_anchor_index: <= max_df on the corpus side only)."""
+    from pyspark.sql import Window
+
+    ws = words(F.col(text_col))
+    idx = F.when(
+        F.size(ws) >= k, F.sequence(F.lit(1), F.size(ws) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, k)))
+    posed = df.select(
+        F.col(id_col), F.posexplode(F.transform(grams, _h60)).alias("pos0", "h")
+    )
+    by_pos = Window.partitionBy(id_col).orderBy("pos0")
+    wmin = F.min("h").over(by_pos.rowsBetween(-(w - 1), 0))
+    sel = (
+        posed.withColumn("wmin", wmin)
+        .withColumn("selmax", F.max("wmin").over(by_pos.rowsBetween(0, w - 1)))
+        .filter(F.col("h") == F.col("selmax"))
+        # 1-based token position of the gram start, the cross-engine
+        # position convention (posexplode is 0-based, the oracle 1-based)
+        .select(F.col(id_col), "h", (F.col("pos0") + 1).alias("pos1"))
+    )
+    anch = sel.groupBy(id_col, "h").agg(F.min("pos1").alias("pos"))
+    lo = F.greatest(F.col("pos") - ext, F.lit(1))
+    return anch.join(df.select(F.col(id_col), ws.alias("wds")), id_col).select(
+        F.col(id_col),
+        "h",
+        "pos",
+        F.slice("wds", lo, F.col("pos") + (k - 1) + ext - lo + 1).alias("ctx"),
+        (F.col("pos") - lo + 1).alias("off"),
+    )
+
+
+def extend_anchor_pairs(
+    pairs: DataFrame, k: int, ext: int, min_len: int
+) -> DataFrame:
+    """Bounded token-exact extend-and-verify over anchor-collision pairs
+    with columns ``(id_a, pa, ca, oa, id_b, pb, cb, ob)`` — returns the
+    verified matches ``(id_a, id_b, len_tokens, start_a, start_b)``.
+    Shared by the batch pair detector and the streaming index probe."""
+
+    def _tok(ctx, off, delta):
+        # F.get is 0-based and NULL-safe out of range (never wraps) —
+        # exactly DuckDB's positive-index list semantics
+        return F.get(ctx, off + delta - F.lit(1))
+
+    def _run(deltas_a, deltas_b):
+        flags = F.transform(
+            F.sequence(F.lit(1), F.lit(ext)),
+            lambda i: F.when(
+                F.coalesce(
+                    _tok(F.col("ca"), F.col("oa"), deltas_a(i))
+                    == _tok(F.col("cb"), F.col("ob"), deltas_b(i)),
+                    F.lit(False),
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        p = F.array_position(flags, 0)  # 0 when no mismatch in range
+        return F.when(p == 0, F.lit(ext)).otherwise(p - 1)
+
+    left = _run(lambda i: -i, lambda i: -i)
+    right = _run(lambda i: F.lit(k - 1) + i, lambda i: F.lit(k - 1) + i)
+    aeq = F.forall(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.coalesce(
+                _tok(F.col("ca"), F.col("oa"), j)
+                == _tok(F.col("cb"), F.col("ob"), j),
+                F.lit(False),
+            ),
+        ),
+        lambda x: x,
+    )
+    return (
+        pairs.withColumn("l_", left)
+        .withColumn("r_", right)
+        .filter(aeq)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("l_") + k + F.col("r_")).alias("len_tokens"),
+            (F.col("pa") - F.col("l_")).alias("start_a"),
+            (F.col("pb") - F.col("l_")).alias("start_b"),
+        )
+        .filter(F.col("len_tokens") >= min_len)
+    )
+
+
 def duplicate_substrings(
     df: DataFrame,
     text_col: str = "text",
@@ -331,47 +433,16 @@ def duplicate_substrings(
     Exactness: extension compares raw TOKENS (60-bit anchor hash
     collisions are re-verified token-wise before extension), and every
     step is integer arithmetic both engines replay bit-for-bit."""
-    from pyspark.sql import Window
-
     if min_len is None:
         min_len = w + k - 1
-    ws = words(F.col(text_col))
-    idx = F.when(
-        F.size(ws) >= k, F.sequence(F.lit(1), F.size(ws) - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, k)))
-    posed = df.select(
-        F.col(id_col), F.posexplode(F.transform(grams, _h60)).alias("pos0", "h")
-    )
-    by_pos = Window.partitionBy(id_col).orderBy("pos0")
-    wmin = F.min("h").over(by_pos.rowsBetween(-(w - 1), 0))
-    sel = (
-        posed.withColumn("wmin", wmin)
-        .withColumn("selmax", F.max("wmin").over(by_pos.rowsBetween(0, w - 1)))
-        .filter(F.col("h") == F.col("selmax"))
-        # 1-based token position of the gram start, the cross-engine
-        # position convention (posexplode is 0-based, the oracle 1-based)
-        .select(F.col(id_col), "h", (F.col("pos0") + 1).alias("pos1"))
-    )
-    anch = sel.groupBy(id_col, "h").agg(F.min("pos1").alias("pos"))
+    anch = anchor_contexts(df, text_col, id_col, k, w, ext)
     keep = (
         anch.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df_"))
         .filter((F.col("df_") >= 2) & (F.col("df_") <= max_df))
         .select("h")
     )
-    lo = F.greatest(F.col("pos") - ext, F.lit(1))
-    ctxed = (
-        anch.join(keep, "h")
-        .join(df.select(F.col(id_col), ws.alias("wds")), id_col)
-        .select(
-            F.col(id_col),
-            "h",
-            "pos",
-            F.slice("wds", lo, F.col("pos") + (k - 1) + ext - lo + 1).alias("ctx"),
-            (F.col("pos") - lo + 1).alias("off"),
-        )
-    )
+    ctxed = anch.join(keep, "h")
     a = ctxed.select(
         F.col(id_col).alias("id_a"),
         F.col("h"),
@@ -387,53 +458,7 @@ def duplicate_substrings(
         F.col("off").alias("ob"),
     )
     pairs = a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
-
-    def _tok(ctx, off, delta):
-        # F.get is 0-based and NULL-safe out of range (never wraps) —
-        # exactly DuckDB's positive-index list semantics
-        return F.get(ctx, off + delta - F.lit(1))
-
-    def _run(deltas_a, deltas_b):
-        flags = F.transform(
-            F.sequence(F.lit(1), F.lit(ext)),
-            lambda i: F.when(
-                F.coalesce(
-                    _tok(F.col("ca"), F.col("oa"), deltas_a(i))
-                    == _tok(F.col("cb"), F.col("ob"), deltas_b(i)),
-                    F.lit(False),
-                ),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        p = F.array_position(flags, 0)  # 0 when no mismatch in range
-        return F.when(p == 0, F.lit(ext)).otherwise(p - 1)
-
-    left = _run(lambda i: -i, lambda i: -i)
-    right = _run(lambda i: F.lit(k - 1) + i, lambda i: F.lit(k - 1) + i)
-    aeq = F.forall(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(k - 1)),
-            lambda j: F.coalesce(
-                _tok(F.col("ca"), F.col("oa"), j)
-                == _tok(F.col("cb"), F.col("ob"), j),
-                F.lit(False),
-            ),
-        ),
-        lambda x: x,
-    )
-    scored = (
-        pairs.withColumn("l_", left)
-        .withColumn("r_", right)
-        .filter(aeq)
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("l_") + k + F.col("r_")).alias("len_tokens"),
-            (F.col("pa") - F.col("l_")).alias("start_a"),
-            (F.col("pb") - F.col("l_")).alias("start_b"),
-        )
-        .filter(F.col("len_tokens") >= min_len)
-    )
+    scored = extend_anchor_pairs(pairs, k, ext, min_len)
     if not per_pair_best:
         # every verified extended match — the coverage/trim consumers'
         # input (duplicate_span_coverage merges these intervals per doc)
@@ -610,9 +635,13 @@ def duplicate_span_coverage(
     windows ride the doc-id partitioning (no global window)."""
     from pyspark.sql import Window
 
+    # eager-pin the match list: FOUR consumers read it (both iv union
+    # branches, n_spans, and the merge) and Spark shares no subplans —
+    # without the checkpoint the whole anchor/extension pipeline ran 4x
+    # (plan audit: 72 exchanges / 25 scans; with it, one derivation)
     spans = duplicate_substrings(
         df, text_col, id_col, k, w, ext, max_df, min_len, per_pair_best=False
-    )
+    ).localCheckpoint(eager=True)
     iv = spans.select(
         F.col("id_a").alias(id_col),
         F.col("start_a").alias("s"),
@@ -732,3 +761,91 @@ SELECT t.{id_col},
                  ELSE 0 END AS BIGINT) AS coverage_bp
 FROM toks t LEFT JOIN nsp n USING ({id_col}) LEFT JOIN per_doc p USING ({id_col})
 """
+
+
+def substring_anchor_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    ext: int = 10,
+    max_df: int = 8,
+) -> DataFrame:
+    """The PERSISTED corpus side of incremental substring dedup: every
+    corpus anchor (with its context slice) whose hash is carried by at
+    most ``max_df`` corpus docs — the same boilerplate guard as the
+    batch detector, applied one-sided (a df=1 corpus anchor still has to
+    probe-able by an ARRIVING duplicate, so the >=2 prefilter of the
+    batch pair join does not apply here).  Production writes this as a
+    bucketed table on ``h``; each ingest batch probes it with a hash
+    join and appends its own anchors."""
+    anch = anchor_contexts(df, text_col, id_col, k, w, ext)
+    keep = (
+        anch.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") <= max_df)
+        .select("h")
+    )
+    return anch.join(keep, "h")
+
+
+def substring_check_batch(
+    batch_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    ext: int = 10,
+    min_len: int | None = None,
+) -> DataFrame:
+    """Probe ONE batch of arriving documents against a persisted
+    :func:`substring_anchor_index`: anchors of the new docs equi-join
+    the index on the anchor hash, shared collisions extend-and-verify
+    exactly as in the batch detector, and the longest verified match per
+    (new doc, corpus doc) pair is emitted as ``(doc_id, dup_of,
+    len_tokens, start_new, start_corpus)``.  The streaming face of
+    corpus_dup_substrings, composed by :func:`streaming_substring_check`
+    — the substring-modality sibling of minhash_dedup's
+    streaming_index_check (whole-doc) and cluster_ingest (clusters).
+
+    Frequency semantics vs the batch detector: the df cap is applied to
+    the CORPUS index at build time; the arriving batch's own anchors are
+    uncapped (a batch is bounded, and its hot anchors still meet a
+    capped index).  On fixtures where no anchor exceeds the cap the two
+    paths emit identical pairs — the parity pytest pins exactly that."""
+    if min_len is None:
+        min_len = w + k - 1
+    a = anchor_contexts(batch_df, text_col, id_col, k, w, ext).select(
+        F.col(id_col).alias("id_a"),
+        F.col("h"),
+        F.col("pos").alias("pa"),
+        F.col("ctx").alias("ca"),
+        F.col("off").alias("oa"),
+    )
+    b = index.select(
+        F.col(id_col).alias("id_b"),
+        F.col("h"),
+        F.col("pos").alias("pb"),
+        F.col("ctx").alias("cb"),
+        F.col("off").alias("ob"),
+    )
+    pairs = a.join(b, "h").filter(F.col("id_a") != F.col("id_b"))
+    scored = extend_anchor_pairs(pairs, k, ext, min_len)
+    best = scored.groupBy("id_a", "id_b").agg(
+        F.max(
+            F.struct(
+                F.col("len_tokens").alias("l"),
+                (-F.col("start_a")).alias("nsa"),
+                (-F.col("start_b")).alias("nsb"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        F.col("id_a").alias(id_col),
+        F.col("id_b").alias("dup_of"),
+        F.col("m.l").cast("long").alias("len_tokens"),
+        (-F.col("m.nsa")).cast("long").alias("start_new"),
+        (-F.col("m.nsb")).cast("long").alias("start_corpus"),
+    )

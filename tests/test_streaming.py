@@ -1997,3 +1997,64 @@ def test_streaming_cluster_ingest_matches_batch_cc(spark, tmpdirs):
     assert got_v1[10] == got_v1[11] == 10 and got_v1[1] == got_v1[3] == 1
     assert got_v2[10] == got_v2[11] == got_v2[15] == 1
     assert got_v2[20] == 20
+
+
+def test_streaming_substring_check_matches_batch_detector(spark, tmpdirs):
+    """Streaming substring-dedup ingest (streaming/substring_dedup.py):
+    three micro-batches probed against the growing anchor index must
+    emit exactly the cross-batch pairs the BATCH detector
+    (duplicate_substrings) finds over the union — same pair set, same
+    longest-match geometry.  Doc ids ascend with arrival order, so the
+    batch detector's (id_a < id_b) pairs map to (dup_of=id_a,
+    doc_id=id_b); same-batch duplicates are deliberately absent (the
+    probe checks arrivals against PRIOR state only — the batch twin's
+    in-batch pairs are streaming_minhash-style same-batch work)."""
+    from pyspark.sql import functions as F
+
+    from test_flink_spark.operators.span_dedup import duplicate_substrings
+    from test_flink_spark.streaming.substring_dedup import (
+        streaming_substring_check,
+    )
+
+    dup = "zeta eta theta iota kappa lam mu nu"  # 8 tokens
+    batches = [
+        [(1, f"a1 a2 a3 a4 a5 {dup} x1 x2"), (2, "b1 b2 b3 b4 b5 b6 b7 b8")],
+        [(10, f"{dup} y1 y2 y3")],          # dup of 1 at the start edge
+        [(20, f"c1 c2 {dup}"), (21, "d1 d2 d3 d4 d5 d6 d7 d8")],  # dup of 1 AND 10
+    ]
+    schema = "doc_id LONG, text STRING"
+    src = tmpdirs / "src_substring"
+    src.mkdir()
+    state = tmpdirs / "substring_state"
+
+    def write_batch(i):
+        (src / f"b{i}.csv").write_text(
+            "\n".join(f'{d},"{t}"' for d, t in batches[i]) + "\n"
+        )
+
+    write_batch(0)
+    raw = spark.readStream.schema(schema).csv(str(src))
+    q = streaming_substring_check(
+        raw, str(state), str(tmpdirs / "ckpt_substring")
+    )
+    try:
+        q.processAllAvailable()
+        for i in (1, 2):
+            write_batch(i)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["doc_id"], r["dup_of"], r["len_tokens"], r["start_new"], r["start_corpus"])
+        for r in spark.read.parquet(str(state / "hits")).drop("batch").collect()
+    }
+    union = spark.createDataFrame([r for b in batches for r in b], schema)
+    want = {
+        (r["id_b"], r["id_a"], r["len_tokens"], r["start_b"], r["start_a"])
+        for r in duplicate_substrings(union).collect()
+    }
+    assert got == want
+    # the fixture actually exercised index growth: doc 20 matched BOTH
+    # the original and the batch-1 arrival
+    assert {(d, o) for d, o, *_ in got} == {(10, 1), (20, 1), (20, 10)}
