@@ -51,22 +51,22 @@ HEADLINE = [
 # fresh-JVM).  Isolated runs build cold caches (shared dedup stages
 # included), so iso >= in-sweep for shared-stage consumers is expected.
 ISOLATED_TOP = [
-    # regenerated from the round-7 pre-flight sweep's top-8 (shared-stage
+    # regenerated from the round-8 final sweep's top-8 (shared-stage
     # accounting lines excluded), heaviest first so a budget cut drops
     # the LIGHTEST line, never the heaviest (the r6 failure: the iso
-    # budget went to a 1.35 s line while the 7.99 s line went unmeasured)
-    # r8: dedup_simhash_clusters is now the (faster) w64 implementation —
-    # the retired w32 form was this list's heaviest line; the separate
-    # _w64 entry collapsed into the canonical name.
-    "dedup_simhash_clusters",
+    # budget went to a 1.35 s line while the 7.99 s line went unmeasured).
+    # embedding_ivfpq_sampled_train is the fleet's heaviest line BY
+    # DESIGN (it trains a second, sampled codebook set and runs the
+    # exact-truth baseline); dedup_simhash_clusters is the w64
+    # implementation since r8 (the retired w32 form led this list).
+    "embedding_ivfpq_sampled_train",
+    "corpus_dup_span_coverage",
     "dedup_clusters_incremental",
-    "corpus_dedup_cascade_audit",
+    "dedup_simhash_clusters",
+    "graph_components_knn",
+    "graph_ppr_suppliers",
     "graph_kcore_trade",
     "graph_pagerank_trade",
-    "graph_components_knn",
-    "dedup_minhash_band_sweep",
-    # next-heaviest r7 line, filling the slot the _w64 collapse freed
-    "graph_ppr_suppliers",
 ]
 
 

@@ -93,6 +93,9 @@ _PROMOTED = (
     "dedup_clusters",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_block_dedup",
 )
 
 
