@@ -7102,3 +7102,55 @@ def _dup_span_coverage_sql() -> str:
 
 QUERIES["corpus_dup_span_coverage"] = corpus_dup_span_coverage
 ORACLES["corpus_dup_span_coverage"] = _dup_span_coverage_sql()
+
+
+def embedding_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list BALANCE audit — the number an ANN serving deployment
+    reads before trusting its probe-cost model: per coarse cluster, list
+    size plus an integer parts-per-million imbalance ratio vs the
+    uniform share (1e6 = perfectly balanced; 4e6 = this list carries 4x
+    its share, so nprobe hits on it cost 4x the budgeted scan).  Skewed
+    lists are ALSO the recall hazard: a fat list under-trained centroids
+    is where SemDedup/IVF-PQ distortion concentrates.  One assignment
+    pass (shared memoized centroids) + one groupBy; the oracle replays
+    training + assignment + the ppm arithmetic bit-for-bit."""
+    from ..operators.ivf import ivf_assign
+
+    emb = _emb(spark, sf_dir)
+    centroids = _shared_ivf_centroids(spark, sf_dir)
+    k = len(centroids)
+    per = (
+        ivf_assign(emb, centroids)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("long").alias("list_size"))
+    )
+    total = per.groupBy().agg(F.sum("list_size").alias("n_total"))
+    return (
+        per.join(F.broadcast(total))
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "list_size",
+            F.expr(f"list_size * 1000000 * {k} div n_total")
+            .cast("long")
+            .alias("imbalance_ppm"),
+        )
+    )
+
+
+def _ivf_balance_sql() -> str:
+    from ..operators.ivf import ivf_cte_body
+
+    body, _ = ivf_cte_body(k=8, iters=2, dim=EMB_DIM)
+    return f"""
+WITH {body},
+per AS (SELECT cluster, COUNT(*) AS list_size FROM inv GROUP BY 1)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(list_size AS BIGINT) AS list_size,
+       CAST((list_size * 1000000 * 8) // (SELECT SUM(list_size) FROM per)
+            AS BIGINT) AS imbalance_ppm
+FROM per
+"""
+
+
+QUERIES["embedding_ivf_balance_audit"] = embedding_ivf_balance_audit
+ORACLES["embedding_ivf_balance_audit"] = _ivf_balance_sql()
