@@ -48,6 +48,7 @@ _PROMOTED = (
     "corpus_dup_substrings",
     "corpus_dup_span_coverage",
     "embedding_ivf_balance_audit",
+    "corpus_dedup_verdicts",
     # --- last verified r2 (forced) ---
     "asof_join_last_error",
     "asof_join_next_error",
@@ -95,7 +96,6 @@ _PROMOTED = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
 )
 
 

@@ -7076,6 +7076,28 @@ QUERIES["corpus_dup_substrings"] = corpus_dup_substrings
 ORACLES["corpus_dup_substrings"] = _dup_substrings_sql()
 
 
+_SPAN_COVERAGE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _shared_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized duplicated-span coverage table — shared by
+    corpus_dup_span_coverage and corpus_dedup_verdicts so the sweep pays
+    the anchor/extension pipeline once (the _shared_pair_base
+    discipline; the operator already eager-checkpoints its match list,
+    so the cached frame's lineage is a few aggregates over in-memory
+    blocks)."""
+    from ..operators.span_dedup import duplicate_span_coverage
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SPAN_COVERAGE_CACHE.get(key)
+    if df is None:
+        df = duplicate_span_coverage(
+            _docs(spark, sf_dir), k=3, w=4, ext=10, max_df=8
+        ).localCheckpoint(eager=True)
+        _SPAN_COVERAGE_CACHE[key] = df
+    return df
+
+
 def corpus_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-token COVERAGE — the number the substring
     detector exists to produce: for every doc, how many of its tokens
@@ -7087,11 +7109,7 @@ def corpus_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlapping windows and misses unaligned duplication.  The oracle
     replays anchors, extension, the gaps-and-islands interval merge and
     the bp arithmetic end-to-end."""
-    from ..operators.span_dedup import duplicate_span_coverage
-
-    return duplicate_span_coverage(
-        _docs(spark, sf_dir), k=3, w=4, ext=10, max_df=8
-    )
+    return _shared_span_coverage(spark, sf_dir)
 
 
 def _dup_span_coverage_sql() -> str:
@@ -7154,3 +7172,80 @@ FROM per
 
 QUERIES["embedding_ivf_balance_audit"] = embedding_ivf_balance_audit
 ORACLES["embedding_ivf_balance_audit"] = _ivf_balance_sql()
+
+
+# ---------------------------------------------------------------------------
+# Per-doc retention verdicts: the dedup pipeline's terminal artifact.
+# ---------------------------------------------------------------------------
+
+_VERDICT_DROP_BP = 5000   # >= half the doc duplicated -> drop
+_VERDICT_TRIM_BP = 1500   # >= 15% duplicated -> trim the spans, keep the rest
+
+
+def corpus_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's TERMINAL artifact: one retention verdict per
+    document, combining the two orthogonal signals a curation run acts
+    on — exact-duplicate canonicalization (non-canonical copies drop
+    regardless of anything else; min-id keeps, the dedup_exact rule) and
+    duplicated-span coverage (mostly-duplicated docs drop; partially
+    duplicated docs get their spans trimmed; the rest keep).  Output
+    ``(doc_id, verdict, coverage_bp, is_canonical)`` with verdict in
+    {drop_exact, drop_dup, trim_spans, keep} — the table a 100 TB
+    curation job writes back next to the corpus and every downstream
+    reader filters on.
+
+    Composition economics: the coverage side reads the session-memoized
+    _shared_span_coverage (the anchor/extension pipeline runs once for
+    this query AND corpus_dup_span_coverage); the exact side is one
+    md5-fingerprint groupBy.  The oracle nests the full coverage replay
+    and the fingerprint canonicalization and re-derives every verdict
+    boundary, so the CASE thresholds themselves are value-checked."""
+    from ..operators.dedup import words as _words
+
+    docs = _docs(spark, sf_dir)
+    cov = _shared_span_coverage(spark, sf_dir).select("doc_id", "coverage_bp")
+    norm = F.array_join(_words(F.col("text")), " ")
+    fp = docs.select("doc_id", F.md5(norm).alias("fp"))
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"))
+    flags = fp.join(canon, "fp").select(
+        "doc_id", (F.col("doc_id") == F.col("canonical_id")).alias("is_canon")
+    )
+    return (
+        flags.join(cov, "doc_id")
+        .select(
+            "doc_id",
+            F.when(~F.col("is_canon"), F.lit("drop_exact"))
+            .when(F.col("coverage_bp") >= _VERDICT_DROP_BP, F.lit("drop_dup"))
+            .when(F.col("coverage_bp") >= _VERDICT_TRIM_BP, F.lit("trim_spans"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+            F.col("coverage_bp").cast("long").alias("coverage_bp"),
+            F.col("is_canon").cast("long").alias("is_canonical"),
+        )
+    )
+
+
+def _dedup_verdicts_sql() -> str:
+    from ..operators.span_dedup import duplicate_span_coverage_oracle_sql
+
+    cov = duplicate_span_coverage_oracle_sql(k=3, w=4, ext=10, max_df=8)
+    return rf"""
+WITH cov AS ({cov}),
+fp AS (SELECT doc_id,
+              md5(array_to_string(string_split_regex(trim(text), '\s+'), ' '))
+                  AS fp
+       FROM documents),
+canon AS (SELECT fp, MIN(doc_id) AS canonical_id FROM fp GROUP BY 1)
+SELECT f.doc_id,
+       CASE WHEN f.doc_id <> c.canonical_id THEN 'drop_exact'
+            WHEN cov.coverage_bp >= {_VERDICT_DROP_BP} THEN 'drop_dup'
+            WHEN cov.coverage_bp >= {_VERDICT_TRIM_BP} THEN 'trim_spans'
+            ELSE 'keep' END AS verdict,
+       CAST(cov.coverage_bp AS BIGINT) AS coverage_bp,
+       CAST(f.doc_id = c.canonical_id AS BIGINT) AS is_canonical
+FROM fp f JOIN canon c USING (fp) JOIN cov ON cov.doc_id = f.doc_id
+"""
+
+
+QUERIES["corpus_dedup_verdicts"] = corpus_dedup_verdicts
+ORACLES["corpus_dedup_verdicts"] = _dedup_verdicts_sql()

@@ -147,6 +147,9 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         "corpus_dedup_cascade_audit",
         "q11_important_stock",  # 1-row global-total scalar join, same shape as q22
         "skew_key_report",  # 1-row (total_rows, n_keys) scalar join, same shape
+        # 1-row n_total broadcast into the k-row (<=8) per-list table —
+        # the same broadcast-1-row scalar shape as skew_key_report
+        "embedding_ivf_balance_audit",
         # 1-row n_orders totals broadcast into the <=600-row rule table —
         # the same broadcast-1-row scalar shape as skew_key_report.
         "orders_basket_rules",
