@@ -59,8 +59,13 @@ ISOLATED_TOP = [
     # DESIGN (it trains a second, sampled codebook set and runs the
     # exact-truth baseline); dedup_simhash_clusters is the w64
     # implementation since r8 (the retired w32 form led this list).
+    # corpus_dup_span_coverage is EXCLUDED despite its 6.1 s in-sweep
+    # cost: its coverage table is session-memoized, so --one's min-of-3
+    # reads the first rep's cache and reports ~0.04 s — a shared-stage
+    # accounting line, not an isolatable one (the in-sweep number is the
+    # honest cost; same exclusion rule as r7's shared dedup stages).
     "embedding_ivfpq_sampled_train",
-    "corpus_dup_span_coverage",
+    "corpus_dedup_cascade_audit",
     "dedup_clusters_incremental",
     "dedup_simhash_clusters",
     "graph_components_knn",
