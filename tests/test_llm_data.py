@@ -1564,3 +1564,24 @@ def test_ivfpq_sampled_train_recall_parity(spark):
     ).collect()[0]
     assert r["n"] == 100
     assert abs(r["s"] - r["f"]) <= 10, (r["s"], r["f"])
+
+
+def test_ivf_balance_audit_invariants(spark):
+    """embedding_ivf_balance_audit structural invariants: the lists
+    partition the corpus (sizes sum to the vector count), at most k=8
+    lists exist, and the ppm column is exactly the integer identity
+    floor(size * 1e6 * k / n_total) — so a reader can recover absolute
+    sizes from ppm and vice versa."""
+    from pyspark.sql import functions as F
+
+    from test_flink_spark.plans.llm_data import embedding_ivf_balance_audit
+    from test_flink_spark.schemas import load_table
+
+    sf = "/root/testdata/sf0.01"
+    out = embedding_ivf_balance_audit(spark, sf).collect()
+    n = load_table(spark, sf, "embeddings").count()
+    assert 0 < len(out) <= 8
+    assert sum(r["list_size"] for r in out) == n
+    k = 8
+    for r in out:
+        assert r["imbalance_ppm"] == r["list_size"] * 1_000_000 * k // n
