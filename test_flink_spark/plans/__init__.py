@@ -37,65 +37,73 @@ from . import advanced, enterprise, llm_data, reference_queries, relational, tpc
 # outside union+window) and ::test_promotion_window_rotates_stalest
 # (nothing unverified for >= 6 rounds stays out of the window).
 _MODULE_ORDER = (reference_queries, enterprise, advanced, llm_data, relational, tpch_extra)
+
+# Query name -> round its implementation was SWAPPED under the same name
+# (r8 ADVICE): driver certificates from earlier rounds attest the retired
+# algorithm, so tools/verified_age.py voids them and the rotation gate
+# forces the name back into the window until a post-swap certificate
+# lands.  Entries become no-ops (and can be pruned) once last-verified
+# >= swap round.
+_REVERIFY = {
+    "dedup_simhash_clusters": 8,   # r8: w32 -> w64 / 16-bit-band rewrite
+    "embedding_near_dup_lsh": 8,   # r8: fixed-6-plane -> corpus-adaptive
+}
+
 _PROMOTED = (
-    # r8 rotation window (r7 verdict item 2): verified-age rotation.
-    # New r8 queries lead (first driver look), then the 29 queries last
-    # driver-verified in r2 (forced by test_promotion_window_rotates_stalest
-    # at MAX_AGE=6), then the oldest of the r3 cohort as fill.
+    # r9 rotation window: verified-age rotation (tools/verified_age.py).
+    # New r9 queries lead (first driver look), then the two r8
+    # implementation swaps whose pre-swap certificates are void
+    # (_REVERIFY), then the 25 queries last driver-verified in r3 (forced
+    # by test_promotion_window_rotates_stalest at MAX_AGE=6), then the
+    # oldest of the r4 cohort as fill (trim from the END for new-r9 slots).
     # Regenerate with: python tools/verified_age.py --fill N
-    # --- new in r8 (first driver look) ---
-    "embedding_ivfpq_sampled_train",
-    "corpus_dup_substrings",
-    "corpus_dup_span_coverage",
-    "embedding_ivf_balance_audit",
-    "corpus_dedup_verdicts",
-    # --- last verified r2 (forced) ---
-    "asof_join_last_error",
-    "asof_join_next_error",
-    "asof_join_with_tolerance",
-    "banded_proximity_counts",
-    "count_distinct_exact",
-    "cube_lineitem",
-    "date_functions_sweep",
-    "distinct_user_event_pairs",
-    "except_users_without_errors",
-    "first_event_per_user_day",
-    "full_outer_join_balances",
-    "grouping_sets_orders",
-    "hourly_unique_users",
-    "intersect_view_and_purchase_users",
-    "ntile_price_quartiles",
-    "pivot_event_counts",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q22_idle_customers",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "range_join_ship_window",
-    "rollup_lineitem",
-    "salted_skew_aggregate",
-    "scalar_functions_sweep",
-    "union_all_account_balances",
-    "union_distinct_users",
-    "window_order_analytics",
-    # --- last verified r3 (fill; trim from the END for new-r8 slots) ---
-    "anti_join_customers_no_orders",
-    "broadcast_join_parts",
-    "bucketed_join_revenue",
-    "corpus_build_dataset",
-    "corpus_curation_pipeline",
-    "corpus_curation_strict",
-    "corpus_decontaminate",
-    "corpus_length_histogram",
-    "corpus_mix_report",
-    "corpus_pii_redaction",
-    "corpus_temperature_mix",
-    "corpus_train_split",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
+    # --- new in r9 (first driver look) ---
+    # --- r8 implementation swaps (certificates voided, forced) ---
+    "dedup_simhash_clusters",
+    "embedding_near_dup_lsh",
+    # --- last verified r3 (forced) ---
+    "dedup_simhash",
+    "doc_block_dedup",
+    "doc_chunk_token_windows",
+    "doc_pack_assignments",
+    "embedding_cosine_topk",
+    "embedding_ivf_ann",
+    "embedding_near_dup",
+    "embedding_semdedup",
+    "json_props_aggregate",
+    "knn_label_vote",
+    "multimodal_chunk_fingerprints",
+    "multimodal_frame_sample",
+    "multimodal_media_stats",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "semi_join_big_lineitems",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality_scores",
+    "text_repetition_scores",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "text_top_bigrams",
+    # --- last verified r4 (fill; trim from the END for new-r9 slots) ---
+    "avg_value_by_type",
+    "cdc_apply_latest",
+    "cdc_scd2_history",
+    "cdc_snapshot_diff",
+    "corpus_domain_percentile_filter",
+    "corpus_topic_labels",
+    "corpus_weighted_sample",
+    "csv_parse_roundtrip",
+    "customers_rfm_segments",
+    "data_quality_report",
+    "dedup_incremental_shard",
+    "embedding_split_drift",
+    "events_cusum_drift",
+    "events_daily_anomaly",
+    "events_decayed_engagement",
+    "events_double_exp_forecast",
+    "events_forecast_backtest",
 )
 
 

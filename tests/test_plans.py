@@ -478,27 +478,27 @@ def test_promotion_window_rotates_stalest():
     the upcoming _PROMOTED window.  With a 266+-query registry and 50
     driver slots a full rotation takes ~5 rounds, so MAX_AGE=6 forces the
     stalest cohort into every window without starving new-query slots.
-    tools/verified_age.py prints the cohort to paste."""
-    import glob
-    import json
+    tools/verified_age.py prints the cohort to paste.
+
+    r8 hardening: `current` counts only git-TRACKED CORRECTNESS files —
+    the driver drops CORRECTNESS_r{N}.json *after* the round closes, and
+    that artifact must not redden a suite the builder can no longer amend
+    (it gets committed, and the window rotated, at the next round's
+    start).  last_verified() additionally voids certificates that predate
+    an implementation swap recorded in plans._REVERIFY (r8 ADVICE: a
+    certificate for a retired algorithm is not one for its replacement)."""
+    import importlib
+    import sys
 
     import __spark_entry__ as entry
-    from test_flink_spark.plans import _PROMOTED
+    from test_flink_spark.plans import _PROMOTED, _REVERIFY
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    verified_age = importlib.import_module("verified_age")
 
     MAX_AGE = 6
-    last: dict[str, int] = {}
-    newest = 0
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        r = int(re.search(r"_r(\d+)", os.path.basename(path)).group(1))
-        newest = max(newest, r)
-        with open(path) as fh:
-            for name, res in json.load(fh).items():
-                ok = bool(res.get("hash_match")) or (
-                    res.get("hash_match") is None and bool(res.get("rows_match"))
-                )
-                if ok:
-                    last[name] = max(last.get(name, 0), r)
-    current = newest + 1  # the round the _PROMOTED window will run in
+    last = verified_age.last_verified()
+    current = verified_age.current_round()
     window = set(_PROMOTED[:50])
     rotten = sorted(
         name
@@ -509,4 +509,18 @@ def test_promotion_window_rotates_stalest():
         f"{len(rotten)} queries were last driver-verified >= {MAX_AGE} "
         f"rounds ago and are not queued for re-verification "
         f"(tools/verified_age.py --fill N): {rotten}"
+    )
+    # an implementation swap voids the name's history outright: it must
+    # sit in the window until a post-swap certificate lands, regardless
+    # of age arithmetic
+    unqueued_swaps = sorted(
+        name
+        for name, swap_round in _REVERIFY.items()
+        if name in entry.queries()
+        and last.get(name, 0) < swap_round
+        and name not in window
+    )
+    assert not unqueued_swaps, (
+        f"implementation-swapped queries lack a post-swap driver "
+        f"certificate and are not queued: {unqueued_swaps}"
     )
