@@ -814,7 +814,22 @@ def substring_check_batch(
     the CORPUS index at build time; the arriving batch's own anchors are
     uncapped (a batch is bounded, and its hot anchors still meet a
     capped index).  On fixtures where no anchor exceeds the cap the two
-    paths emit identical pairs — the parity pytest pins exactly that."""
+    paths emit identical pairs — the parity pytest pins exactly that.
+
+    Tie-break parity (r8 ADVICE): among equal-longest matches the CORPUS
+    doc's start wins first, then the new doc's — mirroring the batch
+    detector, whose max-struct orders on the smaller-id doc's start
+    first and whose smaller id IS the corpus doc under monotonic
+    doc_id assignment (corpus ids precede arriving ids).  A corpus doc
+    with a LARGER id than an arriving doc would tie-break on the other
+    endpoint in the batch path; match geometry (len) is unaffected
+    either way.
+
+    The probe's (k, w, ext) MUST match the index's build parameters —
+    ctx slices and off are baked at index-build time, so a larger ext
+    here silently truncates extensions instead of erroring.  The
+    persistence layer (streaming/substring_dedup.py) records them in a
+    ``_PARAMS.json`` sidecar and raises on mismatch."""
     if min_len is None:
         min_len = w + k - 1
     a = anchor_contexts(batch_df, text_col, id_col, k, w, ext).select(
@@ -833,12 +848,13 @@ def substring_check_batch(
     )
     pairs = a.join(b, "h").filter(F.col("id_a") != F.col("id_b"))
     scored = extend_anchor_pairs(pairs, k, ext, min_len)
+    # corpus start (nsb) before new-doc start (nsa): see docstring
     best = scored.groupBy("id_a", "id_b").agg(
         F.max(
             F.struct(
                 F.col("len_tokens").alias("l"),
-                (-F.col("start_a")).alias("nsa"),
                 (-F.col("start_b")).alias("nsb"),
+                (-F.col("start_a")).alias("nsa"),
             )
         ).alias("m")
     )

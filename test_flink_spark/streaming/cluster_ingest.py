@@ -75,13 +75,20 @@ def cluster_ingest_batch(
         if batch_id is None or int(p.rsplit("_v", 1)[1]) < batch_id
     ]
     prior_path = _latest_labels(versions)
+    # resolve the version BEFORE reading state so the shard filter below
+    # can exclude an ORPHAN shard (this version's shingles written by a
+    # call that crashed before its labels snapshot): labels presence is
+    # the commit point, so prior state is exactly shards < version
+    version = (
+        batch_id
+        if batch_id is not None
+        else (int(prior_path.rsplit("_v", 1)[1]) + 1 if prior_path else 0)
+    )
     if prior_path is not None:
         prior = spark.read.parquet(prior_path)
         prior_sh = (
             spark.read.parquet(sh_dir)
-            .filter(
-                F.lit(batch_id is None) | (F.col("batch") < F.lit(batch_id or 0))
-            )
+            .filter(F.col("batch") < F.lit(version))
             .select("doc_id", "h")
         )
     else:
@@ -142,16 +149,17 @@ def cluster_ingest_batch(
     merged = incremental_cluster_merge(prior, edges, all_nodes).localCheckpoint(
         eager=True
     )
-    version = (
-        batch_id
-        if batch_id is not None
-        else (int(prior_path.rsplit("_v", 1)[1]) + 1 if prior_path else 0)
+    # shingles FIRST, labels second: the labels snapshot is the commit
+    # point, so its presence implies the shard exists.  A crash between
+    # the two leaves only an orphan shard, which the version-derived
+    # filter above ignores and the retry overwrites idempotently; the
+    # old order (labels first) left labels AHEAD of shingles and the
+    # next backfill call permanently skipped the lost shard.
+    new_sh.write.mode("overwrite").parquet(
+        os.path.join(sh_dir, f"batch={version}")
     )
     merged.write.mode("overwrite").parquet(
         os.path.join(state_dir, f"labels_v{version}")
-    )
-    new_sh.write.mode("overwrite").parquet(
-        os.path.join(sh_dir, f"batch={version}")
     )
     return merged
 

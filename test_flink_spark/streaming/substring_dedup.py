@@ -28,11 +28,35 @@ work is O(batch anchors + collisions), never a corpus rescan.
 from __future__ import annotations
 
 import glob
+import json
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+
+def _check_index_params(anchors_dir: str, k: int, w: int, ext: int) -> None:
+    """Anchor ctx slices and offsets are baked at index-build time, so a
+    probe with different (k, w, ext) silently truncates extensions instead
+    of erroring (r8 ADVICE).  The first batch records the parameters in a
+    ``_PARAMS.json`` sidecar (underscore-prefixed: Spark's directory
+    listing ignores it); every later batch asserts equality."""
+    params = {"k": k, "w": w, "ext": ext}
+    path = os.path.join(anchors_dir, "_PARAMS.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            stored = json.load(fh)
+        if stored != params:
+            raise ValueError(
+                f"anchor index at {anchors_dir} was built with {stored}, "
+                f"probed with {params}: (k, w, ext) must match the "
+                f"index's build parameters"
+            )
+    else:
+        os.makedirs(anchors_dir, exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(params, fh)
 
 
 def substring_ingest_batch(
@@ -49,6 +73,7 @@ def substring_ingest_batch(
 
     spark = batch_df.sparkSession
     anchors_dir = os.path.join(state_dir, "anchors")
+    _check_index_params(anchors_dir, k, w, ext)
     have_prior = bool(
         [
             p

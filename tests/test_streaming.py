@@ -2058,3 +2058,126 @@ def test_streaming_substring_check_matches_batch_detector(spark, tmpdirs):
     # the fixture actually exercised index growth: doc 20 matched BOTH
     # the original and the batch-1 arrival
     assert {(d, o) for d, o, *_ in got} == {(10, 1), (20, 1), (20, 10)}
+
+
+def test_substring_check_tie_break_matches_batch_detector(spark):
+    """r8 ADVICE: with TWO equal-longest matches between an arriving doc
+    and a corpus doc at different alignments, substring_check_batch must
+    pick the same (start_new, start_corpus) the batch detector's
+    smaller-id-first tie-break picks (corpus start first, under the
+    monotonic-id convention) — the original fixture had no ties, so the
+    asymmetry was invisible."""
+    from test_flink_spark.operators.span_dedup import (
+        duplicate_substrings,
+        substring_anchor_index,
+        substring_check_batch,
+    )
+
+    run_a = "r1 r2 r3 r4 r5 r6"   # 6 tokens = the w+k-1 guarantee floor
+    run_b = "s1 s2 s3 s4 s5 s6"
+    corpus = [(1, f"p1 p2 {run_a} x1 x2 {run_b}")]
+    # arriving doc carries run_b FIRST: the old (start_new-first) order
+    # picked run_b's geometry, the batch detector picks run_a's (smaller
+    # corpus start)
+    arriving = [(10, f"{run_b} q1 {run_a}")]
+    schema = "doc_id LONG, text STRING"
+    corpus_df = spark.createDataFrame(corpus, schema)
+    batch_df = spark.createDataFrame(arriving, schema)
+
+    # the tie is real: the pair has two distinct equal-longest matches
+    all_matches = duplicate_substrings(
+        spark.createDataFrame(corpus + arriving, schema), per_pair_best=False
+    ).collect()
+    longest = max(r["len_tokens"] for r in all_matches)
+    assert (
+        len(
+            {
+                (r["start_a"], r["start_b"])
+                for r in all_matches
+                if r["len_tokens"] == longest
+            }
+        )
+        >= 2
+    )
+
+    got = {
+        (r["doc_id"], r["dup_of"], r["len_tokens"], r["start_new"], r["start_corpus"])
+        for r in substring_check_batch(
+            batch_df, substring_anchor_index(corpus_df)
+        ).collect()
+    }
+    want = {
+        (r["id_b"], r["id_a"], r["len_tokens"], r["start_b"], r["start_a"])
+        for r in duplicate_substrings(
+            spark.createDataFrame(corpus + arriving, schema)
+        ).collect()
+    }
+    assert got == want
+
+
+def test_substring_ingest_rejects_param_mismatch(spark, tmpdirs):
+    """r8 ADVICE: anchor ctx slices are baked at index-build time, so a
+    probe with a different (k, w, ext) must ERROR, not silently truncate
+    extensions.  The first batch records _PARAMS.json; a later batch with
+    a larger ext raises."""
+    import pytest
+
+    from test_flink_spark.streaming.substring_dedup import (
+        substring_ingest_batch,
+    )
+
+    state = tmpdirs / "substring_params_state"
+    docs = spark.createDataFrame(
+        [(1, "a1 a2 a3 a4 a5 a6 a7 a8")], "doc_id LONG, text STRING"
+    )
+    substring_ingest_batch(docs, str(state), 0, k=3, w=4, ext=10)
+    with pytest.raises(ValueError, match=r"\(k, w, ext\) must match"):
+        substring_ingest_batch(
+            spark.createDataFrame([(2, "b1 b2 b3")], "doc_id LONG, text STRING"),
+            str(state),
+            1,
+            k=3,
+            w=4,
+            ext=12,
+        )
+
+
+def test_cluster_ingest_backfill_resumes_after_partial_write(spark, tmpdirs):
+    """r8 ADVICE: the labels snapshot is now the COMMIT POINT (shingle
+    shard written first).  A backfill call that crashed between the two
+    writes leaves only an orphan shingle shard; the retry must ignore it
+    (no double-counted shingles), overwrite it, and produce labels equal
+    to the batch CC over the union."""
+    from test_flink_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_hashes,
+    )
+    from test_flink_spark.operators.graph import min_label_components
+    from test_flink_spark.streaming.cluster_ingest import cluster_ingest_batch
+
+    state = tmpdirs / "cluster_backfill_state"
+    schema = "doc_id LONG, text STRING"
+    a = "alpha beta gamma delta epsilon zeta"
+    batch0 = spark.createDataFrame([(1, a), (2, a)], schema)
+    batch1 = spark.createDataFrame([(3, a)], schema)
+
+    cluster_ingest_batch(batch0, str(state), batch_id=None)
+    # simulate the crash: batch 1's shingle shard landed, labels did not
+    shingle_hashes(batch1, "text", "doc_id", 3).write.mode("overwrite").parquet(
+        str(state / "shingles" / "batch=1")
+    )
+    # retry the backfill call — the orphan shard must not leak into
+    # prior state (it holds the SAME docs this batch delivers)
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in cluster_ingest_batch(batch1, str(state), batch_id=None).collect()
+    }
+    union = batch0.unionByName(batch1)
+    edges = ngram_jaccard_pairs(union, threshold=0.5).select("id_a", "id_b")
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in min_label_components(
+            edges, union.select("doc_id"), "doc_id"
+        ).collect()
+    }
+    assert got == want == {(1, 1), (2, 1), (3, 1)}
