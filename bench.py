@@ -55,16 +55,19 @@ ISOLATED_TOP = [
     # accounting lines excluded), heaviest first so a budget cut drops
     # the LIGHTEST line, never the heaviest (the r6 failure: the iso
     # budget went to a 1.35 s line while the 7.99 s line went unmeasured).
-    # embedding_ivfpq_sampled_train is the fleet's heaviest line BY
-    # DESIGN (it trains a second, sampled codebook set and runs the
-    # exact-truth baseline); dedup_simhash_clusters is the w64
-    # implementation since r8 (the retired w32 form led this list).
+    # embedding_ivfpq_sampled_search is the PRODUCTION sampled-train
+    # IVF-PQ line (r9 split the recall-vs-truth audit out into
+    # embedding_ivfpq_sampled_train, which shares this query's memoized
+    # codebooks and therefore stays OUT of this list — the same
+    # memoized-consumer exclusion as corpus_dup_span_coverage below);
+    # dedup_simhash_clusters is the w64 implementation since r8 (the
+    # retired w32 form led this list).
     # corpus_dup_span_coverage is EXCLUDED despite its 6.1 s in-sweep
     # cost: its coverage table is session-memoized, so --one's min-of-3
     # reads the first rep's cache and reports ~0.04 s — a shared-stage
     # accounting line, not an isolatable one (the in-sweep number is the
     # honest cost; same exclusion rule as r7's shared dedup stages).
-    "embedding_ivfpq_sampled_train",
+    "embedding_ivfpq_sampled_search",
     "corpus_dedup_cascade_audit",
     "dedup_clusters_incremental",
     "dedup_simhash_clusters",
@@ -75,6 +78,20 @@ ISOLATED_TOP = [
 ]
 
 
+# Session memo caches a query OWNS for pricing purposes: --one clears
+# these between reps so min-of-3 includes the owned work every rep.
+# Without this, rep 1 trains and reps 2-3 read the memo — the min prices
+# a TRAINING operator as if codebooks were free (the r9 split of
+# embedding_ivfpq_sampled_search exists precisely to surface training
+# cost).  Caches NOT listed stay warm by design: they model persisted
+# artifacts the operator reads, not work it performs (e.g. the audit
+# query reads the production codebooks; _shared_clusters consumers pay
+# marginal cost — the sweep prices those stages as their own lines).
+_OWNED_CACHES: dict[str, tuple[str, ...]] = {
+    "embedding_ivfpq_sampled_search": ("_SAMPLED_BOOKS_CACHE",),
+}
+
+
 def run_one(name: str) -> None:
     """`bench.py --one NAME`: fresh-process min-of-3 of a single query,
     emitting one JSON line {"name": ..., "sec": ...}.  Invoked by the
@@ -83,6 +100,7 @@ def run_one(name: str) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     import __spark_entry__ as entry
+    from test_flink_spark.plans import llm_data
     from test_flink_spark.session import get_spark
 
     spark = get_spark("bench-one")
@@ -90,6 +108,8 @@ def run_one(name: str) -> None:
     fn = entry.queries()[name]
     best = float("inf")
     for _ in range(3):
+        for cache_attr in _OWNED_CACHES.get(name, ()):
+            getattr(llm_data, cache_attr).clear()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)

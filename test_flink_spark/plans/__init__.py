@@ -58,6 +58,7 @@ _PROMOTED = (
     # oldest of the r4 cohort as fill (trim from the END for new-r9 slots).
     # Regenerate with: python tools/verified_age.py --fill N
     # --- new in r9 (first driver look) ---
+    "embedding_ivfpq_sampled_search",
     # --- r8 implementation swaps (certificates voided, forced) ---
     "dedup_simhash_clusters",
     "embedding_near_dup_lsh",

@@ -6902,14 +6902,78 @@ ORACLES["dedup_detector_agreement"] = _detector_agreement_sql()
 
 _SAMPLED_TRAIN_FRAC = 0.5
 
+_SAMPLED_BOOKS_CACHE: dict[tuple, tuple] = {}
+
+
+def _shared_sampled_codebooks(spark: SparkSession, sf_dir: str) -> tuple:
+    """(coarse, books) trained on the deterministic hash SAMPLE at
+    ``_SAMPLED_TRAIN_FRAC`` — memoized like _shared_ivf_centroids /
+    _shared_pq_books so the production search query and the
+    recall-vs-truth audit share one training run per session (r8 verdict
+    item 4 split the two; production persists the codebooks, so the
+    audit reading them back is the honest cost model).  Bench rule: only
+    the PRODUCTION query sits in ISOLATED_TOP — memoized consumers
+    under-report in --one reps (see BASELINE.md)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cb = _SAMPLED_BOOKS_CACHE.get(key)
+    if cb is None:
+        from ..operators.ivf import ivf_train, pq_train
+
+        emb = _emb(spark, sf_dir)
+        coarse = ivf_train(
+            emb, k=8, iters=2, dim=EMB_DIM, train_frac=_SAMPLED_TRAIN_FRAC
+        )
+        books = pq_train(
+            emb, coarse, dim=EMB_DIM, train_frac=_SAMPLED_TRAIN_FRAC
+        )
+        cb = (coarse, books)
+        _SAMPLED_BOOKS_CACHE[key] = cb
+    return cb
+
+
+def embedding_ivfpq_sampled_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION sampled-train IVF-PQ operator (r8 verdict item 4):
+    codebooks (coarse AND per-subspace PQ) trained on a deterministic
+    hash sample of the corpus, everything encoded, the 20-query panel
+    searched — ``(query_id, neighbor_id, dist, rank)``, the exact shape
+    embedding_ivfpq_ann serves, at sample-scaled training cost (sf1
+    measured: full-train 24.8 s, frac=0.5 13.2 s, frac=0.1 9.8 s).  This
+    is the number a 100 TB capacity plan reads; the recall-vs-truth
+    audit that used to ride along in the same registered query is now
+    ``embedding_ivfpq_sampled_train`` (it re-uses this query's memoized
+    codebooks, as production would read persisted ones).  The oracle
+    replays sampled training + encode + search bit-for-bit
+    (ivfpq_oracle_sql with train_frac/pq_train_frac)."""
+    from ..operators.ivf import ivfpq_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    coarse_s, books_s = _shared_sampled_codebooks(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivfpq_ann_topk(
+        emb, queries, coarse_s, books_s, k=5, nprobe=2, refine=3
+    ).select("query_id", "neighbor_id", "dist", "rank")
+
+
+def _ivfpq_sampled_search_sql() -> str:
+    from ..operators.ivf import ivfpq_oracle_sql
+
+    return ivfpq_oracle_sql(
+        k=8, iters=2, dim=EMB_DIM, topk=5, nprobe=2, refine=3,
+        train_frac=_SAMPLED_TRAIN_FRAC, pq_train_frac=_SAMPLED_TRAIN_FRAC,
+    )
+
+
+QUERIES["embedding_ivfpq_sampled_search"] = embedding_ivfpq_sampled_search
+ORACLES["embedding_ivfpq_sampled_search"] = _ivfpq_sampled_search_sql()
+
 
 def embedding_ivfpq_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production IVF-PQ training posture: codebooks (coarse AND
-    per-subspace PQ) trained on a deterministic hash SAMPLE of the
-    corpus, everything encoded and searched — train cost scales with the
-    sample, not the corpus (sf1 measured: full-train 24.8 s, frac=0.5
-    13.2 s, frac=0.1 9.8 s — the r7 probe's dominant cost gone).
-    Output is the recall-vs-TRUTH audit for BOTH codebooks: per query,
+    """The recall-vs-TRUTH AUDIT for the sampled-train posture (the
+    production operator is :func:`embedding_ivfpq_sampled_search`, split
+    out in r9 so the bench line for the operator stops conflating audit
+    cost — this query reads the session-memoized sampled codebooks the
+    way production reads persisted ones, then pays for the exact
+    baseline and the full-train comparison on top).  Per query,
     the exact integer-L2 top-5 (the truth both approximations chase) and
     how many of those five each variant's IVF-PQ top-5 recovered —
     ``(query_id, n_exact, hits_sampled, hits_full)``.  The claim under
@@ -6929,21 +6993,10 @@ def embedding_ivfpq_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame
     the session-memoized codebooks shared with embedding_ivfpq_ann.
     The exact leg is the sanctioned 20-row broadcast-query-panel BNLJ
     (cosine_topk precedent, see tests/test_plans.py allowlist)."""
-    from ..operators.ivf import (
-        ivf_train,
-        ivfpq_ann_topk,
-        pq_train,
-        quantize,
-        sq_dist,
-    )
+    from ..operators.ivf import ivfpq_ann_topk, quantize, sq_dist
 
     emb = _emb(spark, sf_dir)
-    coarse_s = ivf_train(
-        emb, k=8, iters=2, dim=EMB_DIM, train_frac=_SAMPLED_TRAIN_FRAC
-    )
-    books_s = pq_train(
-        emb, coarse_s, dim=EMB_DIM, train_frac=_SAMPLED_TRAIN_FRAC
-    )
+    coarse_s, books_s = _shared_sampled_codebooks(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
     sampled = ivfpq_ann_topk(
         emb, queries, coarse_s, books_s, k=5, nprobe=2, refine=3
