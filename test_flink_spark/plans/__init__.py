@@ -59,6 +59,7 @@ _PROMOTED = (
     # Regenerate with: python tools/verified_age.py --fill N
     # --- new in r9 (first driver look) ---
     "embedding_ivfpq_sampled_search",
+    "events_cep_within_flink",
     # --- r8 implementation swaps (certificates voided, forced) ---
     "dedup_simhash_clusters",
     "embedding_near_dup_lsh",

@@ -4317,11 +4317,33 @@ def events_cep_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     from Flink's NFA, which times out partials at ``timestamp -
     startTimestamp >= windowTime`` (boundary = expired).  Batch, oracle,
     streaming matcher, and the differential reference all share the
-    inclusive cut, so no internal inconsistency exists.
+    inclusive cut, so no internal inconsistency exists.  A Flink user
+    porting a CEP job whose boundary-timestamp behavior must reproduce
+    exactly uses the ``boundary='flink'`` knob instead — registered as
+    ``events_cep_within_flink`` (r8 verdict item 3), identical plan,
+    strict ``<`` cut in both engines.
 
     Streaming twin: streaming/cep.py::streaming_followed_by_with_timeouts
-    (per-key NFA frontier that EMITS expired partials as it prunes them);
-    parity pinned by the randomized differential in tests."""
+    (per-key NFA frontier that EMITS expired partials as it prunes them;
+    same ``boundary`` knob); parity pinned by the randomized differential
+    in tests — in BOTH modes, plus a pinned boundary-timestamp case per
+    mode."""
+    return _cep_within_sweep(spark, sf_dir, boundary="inclusive")
+
+
+def events_cep_within_flink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events_cep_within`` under Flink's EXCLUSIVE horizon: a partial
+    expires at ``timestamp - startTimestamp >= windowTime``, so an event
+    landing exactly at start+horizon emits a timeout, never a match —
+    the last reference-framework semantic gap, closed as a knob rather
+    than a silent default change (the engine's own convention stays
+    inclusive; see events_cep_within)."""
+    return _cep_within_sweep(spark, sf_dir, boundary="flink")
+
+
+def _cep_within_sweep(
+    spark: SparkSession, sf_dir: str, boundary: str
+) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -4370,10 +4392,16 @@ def events_cep_within(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("horizon_ms"),
     )
     h = F.col("horizon_ms")
-    click_in = F.col("c_t").isNotNull() & (F.col("c_t") - F.col("ts_ms") <= h)
-    purchase_in = F.col("p_t").isNotNull() & (
-        F.col("p_t") - F.col("ts_ms") <= h
-    )
+    if boundary == "inclusive":
+        click_in = F.col("c_t").isNotNull() & (F.col("c_t") - F.col("ts_ms") <= h)
+        purchase_in = F.col("p_t").isNotNull() & (
+            F.col("p_t") - F.col("ts_ms") <= h
+        )
+    else:  # flink: the boundary instant is already timed out
+        click_in = F.col("c_t").isNotNull() & (F.col("c_t") - F.col("ts_ms") < h)
+        purchase_in = F.col("p_t").isNotNull() & (
+            F.col("p_t") - F.col("ts_ms") < h
+        )
     is_match = click_in & purchase_in
     return (
         sweep.groupBy("horizon_ms")
@@ -4397,7 +4425,11 @@ def events_cep_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CEP_WITHIN_SQL = rf"""
+def _cep_within_sql(op: str) -> str:
+    """Shared oracle for the within() sweep; ``op`` is the bind cut —
+    ``'<='`` (this engine's inclusive convention) or ``'<'`` (Flink's
+    exclusive NFA horizon)."""
+    return rf"""
 WITH ev AS (
     SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
 ), p1 AS (
@@ -4421,8 +4453,8 @@ WITH ev AS (
     FROM p2 WHERE event_type = 'view'
 ), sweep AS (
     SELECT v.*, h.horizon_ms,
-           (c_t IS NOT NULL AND c_t - ts_ms <= h.horizon_ms) AS click_in,
-           (p_t IS NOT NULL AND p_t - ts_ms <= h.horizon_ms) AS purchase_in
+           (c_t IS NOT NULL AND c_t - ts_ms {op} h.horizon_ms) AS click_in,
+           (p_t IS NOT NULL AND p_t - ts_ms {op} h.horizon_ms) AS purchase_in
     FROM v, (SELECT unnest([{", ".join(str(h) + "::BIGINT" for h in _CEP_WITHIN_HORIZONS_MS)}]) AS horizon_ms) h
 )
 SELECT horizon_ms,
@@ -4435,8 +4467,11 @@ FROM sweep
 GROUP BY 1
 """
 
+
 QUERIES["events_cep_within"] = events_cep_within
-ORACLES["events_cep_within"] = _CEP_WITHIN_SQL
+ORACLES["events_cep_within"] = _cep_within_sql("<=")
+QUERIES["events_cep_within_flink"] = events_cep_within_flink
+ORACLES["events_cep_within_flink"] = _cep_within_sql("<")
 
 
 def events_cep_branching(spark: SparkSession, sf_dir: str) -> DataFrame:

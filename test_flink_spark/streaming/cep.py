@@ -235,7 +235,13 @@ TIMEOUT_OUTPUT_SCHEMA = StructType(
 )
 
 
-def _followed_by_timeout_func(first: str, second: str, third: str, within_ms: int):
+def _followed_by_timeout_func(
+    first: str,
+    second: str,
+    third: str,
+    within_ms: int,
+    boundary: str = "inclusive",
+):
     """Like ``_followed_by_func`` but every partial match the ``within``
     horizon kills is EMITTED, not just dropped — Flink's
     ``PatternTimeoutFunction`` side output.  Rows are
@@ -244,24 +250,41 @@ def _followed_by_timeout_func(first: str, second: str, third: str, within_ms: in
     second step arrived inside the horizon (end_ts_ms = expiry instant
     start+within, the timestamp Flink's timer would fire at); timeout2 =
     first and second bound, no third in time (end_ts_ms = the bound
-    second-step ts).  Expiry is checked BEFORE the arriving event binds
-    (an event at exactly start+within can still complete a match —
-    within() is inclusive HERE, an intentional divergence from Flink's
-    NFA, which expires partials when timestamp - startTimestamp >=
-    windowTime, i.e. treats the boundary instant as already timed out;
-    this engine's batch sweep, SQL oracle, streaming matcher, and the
-    O(n²) differential reference all share the inclusive convention, so
-    the divergence is external-fidelity only, never internal — but the
-    first event strictly past the
-    horizon kills the partial), which also fixes a stage-attribution
-    subtlety the match-only matcher could ignore: a first-step partial
-    whose earliest second-step candidate lies beyond the horizon is a
-    STAGE-1 timeout (it must expire before binding), not a stage-2 one.
-    A partial with no further traffic on its key never expires here —
-    that is the documented watermark-timer gap of this in-order matcher;
-    the batch sweep (plans/enterprise.py::events_cep_within) is the
-    end-of-data truth, and the parity test drains frontiers with a
-    flush event past every horizon."""
+    second-step ts).  Expiry is checked BEFORE the arriving event binds,
+    which also fixes a stage-attribution subtlety the match-only matcher
+    could ignore: a first-step partial whose earliest second-step
+    candidate lies beyond the horizon is a STAGE-1 timeout (it must
+    expire before binding), not a stage-2 one.
+
+    ``boundary`` selects the horizon convention (r8 verdict item 3):
+
+    * ``'inclusive'`` (default) — an event at exactly start+within can
+      still complete a match; only the first event STRICTLY past the
+      horizon kills the partial.  This engine's historical convention:
+      batch sweep, SQL oracle, streaming matcher, and the O(n²)
+      differential reference all share it, so it is internally
+      consistent end to end.
+    * ``'flink'`` — Flink's NFA convention: a partial expires when
+      ``timestamp - startTimestamp >= windowTime``, i.e. the boundary
+      instant is already timed out and an event landing exactly at
+      start+within emits a TIMEOUT, never a match.  Use this when
+      porting a Flink CEP job whose boundary-timestamp behavior must
+      reproduce bit-for-bit; the batch twin is
+      plans/enterprise.py::events_cep_within_flink.
+
+    Both modes emit timeout1 with end_ts_ms = start+within — the instant
+    Flink's timer fires — regardless of which side of the boundary that
+    instant binds on.  A partial with no further traffic on its key
+    never expires here — that is the documented watermark-timer gap of
+    this in-order matcher; the batch sweep
+    (plans/enterprise.py::events_cep_within) is the end-of-data truth,
+    and the parity test drains frontiers with a flush event past every
+    horizon."""
+    if boundary not in ("inclusive", "flink"):
+        raise ValueError(f"boundary must be 'inclusive' or 'flink', got {boundary!r}")
+    # a partial is dead once t - start > bind_horizon; integer-ms
+    # timestamps make flink's >= within equivalent to > within - 1
+    bind_horizon = within_ms if boundary == "inclusive" else within_ms - 1
 
     def func(
         key: tuple[Any, ...],
@@ -285,18 +308,18 @@ def _followed_by_timeout_func(first: str, second: str, third: str, within_ms: in
         rows = rows.sort_values(["ts_ms", "event_id"], kind="mergesort")
         for et, t in zip(rows["event_type"], rows["ts_ms"]):
             t = int(t)
-            # expire FIRST: anything strictly past the horizon is dead
+            # expire FIRST: anything past the bind horizon is dead
             # before this event can bind it
             still_open = []
             for v in open_views:
-                if t - v > within_ms:
+                if t - v > bind_horizon:
                     emit("timeout1", v, v + within_ms)
                 else:
                     still_open.append(v)
             open_views = still_open
             keep_v, keep_c = [], []
             for v, c in zip(paired_views, paired_clicks):
-                if t - v > within_ms:
+                if t - v > bind_horizon:
                     emit("timeout2", v, c)
                 else:
                     keep_v.append(v)
@@ -333,17 +356,20 @@ def streaming_followed_by_with_timeouts(
     pattern: Sequence[str],
     within_ms: int,
     key_col: str = "user_id",
+    boundary: str = "inclusive",
 ) -> DataFrame:
     """Streaming twin of events_cep_within at a single horizon: the
     3-step relaxed-contiguity matcher whose ``within`` expiries are a
-    side output.  State stays the bounded partial-match frontier."""
+    side output.  State stays the bounded partial-match frontier.
+    ``boundary='flink'`` reproduces Flink's exclusive horizon (boundary
+    instant = timed out); see _followed_by_timeout_func."""
     if len(pattern) != 3:
         raise ValueError(
             "streaming_followed_by_with_timeouts implements 3-step patterns"
         )
     renamed = events.withColumnRenamed(key_col, "key")
     return renamed.groupBy("key").applyInPandasWithState(
-        _followed_by_timeout_func(*pattern, within_ms),
+        _followed_by_timeout_func(*pattern, within_ms, boundary=boundary),
         outputStructType=TIMEOUT_OUTPUT_SCHEMA,
         stateStructType=FOLLOWED_BY_STATE_SCHEMA,
         outputMode="append",

@@ -1734,14 +1734,20 @@ def test_streaming_simhash_clusters_converge_to_batch(spark, tmpdirs):
     assert got[6] == 6
 
 
-def test_streaming_cep_within_timeouts_match_reference(spark, tmpdirs):
-    """Randomized differential for the timeout-emitting matcher: the
-    match rows AND the per-stage timed-out partials must reproduce an
-    independent O(n²) reference of Flink's within() semantics (timeout1
-    = no click inside the horizon, timeout2 = click bound but no
-    purchase in time), across random 3-way micro-batch splits.  A final
-    flush event per key past every horizon drains the frontier — the
-    role the event-time timer plays on unbounded input."""
+@pytest.mark.parametrize("boundary", ["inclusive", "flink"])
+def test_streaming_cep_within_timeouts_match_reference(spark, tmpdirs, boundary):
+    """Randomized differential for the timeout-emitting matcher, in BOTH
+    boundary modes (r8 verdict item 3): the match rows AND the per-stage
+    timed-out partials must reproduce an independent O(n²) reference of
+    within() semantics (timeout1 = no click inside the horizon, timeout2
+    = click bound but no purchase in time), across random 3-way
+    micro-batch splits.  'inclusive' = this engine's convention (the
+    boundary instant still binds); 'flink' = the NFA expiry
+    ``timestamp - startTimestamp >= windowTime``.  Step deltas include
+    2_500 so cumulative gaps hit EXACTLY the 5_000 horizon and the two
+    modes genuinely diverge on this fixture (asserted).  A final flush
+    event per key past every horizon drains the frontier — the role the
+    event-time timer plays on unbounded input."""
     import random
 
     from test_flink_spark.streaming.cep import (
@@ -1757,26 +1763,38 @@ def test_streaming_cep_within_timeouts_match_reference(spark, tmpdirs):
         n = rng.randrange(5, 31)
         ts, seq = 0, []
         for i in range(n):
-            ts += rng.choice([10, 100, 900, 2_000, 6_000])
+            ts += rng.choice([10, 100, 900, 2_000, 2_500, 6_000])
             seq.append((u, i + 1, rng.choice(types), ts))
         per_user[u] = seq
         max_ts = max(max_ts, ts)
 
-    want = set()
-    for u, seq in per_user.items():
-        for i, (_, _, et, vts) in enumerate(seq):
-            if et != "view":
-                continue
-            c = next((e for e in seq[i + 1 :] if e[2] == "click"), None)
-            if c is None or c[3] - vts > within:
-                want.add((u, "timeout1", vts, vts + within))
-                continue
-            ci = seq.index(c)
-            p = next((e for e in seq[ci + 1 :] if e[2] == "purchase"), None)
-            if p is None or p[3] - vts > within:
-                want.add((u, "timeout2", vts, c[3]))
-            else:
-                want.add((u, "match", vts, p[3]))
+    def reference(mode):
+        # inclusive: an event at exactly start+within still binds;
+        # flink: it is already timed out
+        cut = within if mode == "inclusive" else within - 1
+        want = set()
+        for u, seq in per_user.items():
+            for i, (_, _, et, vts) in enumerate(seq):
+                if et != "view":
+                    continue
+                c = next((e for e in seq[i + 1 :] if e[2] == "click"), None)
+                if c is None or c[3] - vts > cut:
+                    want.add((u, "timeout1", vts, vts + within))
+                    continue
+                ci = seq.index(c)
+                p = next(
+                    (e for e in seq[ci + 1 :] if e[2] == "purchase"), None
+                )
+                if p is None or p[3] - vts > cut:
+                    want.add((u, "timeout2", vts, c[3]))
+                else:
+                    want.add((u, "match", vts, p[3]))
+        return want
+
+    want = reference(boundary)
+    # the fixture must make the modes distinguishable, or the flink run
+    # proves nothing beyond the inclusive one
+    assert reference("inclusive") != reference("flink")
 
     batches = [[], [], []]
     for u, seq in per_user.items():
@@ -1790,7 +1808,7 @@ def test_streaming_cep_within_timeouts_match_reference(spark, tmpdirs):
     ]
 
     schema = "user_id LONG, event_id LONG, event_type STRING, ts_ms LONG"
-    src = tmpdirs / "src_within"
+    src = tmpdirs / f"src_within_{boundary}"
     src.mkdir()
     (src / "b0.csv").write_text(
         "\n".join(f"{u},{e},{t},{ts}" for u, e, t, ts in batches[0]) + "\n"
@@ -1800,12 +1818,12 @@ def test_streaming_cep_within_timeouts_match_reference(spark, tmpdirs):
     raw = spark.readStream.schema(schema).csv(str(src))
     q = (
         streaming_followed_by_with_timeouts(
-            raw, ["view", "click", "purchase"], within
+            raw, ["view", "click", "purchase"], within, boundary=boundary
         )
-        .writeStream.queryName("cep_within_stream")
+        .writeStream.queryName(f"cep_within_stream_{boundary}")
         .format("memory")
         .outputMode("append")
-        .option("checkpointLocation", str(tmpdirs / "ckpt_within"))
+        .option("checkpointLocation", str(tmpdirs / f"ckpt_within_{boundary}"))
         .start()
     )
     try:
@@ -1820,7 +1838,7 @@ def test_streaming_cep_within_timeouts_match_reference(spark, tmpdirs):
             q.processAllAvailable()
         got = {
             (r["key"], r["kind"], r["start_ts_ms"], r["end_ts_ms"])
-            for r in spark.table("cep_within_stream").collect()
+            for r in spark.table(f"cep_within_stream_{boundary}").collect()
         }
     finally:
         q.stop()
@@ -1829,6 +1847,54 @@ def test_streaming_cep_within_timeouts_match_reference(spark, tmpdirs):
         f"sample spurious={sorted(got - want)[:4]} "
         f"missing={sorted(want - got)[:4]}"
     )
+
+
+@pytest.mark.parametrize(
+    "boundary,want",
+    [
+        # click lands at EXACTLY start+within: inclusive binds it (then
+        # the purchase at +6000 is late -> stage-2 timeout); flink
+        # expires the partial before the bind -> stage-1 timeout
+        ("inclusive", {(1, "timeout2", 0, 5_000)}),
+        ("flink", {(1, "timeout1", 0, 5_000)}),
+    ],
+)
+def test_cep_boundary_timestamp_pinned(spark, tmpdirs, boundary, want):
+    """One pinned boundary-timestamp case per mode: view@0, click@5000,
+    purchase@6000, within=5000 — the single instant where the two
+    conventions disagree, spelled out as data."""
+    from test_flink_spark.streaming.cep import (
+        streaming_followed_by_with_timeouts,
+    )
+
+    rows = [(1, 1, "view", 0), (1, 2, "click", 5_000), (1, 3, "purchase", 6_000),
+            (1, 4, "other", 99_999)]
+    schema = "user_id LONG, event_id LONG, event_type STRING, ts_ms LONG"
+    src = tmpdirs / f"src_pin_{boundary}"
+    src.mkdir()
+    (src / "b0.csv").write_text(
+        "\n".join(f"{u},{e},{t},{ts}" for u, e, t, ts in rows) + "\n"
+    )
+    raw = spark.readStream.schema(schema).csv(str(src))
+    q = (
+        streaming_followed_by_with_timeouts(
+            raw, ["view", "click", "purchase"], 5_000, boundary=boundary
+        )
+        .writeStream.queryName(f"cep_pin_{boundary}")
+        .format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmpdirs / f"ckpt_pin_{boundary}"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["key"], r["kind"], r["start_ts_ms"], r["end_ts_ms"])
+            for r in spark.table(f"cep_pin_{boundary}").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want
 
 
 def test_streaming_cep_branching_matches_reference(spark, tmpdirs):
