@@ -332,12 +332,16 @@ def anchor_contexts(
 
 
 def extend_anchor_pairs(
-    pairs: DataFrame, k: int, ext: int, min_len: int
+    pairs: DataFrame, k: int, ext: int, min_len: int, keep_hash: bool = False
 ) -> DataFrame:
     """Bounded token-exact extend-and-verify over anchor-collision pairs
     with columns ``(id_a, pa, ca, oa, id_b, pb, cb, ob)`` — returns the
     verified matches ``(id_a, id_b, len_tokens, start_a, start_b)``.
-    Shared by the batch pair detector and the streaming index probe."""
+    Shared by the batch pair detector and the streaming index probe.
+    ``keep_hash=True`` carries the anchor hash ``h`` through as
+    PROVENANCE — the incremental verdict maintainer needs it to remove
+    exactly the intervals a hash contributed when that hash later
+    crosses the df cap (streaming/verdict_ingest.py)."""
 
     def _tok(ctx, off, delta):
         # F.get is 0-based and NULL-safe out of range (never wraps) —
@@ -372,17 +376,20 @@ def extend_anchor_pairs(
         ),
         lambda x: x,
     )
+    cols = [
+        F.col("id_a"),
+        F.col("id_b"),
+        (F.col("l_") + k + F.col("r_")).alias("len_tokens"),
+        (F.col("pa") - F.col("l_")).alias("start_a"),
+        (F.col("pb") - F.col("l_")).alias("start_b"),
+    ]
+    if keep_hash:
+        cols.append(F.col("h"))
     return (
         pairs.withColumn("l_", left)
         .withColumn("r_", right)
         .filter(aeq)
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("l_") + k + F.col("r_")).alias("len_tokens"),
-            (F.col("pa") - F.col("l_")).alias("start_a"),
-            (F.col("pb") - F.col("l_")).alias("start_b"),
-        )
+        .select(*cols)
         .filter(F.col("len_tokens") >= min_len)
     )
 
@@ -606,6 +613,81 @@ WHERE rn = 1
 """
 
 
+def merged_interval_length(
+    ivd: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Union length of DISTINCT closed integer intervals ``(id_col, s,
+    e)`` per id — the classic gaps-and-islands merge (running max of
+    prior interval ends marks island starts) → ``(id_col,
+    covered_tokens)``.  Input MUST be distinct: deduping makes the
+    (s, e) sort keys UNIQUE per id — ROWS-framed windows over tied keys
+    are where parallel window implementations wobble (observed: DuckDB
+    1.0 with 32 threads split an island across duplicate rows
+    nondeterministically, ~1 doc per 50k; Spark's rowsBetween has the
+    same theoretical tie hazard).  Shared by the batch coverage operator
+    and the incremental verdict maintainer; the windows ride the id
+    partitioning (no global window)."""
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max = F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    isl = ivd.withColumn(
+        "new_isl", (F.col("s") > F.coalesce(prev_max, F.lit(-1))).cast("long")
+    ).withColumn(
+        "isl", F.sum("new_isl").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_isl = isl.groupBy(id_col, "isl").agg(
+        (F.max("e") - F.min("s") + 1).alias("cov")
+    )
+    return per_isl.groupBy(id_col).agg(
+        F.sum("cov").cast("long").alias("covered_tokens")
+    )
+
+
+def retention_verdicts(
+    df: DataFrame,
+    coverage: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    drop_bp: int = 5000,
+    trim_bp: int = 1500,
+    k: int = 3,
+    w: int = 4,
+    ext: int = 10,
+    max_df: int = 8,
+) -> DataFrame:
+    """One retention verdict per document — exact-duplicate
+    canonicalization (min-id keeps; other copies ``drop_exact``) plus
+    duplicated-span coverage thresholds (``drop_dup`` at >= drop_bp,
+    ``trim_spans`` at >= trim_bp, else ``keep``) → ``(id_col, verdict,
+    coverage_bp, is_canonical)``.  The operator behind the registered
+    corpus_dedup_verdicts query (which passes its session-memoized
+    coverage via ``coverage=``) and the batch truth the incremental
+    maintainer (streaming/verdict_ingest.py) is differential-tested
+    against."""
+    cov = (
+        coverage
+        if coverage is not None
+        else duplicate_span_coverage(df, text_col, id_col, k, w, ext, max_df)
+    ).select(id_col, "coverage_bp")
+    norm = F.array_join(words(F.col(text_col)), " ")
+    fp = df.select(F.col(id_col), F.md5(norm).alias("fp"))
+    canon = fp.groupBy("fp").agg(F.min(id_col).alias("canonical_id"))
+    flags = fp.join(canon, "fp").select(
+        F.col(id_col), (F.col(id_col) == F.col("canonical_id")).alias("is_canon")
+    )
+    return flags.join(cov, id_col).select(
+        F.col(id_col),
+        F.when(~F.col("is_canon"), F.lit("drop_exact"))
+        .when(F.col("coverage_bp") >= drop_bp, F.lit("drop_dup"))
+        .when(F.col("coverage_bp") >= trim_bp, F.lit("trim_spans"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+        F.col("coverage_bp").cast("long").alias("coverage_bp"),
+        F.col("is_canon").cast("long").alias("is_canonical"),
+    )
+
+
 def duplicate_span_coverage(
     df: DataFrame,
     text_col: str = "text",
@@ -653,26 +735,7 @@ def duplicate_span_coverage(
             (F.col("start_b") + F.col("len_tokens") - 1).alias("e"),
         )
     )
-    # the merge runs on DISTINCT intervals: duplicates contribute nothing
-    # to a union, and deduping makes the (s, e) sort keys UNIQUE per doc —
-    # ROWS-framed windows over tied keys are where parallel window
-    # implementations wobble (observed: DuckDB 1.0 with 32 threads split
-    # an island across duplicate rows nondeterministically, ~1 doc per
-    # 50k; Spark's rowsBetween has the same theoretical tie hazard)
-    ivd = iv.distinct()
-    wo = Window.partitionBy(id_col).orderBy("s", "e")
-    prev_max = F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1))
-    isl = ivd.withColumn(
-        "new_isl", (F.col("s") > F.coalesce(prev_max, F.lit(-1))).cast("long")
-    ).withColumn(
-        "isl", F.sum("new_isl").over(wo.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    per_isl = isl.groupBy(id_col, "isl").agg(
-        (F.max("e") - F.min("s") + 1).alias("cov")
-    )
-    per_doc = per_isl.groupBy(id_col).agg(
-        F.sum("cov").cast("long").alias("covered_tokens")
-    )
+    per_doc = merged_interval_length(iv.distinct(), id_col)
     nsp = iv.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_spans"))
     toks = df.select(
         F.col(id_col), F.size(words(F.col(text_col))).cast("long").alias("n_tokens")

@@ -7252,29 +7252,16 @@ def corpus_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query AND corpus_dup_span_coverage); the exact side is one
     md5-fingerprint groupBy.  The oracle nests the full coverage replay
     and the fingerprint canonicalization and re-derives every verdict
-    boundary, so the CASE thresholds themselves are value-checked."""
-    from ..operators.dedup import words as _words
+    boundary, so the CASE thresholds themselves are value-checked.
+    Streaming twin: streaming/verdict_ingest.py maintains this exact
+    table incrementally per micro-batch (r8 verdict item 5)."""
+    from ..operators.span_dedup import retention_verdicts
 
-    docs = _docs(spark, sf_dir)
-    cov = _shared_span_coverage(spark, sf_dir).select("doc_id", "coverage_bp")
-    norm = F.array_join(_words(F.col("text")), " ")
-    fp = docs.select("doc_id", F.md5(norm).alias("fp"))
-    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"))
-    flags = fp.join(canon, "fp").select(
-        "doc_id", (F.col("doc_id") == F.col("canonical_id")).alias("is_canon")
-    )
-    return (
-        flags.join(cov, "doc_id")
-        .select(
-            "doc_id",
-            F.when(~F.col("is_canon"), F.lit("drop_exact"))
-            .when(F.col("coverage_bp") >= _VERDICT_DROP_BP, F.lit("drop_dup"))
-            .when(F.col("coverage_bp") >= _VERDICT_TRIM_BP, F.lit("trim_spans"))
-            .otherwise(F.lit("keep"))
-            .alias("verdict"),
-            F.col("coverage_bp").cast("long").alias("coverage_bp"),
-            F.col("is_canon").cast("long").alias("is_canonical"),
-        )
+    return retention_verdicts(
+        _docs(spark, sf_dir),
+        coverage=_shared_span_coverage(spark, sf_dir),
+        drop_bp=_VERDICT_DROP_BP,
+        trim_bp=_VERDICT_TRIM_BP,
     )
 
 

@@ -2247,3 +2247,111 @@ def test_cluster_ingest_backfill_resumes_after_partial_write(spark, tmpdirs):
         ).collect()
     }
     assert got == want == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_streaming_verdict_ingest_matches_batch(spark, tmpdirs):
+    """Streaming incremental RETENTION VERDICTS (r8 verdict item 5,
+    streaming/verdict_ingest.py): after EVERY micro-batch the persisted
+    snapshot must equal the batch retention_verdicts over the union of
+    all docs seen — on a fixture that exercises all three retroactive
+    moves only this table exhibits:
+
+    * batch 1 delivers a partial duplicate of doc 1, flipping it
+      keep -> trim_spans (the upsert the verdict demanded);
+    * batch 2 delivers a 4th document carrying the shared run R, pushing
+      R's interior anchor hashes OVER the df cap (max_df=3) — coverage
+      previously granted through them is retroactively withdrawn;
+    * batch 2 also delivers doc 0, an exact copy of doc 1 with a SMALLER
+      id — the canonical steal: doc 1 flips to drop_exact."""
+    from test_flink_spark.operators.span_dedup import retention_verdicts
+    from test_flink_spark.streaming.verdict_ingest import (
+        streaming_dedup_verdicts,
+    )
+
+    max_df = 3
+    R = " ".join(f"r{i}" for i in range(1, 13))              # 12-token run
+    S = " ".join(f"a{i}" for i in range(10, 16))             # doc 1 tokens 10..15
+    doc1 = " ".join(f"a{i}" for i in range(1, 41))           # 40 tokens
+    doc2 = " ".join(f"b{i}" for i in range(1, 13))
+    doc3 = " ".join(f"c{i}" for i in range(1, 13)) + f" {R} " + " ".join(
+        f"c{i}" for i in range(13, 25)
+    )
+    doc4 = " ".join(f"d{i}" for i in range(1, 9)) + f" {R} " + " ".join(
+        f"d{i}" for i in range(9, 17)
+    )
+    doc11 = " ".join(f"e{i}" for i in range(1, 9)) + f" {R} " + " ".join(
+        f"e{i}" for i in range(9, 15)
+    )
+    doc12 = " ".join(f"f{i}" for i in range(1, 15)) + f" {S}"
+    doc20 = " ".join(f"g{i}" for i in range(1, 5)) + f" {R} " + " ".join(
+        f"g{i}" for i in range(5, 9)
+    )
+    batches = [
+        [(1, doc1), (2, doc2), (3, doc3), (4, doc4)],
+        [(10, doc2), (11, doc11), (12, doc12)],
+        [(20, doc20), (0, doc1)],
+    ]
+    schema = "doc_id LONG, text STRING"
+    src = tmpdirs / "src_verdicts"
+    src.mkdir()
+    state = tmpdirs / "verdict_state"
+
+    def write_batch(i):
+        (src / f"b{i}.csv").write_text(
+            "\n".join(f'{d},"{t}"' for d, t in batches[i]) + "\n"
+        )
+
+    write_batch(0)
+    raw = spark.readStream.schema(schema).csv(str(src))
+    q = streaming_dedup_verdicts(
+        raw, str(state), str(tmpdirs / "ckpt_verdicts"), max_df=max_df
+    )
+    snapshots = {}
+    try:
+        q.processAllAvailable()
+        snapshots[0] = {
+            r["doc_id"]: (r["verdict"], r["coverage_bp"], r["is_canonical"])
+            for r in spark.read.parquet(str(state / "verdicts_v0")).collect()
+        }
+        for i in (1, 2):
+            write_batch(i)
+            q.processAllAvailable()
+            snapshots[i] = {
+                r["doc_id"]: (r["verdict"], r["coverage_bp"], r["is_canonical"])
+                for r in spark.read.parquet(
+                    str(state / f"verdicts_v{i}")
+                ).collect()
+            }
+    finally:
+        q.stop()
+
+    seen = []
+    for i in range(3):
+        seen.extend(batches[i])
+        union = spark.createDataFrame(seen, schema)
+        want = {
+            r["doc_id"]: (r["verdict"], r["coverage_bp"], r["is_canonical"])
+            for r in retention_verdicts(union, max_df=max_df).collect()
+        }
+        assert snapshots[i] == want, (
+            f"batch {i}: "
+            f"{ {d: (snapshots[i].get(d), want.get(d)) for d in set(snapshots[i]) | set(want) if snapshots[i].get(d) != want.get(d)} }"
+        )
+
+    # the narrative moves actually happened
+    assert snapshots[0][1][0] == "keep" and snapshots[1][1][0] == "trim_spans"
+    assert snapshots[1][1][1] == 1500  # 6 of 40 tokens, the exact boundary
+    assert snapshots[2][1][0] == "drop_exact"      # canonical steal by doc 0
+    assert snapshots[2][0][0] == "drop_dup" and snapshots[2][0][2] == 1
+    assert snapshots[1][10][0] == "drop_exact"     # larger-id exact copy
+    # the df cap genuinely fired in batch 2: R's interior anchors are
+    # carried by all four R-docs
+    anch = spark.read.parquet(str(state / "anchors"))
+    max_seen_df = (
+        anch.groupBy("h").count().agg({"count": "max"}).collect()[0][0]
+    )
+    assert max_seen_df > max_df
+    # and coverage granted through them was withdrawn: every R-doc's
+    # batch-2 coverage is strictly below its batch-1 value
+    for d in (3, 4, 11):
+        assert snapshots[2][d][1] < snapshots[1][d][1], (d, snapshots)
