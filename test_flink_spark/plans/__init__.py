@@ -60,6 +60,9 @@ _PROMOTED = (
     # --- new in r9 (first driver look) ---
     "embedding_ivfpq_sampled_search",
     "events_cep_within_flink",
+    "dedup_cluster_quality",
+    "corpus_verdict_effects",
+    "embedding_filtered_ann",
     # --- r8 implementation swaps (certificates voided, forced) ---
     "dedup_simhash_clusters",
     "embedding_near_dup_lsh",

@@ -7289,3 +7289,282 @@ FROM fp f JOIN canon c USING (fp) JOIN cov ON cov.doc_id = f.doc_id
 
 QUERIES["corpus_dedup_verdicts"] = corpus_dedup_verdicts
 ORACLES["corpus_dedup_verdicts"] = _dedup_verdicts_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions: dedup cluster quality, verdict effects report,
+# metadata-filtered ANN.
+# ---------------------------------------------------------------------------
+
+
+def dedup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality audit of the near-dup CLUSTERS a 100 TB dedup run acts on:
+    per multi-document cluster, its size, edge count, edge density
+    (``2·E·10000 div n(n−1)`` basis points — 10000 = clique, low values
+    flag chain-shaped clusters where transitive closure glued docs that
+    are NOT mutually similar, the classic over-merge failure of
+    connected-components dedup), and the min/max edge Jaccard in basis
+    points.  The actionable read: a big low-density cluster with a low
+    min edge is a candidate for re-clustering at a higher threshold
+    before its canonical representative eats every member.
+
+    Composition economics: rides the session-memoized pair base
+    (cascade/agreement's one-pass shingle self-join) and the memoized
+    cluster labels; the audit itself is two aggregations.  Edge rule:
+    integer basis-point floor ``shared·10000 div union >= 5000``, which
+    is rational-equal to the oracle's ``shared/union >= 0.5`` cut at
+    every boundary (dedup_containment precedent; the batch cluster
+    stage's round(j,4) form agrees everywhere off the half-ulp knife
+    edge no corpus row sits on — same documented divergence class as
+    corpus_dedup_cascade_audit's jaccard05 stage)."""
+    clusters = _shared_clusters(spark, sf_dir, threshold=0.5)
+    base = _shared_pair_base(spark, sf_dir)
+    edges = base.withColumn(
+        "jbp", F.expr("shared * 10000 div (n_a + n_b - shared)")
+    ).filter(F.col("jbp") >= 5000)
+    ec = edges.join(
+        clusters.select(F.col("doc_id").alias("id_a"), "cluster_id"), "id_a"
+    )
+    per_cluster = ec.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.min("jbp").cast("long").alias("min_edge_jbp"),
+        F.max("jbp").cast("long").alias("max_edge_jbp"),
+    )
+    sizes = (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+        .filter(F.col("size") >= 2)
+    )
+    return sizes.join(per_cluster, "cluster_id").select(
+        "cluster_id",
+        "size",
+        "n_edges",
+        F.expr("2 * n_edges * 10000 div (size * (size - 1))")
+        .cast("long")
+        .alias("density_bp"),
+        "min_edge_jbp",
+        "max_edge_jbp",
+    )
+
+
+def _cluster_quality_sql() -> str:
+    clusters = _clusters_sql().strip()
+    return rf"""
+WITH clusters AS ({clusters}),
+ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM ws) WHERE s IS NOT NULL AND s <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+edges AS (
+    SELECT id_a, id_b,
+           shared * 10000 // (sa.n_sh + sb.n_sh - shared) AS jbp
+    FROM shared
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE shared * 10000 // (sa.n_sh + sb.n_sh - shared) >= 5000
+),
+ec AS (SELECT c.cluster_id, e.jbp FROM edges e JOIN clusters c ON c.doc_id = e.id_a),
+pc AS (SELECT cluster_id, COUNT(*) AS n_edges,
+              MIN(jbp) AS min_edge_jbp, MAX(jbp) AS max_edge_jbp
+       FROM ec GROUP BY 1),
+sz AS (SELECT cluster_id, COUNT(*) AS size FROM clusters GROUP BY 1 HAVING COUNT(*) >= 2)
+SELECT sz.cluster_id,
+       CAST(sz.size AS BIGINT) AS size,
+       CAST(pc.n_edges AS BIGINT) AS n_edges,
+       CAST(2 * pc.n_edges * 10000 // (sz.size * (sz.size - 1)) AS BIGINT) AS density_bp,
+       CAST(pc.min_edge_jbp AS BIGINT) AS min_edge_jbp,
+       CAST(pc.max_edge_jbp AS BIGINT) AS max_edge_jbp
+FROM sz JOIN pc USING (cluster_id)
+"""
+
+
+QUERIES["dedup_cluster_quality"] = dedup_cluster_quality
+ORACLES["dedup_cluster_quality"] = _cluster_quality_sql()
+
+
+def corpus_verdict_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the dedup verdicts COST, by source — the report a curation
+    owner reads before signing off a 100 TB run: per ``documents.source``,
+    document counts by verdict class and the token ledger (tokens before,
+    tokens after keep/trim/drop are applied, savings in basis points).
+    ``trim_spans`` docs retain ``n_tokens − covered_tokens`` (the
+    duplicated spans go, the rest stays); drop classes retain nothing.
+    Rides the memoized coverage + verdict stages; the report is one
+    aggregation over doc-level metadata."""
+    from ..operators.span_dedup import retention_verdicts
+
+    docs = _docs(spark, sf_dir)
+    cov = _shared_span_coverage(spark, sf_dir).select(
+        "doc_id", "n_tokens", "covered_tokens"
+    )
+    verdicts = retention_verdicts(
+        docs,
+        coverage=_shared_span_coverage(spark, sf_dir),
+        drop_bp=_VERDICT_DROP_BP,
+        trim_bp=_VERDICT_TRIM_BP,
+    ).select("doc_id", "verdict")
+    ledger = (
+        docs.select("doc_id", "source")
+        .join(verdicts, "doc_id")
+        .join(cov, "doc_id")
+        .withColumn(
+            "tokens_kept",
+            F.when(F.col("verdict") == "keep", F.col("n_tokens"))
+            .when(
+                F.col("verdict") == "trim_spans",
+                F.col("n_tokens") - F.col("covered_tokens"),
+            )
+            .otherwise(F.lit(0)),
+        )
+    )
+    return ledger.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("verdict") == "keep").cast("long")).cast("long").alias("n_keep"),
+        F.sum((F.col("verdict") == "trim_spans").cast("long"))
+        .cast("long")
+        .alias("n_trim"),
+        F.sum((F.col("verdict") == "drop_exact").cast("long"))
+        .cast("long")
+        .alias("n_drop_exact"),
+        F.sum((F.col("verdict") == "drop_dup").cast("long"))
+        .cast("long")
+        .alias("n_drop_dup"),
+        F.sum("n_tokens").cast("long").alias("tokens_before"),
+        F.sum("tokens_kept").cast("long").alias("tokens_after"),
+        (
+            F.lit(10000)
+            - F.expr("sum(tokens_kept) * 10000 div sum(n_tokens)")
+        )
+        .cast("long")
+        .alias("tokens_saved_bp"),
+    )
+
+
+def _verdict_effects_sql() -> str:
+    from ..operators.span_dedup import duplicate_span_coverage_oracle_sql
+
+    cov = duplicate_span_coverage_oracle_sql(k=3, w=4, ext=10, max_df=8)
+    return rf"""
+WITH cov AS ({cov}),
+fp AS (SELECT doc_id,
+              md5(array_to_string(string_split_regex(trim(text), '\s+'), ' '))
+                  AS fp
+       FROM documents),
+canon AS (SELECT fp, MIN(doc_id) AS canonical_id FROM fp GROUP BY 1),
+v AS (SELECT f.doc_id,
+             CASE WHEN f.doc_id <> c.canonical_id THEN 'drop_exact'
+                  WHEN cov.coverage_bp >= {_VERDICT_DROP_BP} THEN 'drop_dup'
+                  WHEN cov.coverage_bp >= {_VERDICT_TRIM_BP} THEN 'trim_spans'
+                  ELSE 'keep' END AS verdict,
+             cov.n_tokens, cov.covered_tokens
+      FROM fp f JOIN canon c USING (fp) JOIN cov ON cov.doc_id = f.doc_id),
+ledger AS (
+    SELECT d.source, v.verdict, v.n_tokens,
+           CASE WHEN v.verdict = 'keep' THEN v.n_tokens
+                WHEN v.verdict = 'trim_spans' THEN v.n_tokens - v.covered_tokens
+                ELSE 0 END AS tokens_kept
+    FROM v JOIN documents d USING (doc_id))
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(SUM(CASE WHEN verdict = 'trim_spans' THEN 1 ELSE 0 END) AS BIGINT) AS n_trim,
+       CAST(SUM(CASE WHEN verdict = 'drop_exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_exact,
+       CAST(SUM(CASE WHEN verdict = 'drop_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_dup,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+       CAST(SUM(tokens_kept) AS BIGINT) AS tokens_after,
+       CAST(10000 - SUM(tokens_kept) * 10000 // SUM(n_tokens) AS BIGINT) AS tokens_saved_bp
+FROM ledger
+GROUP BY 1
+"""
+
+
+QUERIES["corpus_verdict_effects"] = corpus_verdict_effects
+ORACLES["corpus_verdict_effects"] = _verdict_effects_sql()
+
+
+def embedding_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search — the production shape every
+    vector store serves ("nearest neighbors WHERE label = X"): IVF probe
+    with the label predicate applied INSIDE the inverted lists, exact
+    integer-L2 rerank among surviving candidates, top-5 per query.
+    Filtering shrinks each probed list, so recall per probe drops;
+    production compensates by probing more lists — nprobe=4 here vs the
+    unfiltered query's 2 (the standard filtered-search knob, cf. FAISS
+    IVF + IDSelector).  At 100 TB the label becomes a partition column
+    of the inverted lists, turning the filter into partition pruning.
+    Shares the memoized coarse codebook; the label join is an equi-join
+    on the already-bucketed candidates, never a scan of the corpus per
+    query."""
+    from ..operators.ivf import _probe_clusters, ivf_assign, sq_dist
+
+    emb = _emb(spark, sf_dir)
+    centroids = _shared_ivf_centroids(spark, sf_dir)
+    inv = ivf_assign(emb, centroids).join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    probes = _probe_clusters(queries, centroids, 4, "vec_id", "embedding").join(
+        emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")),
+        "query_id",
+    )
+    cands = inv.join(F.broadcast(probes), "cluster").filter(
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("label") == F.col("qlabel"))
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.col("label").cast("long").alias("label"),
+        sq_dist(F.col("qv"), F.col("cv")).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= 5)
+
+
+def _filtered_ann_sql() -> str:
+    from ..operators.ivf import _oracle_dist, ivf_cte_body
+
+    dist = _oracle_dist(EMB_DIM)
+    body, final_c = ivf_cte_body(k=8, iters=2, dim=EMB_DIM)
+    return f"""
+WITH {body},
+probes AS (SELECT query_id, qv2 AS qv, cid AS cluster FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv2, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {dist('q.v', 'c.v')}, c.cid) AS rn
+        FROM (SELECT * FROM qv WHERE vec_id < 20) q
+        CROSS JOIN {final_c} c) WHERE rn <= 4),
+scored AS (SELECT p.query_id, i.neighbor_id,
+                  CAST(en.label AS BIGINT) AS label,
+                  {dist('p.qv', 'i.cv')} AS dist
+           FROM probes p
+           JOIN inv i ON p.cluster = i.cluster
+           JOIN embeddings en ON en.vec_id = i.neighbor_id
+           JOIN embeddings eq ON eq.vec_id = p.query_id
+           WHERE i.neighbor_id <> p.query_id AND en.label = eq.label)
+SELECT query_id, neighbor_id, label, dist,
+       CAST(rn AS BIGINT) AS rank
+FROM (SELECT query_id, neighbor_id, label, dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY dist, neighbor_id) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+
+QUERIES["embedding_filtered_ann"] = embedding_filtered_ann
+ORACLES["embedding_filtered_ann"] = _filtered_ann_sql()
