@@ -63,6 +63,8 @@ _PROMOTED = (
     "dedup_cluster_quality",
     "corpus_verdict_effects",
     "embedding_filtered_ann",
+    "doc_pack_efficiency",
+    "embedding_dim_variance_audit",
     # --- r8 implementation swaps (certificates voided, forced) ---
     "dedup_simhash_clusters",
     "embedding_near_dup_lsh",

@@ -7568,3 +7568,170 @@ WHERE rn <= 5
 
 QUERIES["embedding_filtered_ann"] = embedding_filtered_ann
 ORACLES["embedding_filtered_ann"] = _filtered_ann_sql()
+
+
+_PACK_BUDGET_SWEEP = (128, 256, 512)
+
+
+def doc_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency sweep over candidate context lengths — the
+    report that decides a training run's sequence budget: for each
+    budget (128/256/512 tokens), how many packs the sharded greedy
+    packer produces, the fill ratio in basis points (can exceed 10000:
+    pack_by_token_budget's documented overflow-at-boundary semantics let
+    a pack run over by at most one chunk tail), and chunks per pack.
+
+    One pass: the exclusive running token sum inside each of the 64
+    hash shards is BUDGET-INDEPENDENT, so the sweep computes it once,
+    explodes the budget array, and derives every assignment as
+    ``excl div budget`` — exactly pack_by_token_budget's
+    ``floor(excl/budget)`` at each budget (integer ``div`` of
+    non-negative longs; doc_pack_assignments pins the single-budget
+    form).  Costs one window exchange + a 3x fan-out of chunk rows."""
+    from ..operators.sampling import hash_bucket
+    from ..operators.text import chunk_token_windows
+
+    chunks = chunk_token_windows(
+        _docs(spark, sf_dir), chunk_size=32, stride=24
+    ).withColumn("pack_shard", hash_bucket(F.col("doc_id"), "pack", _PACK_SHARDS))
+    w = (
+        Window.partitionBy("pack_shard")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    excl = (F.sum("n_chunk_tokens").over(w) - F.col("n_chunk_tokens")).alias(
+        "excl"
+    )
+    c = chunks.select("pack_shard", "n_chunk_tokens", excl)
+    sweep = c.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(b).cast("long") for b in _PACK_BUDGET_SWEEP])
+        ).alias("budget"),
+    ).withColumn("pack_id", F.expr("excl div budget"))
+    per_shard = sweep.groupBy("budget", "pack_shard").agg(
+        (F.max("pack_id") + 1).alias("packs"),
+        F.sum("n_chunk_tokens").alias("toks"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_shard.groupBy("budget").agg(
+        F.sum("n").cast("long").alias("n_chunks"),
+        F.sum("packs").cast("long").alias("n_packs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.expr("sum(toks) * 10000 div (sum(packs) * budget)")
+        .cast("long")
+        .alias("fill_bp"),
+        F.expr("sum(n) * 1000 div sum(packs)")
+        .cast("long")
+        .alias("chunks_per_pack_milli"),
+    )
+
+
+def _pack_efficiency_sql() -> str:
+    chunk = _CHUNK_WINDOWS_SQL.strip().rstrip(";")
+    shard = (
+        f"(('0x' || substr(md5('pack:' || doc_id), 1, 15))::BIGINT"
+        f" % {_PACK_SHARDS})"
+    )
+    budgets = ", ".join(f"{b}::BIGINT" for b in _PACK_BUDGET_SWEEP)
+    return f"""
+WITH chunks AS ({chunk}),
+s AS (
+    SELECT doc_id, chunk_idx, n_chunk_tokens,
+           {shard} AS pack_shard
+    FROM chunks
+),
+c AS (
+    SELECT pack_shard, n_chunk_tokens,
+           SUM(n_chunk_tokens) OVER (PARTITION BY pack_shard
+               ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_chunk_tokens AS excl
+    FROM s
+),
+sweep AS (
+    SELECT pack_shard, n_chunk_tokens, b.budget,
+           excl // b.budget AS pack_id
+    FROM c, (SELECT unnest([{budgets}]) AS budget) b
+),
+per_shard AS (
+    SELECT budget, pack_shard, MAX(pack_id) + 1 AS packs,
+           SUM(n_chunk_tokens) AS toks, COUNT(*) AS n
+    FROM sweep GROUP BY 1, 2
+)
+SELECT budget,
+       CAST(SUM(n) AS BIGINT) AS n_chunks,
+       CAST(SUM(packs) AS BIGINT) AS n_packs,
+       CAST(SUM(toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(toks) * 10000 // (SUM(packs) * budget) AS BIGINT) AS fill_bp,
+       CAST(SUM(n) * 1000 // SUM(packs) AS BIGINT) AS chunks_per_pack_milli
+FROM per_shard
+GROUP BY 1
+"""
+
+
+QUERIES["doc_pack_efficiency"] = doc_pack_efficiency
+ORACLES["doc_pack_efficiency"] = _pack_efficiency_sql()
+
+
+def embedding_dim_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION moment audit of the embedding corpus — the
+    vector-store ingestion diagnostic read before choosing PQ subspaces
+    or truncation dims: for each of the 64 dimensions, the count, the
+    integer mean, and an integer variance of the fixed-point (×10⁶)
+    values.  Dead or near-constant dimensions (var_q ≈ 0) waste PQ
+    codebook capacity and matryoshka prefix budget; wildly unequal
+    variances argue for OPQ-style rebalancing before subspace splits.
+
+    Integer discipline: ``mean_q = Σv div n`` and ``var_q = (Σv² div n)
+    − (Σv div n)²`` — the floor-divided moment form, replayed verbatim
+    by the oracle (documented approximation: floors before the subtract,
+    exact to < 1 fixed-point ulp², which is 10⁻¹² in float units —
+    diagnostic-grade).  Σv² at sf1 is ≤ 2·10⁵ rows × (6·10⁵)² ≈ 7·10¹⁶,
+    inside int64.  Plan: one posexplode projection + a 64-group
+    aggregate; no joins, no window."""
+    from ..operators.ivf import quantize
+
+    emb = _emb(spark, sf_dir)
+    v = emb.select(
+        F.posexplode(quantize(F.col("embedding"))).alias("dim0", "v")
+    )
+    return (
+        v.groupBy((F.col("dim0") + 1).cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("v").alias("sv"),
+            F.sum(F.col("v") * F.col("v")).alias("svv"),
+        )
+        .select(
+            "dim",
+            "n_vecs",
+            F.expr("sv div n_vecs").cast("long").alias("mean_q"),
+            F.expr("svv div n_vecs - (sv div n_vecs) * (sv div n_vecs)")
+            .cast("long")
+            .alias("var_q"),
+        )
+    )
+
+
+def _dim_variance_sql() -> str:
+    return f"""
+WITH v AS (
+    SELECT i AS dim,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+    FROM embeddings, (SELECT unnest(range(1, {EMB_DIM + 1})) AS i) r
+),
+m AS (
+    SELECT dim, COUNT(*) AS n_vecs, SUM(v) AS sv, SUM(v * v) AS svv
+    FROM v GROUP BY 1
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST(sv // n_vecs AS BIGINT) AS mean_q,
+       CAST(svv // n_vecs - (sv // n_vecs) * (sv // n_vecs) AS BIGINT) AS var_q
+FROM m
+"""
+
+
+QUERIES["embedding_dim_variance_audit"] = embedding_dim_variance_audit
+ORACLES["embedding_dim_variance_audit"] = _dim_variance_sql()
