@@ -2355,3 +2355,57 @@ def test_streaming_verdict_ingest_matches_batch(spark, tmpdirs):
     # batch-2 coverage is strictly below its batch-1 value
     for d in (3, 4, 11):
         assert snapshots[2][d][1] < snapshots[1][d][1], (d, snapshots)
+
+
+def test_verdict_ingest_backfill_resumes_after_partial_write(spark, tmpdirs):
+    """verdict_ingest's crash-safety contract: the verdict snapshot is
+    the COMMIT POINT (anchor/meta shards and interval state are written
+    first).  A backfill call that crashed after writing everything BUT
+    the snapshot leaves orphans the retry must ignore and overwrite —
+    the union shingle/anchor state must not double-count the redelivered
+    batch."""
+    from test_flink_spark.operators.span_dedup import (
+        anchor_contexts,
+        retention_verdicts,
+    )
+    from test_flink_spark.streaming.verdict_ingest import verdict_ingest_batch
+
+    state = tmpdirs / "verdict_backfill_state"
+    schema = "doc_id LONG, text STRING"
+    doc1 = " ".join(f"a{i}" for i in range(1, 41))
+    doc2 = " ".join(f"b{i}" for i in range(1, 13))
+    dup = " ".join(f"f{i}" for i in range(1, 15)) + " " + " ".join(
+        f"a{i}" for i in range(10, 16)
+    )
+    batch0 = spark.createDataFrame([(1, doc1), (2, doc2)], schema)
+    batch1 = spark.createDataFrame([(10, dup)], schema)
+
+    verdict_ingest_batch(batch0, str(state), batch_id=None)
+    # simulate the crash: batch 1's shards AND interval state landed,
+    # the verdict snapshot did not
+    anchor_contexts(batch1, "text", "doc_id", 3, 4, 10).write.mode(
+        "overwrite"
+    ).parquet(str(state / "anchors" / "batch=1"))
+    batch1.selectExpr(
+        "doc_id",
+        "md5(array_join(split(trim(text), '\\\\s+'), ' ')) AS fp",
+        "CAST(size(split(trim(text), '\\\\s+')) AS LONG) AS n_tokens",
+    ).write.mode("overwrite").parquet(str(state / "meta" / "batch=1"))
+    spark.createDataFrame(
+        [(999, 1, 2, 12345)], "doc_id LONG, s INT, e INT, h LONG"
+    ).write.mode("overwrite").parquet(str(state / "intervals_v1"))
+
+    got = {
+        r["doc_id"]: (r["verdict"], r["coverage_bp"], r["is_canonical"])
+        for r in verdict_ingest_batch(
+            batch1, str(state), batch_id=None
+        ).collect()
+    }
+    union = batch0.unionByName(batch1)
+    want = {
+        r["doc_id"]: (r["verdict"], r["coverage_bp"], r["is_canonical"])
+        for r in retention_verdicts(union).collect()
+    }
+    assert got == want
+    # the flip actually happened (the orphan garbage interval is gone)
+    assert got[1][0] == "trim_spans" and 999 not in got
