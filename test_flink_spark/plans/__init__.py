@@ -65,6 +65,7 @@ _PROMOTED = (
     "embedding_filtered_ann",
     "doc_pack_efficiency",
     "embedding_dim_variance_audit",
+    "embedding_filtered_ann_recall",
     # --- r8 implementation swaps (certificates voided, forced) ---
     "dedup_simhash_clusters",
     "embedding_near_dup_lsh",
@@ -110,7 +111,6 @@ _PROMOTED = (
     "events_daily_anomaly",
     "events_decayed_engagement",
     "events_double_exp_forecast",
-    "events_forecast_backtest",
 )
 
 

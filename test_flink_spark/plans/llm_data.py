@@ -7505,6 +7505,12 @@ def embedding_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shares the memoized coarse codebook; the label join is an equi-join
     on the already-bucketed candidates, never a scan of the corpus per
     query."""
+    return _filtered_ann(spark, sf_dir, nprobe=4)
+
+
+def _filtered_ann(
+    spark: SparkSession, sf_dir: str, nprobe: int
+) -> DataFrame:
     from ..operators.ivf import _probe_clusters, ivf_assign, sq_dist
 
     emb = _emb(spark, sf_dir)
@@ -7513,7 +7519,9 @@ def embedding_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
     )
     queries = emb.filter(F.col("vec_id") < 20)
-    probes = _probe_clusters(queries, centroids, 4, "vec_id", "embedding").join(
+    probes = _probe_clusters(
+        queries, centroids, nprobe, "vec_id", "embedding"
+    ).join(
         emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")),
         "query_id",
     )
@@ -7535,7 +7543,7 @@ def embedding_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rank") <= 5)
 
 
-def _filtered_ann_sql() -> str:
+def _filtered_ann_sql(nprobe: int = 4) -> str:
     from ..operators.ivf import _oracle_dist, ivf_cte_body
 
     dist = _oracle_dist(EMB_DIM)
@@ -7547,7 +7555,7 @@ probes AS (SELECT query_id, qv2 AS qv, cid AS cluster FROM (
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
                    ORDER BY {dist('q.v', 'c.v')}, c.cid) AS rn
         FROM (SELECT * FROM qv WHERE vec_id < 20) q
-        CROSS JOIN {final_c} c) WHERE rn <= 4),
+        CROSS JOIN {final_c} c) WHERE rn <= {nprobe}),
 scored AS (SELECT p.query_id, i.neighbor_id,
                   CAST(en.label AS BIGINT) AS label,
                   {dist('p.qv', 'i.cv')} AS dist
@@ -7735,3 +7743,108 @@ FROM m
 
 QUERIES["embedding_dim_variance_audit"] = embedding_dim_variance_audit
 ORACLES["embedding_dim_variance_audit"] = _dim_variance_sql()
+
+
+def embedding_filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does probe COMPENSATION pay for the filter?  The audit behind
+    embedding_filtered_ann's nprobe=4 choice: per query, the exact
+    same-label integer-L2 top-5 (the filtered truth) and how many of
+    those five the filtered IVF path recovers at nprobe=2 (the
+    unfiltered operating point) vs nprobe=4 (the compensated one) —
+    ``(query_id, n_exact, hits_np2, hits_np4)``.  Label filtering
+    shrinks every probed list, so holding nprobe fixed silently cuts
+    candidate count; this table is the evidence the extra probes buy
+    the recall back.  The exact leg is the sanctioned 20-row
+    broadcast-query-panel BNLJ (cosine_topk precedent); both IVF legs
+    are bucketed equi-joins."""
+    from ..operators.ivf import quantize, sq_dist
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        quantize(F.col("embedding")).alias("q"),
+        F.col("label").alias("qlabel"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        quantize(F.col("embedding")).alias("c"),
+        "label",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    exact5 = (
+        cv.crossJoin(F.broadcast(qv))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("label") == F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            sq_dist(F.col("q"), F.col("c")).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    np2 = _filtered_ann(spark, sf_dir, nprobe=2).select("query_id", "neighbor_id")
+    np4 = _filtered_ann(spark, sf_dir, nprobe=4).select("query_id", "neighbor_id")
+    n_ex = exact5.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    h2 = (
+        np2.join(exact5, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits_np2"))
+    )
+    h4 = (
+        np4.join(exact5, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits_np4"))
+    )
+    return (
+        n_ex.join(h2, "query_id", "left")
+        .join(h4, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("hits_np2", F.lit(0)).cast("long").alias("hits_np2"),
+            F.coalesce("hits_np4", F.lit(0)).cast("long").alias("hits_np4"),
+        )
+    )
+
+
+def _filtered_ann_recall_sql() -> str:
+    from ..operators.ivf import QUANT, _oracle_dist
+
+    dist = _oracle_dist(EMB_DIM)
+    np2 = _filtered_ann_sql(nprobe=2)
+    np4 = _filtered_ann_sql(nprobe=4)
+    return f"""
+WITH np2 AS ({np2}), np4 AS ({np4}),
+qq AS (SELECT vec_id, label, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS v
+       FROM embeddings),
+ex AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {dist('q.v', 'c.v')}, c.vec_id) AS rn
+        FROM (SELECT * FROM qq WHERE vec_id < 20) q
+        JOIN qq c ON c.label = q.label AND c.vec_id <> q.vec_id) WHERE rn <= 5),
+ne AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY 1),
+h2 AS (SELECT s.query_id, COUNT(*) AS hits_np2
+       FROM np2 s JOIN ex USING (query_id, neighbor_id) GROUP BY 1),
+h4 AS (SELECT s.query_id, COUNT(*) AS hits_np4
+       FROM np4 s JOIN ex USING (query_id, neighbor_id) GROUP BY 1)
+SELECT ne.query_id,
+       CAST(ne.n_exact AS BIGINT) AS n_exact,
+       CAST(COALESCE(h2.hits_np2, 0) AS BIGINT) AS hits_np2,
+       CAST(COALESCE(h4.hits_np4, 0) AS BIGINT) AS hits_np4
+FROM ne LEFT JOIN h2 USING (query_id) LEFT JOIN h4 USING (query_id)
+"""
+
+
+QUERIES["embedding_filtered_ann_recall"] = embedding_filtered_ann_recall
+ORACLES["embedding_filtered_ann_recall"] = _filtered_ann_recall_sql()

@@ -1585,3 +1585,20 @@ def test_ivf_balance_audit_invariants(spark):
     k = 8
     for r in out:
         assert r["imbalance_ppm"] == r["list_size"] * 1_000_000 * k // n
+
+
+def test_filtered_ann_probe_compensation_pays(spark):
+    """embedding_filtered_ann's nprobe=4 choice is evidence-backed: on
+    the filtered (same-label) exact truth, the compensated probe count
+    must recover strictly more of the top-5 than the unfiltered
+    operating point nprobe=2 (measured at sf0.01: 72 vs 37 of 100)."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["embedding_filtered_ann_recall"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    t2 = sum(r["hits_np2"] for r in rows)
+    t4 = sum(r["hits_np4"] for r in rows)
+    assert sum(r["n_exact"] for r in rows) == 100
+    assert t4 > t2, (t2, t4)
+    assert t4 >= 60  # compensation recovers a solid majority of truth

@@ -181,6 +181,10 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         # panel (cosine_topk precedent); both IVF-PQ legs under audit
         # probe via equi-joins (no BNLJ).
         "embedding_ivfpq_sampled_train",
+        # filtered-ANN recall audit: same sanctioned 20-row panel BNLJ
+        # for the exact same-label truth leg; both filtered IVF legs
+        # are bucketed equi-joins.
+        "embedding_filtered_ann_recall",
         # CUPED: the 1-row pooled-moments aggregate broadcast into the
         # 2-row per-variant table — broadcast-1-row scalar shape
         # (skew_key_report precedent); the per-user day split likewise
