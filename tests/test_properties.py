@@ -628,3 +628,37 @@ def test_containment_matches_bruteforce_sets(spark, texts):
                         inter, inter * 10000 // min(len(sets[a]), len(sets[b]))
                     )
     assert got == expected, (got, expected)
+
+
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),       # doc id
+        st.integers(min_value=1, max_value=40),      # start
+        st.integers(min_value=0, max_value=15),      # length - 1
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(iv=intervals_strategy)
+def test_merged_interval_length_matches_bruteforce(spark, iv):
+    """merged_interval_length (the gaps-and-islands union behind span
+    coverage and the incremental verdict maintainer) must equal the
+    brute-force union size of the closed integer intervals, for any
+    overlap/containment/touching geometry hypothesis generates."""
+    from test_flink_spark.operators.span_dedup import merged_interval_length
+
+    rows = [(d, s, s + l) for d, s, l in iv]
+    df = spark.createDataFrame(rows, "doc_id LONG, s INT, e INT").distinct()
+    got = {
+        r["doc_id"]: r["covered_tokens"]
+        for r in merged_interval_length(df).collect()
+    }
+    # brute force: per doc, union of integer point sets
+    points: dict[int, set] = {}
+    for d, s, e in {(d, s, s + l) for d, s, l in iv}:
+        points.setdefault(d, set()).update(range(s, e + 1))
+    want = {d: len(p) for d, p in points.items()}
+    assert got == want, (got, want)
