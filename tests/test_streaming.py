@@ -2475,3 +2475,88 @@ def test_verdict_ingest_randomized_differential(spark, tmpdirs):
     assert (
         anch.groupBy("h").count().agg({"count": "max"}).collect()[0][0] > 4
     )
+
+
+def test_streaming_substring_check_randomized_differential(spark, tmpdirs):
+    """Randomized differential for the substring-ingest probe: 12 docs of
+    per-doc-unique tokens with planted shared runs (8- and 10-token runs
+    in up to 4 docs each, plus a 7-token slice copied between two docs at
+    random alignments), split into 3 id-ascending micro-batches — the
+    persisted hits must equal the batch detector's cross-batch pairs over
+    the union, including the tie-break geometry.  Planted shares stay
+    well under the df cap so the one-sided-cap parity precondition holds
+    (the capped regime is covered by the verdict maintainer's randomized
+    differential, whose cap semantics are two-sided by design)."""
+    import random
+
+    from test_flink_spark.operators.span_dedup import duplicate_substrings
+    from test_flink_spark.streaming.substring_dedup import (
+        streaming_substring_check,
+    )
+
+    rng = random.Random(20260815)
+    run_a = " ".join(f"ra{i}" for i in range(8))
+    run_b = " ".join(f"rb{i}" for i in range(10))
+    docs = []
+    for d in range(12):
+        n = rng.randrange(10, 26)
+        toks = [f"d{d}t{i}" for i in range(n)]
+        text = " ".join(toks)
+        r = rng.random()
+        if r < 0.35:
+            pos = rng.randrange(0, n)
+            run = run_a if r < 0.18 else run_b
+            text = (" ".join(toks[:pos]) + f" {run} " + " ".join(toks[pos:])).strip()
+        elif r < 0.5 and d >= 2:
+            # copy a 7-token slice of an earlier doc's UNIQUE section
+            src = rng.randrange(0, d)
+            stoks = docs[src][1].split()
+            uniq = [t for t in stoks if t.startswith(f"d{src}t")]
+            if len(uniq) >= 7:
+                s0 = rng.randrange(0, len(uniq) - 6)
+                pos = rng.randrange(0, n)
+                text = (
+                    " ".join(toks[:pos])
+                    + " " + " ".join(uniq[s0 : s0 + 7]) + " "
+                    + " ".join(toks[pos:])
+                ).strip()
+        docs.append((d, text))
+    batches = [docs[:4], docs[4:8], docs[8:]]
+    batch_of = {d: i for i, b in enumerate(batches) for d, _ in b}
+
+    schema = "doc_id LONG, text STRING"
+    src_dir = tmpdirs / "src_substring_rand"
+    src_dir.mkdir()
+    state = tmpdirs / "substring_rand_state"
+
+    def write_batch(i):
+        (src_dir / f"b{i}.csv").write_text(
+            "\n".join(f'{d},"{t}"' for d, t in batches[i]) + "\n"
+        )
+
+    write_batch(0)
+    raw = spark.readStream.schema(schema).csv(str(src_dir))
+    q = streaming_substring_check(
+        raw, str(state), str(tmpdirs / "ckpt_substring_rand")
+    )
+    try:
+        q.processAllAvailable()
+        for i in (1, 2):
+            write_batch(i)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["doc_id"], r["dup_of"], r["len_tokens"], r["start_new"], r["start_corpus"])
+        for r in spark.read.parquet(str(state / "hits")).drop("batch").collect()
+    }
+    union = spark.createDataFrame(docs, schema)
+    want = {
+        (r["id_b"], r["id_a"], r["len_tokens"], r["start_b"], r["start_a"])
+        for r in duplicate_substrings(union).collect()
+        if batch_of[r["id_a"]] < batch_of[r["id_b"]]
+    }
+    assert got == want, (sorted(got - want)[:4], sorted(want - got)[:4])
+    # the randomness actually planted cross-batch duplication
+    assert len(want) >= 3
