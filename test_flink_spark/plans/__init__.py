@@ -66,6 +66,7 @@ _PROMOTED = (
     "doc_pack_efficiency",
     "embedding_dim_variance_audit",
     "embedding_filtered_ann_recall",
+    "corpus_dedup_threshold_sensitivity",
     # --- r8 implementation swaps (certificates voided, forced) ---
     "dedup_simhash_clusters",
     "embedding_near_dup_lsh",
@@ -110,7 +111,6 @@ _PROMOTED = (
     "events_cusum_drift",
     "events_daily_anomaly",
     "events_decayed_engagement",
-    "events_double_exp_forecast",
 )
 
 

@@ -7848,3 +7848,101 @@ FROM ne LEFT JOIN h2 USING (query_id) LEFT JOIN h4 USING (query_id)
 
 QUERIES["embedding_filtered_ann_recall"] = embedding_filtered_ann_recall
 ORACLES["embedding_filtered_ann_recall"] = _filtered_ann_recall_sql()
+
+
+_DEDUP_THRESHOLDS_BP = (3000, 5000, 7000)
+
+
+def corpus_dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How the near-dup graph responds to the Jaccard threshold — the
+    one-pass report that picks a dedup operating point before anyone
+    pays for clustering: for each candidate cut (0.30 / 0.50 / 0.70 in
+    basis points), the surviving edge count, how many documents carry at
+    least one edge (the upper bound on docs dedup can touch), and the
+    maximum per-doc degree (the skew signal — a degree spike at a low
+    threshold is the boilerplate cluster that will glue everything into
+    one component).  The pair base (shared counts + set sizes) is
+    threshold-INDEPENDENT, so the sweep is one explode over the
+    session-memoized pair table; edge rule per threshold is the integer
+    basis-point floor ``shared·10000 div union >= t_bp``
+    (dedup_cluster_quality's documented discipline)."""
+    base = _shared_pair_base(spark, sf_dir)
+    jbp = F.expr("shared * 10000 div (n_a + n_b - shared)")
+    sweep = (
+        base.withColumn("jbp", jbp)
+        .select(
+            "id_a",
+            "id_b",
+            "jbp",
+            F.explode(
+                F.array(*[F.lit(t).cast("long") for t in _DEDUP_THRESHOLDS_BP])
+            ).alias("threshold_bp"),
+        )
+        .filter(F.col("jbp") >= F.col("threshold_bp"))
+    )
+    ends = sweep.select("threshold_bp", F.col("id_a").alias("doc_id")).unionByName(
+        sweep.select("threshold_bp", F.col("id_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("threshold_bp", "doc_id").agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    per_t = deg.groupBy("threshold_bp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_with_edge"),
+        F.max("degree").cast("long").alias("max_degree"),
+    )
+    edges = sweep.groupBy("threshold_bp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    return edges.join(per_t, "threshold_bp").select(
+        "threshold_bp", "n_edges", "n_docs_with_edge", "max_degree"
+    )
+
+
+def _threshold_sensitivity_sql() -> str:
+    thresholds = ", ".join(f"{t}::BIGINT" for t in _DEDUP_THRESHOLDS_BP)
+    return rf"""
+WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM ws) WHERE s IS NOT NULL AND s <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jp AS (
+    SELECT id_a, id_b,
+           shared * 10000 // (sa.n_sh + sb.n_sh - shared) AS jbp
+    FROM shared
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+),
+sweep AS (
+    SELECT id_a, id_b, t.threshold_bp
+    FROM jp, (SELECT unnest([{thresholds}]) AS threshold_bp) t
+    WHERE jbp >= t.threshold_bp
+),
+ends AS (
+    SELECT threshold_bp, id_a AS doc_id FROM sweep
+    UNION ALL
+    SELECT threshold_bp, id_b FROM sweep
+),
+deg AS (SELECT threshold_bp, doc_id, COUNT(*) AS degree FROM ends GROUP BY 1, 2)
+SELECT e.threshold_bp,
+       CAST(e.n_edges AS BIGINT) AS n_edges,
+       CAST(d.n_docs_with_edge AS BIGINT) AS n_docs_with_edge,
+       CAST(d.max_degree AS BIGINT) AS max_degree
+FROM (SELECT threshold_bp, COUNT(*) AS n_edges FROM sweep GROUP BY 1) e
+JOIN (SELECT threshold_bp, COUNT(*) AS n_docs_with_edge,
+             MAX(degree) AS max_degree
+      FROM deg GROUP BY 1) d USING (threshold_bp)
+"""
+
+
+QUERIES["corpus_dedup_threshold_sensitivity"] = corpus_dedup_threshold_sensitivity
+ORACLES["corpus_dedup_threshold_sensitivity"] = _threshold_sensitivity_sql()
