@@ -67,6 +67,7 @@ _PROMOTED = (
     "embedding_dim_variance_audit",
     "embedding_filtered_ann_recall",
     "corpus_dedup_threshold_sensitivity",
+    "corpus_source_contamination_matrix",
     # --- r8 implementation swaps (certificates voided, forced) ---
     "dedup_simhash_clusters",
     "embedding_near_dup_lsh",
@@ -110,7 +111,6 @@ _PROMOTED = (
     "embedding_split_drift",
     "events_cusum_drift",
     "events_daily_anomaly",
-    "events_decayed_engagement",
 )
 
 

@@ -7946,3 +7946,79 @@ JOIN (SELECT threshold_bp, COUNT(*) AS n_docs_with_edge,
 
 QUERIES["corpus_dedup_threshold_sensitivity"] = corpus_dedup_threshold_sensitivity
 ORACLES["corpus_dedup_threshold_sensitivity"] = _threshold_sensitivity_sql()
+
+
+def corpus_source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH sources duplicate WHICH — the provenance risk matrix a
+    corpus owner reads before licensing review: for every unordered pair
+    of `documents.source` values (self-pairs included), the number of
+    near-dup edges (Jaccard >= 0.5, the cluster edge rule) crossing
+    them and the mean edge similarity in basis points.  A heavy
+    off-diagonal cell is one source republishing another — exactly the
+    contamination path that silently leaks eval data between splits cut
+    by source.  Rides the memoized pair base; the matrix is one
+    aggregation over edge rows joined to doc-level metadata (at 100 TB
+    the source column travels with the pair base, making this a pure
+    map-side fold)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    base = _shared_pair_base(spark, sf_dir)
+    edges = base.withColumn(
+        "jbp", F.expr("shared * 10000 div (n_a + n_b - shared)")
+    ).filter(F.col("jbp") >= 5000)
+    e2 = (
+        edges.join(docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")), "id_a")
+        .join(docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")), "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+            "jbp",
+        )
+    )
+    return e2.groupBy("source_x", "source_y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.expr("sum(jbp) div count(*)").cast("long").alias("mean_jbp"),
+    )
+
+
+def _contamination_matrix_sql() -> str:
+    return rf"""
+WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM ws) WHERE s IS NOT NULL AND s <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+edges AS (
+    SELECT id_a, id_b,
+           shared * 10000 // (sa.n_sh + sb.n_sh - shared) AS jbp
+    FROM shared
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE shared * 10000 // (sa.n_sh + sb.n_sh - shared) >= 5000
+),
+e2 AS (
+    SELECT LEAST(da.source, db.source) AS source_x,
+           GREATEST(da.source, db.source) AS source_y,
+           e.jbp
+    FROM edges e
+    JOIN documents da ON da.doc_id = e.id_a
+    JOIN documents db ON db.doc_id = e.id_b
+)
+SELECT source_x, source_y,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(jbp) // COUNT(*) AS BIGINT) AS mean_jbp
+FROM e2
+GROUP BY 1, 2
+"""
+
+
+QUERIES["corpus_source_contamination_matrix"] = corpus_source_contamination_matrix
+ORACLES["corpus_source_contamination_matrix"] = _contamination_matrix_sql()
