@@ -58,6 +58,10 @@ _PROMOTED = (
     # oldest of the r4 cohort as fill (trim from the END for new-r9 slots).
     # Regenerate with: python tools/verified_age.py --fill N
     # --- new in r9 (first driver look) ---
+    "join_cardinality_estimate",
+    "layout_compaction_planner",
+    "corpus_curriculum_order",
+    "corpus_cluster_sharding",
     "embedding_ivfpq_sampled_search",
     "events_cep_within_flink",
     "dedup_cluster_quality",
@@ -107,10 +111,6 @@ _PROMOTED = (
     "csv_parse_roundtrip",
     "customers_rfm_segments",
     "data_quality_report",
-    "dedup_incremental_shard",
-    "embedding_split_drift",
-    "events_cusum_drift",
-    "events_daily_anomaly",
 )
 
 

@@ -2353,3 +2353,94 @@ _PPR_SQL = (
 
 QUERIES["graph_ppr_suppliers"] = graph_ppr_suppliers
 ORACLES["graph_ppr_suppliers"] = _PPR_SQL
+
+
+# ---------------------------------------------------------------------------
+# Join cardinality estimation via coordinated key sampling — the
+# cost-based-optimizer primitive.  At 100 TB a planner must know whether
+# orders ⋈ lineitem produces 10^9 or 10^13 rows BEFORE picking a join
+# strategy; running the join to find out is the failure mode.  The
+# estimator is Vengerov et al.'s correlated sampling: both sides keep only
+# keys whose md5 lands in a fixed 1/16 hash stratum (a COORDINATED sample —
+# the same keys survive on both sides, so per-key frequency products are
+# observed exactly, unlike independent Bernoulli row sampling which misses
+# matches at rate p^2), and sum(ca*cb)*16 unbiasedly estimates the true
+# join size.  The sampled aggregate is 1/16th of either input and the
+# predicate pushes to the scan.  The exact join count rides along as the
+# audit column (same pattern as the ANN recall audits: the estimate is
+# the product, the exact leg is the evidence).
+# ---------------------------------------------------------------------------
+
+_JCE_MOD = 16  # 1/16 key stratum: keys with md5-hash % 16 == 0
+
+
+def _jce_key(col: str):
+    return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    ) % _JCE_MOD == 0
+
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-sampling join-size estimate for orders ⋈ lineitem on
+    orderkey (1/16 deterministic md5 key stratum, both sides), with the
+    exact join cardinality and the integer-ppm error as audit columns.
+    One output row: est_rows, exact_rows, sampled_keys, err_ppm."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    sa = (
+        orders.filter(_jce_key("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    sb = (
+        li.filter(_jce_key("l_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    est = sa.join(sb, sa.o_orderkey == sb.l_orderkey).agg(
+        (F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)) * _JCE_MOD)
+        .cast("long")
+        .alias("est_rows"),
+        F.count(F.lit(1)).cast("long").alias("sampled_keys"),
+    )
+    exact = orders.join(li, orders.o_orderkey == li.l_orderkey).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_rows")
+    )
+    # 1-row x 1-row: the sanctioned broadcast totals join.
+    return est.crossJoin(exact).select(
+        "est_rows",
+        "exact_rows",
+        "sampled_keys",
+        F.expr("abs(est_rows - exact_rows) * 1000000 div exact_rows")
+        .cast("long")
+        .alias("err_ppm"),
+    )
+
+
+_JCE_SQL = f"""
+WITH sa AS (
+    SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders
+    WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % {_JCE_MOD} = 0
+    GROUP BY 1
+),
+sb AS (
+    SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem
+    WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT % {_JCE_MOD} = 0
+    GROUP BY 1
+),
+est AS (
+    SELECT CAST(COALESCE(SUM(ca * cb), 0) * {_JCE_MOD} AS BIGINT) AS est_rows,
+           CAST(COUNT(*) AS BIGINT) AS sampled_keys
+    FROM sa JOIN sb ON sa.k = sb.k
+),
+ex AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_rows
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+SELECT est_rows, exact_rows, sampled_keys,
+       CAST(ABS(est_rows - exact_rows) * 1000000 // exact_rows AS BIGINT) AS err_ppm
+FROM est, ex
+"""
+
+QUERIES["join_cardinality_estimate"] = join_cardinality_estimate
+ORACLES["join_cardinality_estimate"] = _JCE_SQL

@@ -4573,3 +4573,89 @@ GROUP BY 1, 2
 
 QUERIES["events_cep_branching"] = events_cep_branching
 ORACLES["events_cep_branching"] = _CEP_BRANCHING_SQL
+
+
+# ---------------------------------------------------------------------------
+# Small-files compaction planning — the layout verb Delta OPTIMIZE /
+# Iceberg rewriteDataFiles runs nightly on every 100 TB table.  Streaming
+# ingestion writes one file per (day, 15-minute slot); the planner reads
+# only the MANIFEST (file id -> byte size, millions of rows at 100 TB,
+# never the data) and assigns contiguous files to merge bins by the
+# classic running-sum heuristic: within each day, files in slot order are
+# packed until the bin crosses the day's adaptive target
+# (total_bytes / ceil-ish(n_files/4), i.e. ~4 files per rewrite task at
+# any scale factor).  Contiguity is deliberate — merging neighbors
+# preserves the time clustering the layout_pruning_report query measures.
+# One window per day partition, no joins, no data scan.
+# ---------------------------------------------------------------------------
+
+_CP_MERGE_FACTOR = 4  # aim ~4 source files per compaction bin
+
+
+def layout_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction plan for the simulated streaming-ingest manifest: one
+    'file' per (epoch day, 15-min slot) with bytes = 64*rows +
+    sum(len(props)); per day, slot-ordered running sum div adaptive
+    target = merge bin.  Output grain (day, bin_id): n_files, bytes_in,
+    target_bytes — the rewrite task list a table service executes."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("unix_millis(cast(ts as timestamp)) div 86400000").alias("day"),
+        F.expr("(unix_millis(cast(ts as timestamp)) div 60000) % 1440 div 15").alias(
+            "slot"
+        ),
+        F.coalesce(F.length("props"), F.lit(0)).alias("plen"),
+    )
+    manifest = ev.groupBy("day", "slot").agg(
+        (F.count(F.lit(1)) * 64 + F.sum("plen")).cast("long").alias("bytes")
+    )
+    day_w = Window.partitionBy("day")
+    run_w = (
+        Window.partitionBy("day")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = (
+        manifest.withColumn("day_total", F.sum("bytes").over(day_w))
+        .withColumn("day_files", F.count(F.lit(1)).over(day_w))
+        .withColumn(
+            "target_bytes",
+            F.expr(
+                f"greatest(day_total div greatest(day_files div {_CP_MERGE_FACTOR}, 1), 1)"
+            ),
+        )
+        .withColumn("cum_before", F.coalesce(F.sum("bytes").over(run_w), F.lit(0)))
+        .withColumn("bin_id", F.expr("cum_before div target_bytes").cast("long"))
+    )
+    return planned.groupBy("day", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("bytes_in"),
+        F.max("target_bytes").cast("long").alias("target_bytes"),
+    )
+
+
+_COMPACT_SQL = f"""
+WITH manifest AS (
+    SELECT epoch_ms(ts) // 86400000 AS day,
+           (epoch_ms(ts) // 60000) % 1440 // 15 AS slot,
+           COUNT(*) * 64 + SUM(COALESCE(LENGTH(props), 0)) AS bytes
+    FROM events GROUP BY 1, 2
+),
+planned AS (
+    SELECT day, slot, bytes,
+           GREATEST(SUM(bytes) OVER (PARTITION BY day)
+                    // GREATEST(COUNT(*) OVER (PARTITION BY day) // {_CP_MERGE_FACTOR}, 1),
+                    1) AS target_bytes,
+           COALESCE(SUM(bytes) OVER (PARTITION BY day ORDER BY slot
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM manifest
+)
+SELECT day, CAST(cum_before // target_bytes AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS bytes_in,
+       CAST(MAX(target_bytes) AS BIGINT) AS target_bytes
+FROM planned
+GROUP BY 1, 2
+"""
+
+QUERIES["layout_compaction_planner"] = layout_compaction_planner
+ORACLES["layout_compaction_planner"] = _COMPACT_SQL

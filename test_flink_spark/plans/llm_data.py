@@ -8022,3 +8022,216 @@ GROUP BY 1, 2
 
 QUERIES["corpus_source_contamination_matrix"] = corpus_source_contamination_matrix
 ORACLES["corpus_source_contamination_matrix"] = _contamination_matrix_sql()
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering — the data-scheduling verb between "curated corpus"
+# and "training shards": docs are decile-bucketed by a lexical-diversity
+# quality proxy, and each training epoch sees a GROWING bucket prefix
+# (epoch 1 = top 4 deciles, epoch 2 = top 7, epoch 3 = all) with the
+# within-epoch order ROUND-ROBIN interleaved across the visible buckets —
+# the standard anti-clumping curriculum (easy-first growth, no quality
+# streaks).  Scale posture: the quality score is an INTEGER in [0, 10000],
+# so the global decile rank is derived WITHOUT a global sort — a bounded
+# value histogram (<= 10001 rows; graph_components_knn precedent) carries
+# the cumulative counts, a per-score partitioned row_number breaks ties by
+# doc_id, and NTILE is replayed in closed form from (rank, n).  The epoch
+# expansion is an explode over a static 3-entry schedule, not a non-equi
+# join.  At 100 TB: one bounded-aggregate window + equi-joins only.
+# ---------------------------------------------------------------------------
+
+_CURR_SCHEDULE = ((1, 4), (2, 7), (3, 10))  # (epoch, visible bucket prefix)
+_CURR_K = 10  # decile buckets
+
+# Closed-form SQL-standard NTILE(K) from (grank, n_total): first n%K
+# buckets hold ceil(n/K) rows.  Shared verbatim (modulo // vs div) with
+# the DuckDB oracle so both engines replay the identical arithmetic.
+
+
+def _ntile_exprs(k: int, intdiv: str) -> tuple[str, str]:
+    q = f"(n_total {intdiv} {k})"
+    r = f"(n_total % {k})"
+    big_span = f"({r} * ({q} + 1))"
+    bucket = (
+        f"CASE WHEN {q} = 0 THEN grank "
+        f"WHEN grank <= {big_span} THEN (grank - 1) {intdiv} ({q} + 1) + 1 "
+        f"ELSE {r} + (grank - {big_span} - 1) {intdiv} {q} + 1 END"
+    )
+    start = (
+        f"CASE WHEN {q} = 0 THEN grank "
+        f"WHEN grank <= {big_span} "
+        f"THEN ((grank - 1) {intdiv} ({q} + 1)) * ({q} + 1) + 1 "
+        f"ELSE {big_span} + ((grank - {big_span} - 1) {intdiv} {q}) * {q} + 1 END"
+    )
+    return bucket, start
+
+
+_NTILE_BUCKET_EXPR, _NTILE_START_EXPR = _ntile_exprs(_CURR_K, "div")
+_NTILE_BUCKET_SQL, _NTILE_START_SQL = _ntile_exprs(_CURR_K, "//")
+
+
+def _sched_case() -> str:
+    parts = []
+    for _, mb in sorted(_CURR_SCHEDULE, key=lambda t: t[1]):
+        entries = ", ".join(
+            "named_struct('epoch', %d, 'mb', %d)" % (e2, mb2)
+            for e2, mb2 in _CURR_SCHEDULE
+            if mb2 >= mb
+        )
+        parts.append("WHEN bucket <= %d THEN array(%s)" % (mb, entries))
+    return "CASE " + " ".join(parts) + " END"
+
+
+_CURR_SCHED_CASE = _sched_case()
+
+
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-epoch growing-prefix curriculum over quality deciles with
+    round-robin bucket interleaving.  Output: epoch, doc_id, bucket,
+    pos (deterministic within-epoch training position)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "").alias("w"),
+    )
+    scored = toks.selectExpr(
+        "doc_id",
+        "size(array_distinct(w)) * 10000 div greatest(size(w), 1) AS score_bp",
+    )
+    # Bounded value histogram of the integer score: cumulative count of
+    # strictly-better scores + corpus total, both over <= 10001 rows.
+    hist = scored.groupBy("score_bp").agg(F.count(F.lit(1)).alias("c"))
+    hw = Window.orderBy(F.col("score_bp").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    nw = Window.orderBy(F.col("score_bp").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    hist = hist.select(
+        "score_bp",
+        F.coalesce(F.sum("c").over(hw), F.lit(0)).alias("cum_before"),
+        F.sum("c").over(nw).alias("n_total"),
+    )
+    # Tie-break within equal scores: row_number partitioned BY SCORE.
+    sw = Window.partitionBy("score_bp").orderBy("doc_id")
+    ranked = (
+        scored.withColumn("rn_s", F.row_number().over(sw))
+        .join(hist, "score_bp")
+        .withColumn("grank", F.expr("cum_before + rn_s"))
+    )
+    # Closed-form NTILE(K) over (grank, n): first n%K buckets get
+    # ceil(n/K) rows — bit-identical to the SQL-standard NTILE the
+    # oracle replays from ROW_NUMBER.
+    bucketed = ranked.selectExpr(
+        "doc_id",
+        "grank",
+        _NTILE_BUCKET_EXPR + " AS bucket",
+        _NTILE_START_EXPR + " AS bucket_start",
+    )
+    exploded = bucketed.select(
+        "doc_id",
+        "bucket",
+        F.expr("grank - bucket_start + 1").alias("rwb"),
+        F.explode(F.expr(_CURR_SCHED_CASE)).alias("sch"),
+    )
+    return exploded.select(
+        F.col("sch.epoch").cast("int").alias("epoch"),
+        "doc_id",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.expr("cast((rwb - 1) * sch.mb + bucket - 1 as bigint)").alias("pos"),
+    )
+
+
+def _curriculum_sql() -> str:
+    sched_rows = ", ".join(f"({e}, {mb})" for e, mb in _CURR_SCHEDULE)
+    return rf"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+    FROM documents
+),
+scored AS (
+    SELECT doc_id,
+           len(list_distinct(w)) * 10000 // GREATEST(len(w), 1) AS score_bp
+    FROM toks
+),
+ranked AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY score_bp DESC, doc_id) AS grank,
+           COUNT(*) OVER () AS n_total
+    FROM scored
+),
+bucketed AS (
+    SELECT doc_id, grank,
+           {_NTILE_BUCKET_SQL} AS bucket,
+           {_NTILE_START_SQL} AS bucket_start
+    FROM ranked
+),
+sched(epoch, max_bucket) AS (VALUES {sched_rows})
+SELECT CAST(epoch AS INT) AS epoch, doc_id, CAST(bucket AS INT) AS bucket,
+       CAST((grank - bucket_start) * max_bucket + bucket - 1 AS BIGINT) AS pos
+FROM bucketed JOIN sched ON bucket <= max_bucket
+"""
+
+
+QUERIES["corpus_curriculum_order"] = corpus_curriculum_order
+ORACLES["corpus_curriculum_order"] = _curriculum_sql()
+
+
+# ---------------------------------------------------------------------------
+# Cluster-aware shard assignment — the leakage-safe sharding a training
+# pipeline uses AFTER dedup keeps near-dup survivors: routing every member
+# of a near-dup cluster to the SAME shard guarantees (a) a later
+# shard-local dedup/packing pass still sees the whole cluster and (b) a
+# shard-cut train/eval split can never place two near-duplicates on
+# opposite sides (corpus_split_leakage measures exactly that failure).
+# Shard = md5(cluster representative) % 8 — clusters land whole, and the
+# report aggregates per shard so balance is auditable.  Rides the
+# session-memoized connected-components labels (_shared_clusters).
+# ---------------------------------------------------------------------------
+
+_CS_SHARDS = 8
+
+
+def corpus_cluster_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard audit of cluster-aware sharding: every doc routed by
+    md5(cluster_id) % 8.  Output: shard, n_docs, n_clusters, chars_total."""
+    labels = _shared_clusters(spark, sf_dir, threshold=0.5)
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    routed = labels.join(docs, "doc_id").select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 15), 16, 10
+            ).cast("long")
+            % _CS_SHARDS
+        ).alias("shard"),
+        "cluster_id",
+        "n_chars",
+    )
+    return routed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )
+
+
+def _cluster_sharding_sql() -> str:
+    clusters = _clusters_sql().strip()
+    return rf"""
+WITH clusters AS ({clusters}),
+routed AS (
+    SELECT ('0x' || substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 15))::BIGINT
+               % {_CS_SHARDS} AS shard,
+           c.cluster_id, d.n_chars
+    FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total
+FROM routed
+GROUP BY 1
+"""
+
+
+QUERIES["corpus_cluster_sharding"] = corpus_cluster_sharding
+ORACLES["corpus_cluster_sharding"] = _cluster_sharding_sql()

@@ -94,3 +94,41 @@ def test_hll_sliding_pane_merge_equals_direct_window_sketch(spark):
         r["w"]: (r["registers_used"], r["hll_est"]) for r in direct.collect()
     }
     assert got == want
+
+
+def test_join_cardinality_estimate_matches_naive_correlated_sample(spark):
+    """The 1/16-stratum correlated-sampling estimator must reproduce the
+    exact python replay on a crafted fixture — including the skewed key
+    (fanout 50) that independent row sampling would mis-weight — and the
+    exact_rows audit column must equal the true join size."""
+    import hashlib
+
+    import unittest.mock as um
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    import test_flink_spark.plans.advanced as A
+
+    # orders: keys 1..400 once each; lineitem: key k appears (k % 5 + 1)
+    # times, plus one hot key (7) with 50 extra rows.
+    okeys = list(range(1, 401))
+    lkeys = [k for k in okeys for _ in range(k % 5 + 1)] + [7] * 50
+    orders = spark.createDataFrame([(k,) for k in okeys], "o_orderkey LONG")
+    li = spark.createDataFrame([(k,) for k in lkeys], "l_orderkey LONG")
+    tables = {"orders": orders, "lineitem": li}
+    with um.patch.object(A, "_t", lambda s, sf, name: tables[name]):
+        row = A.join_cardinality_estimate(spark, "ignored").collect()[0]
+
+    def h(k: int) -> int:
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+
+    from collections import Counter
+
+    lc = Counter(lkeys)
+    sampled = [k for k in okeys if h(k) % A._JCE_MOD == 0 and k in lc]
+    est = sum(lc[k] for k in sampled) * A._JCE_MOD  # ca == 1 for every key
+    exact = sum(lc[k] for k in okeys if k in lc)
+    assert row["exact_rows"] == exact
+    assert row["est_rows"] == est
+    assert row["sampled_keys"] == len(sampled)
+    assert row["err_ppm"] == abs(est - exact) * 1000000 // exact

@@ -973,3 +973,65 @@ def test_markov_absorption_self_loop_truncation():
         va11 = (500_000 * va11 + 500_000 * 1_000_000) // 1_000_000
     got = _markov_absorption(trans, ("A",))
     assert got == va11 and got > 990_000
+
+
+def test_compaction_planner_conserves_manifest_and_packs_contiguously(spark):
+    """The compaction plan must (a) conserve every manifest byte and file,
+    (b) assign bins by the exact slot-ordered running-sum rule (python
+    replay), and (c) actually merge small files (~MERGE_FACTOR per bin on
+    a uniform day)."""
+    import datetime as dt
+
+    import unittest.mock as um
+
+    import test_flink_spark.plans.enterprise as E
+
+    # One synthetic day: 16 slots with varied sizes (one oversized file),
+    # plus a second day with 3 uniform slots.
+    rows = []
+    base = dt.datetime(2024, 1, 5, 0, 0, 0)
+    sizes = [1, 1, 1, 1, 8, 1, 1, 1, 1, 1, 1, 30, 1, 1, 1, 1]  # events per slot
+    for slot, n in enumerate(sizes):
+        for i in range(n):
+            rows.append((base + dt.timedelta(minutes=15 * slot, seconds=i), "x" * 10))
+    base2 = dt.datetime(2024, 1, 6, 0, 0, 0)
+    for slot in range(3):
+        for i in range(4):
+            rows.append((base2 + dt.timedelta(minutes=15 * slot, seconds=i), "y" * 5))
+    ev = spark.createDataFrame(rows, "ts TIMESTAMP, props STRING")
+    with um.patch.object(E, "_t", lambda s, sf, name: ev):
+        got = {
+            (r["day"], r["bin_id"]): (r["n_files"], r["bytes_in"], r["target_bytes"])
+            for r in E.layout_compaction_planner(spark, "ignored").collect()
+        }
+
+    # python replay of the running-sum rule
+    def day_of(t):
+        return int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1000) // 86400000
+
+    from collections import defaultdict
+
+    manifest = defaultdict(lambda: [0, 0])  # (day, slot) -> [n, plen_sum]
+    for t, p in rows:
+        mins = int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1000) // 60000
+        manifest[(day_of(t), mins % 1440 // 15)][0] += 1
+        manifest[(day_of(t), mins % 1440 // 15)][1] += len(p)
+    files = {k: 64 * n + s for k, (n, s) in manifest.items()}
+    expected = {}
+    for day in sorted({d for d, _ in files}):
+        day_files = sorted((sl, b) for (d, sl), b in files.items() if d == day)
+        total = sum(b for _, b in day_files)
+        target = max(total // max(len(day_files) // E._CP_MERGE_FACTOR, 1), 1)
+        cum = 0
+        for sl, b in day_files:
+            bin_id = cum // target
+            n, s, _ = expected.get((day, bin_id), (0, 0, target))
+            expected[(day, bin_id)] = (n + 1, s + b, target)
+            cum += b
+    assert got == expected, (got, expected)
+    # conservation + actual merging on the uniform day
+    assert sum(v[1] for v in got.values()) == sum(files.values())
+    assert sum(v[0] for v in got.values()) == len(files)
+    d2 = day_of(base2)
+    d2_bins = [v for (d, _), v in got.items() if d == d2]
+    assert sum(n for n, _, _ in d2_bins) == 3 and len(d2_bins) <= 2

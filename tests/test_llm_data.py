@@ -1602,3 +1602,78 @@ def test_filtered_ann_probe_compensation_pays(spark):
     assert sum(r["n_exact"] for r in rows) == 100
     assert t4 > t2, (t2, t4)
     assert t4 >= 60  # compensation recovers a solid majority of truth
+
+
+def test_curriculum_order_matches_naive_ntile_replay(spark):
+    """corpus_curriculum_order's histogram-derived rank + closed-form
+    NTILE must equal a naive python replay (global sort + SQL-standard
+    ntile) on a fixture with score ties, and every epoch's positions must
+    be a gap-free 0..n-1 round-robin interleave."""
+    import unittest.mock as um
+
+    import test_flink_spark.plans.llm_data as L
+
+    # 23 docs, engineered token mixes -> tied and distinct diversity scores
+    docs = []
+    for i in range(23):
+        uniq = (i % 7) + 1
+        toks = [f"w{j}" for j in range(uniq)] + ["pad"] * (10 - uniq)
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    with um.patch.object(L, "_docs", lambda s, sf: df):
+        got = {
+            (r["epoch"], r["doc_id"]): (r["bucket"], r["pos"])
+            for r in L.corpus_curriculum_order(spark, "ignored").collect()
+        }
+
+    # naive replay
+    scored = []
+    for i, text in docs:
+        w = [x for x in text.split() if x]
+        scored.append((i, len(set(w)) * 10000 // max(len(w), 1)))
+    order = sorted(scored, key=lambda t: (-t[1], t[0]))
+    n, k = len(order), L._CURR_K
+    q, r = divmod(n, k)
+    buckets = {}
+    starts = {}
+    pos_in_bucket = {}
+    for rank, (i, _) in enumerate(order, start=1):
+        if q == 0:
+            b, start = rank, rank
+        elif rank <= r * (q + 1):
+            b = (rank - 1) // (q + 1) + 1
+            start = (b - 1) * (q + 1) + 1
+        else:
+            b = r + (rank - r * (q + 1) - 1) // q + 1
+            start = r * (q + 1) + (b - 1 - r) * q + 1
+        buckets[i] = b
+        pos_in_bucket[i] = rank - start
+    expected = {}
+    for epoch, mb in L._CURR_SCHEDULE:
+        for i, _ in scored:
+            if buckets[i] <= mb:
+                expected[(epoch, i)] = (
+                    buckets[i],
+                    pos_in_bucket[i] * mb + buckets[i] - 1,
+                )
+    assert got == expected, (got, expected)
+    # positions within each epoch are unique (a valid training order)
+    for epoch, _ in L._CURR_SCHEDULE:
+        ps = [p for (e, _), (_, p) in got.items() if e == epoch]
+        assert len(ps) == len(set(ps))
+
+
+def test_cluster_sharding_keeps_clusters_whole(spark):
+    """Every near-dup cluster must land in exactly ONE shard: the per-shard
+    distinct-cluster counts must sum to the GLOBAL distinct cluster count,
+    and doc/char totals must conserve the corpus."""
+    import test_flink_spark.plans.llm_data as L
+
+    sf = "/root/testdata/sf0.001"
+    out = L.corpus_cluster_sharding(spark, sf).collect()
+    labels = L._shared_clusters(spark, sf, threshold=0.5)
+    n_docs = labels.count()
+    n_clusters = labels.select("cluster_id").distinct().count()
+    assert sum(r["n_docs"] for r in out) == n_docs
+    assert sum(r["n_clusters"] for r in out) == n_clusters
+    assert all(0 <= r["shard"] < L._CS_SHARDS for r in out)

@@ -190,6 +190,10 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         # (skew_key_report precedent); the per-user day split likewise
         # joins a 1-row min/max-day bounds aggregate.
         "events_cuped_adjustment",
+        # 1-row estimate x 1-row exact-count audit join — the broadcast
+        # totals shape (skew_key_report precedent); the estimator itself
+        # is a 1/16-stratum equi-join.
+        "join_cardinality_estimate",
     }
     # A global window is sanctioned ONLY over provably-bounded input:
     # corpus_mix_report's token_share window reads post-aggregation rows
@@ -237,6 +241,12 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         # word graph (<= |vocab| rows; 31 here), never the corpus —
         # bounded-aggregate family.
         "text_textrank_keywords",
+        # curriculum deciles: the cumulative/total windows read the
+        # INTEGER SCORE HISTOGRAM (<= 10001 rows by construction: score
+        # is basis points), never the corpus — the per-doc rank is a
+        # per-score-partitioned row_number + histogram join.  Value-
+        # histogram family, graph_components_knn precedent.
+        "corpus_curriculum_order",
     }
     forbidden = ("CartesianProduct", "BatchEvalPython")
     offenders = {}
