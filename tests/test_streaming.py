@@ -2560,3 +2560,83 @@ def test_streaming_substring_check_randomized_differential(spark, tmpdirs):
     assert got == want, (sorted(got - want)[:4], sorted(want - got)[:4])
     # the randomness actually planted cross-batch duplication
     assert len(want) >= 3
+
+
+def test_streaming_sketch_ingest_matches_batch_hll(spark, tmpdirs):
+    """Streaming HLL maintenance (streaming/sketch_ingest.py): three
+    micro-batches through foreachBatch must leave a register snapshot
+    whose estimator fold is BIT-EQUAL to the batch sketch over the union
+    of all rows — including the '__all__' rollup max-merged from the
+    per-group sketches — and re-running a batch id must be a no-op
+    (retry idempotence)."""
+    from test_flink_spark.operators import sketch as sk
+    from test_flink_spark.streaming.sketch_ingest import (
+        estimates,
+        sketch_ingest_batch,
+        streaming_sketch_ingest,
+    )
+
+    batches = [
+        [(u, "view") for u in range(100)] + [(u, "click") for u in range(30)],
+        [(u, "view") for u in range(50, 160)],  # 60 new view users
+        [(u, "purchase") for u in range(10)] + [(u, "click") for u in range(25, 40)],
+    ]
+    schema = "user_id LONG, event_type STRING"
+    src = tmpdirs / "src_sketch_ingest"
+    src.mkdir()
+    state = tmpdirs / "sketch_state"
+
+    def write_batch(i):
+        (src / f"b{i}.csv").write_text(
+            "\n".join(f"{u},{t}" for u, t in batches[i]) + "\n"
+        )
+
+    write_batch(0)
+    raw = spark.readStream.schema(schema).csv(str(src))
+    q = streaming_sketch_ingest(
+        raw, str(state), str(tmpdirs / "ckpt_sketch_ingest")
+    )
+    try:
+        q.processAllAvailable()
+        for i in (1, 2):
+            write_batch(i)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["grp"]: (r["registers_used"], r["hll_est"])
+        for r in estimates(spark, str(state)).collect()
+    }
+    union = spark.createDataFrame(
+        [r for batch in batches for r in batch], schema
+    )
+    regs = sk.hll_registers(union, "user_id", ["event_type"])
+    want = {
+        r["event_type"]: (r["registers_used"], r["hll_est"])
+        for r in sk.hll_fold_registers(regs, ["event_type"]).collect()
+    }
+    from pyspark.sql import functions as F
+
+    merged = (
+        regs.groupBy("reg")
+        .agg(F.max("m_rank").alias("m_rank"))
+        .withColumn("event_type", F.lit("__all__"))
+    )
+    want["__all__"] = [
+        (r["registers_used"], r["hll_est"])
+        for r in sk.hll_fold_registers(merged, ["event_type"]).collect()
+    ][0]
+    assert got == want
+    # retry idempotence: re-folding batch 2's data under its own batch_id
+    # must reproduce the same snapshot (reads only state < 2, max forgives
+    # the duplicate registers)
+    batch2 = spark.createDataFrame(batches[2], schema)
+    before = sorted(
+        map(tuple, spark.read.parquet(str(state / "registers_v2")).collect())
+    )
+    sketch_ingest_batch(batch2, str(state), batch_id=2)
+    after = sorted(
+        map(tuple, spark.read.parquet(str(state / "registers_v2")).collect())
+    )
+    assert before == after
