@@ -58,6 +58,8 @@ _PROMOTED = (
     # oldest of the r4 cohort as fill (trim from the END for new-r9 slots).
     # Regenerate with: python tools/verified_age.py --fill N
     # --- new in r9 (first driver look) ---
+    "join_order_advisor",
+    "agg_reduction_advisor",
     "join_cardinality_estimate",
     "layout_compaction_planner",
     "corpus_curriculum_order",
@@ -109,8 +111,6 @@ _PROMOTED = (
     "corpus_topic_labels",
     "corpus_weighted_sample",
     "csv_parse_roundtrip",
-    "customers_rfm_segments",
-    "data_quality_report",
 )
 
 

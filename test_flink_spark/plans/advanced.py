@@ -2444,3 +2444,171 @@ FROM est, ex
 
 QUERIES["join_cardinality_estimate"] = join_cardinality_estimate
 ORACLES["join_cardinality_estimate"] = _JCE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Join-order advisor — the composition a cost-based optimizer actually
+# runs: estimate the SELECTED join size of lineitem against each filtered
+# dimension (orders at 1-URGENT, small parts, low-nation suppliers) with
+# the same 1/16 correlated key stratum as join_cardinality_estimate, then
+# rank the dimensions for a left-deep greedy order (smallest estimated
+# intermediate first — the classic Selinger heuristic).  Each estimate is
+# a 1/16th-scan equi-join; the ranking window reads a 3-ROW table.  At
+# 100 TB this is the query an optimizer service answers before choosing
+# a join tree, without running any of the candidate joins.
+# ---------------------------------------------------------------------------
+
+_JOA_DIMS = (
+    # (dim name, dim table, dim join col, fact join col, dim predicate SQL)
+    ("orders", "orders", "o_orderkey", "l_orderkey", "o_orderpriority = '1-URGENT'"),
+    ("part", "part", "p_partkey", "l_partkey", "p_size < 10"),
+    ("supplier", "supplier", "s_suppkey", "l_suppkey", "s_nationkey < 5"),
+)
+
+
+def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy join-order ranking from correlated-sampling estimates of
+    |lineitem ⋈ σ(dim)| for the three filtered FK dimensions.  Output:
+    dim, est_rows, join_rank (1 = join first)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ests = None
+    for dim, table, dkey, fkey, pred in _JOA_DIMS:
+        d = (
+            _t(spark, sf_dir, table)
+            .filter(F.expr(pred))
+            .filter(_jce_key(dkey))
+            .groupBy(dkey)
+            .agg(F.count(F.lit(1)).alias("cd"))
+        )
+        f = (
+            li.select(fkey)
+            .filter(_jce_key(fkey))
+            .groupBy(fkey)
+            .agg(F.count(F.lit(1)).alias("cf"))
+        )
+        e = (
+            f.join(d, f[fkey] == d[dkey])
+            .agg(
+                (F.coalesce(F.sum(F.col("cf") * F.col("cd")), F.lit(0)) * _JCE_MOD)
+                .cast("long")
+                .alias("est_rows")
+            )
+            .select(F.lit(dim).alias("dim"), "est_rows")
+        )
+        ests = e if ests is None else ests.unionByName(e)
+    from pyspark.sql import Window
+
+    # rank window over the 3-row estimate table (bounded by construction)
+    w = Window.orderBy(F.col("est_rows").asc(), F.col("dim").asc())
+    return ests.withColumn("join_rank", F.row_number().over(w).cast("int"))
+
+
+def _joa_sql() -> str:
+    legs = []
+    for dim, table, dkey, fkey, pred in _JOA_DIMS:
+        legs.append(
+            f"""
+    SELECT '{dim}' AS dim,
+           CAST(COALESCE(SUM(cf * cd), 0) * {_JCE_MOD} AS BIGINT) AS est_rows
+    FROM (
+        SELECT {fkey} AS k, COUNT(*) AS cf FROM lineitem
+        WHERE ('0x' || substr(md5(CAST({fkey} AS VARCHAR)), 1, 15))::BIGINT % {_JCE_MOD} = 0
+        GROUP BY 1
+    ) f
+    JOIN (
+        SELECT {dkey} AS k, COUNT(*) AS cd FROM {table}
+        WHERE {pred}
+          AND ('0x' || substr(md5(CAST({dkey} AS VARCHAR)), 1, 15))::BIGINT % {_JCE_MOD} = 0
+        GROUP BY 1
+    ) d ON f.k = d.k"""
+        )
+    union = "\n    UNION ALL\n".join(legs)
+    return f"""
+WITH ests AS ({union}
+)
+SELECT dim, est_rows,
+       CAST(ROW_NUMBER() OVER (ORDER BY est_rows ASC, dim ASC) AS INT) AS join_rank
+FROM ests
+"""
+
+
+QUERIES["join_order_advisor"] = join_order_advisor
+ORACLES["join_order_advisor"] = _joa_sql()
+
+
+# ---------------------------------------------------------------------------
+# Partial-aggregation reduction advisor — decides whether map-side
+# combine pays.  Spark's hash-partial aggregate only helps when rows
+# collapse into few keys BEFORE the shuffle; at 100 TB a groupBy on a
+# near-unique key (user_id on a clickstream) wastes memory and CPU on a
+# partial that reduces nothing (the regression Spark's own
+# spark.sql.aggregate.partialAggregationOptimization targets).  The
+# advisor measures, per candidate grouping key, the corpus-wide
+# rows-per-distinct-key ratio and flags keys whose partial reduction
+# would fall below 2x.  Distinct counts are exact two-stage aggregations
+# (shuffle keyed on the candidate itself), rows is one shared count —
+# output is one bounded row per candidate.
+# ---------------------------------------------------------------------------
+
+_ARA_CANDIDATES = (
+    # (candidate name, grouping expression over events)
+    ("event_type", "event_type"),
+    ("user_id", "CAST(user_id AS STRING)"),
+    ("user_type", "CAST(user_id AS STRING) || ':' || event_type"),
+    ("minute", "CAST(epoch_min_expr AS STRING)"),
+)
+
+
+def agg_reduction_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per candidate grouping key over events: distinct keys, total rows,
+    reduction factor (rows-per-key, in ppm) and the partial-agg verdict
+    (keep map-side combine iff reduction >= 2x).  Output: candidate,
+    n_keys, n_rows, reduction_ppm, partial_agg_pays."""
+    ev = _t(spark, sf_dir, "events")
+    out = None
+    for name, expr in _ARA_CANDIDATES:
+        sexpr = expr.replace(
+            "epoch_min_expr", "(unix_millis(cast(ts as timestamp)) div 60000)"
+        )
+        leg = (
+            ev.select(F.expr(sexpr).alias("k"))
+            .agg(
+                F.countDistinct("k").cast("long").alias("n_keys"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+            )
+            .select(
+                F.lit(name).alias("candidate"),
+                "n_keys",
+                "n_rows",
+                F.expr("n_rows * 1000000 div n_keys").cast("long").alias(
+                    "reduction_ppm"
+                ),
+                F.expr("n_rows * 1000000 div n_keys >= 2000000").alias(
+                    "partial_agg_pays"
+                ),
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+def _ara_sql() -> str:
+    legs = []
+    for name, expr in _ARA_CANDIDATES:
+        dexpr = expr.replace("epoch_min_expr", "(epoch_ms(ts) // 60000)")
+        legs.append(
+            f"""
+    SELECT '{name}' AS candidate,
+           CAST(COUNT(DISTINCT {dexpr}) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) * 1000000 // COUNT(DISTINCT {dexpr}) AS BIGINT)
+               AS reduction_ppm,
+           COUNT(*) * 1000000 // COUNT(DISTINCT {dexpr}) >= 2000000
+               AS partial_agg_pays
+    FROM events"""
+        )
+    return "\n    UNION ALL\n".join(legs)
+
+
+QUERIES["agg_reduction_advisor"] = agg_reduction_advisor
+ORACLES["agg_reduction_advisor"] = _ara_sql()

@@ -132,3 +132,102 @@ def test_join_cardinality_estimate_matches_naive_correlated_sample(spark):
     assert row["est_rows"] == est
     assert row["sampled_keys"] == len(sampled)
     assert row["err_ppm"] == abs(est - exact) * 1000000 // exact
+
+
+def test_join_order_advisor_ranks_by_replayed_estimates(spark):
+    """The advisor's three per-dimension estimates must equal the python
+    replay of the correlated sample (filtered dim x fact frequency
+    products, scaled by the stratum), and join_rank must order them
+    ascending with the name tie-break."""
+    import hashlib
+
+    import unittest.mock as um
+
+    import test_flink_spark.plans.advanced as A
+
+    def h(k: int) -> bool:
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % A._JCE_MOD == 0
+
+    keys = list(range(1, 301))
+    li = spark.createDataFrame(
+        [(k, k % 40 + 1, k % 25 + 1) for k in keys for _ in range(k % 3 + 1)],
+        "l_orderkey LONG, l_partkey LONG, l_suppkey LONG",
+    )
+    orders = spark.createDataFrame(
+        [(k, "1-URGENT" if k % 4 == 0 else "3-MEDIUM") for k in keys],
+        "o_orderkey LONG, o_orderpriority STRING",
+    )
+    part = spark.createDataFrame(
+        [(p, p % 20) for p in range(1, 41)], "p_partkey LONG, p_size INT"
+    )
+    supplier = spark.createDataFrame(
+        [(s, s % 12) for s in range(1, 26)], "s_suppkey LONG, s_nationkey INT"
+    )
+    tables = {"lineitem": li, "orders": orders, "part": part, "supplier": supplier}
+    with um.patch.object(A, "_t", lambda s, sf, name: tables[name]):
+        got = {
+            r["dim"]: (r["est_rows"], r["join_rank"])
+            for r in A.join_order_advisor(spark, "ignored").collect()
+        }
+
+    from collections import Counter
+
+    fact = {
+        "orders": Counter(r["l_orderkey"] for r in li.collect()),
+        "part": Counter(r["l_partkey"] for r in li.collect()),
+        "supplier": Counter(r["l_suppkey"] for r in li.collect()),
+    }
+    dims = {
+        "orders": Counter(k for k in keys if k % 4 == 0),
+        "part": Counter(p for p in range(1, 41) if p % 20 < 10),
+        "supplier": Counter(s for s in range(1, 26) if s % 12 < 5),
+    }
+    ests = {
+        d: sum(cf * dims[d][k] for k, cf in fact[d].items() if h(k) and k in dims[d])
+        * A._JCE_MOD
+        for d in fact
+    }
+    ranked = sorted(ests, key=lambda d: (ests[d], d))
+    expected = {d: (ests[d], ranked.index(d) + 1) for d in ests}
+    assert got == expected, (got, expected)
+
+
+def test_agg_reduction_advisor_exact_ratios(spark):
+    """Reduction ratios must be exact rows/keys integer ppm on a fixture
+    with known cardinalities, and the 2x verdict boundary must hold."""
+    import datetime as dt
+
+    import unittest.mock as um
+
+    import test_flink_spark.plans.advanced as A
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    # 40 rows: 2 types, 20 users, all in 2 distinct minutes
+    for i in range(40):
+        rows.append(
+            (
+                base + dt.timedelta(minutes=i % 2),
+                i % 20,
+                "view" if i % 2 == 0 else "click",
+            )
+        )
+    ev = spark.createDataFrame(rows, "ts TIMESTAMP, user_id LONG, event_type STRING")
+    with um.patch.object(A, "_t", lambda s, sf, name: ev):
+        got = {
+            r["candidate"]: (
+                r["n_keys"],
+                r["n_rows"],
+                r["reduction_ppm"],
+                r["partial_agg_pays"],
+            )
+            for r in A.agg_reduction_advisor(spark, "ignored").collect()
+        }
+    # user_type pairs: user u always maps to one type (u%2 == i%2 parity)
+    expected = {
+        "event_type": (2, 40, 20_000_000, True),
+        "user_id": (20, 40, 2_000_000, True),  # exactly the 2x boundary
+        "user_type": (20, 40, 2_000_000, True),
+        "minute": (2, 40, 20_000_000, True),
+    }
+    assert got == expected, (got, expected)

@@ -247,6 +247,10 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         # per-score-partitioned row_number + histogram join.  Value-
         # histogram family, graph_components_knn precedent.
         "corpus_curriculum_order",
+        # join-order ranking: the row_number window reads the 3-ROW
+        # estimate table (one row per candidate dimension), never a
+        # scaling relation — bounded-aggregate family.
+        "join_order_advisor",
     }
     forbidden = ("CartesianProduct", "BatchEvalPython")
     offenders = {}
