@@ -58,6 +58,8 @@ _PROMOTED = (
     # oldest of the r4 cohort as fill (trim from the END for new-r9 slots).
     # Regenerate with: python tools/verified_age.py --fill N
     # --- new in r9 (first driver look) ---
+    "collect_table_stats",
+    "gdpr_erasure_audit",
     "join_order_advisor",
     "agg_reduction_advisor",
     "join_cardinality_estimate",
@@ -109,8 +111,6 @@ _PROMOTED = (
     "cdc_snapshot_diff",
     "corpus_domain_percentile_filter",
     "corpus_topic_labels",
-    "corpus_weighted_sample",
-    "csv_parse_roundtrip",
 )
 
 

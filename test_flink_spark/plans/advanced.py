@@ -2612,3 +2612,170 @@ def _ara_sql() -> str:
 
 QUERIES["agg_reduction_advisor"] = agg_reduction_advisor
 ORACLES["agg_reduction_advisor"] = _ara_sql()
+
+
+# ---------------------------------------------------------------------------
+# Table statistics collection — the ANALYZE TABLE pass that feeds every
+# cost-based decision above (join_cardinality_estimate samples, the
+# join-order and partial-agg advisors, broadcast-threshold checks).  One
+# scan of lineitem computes, per column of interest: exact NDV, null
+# count, and integer min/max — the stats a catalog persists and a 100 TB
+# planner reads instead of the data.  All legs are two-stage aggregations
+# over the SAME single scan (one wide agg row, unpivoted to one row per
+# column); values are normalized to BIGINT (floats in cents) so the
+# stats row is hash-comparable across engines.
+# ---------------------------------------------------------------------------
+
+_CTS_COLS = (
+    # (column, Spark value expr, DuckDB value expr) — integer-normalized
+    ("l_orderkey", "l_orderkey", "l_orderkey"),
+    ("l_partkey", "l_partkey", "l_partkey"),
+    ("l_suppkey", "l_suppkey", "l_suppkey"),
+    ("l_quantity", "cast(round(l_quantity * 100, 0) as bigint)",
+     "CAST(round(l_quantity * 100, 0) AS BIGINT)"),
+    ("l_extendedprice", "cast(round(l_extendedprice * 100, 0) as bigint)",
+     "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"),
+    ("l_shipdate", "unix_millis(cast(l_shipdate as timestamp))",
+     "epoch_ms(l_shipdate)"),
+)
+
+
+def collect_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics for lineitem in ONE scan: per
+    column, exact NDV / null count / integer min / integer max (floats
+    in cents, dates in epoch millis).  Output: column, ndv, n_nulls,
+    min_v, max_v."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for name, sexpr, _ in _CTS_COLS:
+        aggs += [
+            F.expr(f"count(distinct {sexpr})").alias(f"ndv_{name}"),
+            F.expr(f"count_if({sexpr} is null)").alias(f"nn_{name}"),
+            F.expr(f"min({sexpr})").alias(f"mn_{name}"),
+            F.expr(f"max({sexpr})").alias(f"mx_{name}"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', ndv_{name}, nn_{name}, mn_{name}, mx_{name}"
+        for name, _, _ in _CTS_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_CTS_COLS)}, {stack}) AS (column, ndv, n_nulls, min_v, max_v)"
+    ).selectExpr(
+        "column",
+        "cast(ndv as bigint) AS ndv",
+        "cast(n_nulls as bigint) AS n_nulls",
+        "cast(min_v as bigint) AS min_v",
+        "cast(max_v as bigint) AS max_v",
+    )
+
+
+def _cts_sql() -> str:
+    legs = []
+    for name, _, dexpr in _CTS_COLS:
+        legs.append(
+            f"""
+    SELECT '{name}' AS "column",
+           CAST(COUNT(DISTINCT {dexpr}) AS BIGINT) AS ndv,
+           CAST(COUNT(*) FILTER (WHERE {dexpr} IS NULL) AS BIGINT) AS n_nulls,
+           CAST(MIN({dexpr}) AS BIGINT) AS min_v,
+           CAST(MAX({dexpr}) AS BIGINT) AS max_v
+    FROM lineitem"""
+        )
+    return "\n    UNION ALL\n".join(legs)
+
+
+QUERIES["collect_table_stats"] = collect_table_stats
+ORACLES["collect_table_stats"] = _cts_sql()
+
+
+# ---------------------------------------------------------------------------
+# GDPR erasure-propagation audit — the governance query every warehouse
+# runs before executing a right-to-be-forgotten batch: given a cohort of
+# subjects (here: a deterministic 1/32 md5 stratum of customers, the
+# shape of a real erasure queue), count the rows each table would lose,
+# following the FK graph (customer -> orders -> lineitem; customer ->
+# events via user_id).  Each leg is an equi-join against the broadcast-
+# small cohort; nothing scans twice.  At 100 TB this is the blast-radius
+# report a DPO signs off on — and the row counts become the delete-job
+# progress denominators.
+# ---------------------------------------------------------------------------
+
+_GDPR_MOD = 32  # erasure cohort: customers with md5(custkey) % 32 == 0
+
+
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast-radius counts for erasing a 1/32 customer cohort: rows to
+    delete per table plus the distinct subjects touching that table.
+    Output: table_name, n_rows, n_subjects."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    cohort = cust.filter(
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _GDPR_MOD
+        == 0
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    ev = _t(spark, sf_dir, "events").select("user_id")
+
+    cohort_orders = orders.join(cohort, orders.o_custkey == cohort.c_custkey)
+    legs = [
+        cohort.agg(
+            F.lit("customer").alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("c_custkey").cast("long").alias("n_subjects"),
+        ),
+        cohort_orders.agg(
+            F.lit("orders").alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("o_custkey").cast("long").alias("n_subjects"),
+        ),
+        li.join(
+            cohort_orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        ).agg(
+            F.lit("lineitem").alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("o_custkey").cast("long").alias("n_subjects"),
+        ),
+        ev.join(cohort, ev.user_id == cohort.c_custkey).agg(
+            F.lit("events").alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("user_id").cast("long").alias("n_subjects"),
+        ),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def _gdpr_sql() -> str:
+    stratum = (
+        f"('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {_GDPR_MOD} = 0"
+    )
+    return f"""
+WITH cohort AS (SELECT c_custkey FROM customer WHERE {stratum}),
+co AS (
+    SELECT o_orderkey, o_custkey FROM orders JOIN cohort ON o_custkey = c_custkey
+)
+SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_subjects FROM cohort
+UNION ALL
+SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM co
+UNION ALL
+SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+FROM lineitem JOIN co ON l_orderkey = o_orderkey
+UNION ALL
+SELECT 'events', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT user_id) AS BIGINT)
+FROM events JOIN cohort ON user_id = c_custkey
+"""
+
+
+QUERIES["gdpr_erasure_audit"] = gdpr_erasure_audit
+ORACLES["gdpr_erasure_audit"] = _gdpr_sql()

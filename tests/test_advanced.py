@@ -231,3 +231,89 @@ def test_agg_reduction_advisor_exact_ratios(spark):
         "minute": (2, 40, 20_000_000, True),
     }
     assert got == expected, (got, expected)
+
+
+def test_collect_table_stats_exact_on_fixture(spark):
+    """NDV / null count / min / max must be exact per column, with floats
+    normalized to cents and dates to epoch millis, including a column
+    containing NULLs."""
+    import datetime as dt
+
+    import unittest.mock as um
+
+    import test_flink_spark.plans.advanced as A
+
+    rows = [
+        (1, 10, 100, 2.0, 10.25, dt.datetime(2024, 1, 1)),
+        (2, 10, 200, 3.0, 20.50, dt.datetime(2024, 1, 2)),
+        (3, 20, 200, 3.0, None, dt.datetime(2024, 1, 1)),
+        (4, None, 300, 5.0, 0.01, None),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey LONG, l_partkey LONG, l_suppkey LONG, l_quantity DOUBLE,"
+        " l_extendedprice DOUBLE, l_shipdate TIMESTAMP",
+    )
+    with um.patch.object(A, "_t", lambda s, sf, name: li):
+        got = {
+            r["column"]: (r["ndv"], r["n_nulls"], r["min_v"], r["max_v"])
+            for r in A.collect_table_stats(spark, "ignored").collect()
+        }
+    d1 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    d2 = int(dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    expected = {
+        "l_orderkey": (4, 0, 1, 4),
+        "l_partkey": (2, 1, 10, 20),
+        "l_suppkey": (3, 0, 100, 300),
+        "l_quantity": (3, 0, 200, 500),
+        "l_extendedprice": (3, 1, 1, 2050),
+        "l_shipdate": (2, 1, d1, d2),
+    }
+    assert got == expected, (got, expected)
+
+
+def test_gdpr_erasure_audit_blast_radius_on_fixture(spark):
+    """Row/subject counts per table must equal the python replay of the
+    md5 cohort and the FK fan-out (customer -> orders -> lineitem,
+    customer -> events)."""
+    import hashlib
+
+    import unittest.mock as um
+
+    import test_flink_spark.plans.advanced as A
+
+    def in_cohort(k: int) -> bool:
+        return (
+            int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % A._GDPR_MOD == 0
+        )
+
+    custkeys = list(range(1, 201))
+    cohort = [k for k in custkeys if in_cohort(k)]
+    assert cohort, "fixture must contain at least one cohort member"
+    cust = spark.createDataFrame([(k,) for k in custkeys], "c_custkey LONG")
+    # each customer owns 2 orders; each order has 3 lineitems
+    orders = spark.createDataFrame(
+        [(k * 10 + i, k) for k in custkeys for i in range(2)],
+        "o_orderkey LONG, o_custkey LONG",
+    )
+    li = spark.createDataFrame(
+        [(k * 10 + i,) for k in custkeys for i in range(2) for _ in range(3)],
+        "l_orderkey LONG",
+    )
+    ev = spark.createDataFrame(
+        [(k,) for k in custkeys for _ in range(k % 4)], "user_id LONG"
+    )
+    tables = {"customer": cust, "orders": orders, "lineitem": li, "events": ev}
+    with um.patch.object(A, "_t", lambda s, sf, name: tables[name]):
+        got = {
+            r["table_name"]: (r["n_rows"], r["n_subjects"])
+            for r in A.gdpr_erasure_audit(spark, "ignored").collect()
+        }
+    ev_rows = sum(k % 4 for k in cohort)
+    expected = {
+        "customer": (len(cohort), len(cohort)),
+        "orders": (2 * len(cohort), len(cohort)),
+        "lineitem": (6 * len(cohort), len(cohort)),
+        "events": (ev_rows, len([k for k in cohort if k % 4])),
+    }
+    assert got == expected, (got, expected)
