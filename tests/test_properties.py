@@ -662,3 +662,68 @@ def test_merged_interval_length_matches_bruteforce(spark, iv):
         points.setdefault(d, set()).update(range(s, e + 1))
     want = {d: len(p) for d, p in points.items()}
     assert got == want, (got, want)
+
+
+@settings(deadline=None, max_examples=60)
+@given(n=st.integers(min_value=1, max_value=2500))
+def test_ntile_closed_form_matches_duckdb_ntile(n):
+    """The curriculum's closed-form NTILE/bucket-start arithmetic
+    (llm_data._NTILE_BUCKET_SQL/_NTILE_START_SQL) must match DuckDB's own
+    NTILE(10) for every rank at ANY corpus size n — including n < K, n a
+    multiple of K, and every remainder class.  bucket_start must be the
+    rank of each bucket's first element (so rwb = grank - start + 1 is a
+    1-based within-bucket position)."""
+    import duckdb
+
+    from test_flink_spark.plans.llm_data import (
+        _CURR_K,
+        _NTILE_BUCKET_SQL,
+        _NTILE_START_SQL,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH r AS (SELECT range + 1 AS grank, {n}::BIGINT AS n_total
+                   FROM range({n}))
+        SELECT grank,
+               {_NTILE_BUCKET_SQL} AS bucket,
+               {_NTILE_START_SQL} AS start,
+               NTILE({_CURR_K}) OVER (ORDER BY grank) AS want_bucket
+        FROM r
+        """
+    ).fetchall()
+    starts: dict[int, int] = {}
+    for grank, bucket, start, want_bucket in rows:
+        assert bucket == want_bucket, (n, grank, bucket, want_bucket)
+        starts.setdefault(bucket, grank)
+        assert start == starts[bucket], (n, grank, start, starts[bucket])
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=60)
+)
+def test_compaction_bin_rule_invariants(sizes):
+    """The running-sum compaction rule (layout_compaction_planner): bins
+    are CONTIGUOUS slot ranges, conserve every byte/file, and no bin
+    exceeds target + max_file (a bin only closes after crossing the
+    target, so it can overshoot by at most one file)."""
+    from test_flink_spark.plans.enterprise import _CP_MERGE_FACTOR
+
+    total = sum(sizes)
+    target = max(total // max(len(sizes) // _CP_MERGE_FACTOR, 1), 1)
+    cum = 0
+    bins: dict[int, list[int]] = {}
+    for slot, b in enumerate(sizes):
+        bins.setdefault(cum // target, []).append(slot)
+        cum += b
+    # contiguity: each bin's slots are consecutive, and bin ids ascend
+    # in slot order
+    flat = [s for _, ss in sorted(bins.items()) for s in ss]
+    assert flat == list(range(len(sizes)))
+    # conservation
+    assert sum(len(ss) for ss in bins.values()) == len(sizes)
+    # bounded overshoot
+    for ss in bins.values():
+        assert sum(sizes[s] for s in ss) <= target + max(sizes)
