@@ -2779,3 +2779,76 @@ FROM events JOIN cohort ON user_id = c_custkey
 
 QUERIES["gdpr_erasure_audit"] = gdpr_erasure_audit
 ORACLES["gdpr_erasure_audit"] = _gdpr_sql()
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-plan advisor — the decision collect_table_stats feeds: for
+# every dimension table, estimate its IN-MEMORY relation size with the
+# planner's row model (8 bytes per fixed-width column, 4 + length per
+# string) and compare against the autoBroadcastJoinThreshold (10 MiB).
+# One 1-row aggregate per table, 6-row output: the advisor a 100 TB
+# planner consults instead of sizing relations by scanning them at join
+# time — and the reason a dimension that broadcasts at sf0.01 may
+# correctly STOP broadcasting at sf10 (the verdict is data-driven, which
+# the three-SF oracle checks exercise).
+# ---------------------------------------------------------------------------
+
+_BPA_THRESHOLD = 10 * 1024 * 1024  # Spark's default autoBroadcastJoinThreshold
+
+_BPA_TABLES = (
+    # (table, fixed-width column count, string columns)
+    ("region", 1, ("r_name",)),
+    ("nation", 2, ("n_name",)),
+    ("customer", 3, ("c_name", "c_mktsegment")),
+    ("supplier", 3, ("s_name",)),
+    ("part", 3, ("p_name", "p_brand", "p_type")),
+    ("orders", 3, ("o_orderstatus", "o_orderpriority")),
+)
+
+
+def broadcast_plan_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per dimension table: row count, modeled in-memory bytes (8/fixed
+    column, 4+len/string), and the broadcast verdict at the 10 MiB
+    default threshold.  Output: table_name, n_rows, est_bytes,
+    broadcastable."""
+    out = None
+    for table, n_fixed, str_cols in _BPA_TABLES:
+        width = " + ".join(
+            [str(8 * n_fixed)] + [f"4 + length({c})" for c in str_cols]
+        )
+        leg = (
+            _t(spark, sf_dir, table)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.expr(f"sum({width})").cast("long").alias("est_bytes"),
+            )
+            .select(
+                F.lit(table).alias("table_name"),
+                "n_rows",
+                "est_bytes",
+                (F.col("est_bytes") <= F.lit(_BPA_THRESHOLD)).alias("broadcastable"),
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+def _bpa_sql() -> str:
+    legs = []
+    for table, n_fixed, str_cols in _BPA_TABLES:
+        width = " + ".join(
+            [str(8 * n_fixed)] + [f"4 + length({c})" for c in str_cols]
+        )
+        legs.append(
+            f"""
+    SELECT '{table}' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({width}) AS BIGINT) AS est_bytes,
+           CAST(SUM({width}) AS BIGINT) <= {_BPA_THRESHOLD} AS broadcastable
+    FROM {table}"""
+        )
+    return "\n    UNION ALL\n".join(legs)
+
+
+QUERIES["broadcast_plan_advisor"] = broadcast_plan_advisor
+ORACLES["broadcast_plan_advisor"] = _bpa_sql()

@@ -317,3 +317,40 @@ def test_gdpr_erasure_audit_blast_radius_on_fixture(spark):
         "events": (ev_rows, len([k for k in cohort if k % 4])),
     }
     assert got == expected, (got, expected)
+
+
+def test_broadcast_plan_advisor_width_model_exact(spark):
+    """est_bytes must equal the exact per-row width model (8 per fixed
+    column, 4+len per string) and the 10 MiB verdict must flip for a
+    table modeled over the threshold."""
+    import unittest.mock as um
+
+    import test_flink_spark.plans.advanced as A
+
+    # Shrink the fixture to two tables by patching the table spec.
+    small = spark.createDataFrame(
+        [(1, "aa"), (2, "bbbb")], "r_regionkey INT, r_name STRING"
+    )
+    # 3 fixed cols -> 24 bytes + one 4000-char string per row, 3000 rows
+    # -> ~12 MB: over the threshold
+    big = spark.createDataFrame(
+        [(i, "x" * 4000, 0, 0.0) for i in range(3000)],
+        "c_custkey LONG, c_name STRING, c_nationkey INT, c_acctbal DOUBLE",
+    )
+    tables = {"region": small, "customer": big}
+    spec = (
+        ("region", 1, ("r_name",)),
+        ("customer", 3, ("c_name",)),
+    )
+    with um.patch.object(A, "_BPA_TABLES", spec), um.patch.object(
+        A, "_t", lambda s, sf, name: tables[name]
+    ):
+        got = {
+            r["table_name"]: (r["n_rows"], r["est_bytes"], r["broadcastable"])
+            for r in A.broadcast_plan_advisor(spark, "ignored").collect()
+        }
+    expected = {
+        "region": (2, (8 + 4 + 2) + (8 + 4 + 4), True),
+        "customer": (3000, 3000 * (24 + 4 + 4000), False),
+    }
+    assert got == expected, (got, expected)

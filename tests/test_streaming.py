@@ -2640,3 +2640,49 @@ def test_streaming_sketch_ingest_matches_batch_hll(spark, tmpdirs):
         map(tuple, spark.read.parquet(str(state / "registers_v2")).collect())
     )
     assert before == after
+
+
+def test_sketch_ingest_randomized_split_parity(spark, tmpdirs):
+    """Randomized differential for the HLL ingest twin: a seeded random
+    stream of (user, type) rows cut at random batch boundaries must fold
+    to EXACTLY the batch register table — any-split associativity, the
+    property the versioned max-merge relies on."""
+    import random
+
+    from test_flink_spark.operators import sketch as sk
+    from test_flink_spark.streaming.sketch_ingest import sketch_ingest_batch
+
+    rng = random.Random(20240816)
+    rows = [
+        (rng.randrange(500), rng.choice(["view", "click", "purchase", "error"]))
+        for _ in range(600)
+    ]
+    cuts = sorted(rng.sample(range(1, len(rows)), 4))
+    batches = [
+        rows[a:b] for a, b in zip([0] + cuts, cuts + [len(rows)])
+    ]
+    schema = "user_id LONG, event_type STRING"
+    state = tmpdirs / "sketch_rand_state"
+    for i, batch in enumerate(batches):
+        sketch_ingest_batch(
+            spark.createDataFrame(batch, schema), str(state), batch_id=i
+        )
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(
+                str(state / f"registers_v{len(batches) - 1}")
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            sk.hll_registers(
+                spark.createDataFrame(rows, schema), "user_id", ["event_type"]
+            )
+            .withColumnRenamed("event_type", "grp")
+            .collect(),
+        )
+    )
+    assert got == want
