@@ -2696,7 +2696,9 @@ ORACLES["collect_table_stats"] = _cts_sql()
 # shape of a real erasure queue), count the rows each table would lose,
 # following the FK graph (customer -> orders -> lineitem; customer ->
 # events via user_id).  Each leg is an equi-join against the broadcast-
-# small cohort; nothing scans twice.  At 100 TB this is the blast-radius
+# small cohort; every FACT table (lineitem, events) scans exactly once —
+# the per-leg re-derivation re-scans only the pruned customer/orders key
+# columns, the cheap side.  At 100 TB this is the blast-radius
 # report a DPO signs off on — and the row counts become the delete-job
 # progress denominators.
 # ---------------------------------------------------------------------------
