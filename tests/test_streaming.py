@@ -2686,3 +2686,131 @@ def test_sketch_ingest_randomized_split_parity(spark, tmpdirs):
         )
     )
     assert got == want
+
+
+def test_broadcast_rules_processing_time_semantics(spark, tmpdirs):
+    """The Flink broadcast-state twin (streaming/broadcast_rules.py):
+    per-batch verdicts must replay under the rules snapshot VISIBLE at
+    that batch (a mid-stream threshold update and a rule disable change
+    only SUBSEQUENT batches — never retroactively), and the final rules
+    snapshot must equal the last-writer-wins fold of every rule row."""
+    from test_flink_spark.streaming.broadcast_rules import (
+        apply_rules_batch,
+        rules_ingest_batch,
+    )
+
+    state = tmpdirs / "rules_state"
+    out = tmpdirs / "rules_out"
+    rules_schema = (
+        "rule_id LONG, event_type STRING, min_value_cents LONG,"
+        " enabled BOOLEAN, seq LONG"
+    )
+    ev_schema = "event_id LONG, event_type STRING, value DOUBLE"
+
+    # batch 0: r1 flags views >= $0.50, r2 flags clicks >= $1.00
+    rules_ingest_batch(
+        spark.createDataFrame(
+            [(1, "view", 50, True, 1), (2, "click", 100, True, 2)], rules_schema
+        ),
+        str(state),
+        batch_id=0,
+    )
+    ev0 = [(10, "view", 0.49), (11, "view", 0.50), (12, "click", 2.0)]
+    apply_rules_batch(
+        spark.createDataFrame(ev0, ev_schema), str(state), str(out), 0
+    )
+    # batch 1: r1 threshold raised to $2.00, r2 disabled
+    rules_ingest_batch(
+        spark.createDataFrame(
+            [(1, "view", 200, True, 3), (2, "click", 100, False, 4)],
+            rules_schema,
+        ),
+        str(state),
+        batch_id=1,
+    )
+    ev1 = [(20, "view", 0.50), (21, "view", 2.50), (22, "click", 5.0)]
+    apply_rules_batch(
+        spark.createDataFrame(ev1, ev_schema), str(state), str(out), 1
+    )
+
+    import glob as g
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(*g.glob(str(out / "verdicts_b*"))).collect(),
+        )
+    )
+    # processing-time semantics: event 11 keeps its v0 verdict; events
+    # 20 (below the raised threshold) and 22 (rule disabled) get none
+    want = sorted([(11, 1, 0), (12, 2, 0), (21, 1, 1)])
+    assert got == want, (got, want)
+
+    final_rules = sorted(
+        map(tuple, spark.read.parquet(str(state / "rules_v1")).collect())
+    )
+    assert final_rules == sorted(
+        [(1, "view", 200, True, 3), (2, "click", 100, False, 4)]
+    )
+    # retry idempotence: re-folding batch 1 reproduces the same snapshot
+    rules_ingest_batch(
+        spark.createDataFrame(
+            [(1, "view", 200, True, 3), (2, "click", 100, False, 4)],
+            rules_schema,
+        ),
+        str(state),
+        batch_id=1,
+    )
+    assert final_rules == sorted(
+        map(tuple, spark.read.parquet(str(state / "rules_v1")).collect())
+    )
+
+
+def test_broadcast_rules_streaming_end_to_end(spark, tmpdirs):
+    """The two-query wiring: rules and events arrive as FILE STREAMS; a
+    rule update written between event files flips subsequent verdicts.
+    (The rules query is drained before each event file lands, so the
+    processing-time interleave is deterministic.)"""
+    from test_flink_spark.streaming.broadcast_rules import (
+        streaming_broadcast_rules,
+    )
+
+    rules_src = tmpdirs / "rules_src"
+    ev_src = tmpdirs / "ev_src"
+    rules_src.mkdir()
+    ev_src.mkdir()
+    state = tmpdirs / "bs_state"
+    out = tmpdirs / "bs_out"
+
+    rules_schema = (
+        "rule_id LONG, event_type STRING, min_value_cents LONG,"
+        " enabled BOOLEAN, seq LONG"
+    )
+    ev_schema = "event_id LONG, event_type STRING, value DOUBLE"
+    rules_stream = spark.readStream.schema(rules_schema).csv(str(rules_src))
+    ev_stream = spark.readStream.schema(ev_schema).csv(str(ev_src))
+    rq, eq = streaming_broadcast_rules(
+        rules_stream, ev_stream, str(state), str(out), str(tmpdirs / "bs_ckpt")
+    )
+    try:
+        (rules_src / "r0.csv").write_text("1,view,100,true,1\n")
+        rq.processAllAvailable()
+        (ev_src / "e0.csv").write_text("10,view,0.99\n11,view,1.00\n")
+        eq.processAllAvailable()
+        (rules_src / "r1.csv").write_text("1,view,50,true,2\n")
+        rq.processAllAvailable()
+        (ev_src / "e1.csv").write_text("20,view,0.99\n21,view,0.30\n")
+        eq.processAllAvailable()
+    finally:
+        rq.stop()
+        eq.stop()
+
+    import glob as g
+
+    got = sorted(
+        (r["event_id"], r["rule_id"])
+        for r in spark.read.parquet(*g.glob(str(out / "verdicts_b*"))).collect()
+    )
+    # e0 under the $1.00 rule: only 11; e1 under the lowered $0.50 rule:
+    # only 20 (21 is below even the lowered threshold)
+    assert got == [(11, 1), (20, 1)], got
