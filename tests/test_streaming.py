@@ -2814,3 +2814,116 @@ def test_broadcast_rules_streaming_end_to_end(spark, tmpdirs):
     # e0 under the $1.00 rule: only 11; e1 under the lowered $0.50 rule:
     # only 20 (21 is below even the lowered threshold)
     assert got == [(11, 1), (20, 1)], got
+
+
+def test_side_outputs_exclusive_partitions_the_batch(spark, tmpdirs):
+    """Exclusive routing must PARTITION every batch: union of all sinks
+    (incl. 'rest') == input with no row in two sinks, first-match wins
+    on overlapping predicates, and NULL predicate results route to
+    'rest' (not a crash or a silent drop)."""
+    from test_flink_spark.streaming.side_outputs import split_batch
+
+    rows = [
+        (1, "view", 5.0),
+        (2, "error", 1.0),
+        (3, "view", 50.0),   # matches both 'big' and 'views' -> 'big' wins
+        (4, "click", None),  # NULL value -> predicate NULL -> rest
+        (5, "purchase", 9.9),
+    ]
+    df = spark.createDataFrame(rows, "event_id LONG, event_type STRING, value DOUBLE")
+    out = tmpdirs / "so_excl"
+    counts = split_batch(
+        df,
+        str(out),
+        0,
+        {"big": "value >= 10", "views": "event_type = 'view'",
+         "errors": "event_type = 'error'"},
+    )
+    got = {
+        tag: sorted(
+            r["event_id"] for r in spark.read.parquet(str(out / tag / "b0")).collect()
+        )
+        for tag in ("big", "views", "errors", "rest")
+    }
+    assert got == {"big": [3], "views": [1], "errors": [2], "rest": [4, 5]}
+    assert counts == {"big": 1, "views": 1, "errors": 1, "rest": 2}
+
+
+def test_side_outputs_multi_mode_tags_every_match(spark, tmpdirs):
+    """Flink semantics: 'multi' mode emits a row to EVERY matching sink;
+    only fully-unmatched rows reach 'rest'."""
+    from test_flink_spark.streaming.side_outputs import split_batch
+
+    df = spark.createDataFrame(
+        [(1, "view", 50.0), (2, "click", 3.0)],
+        "event_id LONG, event_type STRING, value DOUBLE",
+    )
+    out = tmpdirs / "so_multi"
+    split_batch(
+        df, str(out), 0,
+        {"big": "value >= 10", "views": "event_type = 'view'"},
+        mode="multi",
+    )
+    got = {
+        tag: sorted(
+            r["event_id"] for r in spark.read.parquet(str(out / tag / "b0")).collect()
+        )
+        for tag in ("big", "views", "rest")
+    }
+    assert got == {"big": [1], "views": [1], "rest": [2]}
+
+
+def test_side_outputs_streaming_late_data_capture(spark, tmpdirs):
+    """The canonical Flink use: late rows captured to a side sink
+    instead of silently dropped.  Two event files stream through with a
+    'late' route (event older than the batch's max ts by > 60 s); the
+    late sink holds exactly the stragglers and the main flow the rest —
+    and a replayed batch id leaves state identical (retry idempotence)."""
+    from test_flink_spark.streaming.side_outputs import (
+        split_batch,
+        streaming_side_outputs,
+    )
+
+    src = tmpdirs / "so_src"
+    src.mkdir()
+    out = tmpdirs / "so_out"
+    schema = "event_id LONG, ts_ms LONG"
+    routes = {"late": "batch_max_ts - ts_ms > 60000"}
+    stream = spark.readStream.schema(schema).csv(str(src))
+    from pyspark.sql import functions as F
+
+    # enrich each batch with its own max ts (the watermark stand-in)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: split_batch(
+                df.withColumn(
+                    "batch_max_ts",
+                    F.lit(df.agg(F.max("ts_ms")).collect()[0][0]),
+                ),
+                str(out),
+                bid,
+                routes,
+            )
+        )
+        .option("checkpointLocation", str(tmpdirs / "so_ckpt"))
+        .start()
+    )
+    try:
+        (src / "f0.csv").write_text("1,1000000\n2,1000500\n3,900000\n")
+        q.processAllAvailable()
+        (src / "f1.csv").write_text("4,2000000\n5,1999000\n6,1000000\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    import glob as g
+
+    late = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(*g.glob(str(out / "late" / "b*"))).collect()
+    )
+    main = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(*g.glob(str(out / "rest" / "b*"))).collect()
+    )
+    assert late == [3, 6] and main == [1, 2, 4, 5]
