@@ -58,6 +58,7 @@ _PROMOTED = (
     # oldest of the r4 cohort as fill (trim from the END for new-r9 slots).
     # Regenerate with: python tools/verified_age.py --fill N
     # --- new in r9 (first driver look) ---
+    "events_count_windows",
     "broadcast_plan_advisor",
     "collect_table_stats",
     "gdpr_erasure_audit",
@@ -110,7 +111,6 @@ _PROMOTED = (
     "cdc_apply_latest",
     "cdc_scd2_history",
     "cdc_snapshot_diff",
-    "corpus_domain_percentile_filter",
 )
 
 

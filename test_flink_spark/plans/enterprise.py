@@ -4659,3 +4659,70 @@ GROUP BY 1, 2
 
 QUERIES["layout_compaction_planner"] = layout_compaction_planner
 ORACLES["layout_compaction_planner"] = _COMPACT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Flink COUNT windows — ``keyBy(user).countWindow(5)``: tumbling windows
+# of exactly N elements per key, firing ONLY when the window fills (a
+# trailing partial never emits — the semantic this query reproduces with
+# a HAVING n = 5).  Spark has no count windows; the twin is a per-key
+# row_number over the deterministic event order div N.  Scale posture:
+# one partitioned window per user (the same shape as every per-user
+# sequence query in this module), no global state — at 100 TB the
+# element index is per-key, which is exactly Flink's per-key count
+# trigger.  Reference parity: generalizes the reference's TIME windows
+# (HotItemAnalysis.java:120) to the count-triggered family it lacks.
+# ---------------------------------------------------------------------------
+
+_CW_N = 5  # elements per count window
+
+
+def events_count_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user tumbling COUNT windows of 5 events (Flink countWindow
+    semantics: only full windows fire).  Output per (user_id, window_id):
+    n_events, value_cents, start_ms, end_ms."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_millis(cast(ts as timestamp))").alias("ms"),
+        F.expr("cast(round(value * 100, 0) as bigint)").alias("cents"),
+    )
+    return (
+        ev.withColumn(
+            "wid",
+            F.expr(
+                "(row_number() over (partition by user_id order by ms, event_id)"
+                f" - 1) div {_CW_N}"
+            ),
+        )
+        .groupBy("user_id", F.col("wid").cast("long").alias("window_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("value_cents"),
+            F.min("ms").cast("long").alias("start_ms"),
+            F.max("ms").cast("long").alias("end_ms"),
+        )
+        .filter(F.col("n_events") == _CW_N)
+    )
+
+
+_CW_SQL = f"""
+WITH seq AS (
+    SELECT user_id, event_id, epoch_ms(ts) AS ms,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents,
+           (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+            - 1) // {_CW_N} AS wid
+    FROM events
+)
+SELECT user_id, CAST(wid AS BIGINT) AS window_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS value_cents,
+       CAST(MIN(ms) AS BIGINT) AS start_ms,
+       CAST(MAX(ms) AS BIGINT) AS end_ms
+FROM seq
+GROUP BY 1, 2
+HAVING COUNT(*) = {_CW_N}
+"""
+
+QUERIES["events_count_windows"] = events_count_windows
+ORACLES["events_count_windows"] = _CW_SQL

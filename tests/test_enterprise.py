@@ -1035,3 +1035,43 @@ def test_compaction_planner_conserves_manifest_and_packs_contiguously(spark):
     d2 = day_of(base2)
     d2_bins = [v for (d, _), v in got.items() if d == d2]
     assert sum(n for n, _, _ in d2_bins) == 3 and len(d2_bins) <= 2
+
+
+def test_count_windows_flink_semantics(spark):
+    """Flink countWindow(5) parity: windows fire only when FULL (a
+    trailing partial never emits), elements are assigned in (ts,
+    event_id) order, and aggregates match the python replay."""
+    import datetime as dt
+
+    import unittest.mock as um
+
+    import test_flink_spark.plans.enterprise as E
+
+    base = dt.datetime(2024, 2, 1)
+    rows = []
+    # user 1: 12 events (2 full windows + trailing partial of 2)
+    for i in range(12):
+        rows.append((100 + i, base + dt.timedelta(seconds=i), 1, "view", float(i)))
+    # user 2: exactly 5 events, two sharing a timestamp (event_id breaks tie)
+    for i, (eid, sec) in enumerate([(201, 0), (202, 1), (203, 1), (204, 2), (205, 3)]):
+        rows.append((eid, base + dt.timedelta(seconds=sec), 2, "view", 1.0))
+    # user 3: 4 events -> no window fires
+    for i in range(4):
+        rows.append((300 + i, base + dt.timedelta(seconds=i), 3, "view", 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    )
+    with um.patch.object(E, "_t", lambda s, sf, name: ev):
+        got = {
+            (r["user_id"], r["window_id"]): (
+                r["n_events"],
+                r["value_cents"],
+            )
+            for r in E.events_count_windows(spark, "ignored").collect()
+        }
+    expected = {
+        (1, 0): (5, sum(i * 100 for i in range(5))),
+        (1, 1): (5, sum(i * 100 for i in range(5, 10))),
+        (2, 0): (5, 500),
+    }
+    assert got == expected, (got, expected)
