@@ -4726,3 +4726,92 @@ HAVING COUNT(*) = {_CW_N}
 
 QUERIES["events_count_windows"] = events_count_windows
 ORACLES["events_count_windows"] = _CW_SQL
+
+
+# ---------------------------------------------------------------------------
+# Flink DYNAMIC session gaps — ``EventTimeSessionWindows.withDynamicGap``:
+# each element proposes its own window [ts, ts + gap(element)) and
+# overlapping windows merge transitively, so a long-gap event (a
+# purchase) keeps the session alive longer than a short-gap one (a
+# view).  The engine's static-gap sessionization (session_window_count /
+# session sweep) cannot express this.  Closed-form batch twin: with
+# events per user in (ts, event_id) order, an element starts a NEW
+# session iff ts >= running max of every earlier element's proposed end
+# (earlier sessions' ends can never exceed a later break point, so the
+# full-prefix max is exactly the current session's max end — the classic
+# gaps-and-islands generalization).  Two partitioned windows per user
+# (running max, then running sum of the break flags); no global state.
+# ---------------------------------------------------------------------------
+
+_DSG_GAP_MS = (
+    "CASE event_type WHEN 'purchase' THEN 1800000 "
+    "WHEN 'click' THEN 600000 ELSE 300000 END"
+)  # purchase keeps the session 30 min alive; click 10; view/error 5
+
+
+def events_dynamic_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions under PER-ELEMENT gaps (purchase 30 min, click
+    10, rest 5).  Output per (user_id, session_id): n_events, n_types,
+    start_ms, last_event_ms."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_millis(cast(ts as timestamp))").alias("ms"),
+    ).withColumn("end_prop", F.expr(f"ms + ({_DSG_GAP_MS})"))
+    prev_max = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = Window.partitionBy("user_id").orderBy("ms", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.col("ms") >= F.coalesce(F.max("end_prop").over(prev_max), F.lit(-1)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("session_id", F.sum("is_new").over(cum))
+    return marked.groupBy(
+        "user_id", F.col("session_id").cast("long").alias("session_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.min("ms").cast("long").alias("start_ms"),
+        F.max("ms").cast("long").alias("last_event_ms"),
+    )
+
+
+_DSG_SQL = f"""
+WITH ev AS (
+    SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+           epoch_ms(ts) + ({_DSG_GAP_MS}) AS end_prop
+    FROM events
+),
+marked AS (
+    SELECT user_id, event_id, event_type, ms,
+           CASE WHEN ms >= COALESCE(
+                    MAX(end_prop) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 1 ELSE 0 END AS is_new
+    FROM ev
+),
+sess AS (
+    SELECT user_id, event_type, ms,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(MIN(ms) AS BIGINT) AS start_ms,
+       CAST(MAX(ms) AS BIGINT) AS last_event_ms
+FROM sess
+GROUP BY 1, 2
+"""
+
+QUERIES["events_dynamic_session_windows"] = events_dynamic_session_windows
+ORACLES["events_dynamic_session_windows"] = _DSG_SQL

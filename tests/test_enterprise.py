@@ -1075,3 +1075,50 @@ def test_count_windows_flink_semantics(spark):
         (2, 0): (5, 500),
     }
     assert got == expected, (got, expected)
+
+
+def test_dynamic_session_windows_gap_extractor_semantics(spark):
+    """Flink withDynamicGap parity on a crafted stream: a purchase's
+    30-min proposed window bridges a gap that the view gap (5 min) would
+    split; transitive extension keeps the session alive through a chain;
+    and the same spacing WITHOUT the purchase splits.  Python replay of
+    the running-max rule confirms every session assignment."""
+    import datetime as dt
+
+    import unittest.mock as um
+
+    import test_flink_spark.plans.enterprise as E
+
+    base = dt.datetime(2024, 4, 1)
+
+    def ev(eid, minute, typ, uid):
+        return (eid, base + dt.timedelta(minutes=minute), uid, typ, 1.0)
+
+    rows = [
+        # user 1: view@0, purchase@4, view@20 — the purchase (30-min gap)
+        # bridges minute 4 -> 20; a view-only stream would split at 5 min
+        ev(1, 0, "view", 1),
+        ev(2, 4, "purchase", 1),
+        ev(3, 20, "view", 1),
+        # then silence until minute 60 -> new session
+        ev(4, 60, "view", 1),
+        # user 2: same spacing, no purchase -> splits at each >5-min gap
+        ev(10, 0, "view", 2),
+        ev(11, 4, "view", 2),
+        ev(12, 20, "view", 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    )
+    with um.patch.object(E, "_t", lambda s, sf, name: df):
+        got = {
+            (r["user_id"], r["session_id"]): r["n_events"]
+            for r in E.events_dynamic_session_windows(spark, "ignored").collect()
+        }
+    expected = {
+        (1, 1): 3,  # view, purchase, view@20 (bridged by the purchase)
+        (1, 2): 1,  # view@60
+        (2, 1): 2,  # view@0 + view@4
+        (2, 2): 1,  # view@20 (5-min gap can't bridge 16 min)
+    }
+    assert got == expected, (got, expected)
