@@ -2927,3 +2927,121 @@ def test_side_outputs_streaming_late_data_capture(spark, tmpdirs):
         for r in spark.read.parquet(*g.glob(str(out / "rest" / "b*"))).collect()
     )
     assert late == [3, 6] and main == [1, 2, 4, 5]
+
+
+def test_allowed_lateness_updates_emitted_window(spark, tmpdirs):
+    """Flink allowedLateness parity (streaming/late_updates.py): a late-
+    but-allowed event UPDATES a window counted two batches earlier; an
+    event beyond the bound lands in the late side output and never
+    touches the snapshot; the final snapshot equals the batch tumbling
+    count over all NON-dropped rows; and replaying a batch id is a
+    no-op (retry idempotence via version-before-read)."""
+    from test_flink_spark.streaming.late_updates import (
+        late_update_batch,
+        streaming_late_updates,
+    )
+
+    src = tmpdirs / "lu_src"
+    src.mkdir()
+    state = tmpdirs / "lu_state"
+    late = tmpdirs / "lu_late"
+    schema = "event_type STRING, ts_ms LONG"
+    # window 60 s, lateness 120 s.  Batch 0: two windows (0, 60000).
+    # Batch 1 advances the watermark to 240000 and carries one ALLOWED
+    # late row for window 60000 (60000 >= 240000-60000-120000 = 60000:
+    # boundary-allowed) and one DROPPED row for window 0.
+    batches = [
+        "view,10000\nview,20000\nclick,70000\n",
+        "view,240000\nview,65000\nclick,5000\n",
+    ]
+    stream = spark.readStream.schema(schema).csv(str(src))
+    q = streaming_late_updates(
+        stream, str(state), str(late), str(tmpdirs / "lu_ckpt")
+    )
+    try:
+        for i, content in enumerate(batches):
+            (src / f"f{i}.csv").write_text(content)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    snap = {
+        (r["event_type"], r["win_start"]): r["cnt"]
+        for r in spark.read.parquet(str(state / "windows_v1")).collect()
+    }
+    assert snap == {
+        ("view", 0): 2,
+        ("click", 60000): 1,
+        ("view", 60000): 1,   # the late update, two batches after emission
+        ("view", 240000): 1,
+    }, snap
+    dropped = [
+        (r["event_type"], r["ts_ms"])
+        for r in spark.read.parquet(str(late / "b1")).collect()
+    ]
+    assert dropped == [("click", 5000)]
+    # retry idempotence: re-folding batch 1 reproduces the same snapshot
+    b1 = spark.createDataFrame(
+        [("view", 240000), ("view", 65000), ("click", 5000)], schema
+    )
+    late_update_batch(b1, str(state), batch_id=1, late_dir=str(late))
+    snap2 = {
+        (r["event_type"], r["win_start"]): r["cnt"]
+        for r in spark.read.parquet(str(state / "windows_v1")).collect()
+    }
+    assert snap2 == snap
+
+
+def test_allowed_lateness_randomized_batch_parity(spark, tmpdirs):
+    """Randomized differential for the allowed-lateness fold: seeded
+    random events with random batch cuts — the final snapshot must equal
+    the batch tumbling count over exactly (all rows − late-sink rows)."""
+    import glob as g
+    import random
+
+    from pyspark.sql import functions as F
+
+    from test_flink_spark.streaming.late_updates import late_update_batch
+
+    rng = random.Random(97)
+    rows = [
+        (rng.choice(["view", "click"]), rng.randrange(0, 600_000))
+        for _ in range(400)
+    ]
+    cuts = sorted(rng.sample(range(1, len(rows)), 5))
+    batches = [rows[a:b] for a, b in zip([0] + cuts, cuts + [len(rows)])]
+    schema = "event_type STRING, ts_ms LONG"
+    state = tmpdirs / "lur_state"
+    late = tmpdirs / "lur_late"
+    for i, batch in enumerate(batches):
+        late_update_batch(
+            spark.createDataFrame(batch, schema),
+            str(state),
+            batch_id=i,
+            late_dir=str(late),
+        )
+    got = {
+        (r["event_type"], r["win_start"]): r["cnt"]
+        for r in spark.read.parquet(
+            str(state / f"windows_v{len(batches) - 1}")
+        ).collect()
+    }
+    late_files = g.glob(str(late / "b*"))
+    dropped = (
+        [
+            (r["event_type"], r["ts_ms"])
+            for r in spark.read.parquet(*late_files).collect()
+        ]
+        if late_files
+        else []
+    )
+    from collections import Counter
+
+    kept = Counter()
+    drop_budget = Counter(dropped)  # multiset: duplicates dropped twice count twice
+    for t, ms in rows:
+        if drop_budget[(t, ms)] > 0:
+            drop_budget[(t, ms)] -= 1
+            continue
+        kept[(t, ms // 60_000 * 60_000)] += 1
+    assert got == dict(kept), (got, kept)
