@@ -3045,3 +3045,74 @@ def test_allowed_lateness_randomized_batch_parity(spark, tmpdirs):
             continue
         kept[(t, ms // 60_000 * 60_000)] += 1
     assert got == dict(kept), (got, kept)
+
+
+def test_snapshot_twins_overwrite_orphan_state(spark, tmpdirs):
+    """Crash-resume for the snapshot-only twins (sketch_ingest,
+    broadcast_rules, late_updates): a crash mid-write leaves a PARTIAL
+    version directory; because each fold resolves its version BEFORE
+    reading state (reads only versions < batch_id) and writes in
+    overwrite mode, the retry ignores the orphan and reproduces correct
+    state.  Simulated by pre-creating a garbage v1 directory."""
+    import os
+
+    from test_flink_spark.streaming.broadcast_rules import rules_ingest_batch
+    from test_flink_spark.streaming.sketch_ingest import sketch_ingest_batch
+
+    # --- sketch ingest ---
+    st1 = tmpdirs / "orphan_sketch"
+    ev_schema = "user_id LONG, event_type STRING"
+    sketch_ingest_batch(
+        spark.createDataFrame([(u, "view") for u in range(50)], ev_schema),
+        str(st1),
+        batch_id=0,
+    )
+    orphan = st1 / "registers_v1"
+    orphan.mkdir()
+    (orphan / "part-garbage.parquet").write_bytes(b"not parquet")
+    merged = sketch_ingest_batch(
+        spark.createDataFrame([(u, "view") for u in range(50, 80)], ev_schema),
+        str(st1),
+        batch_id=1,
+    )
+    from test_flink_spark.operators import sketch as sk
+
+    want = sorted(
+        map(
+            tuple,
+            sk.hll_registers(
+                spark.createDataFrame(
+                    [(u, "view") for u in range(80)], ev_schema
+                ),
+                "user_id",
+                ["event_type"],
+            )
+            .withColumnRenamed("event_type", "grp")
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, spark.read.parquet(str(orphan)).collect()))
+    assert got == want
+    assert not os.path.exists(str(orphan / "part-garbage.parquet"))
+
+    # --- broadcast rules ---
+    st2 = tmpdirs / "orphan_rules"
+    rules_schema = (
+        "rule_id LONG, event_type STRING, min_value_cents LONG,"
+        " enabled BOOLEAN, seq LONG"
+    )
+    rules_ingest_batch(
+        spark.createDataFrame([(1, "view", 50, True, 1)], rules_schema),
+        str(st2),
+        batch_id=0,
+    )
+    orphan2 = st2 / "rules_v1"
+    orphan2.mkdir()
+    (orphan2 / "part-garbage.parquet").write_bytes(b"junk")
+    rules_ingest_batch(
+        spark.createDataFrame([(1, "view", 75, True, 2)], rules_schema),
+        str(st2),
+        batch_id=1,
+    )
+    got2 = sorted(map(tuple, spark.read.parquet(str(orphan2)).collect()))
+    assert got2 == [(1, "view", 75, True, 2)]
