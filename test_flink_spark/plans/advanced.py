@@ -2854,3 +2854,129 @@ def _bpa_sql() -> str:
 
 QUERIES["broadcast_plan_advisor"] = broadcast_plan_advisor
 ORACLES["broadcast_plan_advisor"] = _bpa_sql()
+
+
+# ---------------------------------------------------------------------------
+# Mergeable statistics rollup — the incremental-ANALYZE claim, exercised
+# in the CHECKED path (the stats sibling of sketch_hll_merge_rollup): a
+# 100 TB catalog never recomputes table stats from scratch; each
+# ingestion shard publishes partial stats and the catalog folds them.
+# min/max/null-count fold exactly (min of mins, max of maxes, sum of
+# nulls); exact NDV does NOT fold, which is precisely why the catalog
+# stores an HLL register table per shard — register max is associative,
+# so the merged sketch is BIT-IDENTICAL to the sketch built directly
+# over the union.  This query computes every measure along BOTH paths
+# (merged-from-shards vs direct-over-everything) for two lineitem
+# columns, split into two deterministic md5 ingestion shards; the
+# value-hash oracle replays both paths, so path equality is checked at
+# every SF, not asserted.
+# ---------------------------------------------------------------------------
+
+_SMR_SHARD = (
+    "('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT % 2"
+)
+_SMR_COLS = (
+    ("l_partkey", "l_partkey", "l_partkey"),
+    (
+        "l_quantity",
+        "cast(round(l_quantity * 100, 0) as bigint)",
+        "CAST(round(l_quantity * 100, 0) AS BIGINT)",
+    ),
+)
+
+
+def stats_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (column, path∈{merged,direct}): HLL NDV estimate, min, max,
+    null count — 'merged' folds two md5 ingestion shards' partials,
+    'direct' computes over the union.  Register-max associativity and
+    the exact min/max/null folds make the paths equal; the oracle checks
+    it rather than trusting it."""
+    import test_flink_spark.operators.sketch as sk
+
+    li = _t(spark, sf_dir, "lineitem")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 2
+    )
+    out = None
+    for name, sexpr, _ in _SMR_COLS:
+        vals = li.select(shard.alias("shard"), F.expr(sexpr).alias("v"))
+        sharded_regs = sk.hll_registers(vals, "v", ["shard"], salt=name)
+        legs = {
+            "merged": (
+                sharded_regs.groupBy("reg").agg(F.max("m_rank").alias("m_rank")),
+                # fold exact partials per shard, then fold the partials
+                vals.groupBy("shard")
+                .agg(
+                    F.min("v").alias("mn"),
+                    F.max("v").alias("mx"),
+                    F.expr("count_if(v is null)").alias("nn"),
+                )
+                .agg(
+                    F.min("mn").alias("min_v"),
+                    F.max("mx").alias("max_v"),
+                    F.sum("nn").alias("n_nulls"),
+                ),
+            ),
+            "direct": (
+                vals.select(sk.hll_register_rank(F.col("v"), name)[0].alias("reg"),
+                            sk.hll_register_rank(F.col("v"), name)[1].alias("rank"))
+                .groupBy("reg")
+                .agg(F.max("rank").alias("m_rank")),
+                vals.agg(
+                    F.min("v").alias("min_v"),
+                    F.max("v").alias("max_v"),
+                    F.expr("count_if(v is null)").alias("n_nulls"),
+                ),
+            ),
+        }
+        for path, (regs, mm) in legs.items():
+            ndv = sk.hll_fold_registers(regs.withColumn("g", F.lit(1)), ["g"]).select(
+                F.col("hll_est").alias("ndv_est")
+            )
+            leg = ndv.crossJoin(mm).select(
+                F.lit(name).alias("column"),
+                F.lit(path).alias("path"),
+                F.col("ndv_est").cast("long"),
+                F.col("min_v").cast("long"),
+                F.col("max_v").cast("long"),
+                F.col("n_nulls").cast("long"),
+            )
+            out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+def _smr_sql() -> str:
+    import test_flink_spark.operators.sketch as sk
+
+    legs = []
+    for name, _, dexpr in _SMR_COLS:
+        sub = f"(SELECT {_SMR_SHARD} AS shard, {dexpr} AS v FROM lineitem)"
+        merged_ndv = sk.hll_merge_oracle_sql(sub, "v", "shard", "-1", salt=name)
+        direct_ndv = sk.hll_oracle_sql(
+            f"(SELECT 1 AS g, v FROM {sub} t0)", "v", ["g"], salt=name
+        )
+        legs.append(
+            f"""
+    SELECT '{name}' AS "column", 'merged' AS path,
+           (SELECT hll_est FROM ({merged_ndv}) WHERE shard = '-1') AS ndv_est,
+           (SELECT CAST(MIN(mn) AS BIGINT) FROM
+              (SELECT shard, MIN(v) AS mn FROM {sub} s GROUP BY shard)) AS min_v,
+           (SELECT CAST(MAX(mx) AS BIGINT) FROM
+              (SELECT shard, MAX(v) AS mx FROM {sub} s GROUP BY shard)) AS max_v,
+           (SELECT CAST(SUM(nn) AS BIGINT) FROM
+              (SELECT shard, COUNT(*) FILTER (WHERE v IS NULL) AS nn
+               FROM {sub} s GROUP BY shard)) AS n_nulls
+    UNION ALL
+    SELECT '{name}', 'direct',
+           (SELECT hll_est FROM ({direct_ndv})),
+           (SELECT CAST(MIN(v) AS BIGINT) FROM {sub} s),
+           (SELECT CAST(MAX(v) AS BIGINT) FROM {sub} s),
+           (SELECT CAST(COUNT(*) FILTER (WHERE v IS NULL) AS BIGINT) FROM {sub} s)"""
+        )
+    return "\n    UNION ALL\n".join(legs)
+
+
+QUERIES["stats_merge_rollup"] = stats_merge_rollup
+ORACLES["stats_merge_rollup"] = _smr_sql()

@@ -354,3 +354,35 @@ def test_broadcast_plan_advisor_width_model_exact(spark):
         "customer": (3000, 3000 * (24 + 4 + 4000), False),
     }
     assert got == expected, (got, expected)
+
+
+def test_stats_merge_rollup_paths_agree_and_match_exact(spark):
+    """The merged-from-shards path must equal the direct path for every
+    measure (register-max associativity; exact min/max/null folds), and
+    min/max/nulls must equal the exact python values on a fixture with
+    NULLs and duplicates straddling both shards."""
+    import unittest.mock as um
+
+    import test_flink_spark.plans.advanced as A
+
+    rows = [(k, k % 37 + 1, None if k % 11 == 0 else float(k % 50)) for k in range(1, 301)]
+    li = spark.createDataFrame(
+        rows, "l_orderkey LONG, l_partkey LONG, l_quantity DOUBLE"
+    )
+    with um.patch.object(A, "_t", lambda s, sf, name: li):
+        out = {
+            (r["column"], r["path"]): (
+                r["ndv_est"],
+                r["min_v"],
+                r["max_v"],
+                r["n_nulls"],
+            )
+            for r in A.stats_merge_rollup(spark, "ignored").collect()
+        }
+    for col in ("l_partkey", "l_quantity"):
+        assert out[(col, "merged")] == out[(col, "direct")], col
+    n_null = sum(1 for k in range(1, 301) if k % 11 == 0)
+    assert out[("l_partkey", "direct")][1:] == (1, 37, 0)
+    assert out[("l_quantity", "direct")][1:] == (0, 4900, n_null)
+    # HLL NDV within its documented rsd band of the exact value (37 keys)
+    assert abs(out[("l_partkey", "direct")][0] - 37) <= 12

@@ -194,6 +194,10 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         # totals shape (skew_key_report precedent); the estimator itself
         # is a 1/16-stratum equi-join.
         "join_cardinality_estimate",
+        # per-(column, path) legs join a 1-row HLL fold to a 1-row
+        # min/max/nulls aggregate — the broadcast-1-row totals shape,
+        # four times over (one per leg).
+        "stats_merge_rollup",
     }
     # A global window is sanctioned ONLY over provably-bounded input:
     # corpus_mix_report's token_share window reads post-aggregation rows
