@@ -58,6 +58,7 @@ _PROMOTED = (
     # oldest of the r4 cohort as fill (trim from the END for new-r9 slots).
     # Regenerate with: python tools/verified_age.py --fill N
     # --- new in r9 (first driver look) ---
+    "shuffle_partition_advisor",
     "stats_merge_rollup",
     "events_dynamic_session_windows",
     "events_count_windows",
@@ -110,7 +111,6 @@ _PROMOTED = (
     "text_top_bigrams",
     # --- last verified r4 (fill; trim from the END for new-r9 slots) ---
     "avg_value_by_type",
-    "cdc_apply_latest",
 )
 
 

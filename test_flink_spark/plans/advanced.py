@@ -2980,3 +2980,87 @@ def _smr_sql() -> str:
 
 QUERIES["stats_merge_rollup"] = stats_merge_rollup
 ORACLES["stats_merge_rollup"] = _smr_sql()
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-partition advisor — the last knob the advisor suite leaves
+# unset: ``spark.sql.shuffle.partitions`` and the salting factor for the
+# hottest key.  For a planned per-user aggregation over events, the
+# shuffle input is modeled from data (rows x the same width model as
+# broadcast_plan_advisor: 8/fixed col + 4+len per string); recommended
+# partitions = ceil(bytes / 64 MiB target), floored at 32 (one per
+# core); the hottest user's row share then determines whether one key
+# overflows a partition — salt factor = ceil(hot_rows / avg rows per
+# recommended partition), 1 meaning "no salting needed".  Every input is
+# a bounded aggregate (1-row totals + a 1-row max over the per-key
+# count), integer arithmetic throughout — the sizing a 100 TB job does
+# from last night's stats instead of OOMing at runtime.
+# ---------------------------------------------------------------------------
+
+_SPA_TARGET_BYTES = 64 * 1024 * 1024
+_SPA_MIN_PARTS = 32
+
+
+def shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sizing report for a per-user shuffle over events: modeled input
+    bytes, recommended partition count (64 MiB target, >= 32), hottest-
+    key rows, and the salt factor that bounds the hot key to one
+    partition's share.  One output row."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "40 + (4 + length(event_type)) + (4 + coalesce(length(props), 0))"
+        ).alias("row_bytes"),
+    )
+    totals = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("row_bytes").cast("long").alias("total_bytes"),
+    )
+    hot = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").cast("long").alias("hot_key_rows"))
+    )
+    # 1-row x 1-row broadcast totals join (sanctioned shape)
+    return totals.crossJoin(hot).selectExpr(
+        "n_rows",
+        "total_bytes",
+        f"greatest(cast((total_bytes + {_SPA_TARGET_BYTES} - 1) div {_SPA_TARGET_BYTES} as bigint), {_SPA_MIN_PARTS}) AS rec_partitions",
+        "hot_key_rows",
+        f"""cast(
+            (hot_key_rows *
+             greatest(cast((total_bytes + {_SPA_TARGET_BYTES} - 1) div {_SPA_TARGET_BYTES} as bigint), {_SPA_MIN_PARTS})
+             + n_rows - 1) div n_rows
+            as bigint) AS salt_factor""",
+    )
+
+
+_SPA_SQL = f"""
+WITH ev AS (
+    SELECT user_id,
+           40 + (4 + length(event_type)) + (4 + COALESCE(length(props), 0))
+               AS row_bytes
+    FROM events
+),
+totals AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(row_bytes) AS BIGINT) AS total_bytes
+    FROM ev
+),
+hot AS (
+    SELECT CAST(MAX(c) AS BIGINT) AS hot_key_rows
+    FROM (SELECT COUNT(*) AS c FROM ev GROUP BY user_id)
+)
+SELECT n_rows, total_bytes,
+       GREATEST(CAST((total_bytes + {_SPA_TARGET_BYTES} - 1) // {_SPA_TARGET_BYTES} AS BIGINT),
+                {_SPA_MIN_PARTS}) AS rec_partitions,
+       hot_key_rows,
+       CAST((hot_key_rows *
+             GREATEST(CAST((total_bytes + {_SPA_TARGET_BYTES} - 1) // {_SPA_TARGET_BYTES} AS BIGINT),
+                      {_SPA_MIN_PARTS})
+             + n_rows - 1) // n_rows AS BIGINT) AS salt_factor
+FROM totals, hot
+"""
+
+QUERIES["shuffle_partition_advisor"] = shuffle_partition_advisor
+ORACLES["shuffle_partition_advisor"] = _SPA_SQL

@@ -386,3 +386,30 @@ def test_stats_merge_rollup_paths_agree_and_match_exact(spark):
     assert out[("l_quantity", "direct")][1:] == (0, 4900, n_null)
     # HLL NDV within its documented rsd band of the exact value (37 keys)
     assert abs(out[("l_partkey", "direct")][0] - 37) <= 12
+
+
+def test_shuffle_partition_advisor_sizing_formulas(spark):
+    """Partition count and salt factor must equal the exact integer
+    formulas on a fixture engineered to exceed one 64 MiB target (via a
+    wide props column) with one hot key owning half the rows."""
+    import unittest.mock as um
+
+    import test_flink_spark.plans.advanced as A
+
+    n = 3000
+    rows = []
+    for i in range(n):
+        uid = 7 if i % 2 == 0 else 10_000 + i  # key 7 owns half the rows
+        rows.append((uid, "view", "p" * 50_000))
+    ev = spark.createDataFrame(rows, "user_id LONG, event_type STRING, props STRING")
+    with um.patch.object(A, "_t", lambda s, sf, name: ev):
+        r = A.shuffle_partition_advisor(spark, "ignored").collect()[0]
+    row_bytes = 40 + (4 + 4) + (4 + 50_000)
+    total = n * row_bytes
+    rec = max(-(-total // A._SPA_TARGET_BYTES), A._SPA_MIN_PARTS)
+    hot = n // 2
+    assert (r["n_rows"], r["total_bytes"]) == (n, total)
+    assert r["rec_partitions"] == rec
+    assert r["hot_key_rows"] == hot
+    assert r["salt_factor"] == -(-hot * rec // n)
+    assert r["salt_factor"] > 1  # the hot key genuinely needs salting

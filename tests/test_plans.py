@@ -198,6 +198,9 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         # min/max/nulls aggregate — the broadcast-1-row totals shape,
         # four times over (one per leg).
         "stats_merge_rollup",
+        # 1-row totals x 1-row hottest-key aggregate — broadcast totals
+        # shape (skew_key_report precedent).
+        "shuffle_partition_advisor",
     }
     # A global window is sanctioned ONLY over provably-bounded input:
     # corpus_mix_report's token_share window reads post-aggregation rows
