@@ -3116,3 +3116,75 @@ def test_snapshot_twins_overwrite_orphan_state(spark, tmpdirs):
     )
     got2 = sorted(map(tuple, spark.read.parquet(str(orphan2)).collect()))
     assert got2 == [(1, "view", 75, True, 2)]
+
+
+def test_broadcast_rules_randomized_interleave_parity(spark, tmpdirs):
+    """Randomized differential for the broadcast-state twin: a seeded
+    random interleave of rule batches and event batches must produce
+    exactly the python replay's verdicts (each event evaluated under the
+    last-writer-wins rule state at its batch) and the final snapshot
+    must equal the full fold."""
+    import random
+
+    from test_flink_spark.streaming.broadcast_rules import (
+        apply_rules_batch,
+        rules_ingest_batch,
+    )
+
+    rng = random.Random(4242)
+    rules_schema = (
+        "rule_id LONG, event_type STRING, min_value_cents LONG,"
+        " enabled BOOLEAN, seq LONG"
+    )
+    ev_schema = "event_id LONG, event_type STRING, value DOUBLE"
+    types = ["view", "click", "purchase"]
+    state = tmpdirs / "br_rand_state"
+    out = tmpdirs / "br_rand_out"
+
+    rules_state: dict[int, tuple] = {}
+    expected = []
+    seq = 0
+    eid = 0
+    rb = 0
+    eb = 0
+    for _ in range(12):
+        if rng.random() < 0.4 or not rules_state:
+            batch = []
+            for _ in range(rng.randrange(1, 4)):
+                seq += 1
+                rid = rng.randrange(1, 5)
+                row = (
+                    rid,
+                    rng.choice(types),
+                    rng.randrange(0, 500),
+                    rng.random() < 0.8,
+                    seq,
+                )
+                batch.append(row)
+                rules_state[rid] = row
+            rules_ingest_batch(
+                spark.createDataFrame(batch, rules_schema), str(state), batch_id=rb
+            )
+            rb += 1
+        else:
+            batch = []
+            for _ in range(rng.randrange(2, 6)):
+                eid += 1
+                batch.append((eid, rng.choice(types), rng.randrange(0, 600) / 100))
+            apply_rules_batch(
+                spark.createDataFrame(batch, ev_schema), str(state), str(out), eb
+            )
+            for e, t, v in batch:
+                for rid, (r_id, r_t, r_min, r_en, _) in rules_state.items():
+                    if r_en and r_t == t and round(v * 100) >= r_min:
+                        expected.append((e, r_id, rb - 1))
+            eb += 1
+
+    import glob as g
+
+    files = g.glob(str(out / "verdicts_b*"))
+    got = sorted(
+        (r["event_id"], r["rule_id"], r["rules_version"])
+        for r in spark.read.parquet(*files).collect()
+    )
+    assert got == sorted(expected), (len(got), len(expected))
