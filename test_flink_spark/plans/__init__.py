@@ -50,67 +50,66 @@ _REVERIFY = {
 }
 
 _PROMOTED = (
-    # r9 rotation window: verified-age rotation (tools/verified_age.py).
-    # New r9 queries lead (first driver look), then the two r8
-    # implementation swaps whose pre-swap certificates are void
-    # (_REVERIFY), then the 25 queries last driver-verified in r3 (forced
-    # by test_promotion_window_rotates_stalest at MAX_AGE=6), then the
-    # oldest of the r4 cohort as fill (trim from the END for new-r9 slots).
+    # r10 rotation window: verified-age rotation (tools/verified_age.py).
+    # New r10 queries lead (first driver look), then the FULL 47-query
+    # cohort last driver-verified in r4 (5 rounds stale at r10 open — the
+    # largest cohort, forced by test_promotion_window_rotates_stalest at
+    # MAX_AGE=6), then the oldest of the r5 cohort as fill (trim from the
+    # END for new-r10 slots).
     # Regenerate with: python tools/verified_age.py --fill N
-    # --- new in r9 (first driver look) ---
-    "shuffle_partition_advisor",
-    "stats_merge_rollup",
-    "events_dynamic_session_windows",
-    "events_count_windows",
-    "broadcast_plan_advisor",
-    "collect_table_stats",
-    "gdpr_erasure_audit",
-    "join_order_advisor",
-    "agg_reduction_advisor",
-    "join_cardinality_estimate",
-    "layout_compaction_planner",
-    "corpus_curriculum_order",
-    "corpus_cluster_sharding",
-    "embedding_ivfpq_sampled_search",
-    "events_cep_within_flink",
-    "dedup_cluster_quality",
-    "corpus_verdict_effects",
-    "embedding_filtered_ann",
-    "doc_pack_efficiency",
-    "embedding_dim_variance_audit",
-    "embedding_filtered_ann_recall",
-    "corpus_dedup_threshold_sensitivity",
-    "corpus_source_contamination_matrix",
-    # --- r8 implementation swaps (certificates voided, forced) ---
-    "dedup_simhash_clusters",
-    "embedding_near_dup_lsh",
-    # --- last verified r3 (forced) ---
-    "dedup_simhash",
-    "doc_block_dedup",
-    "doc_chunk_token_windows",
-    "doc_pack_assignments",
-    "embedding_cosine_topk",
-    "embedding_ivf_ann",
-    "embedding_near_dup",
-    "embedding_semdedup",
-    "json_props_aggregate",
-    "knn_label_vote",
-    "multimodal_chunk_fingerprints",
-    "multimodal_frame_sample",
-    "multimodal_media_stats",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "semi_join_big_lineitems",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality_scores",
-    "text_repetition_scores",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "text_top_bigrams",
-    # --- last verified r4 (fill; trim from the END for new-r9 slots) ---
-    "avg_value_by_type",
+    # --- new in r10 (first driver look) ---
+    # --- last verified r4 (forced cohort) ---
+    "cdc_apply_latest",
+    "cdc_scd2_history",
+    "cdc_snapshot_diff",
+    "corpus_domain_percentile_filter",
+    "corpus_topic_labels",
+    "corpus_weighted_sample",
+    "csv_parse_roundtrip",
+    "customers_rfm_segments",
+    "data_quality_report",
+    "dedup_incremental_shard",
+    "embedding_split_drift",
+    "events_cusum_drift",
+    "events_daily_anomaly",
+    "events_decayed_engagement",
+    "events_double_exp_forecast",
+    "events_forecast_backtest",
+    "events_frequent_paths",
+    "events_holt_winters",
+    "events_hourly_gapfill",
+    "events_item_cooccurrence",
+    "events_k_anonymity",
+    "events_markov_transitions",
+    "events_trailing_7d",
+    "filter_count_by_user",
+    "funnel_latency_quantiles",
+    "fuzzy_part_name_pairs",
+    "graph_lpa_communities",
+    "graph_pagerank_trade",
+    "graph_triangle_counts",
+    "json_parse_project",
+    "layout_encoding_advisor",
+    "layout_pruning_report",
+    "layout_zorder_events",
+    "rollup_multi_granularity",
+    "session_stats_per_user",
+    "session_window_count",
+    "sketch_cms_heavy_hitters",
+    "sketch_histogram_quantiles",
+    "sketch_hll_distinct_users",
+    "sketch_hll_merge_rollup",
+    "sketch_kmv_distinct_users",
+    "sketch_kmv_overlap",
+    "skew_key_report",
+    "text_bigram_surprisal",
+    "text_bpe_encode",
+    "text_bpe_merges",
+    "text_sparse_cosine_topk",
+    # --- last verified r5 (fill; trim from the END for new-r10 slots) ---
+    "approx_aggregates",
+    "cdc_point_in_time_join",
+    "cohort_retention",
 )
 
 
