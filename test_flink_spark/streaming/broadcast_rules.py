@@ -44,25 +44,17 @@ pipelines.
 
 from __future__ import annotations
 
-import glob
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .snapshots import latest_snapshot, resolve_version, version_of, write_snapshot
+
 _RULES_SCHEMA = (
     "rule_id LONG, event_type STRING, min_value_cents LONG, enabled BOOLEAN,"
     " seq LONG"
 )
-
-
-def _latest(state_dir: str, prefix: str, before: int | None = None) -> str | None:
-    versions = [
-        p
-        for p in glob.glob(os.path.join(state_dir, f"{prefix}_v*"))
-        if before is None or int(p.rsplit("_v", 1)[1]) < before
-    ]
-    return max(versions, key=lambda p: int(p.rsplit("_v", 1)[1])) if versions else None
 
 
 def rules_ingest_batch(
@@ -73,12 +65,8 @@ def rules_ingest_batch(
     row broken by larger min_value_cents then enabled=false — a total
     order so retries are deterministic).  Returns the new snapshot."""
     spark = batch_df.sparkSession
-    prior_path = _latest(state_dir, "rules", before=batch_id)
-    version = (
-        batch_id
-        if batch_id is not None
-        else (int(prior_path.rsplit("_v", 1)[1]) + 1 if prior_path else 0)
-    )
+    prior_path = latest_snapshot(state_dir, "rules", before=batch_id)
+    version = resolve_version(prior_path, batch_id)
     prior = (
         spark.read.parquet(prior_path)
         if prior_path is not None
@@ -98,9 +86,7 @@ def rules_ingest_batch(
         .drop("_rn")
         .localCheckpoint(eager=True)
     )
-    merged.write.mode("overwrite").parquet(
-        os.path.join(state_dir, f"rules_v{version}")
-    )
+    write_snapshot(merged, state_dir, "rules", version)
     return merged
 
 
@@ -111,12 +97,18 @@ def apply_rules_batch(
     (processing-time semantics: whatever is in 'broadcast state' now) and
     append verdicts ``(event_id, rule_id, rules_version)`` to out_dir.
     Events with no enabled matching rule produce no row — the Flink
-    side-output-less variant."""
+    side-output-less variant.
+
+    Runs concurrently with the rules fold, so snapshot resolution must be
+    atomic: latest_snapshot only returns _SUCCESS-committed versions, so
+    a mid-write or retry-overwritten rules_v{N} is invisible and this
+    batch evaluates against the previous committed snapshot — the same
+    "whatever is in broadcast state right now" semantics Flink gives."""
     spark = events_df.sparkSession
-    path = _latest(state_dir, "rules")
+    path = latest_snapshot(state_dir, "rules")
     if path is None:
         return
-    version = int(path.rsplit("_v", 1)[1])
+    version = version_of(path)
     rules = spark.read.parquet(path).filter(F.col("enabled"))
     flagged = (
         events_df.join(rules, "event_type")

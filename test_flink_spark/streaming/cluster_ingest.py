@@ -39,19 +39,16 @@ shingle-shard compaction first).
 
 from __future__ import annotations
 
-import glob
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from .snapshots import latest_snapshot, resolve_version, write_snapshot
+
 _LABELS_SCHEMA = "doc_id LONG, cluster_id LONG"
 _SHINGLE_SCHEMA = "doc_id LONG, h LONG"
-
-
-def _latest_labels(versions: list[str]) -> str | None:
-    return max(versions, key=lambda p: int(p.rsplit("_v", 1)[1])) if versions else None
 
 
 def cluster_ingest_batch(
@@ -69,21 +66,12 @@ def cluster_ingest_batch(
 
     spark = batch_df.sparkSession
     sh_dir = os.path.join(state_dir, "shingles")
-    versions = [
-        p
-        for p in glob.glob(os.path.join(state_dir, "labels_v*"))
-        if batch_id is None or int(p.rsplit("_v", 1)[1]) < batch_id
-    ]
-    prior_path = _latest_labels(versions)
     # resolve the version BEFORE reading state so the shard filter below
     # can exclude an ORPHAN shard (this version's shingles written by a
     # call that crashed before its labels snapshot): labels presence is
     # the commit point, so prior state is exactly shards < version
-    version = (
-        batch_id
-        if batch_id is not None
-        else (int(prior_path.rsplit("_v", 1)[1]) + 1 if prior_path else 0)
-    )
+    prior_path = latest_snapshot(state_dir, "labels", before=batch_id)
+    version = resolve_version(prior_path, batch_id)
     if prior_path is not None:
         prior = spark.read.parquet(prior_path)
         prior_sh = (
@@ -158,9 +146,7 @@ def cluster_ingest_batch(
     new_sh.write.mode("overwrite").parquet(
         os.path.join(sh_dir, f"batch={version}")
     )
-    merged.write.mode("overwrite").parquet(
-        os.path.join(state_dir, f"labels_v{version}")
-    )
+    write_snapshot(merged, state_dir, "labels", version)
     return merged
 
 

@@ -32,23 +32,25 @@ touched-rows argument as cluster_ingest's label remap.
 
 from __future__ import annotations
 
-import glob
-import json
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .snapshots import (
+    latest_snapshot,
+    read_sidecar,
+    resolve_version,
+    write_snapshot,
+)
+
 _WIN_SCHEMA = "event_type STRING, win_start LONG, cnt LONG"
 
-
-def _latest(state_dir: str, before: int | None = None) -> str | None:
-    versions = [
-        p
-        for p in glob.glob(os.path.join(state_dir, "windows_v*"))
-        if before is None or int(p.rsplit("_v", 1)[1]) < before
-    ]
-    return max(versions, key=lambda p: int(p.rsplit("_v", 1)[1])) if versions else None
+# the watermark sidecar is part of the commit: a snapshot without it
+# (crash between parquet commit and sidecar write) is treated as
+# nonexistent, so the retry resolves the previous version and repairs
+# the orphan by overwrite instead of wedging on a missing file
+_SIDECARS = ("_WATERMARK.json",)
 
 
 def late_update_batch(
@@ -64,16 +66,11 @@ def late_update_batch(
     semantics; rows beyond the bound are written to ``late_dir`` (the
     side output) and excluded from the fold.  Returns the new snapshot."""
     spark = batch_df.sparkSession
-    prior_path = _latest(state_dir, before=batch_id)
-    version = (
-        batch_id
-        if batch_id is not None
-        else (int(prior_path.rsplit("_v", 1)[1]) + 1 if prior_path else 0)
-    )
+    prior_path = latest_snapshot(state_dir, "windows", before=batch_id, sidecars=_SIDECARS)
+    version = resolve_version(prior_path, batch_id)
     if prior_path is not None:
         prior = spark.read.parquet(prior_path)
-        with open(os.path.join(prior_path, "_WATERMARK.json")) as f:
-            prior_wm = json.load(f)["watermark_ms"]
+        prior_wm = read_sidecar(prior_path, "_WATERMARK.json")["watermark_ms"]
     else:
         prior = spark.createDataFrame([], _WIN_SCHEMA)
         prior_wm = -(1 << 62)
@@ -82,8 +79,12 @@ def late_update_batch(
     watermark = max(prior_wm, batch_max if batch_max is not None else prior_wm)
     # a window [s, s+W) is still updatable while s + W + L > watermark;
     # equivalently rows with ts in a closed window are allowed iff their
-    # window start passes that test (Flink: windows are purged at
-    # watermark > end + L — strict, so equality is still allowed)
+    # window start passes that test.  Boundary convention: this twin
+    # still folds at watermark == end + L, whereas Flink's WindowOperator
+    # drops once window.maxTimestamp() + L <= watermark, i.e. at
+    # end - 1 + L — the twin is deliberately ~1 window-resolution MORE
+    # permissive at the exact boundary (a deliberate, pinned divergence;
+    # the batch-parity differential encodes THIS cutoff)
     cutoff = watermark - window_ms - allowed_lateness_ms
     win_start = (F.col("ts_ms") / window_ms).cast("long") * window_ms
     tagged = batch.withColumn("win_start", win_start)
@@ -102,10 +103,13 @@ def late_update_batch(
         .agg(F.sum("cnt").cast("long").alias("cnt"))
         .localCheckpoint(eager=True)
     )
-    out = os.path.join(state_dir, f"windows_v{version}")
-    merged.write.mode("overwrite").parquet(out)
-    with open(os.path.join(out, "_WATERMARK.json"), "w") as f:
-        json.dump({"watermark_ms": watermark}, f)
+    write_snapshot(
+        merged,
+        state_dir,
+        "windows",
+        version,
+        sidecars={"_WATERMARK.json": {"watermark_ms": watermark}},
+    )
     return merged
 
 

@@ -36,25 +36,14 @@ analytics — the §2.10 superset path.
 
 from __future__ import annotations
 
-import glob
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators import sketch as sk
+from .snapshots import latest_snapshot, resolve_version, write_snapshot
 
 _REG_SCHEMA = "grp STRING, reg LONG, m_rank LONG"
-
-
-def _latest_snapshot(state_dir: str, before: int | None = None) -> str | None:
-    versions = [
-        p
-        for p in glob.glob(os.path.join(state_dir, "registers_v*"))
-        if before is None or int(p.rsplit("_v", 1)[1]) < before
-    ]
-    return max(versions, key=lambda p: int(p.rsplit("_v", 1)[1])) if versions else None
 
 
 def sketch_ingest_batch(
@@ -68,12 +57,8 @@ def sketch_ingest_batch(
     returns (and persists) the post-batch register table.  Callable
     directly for batch backfill or through :func:`streaming_sketch_ingest`."""
     spark = batch_df.sparkSession
-    prior_path = _latest_snapshot(state_dir, before=batch_id)
-    version = (
-        batch_id
-        if batch_id is not None
-        else (int(prior_path.rsplit("_v", 1)[1]) + 1 if prior_path else 0)
-    )
+    prior_path = latest_snapshot(state_dir, "registers", before=batch_id)
+    version = resolve_version(prior_path, batch_id)
     prior = (
         spark.read.parquet(prior_path)
         if prior_path is not None
@@ -89,8 +74,7 @@ def sketch_ingest_batch(
         # cut lineage before overwriting directories this plan read from
         .localCheckpoint(eager=True)
     )
-    out = os.path.join(state_dir, f"registers_v{version}")
-    merged.write.mode("overwrite").parquet(out)
+    write_snapshot(merged, state_dir, "registers", version)
     return merged
 
 
@@ -98,7 +82,7 @@ def estimates(spark, state_dir: str, with_rollup: bool = True) -> DataFrame:
     """Fold the LATEST register snapshot through the shared estimator:
     ``(grp, registers_used, hll_est)`` rows, plus an '__all__' rollup row
     max-merged from the per-group sketches (never from the raw values)."""
-    path = _latest_snapshot(state_dir)
+    path = latest_snapshot(state_dir, "registers")
     if path is None:
         raise ValueError(f"no register snapshot under {state_dir}")
     regs = spark.read.parquet(path)

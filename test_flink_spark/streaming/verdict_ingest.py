@@ -57,18 +57,15 @@ EVERY batch, on a fixture that exercises all three retroactive moves.
 
 from __future__ import annotations
 
-import glob
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from .snapshots import latest_snapshot, resolve_version, version_of, write_snapshot
+
 _INTERVALS_SCHEMA = "doc_id LONG, s INT, e INT, h LONG"
-
-
-def _latest_version(paths: list[str]) -> str | None:
-    return max(paths, key=lambda p: int(p.rsplit("_v", 1)[1])) if paths else None
 
 
 def verdict_ingest_batch(
@@ -99,20 +96,11 @@ def verdict_ingest_batch(
     spark = batch_df.sparkSession
     anchors_dir = os.path.join(state_dir, "anchors")
     meta_dir = os.path.join(state_dir, "meta")
-    versions = [
-        p
-        for p in glob.glob(os.path.join(state_dir, "verdicts_v*"))
-        if batch_id is None or int(p.rsplit("_v", 1)[1]) < batch_id
-    ]
-    prior_path = _latest_version(versions)
     # the verdict snapshot is the commit point: prior state is exactly
     # the shards/versions below it, so orphans from a crashed call are
     # ignored and overwritten (cluster_ingest's crash-resume rule)
-    version = (
-        batch_id
-        if batch_id is not None
-        else (int(prior_path.rsplit("_v", 1)[1]) + 1 if prior_path else 0)
-    )
+    prior_path = latest_snapshot(state_dir, "verdicts", before=batch_id)
+    version = resolve_version(prior_path, batch_id)
     new_anch = anchor_contexts(batch_df, "text", "doc_id", k, w, ext).localCheckpoint(
         eager=True
     )
@@ -132,8 +120,10 @@ def verdict_ingest_batch(
             .filter(F.col("batch") < F.lit(version))
             .drop("batch")
         )
+        # intervals are written in the same call as their verdict
+        # snapshot, so the committed prior's OWN version is the pair key
         prior_iv = spark.read.parquet(
-            os.path.join(state_dir, f"intervals_v{version - 1}")
+            os.path.join(state_dir, f"intervals_v{version_of(prior_path)}")
         )
         prior_verdicts = spark.read.parquet(prior_path)
     else:
@@ -258,12 +248,8 @@ def verdict_ingest_batch(
     new_meta.write.mode("overwrite").parquet(
         os.path.join(meta_dir, f"batch={version}")
     )
-    iv_state.write.mode("overwrite").parquet(
-        os.path.join(state_dir, f"intervals_v{version}")
-    )
-    snapshot.write.mode("overwrite").parquet(
-        os.path.join(state_dir, f"verdicts_v{version}")
-    )
+    write_snapshot(iv_state, state_dir, "intervals", version)
+    write_snapshot(snapshot, state_dir, "verdicts", version)
     return snapshot
 
 

@@ -3117,6 +3117,98 @@ def test_snapshot_twins_overwrite_orphan_state(spark, tmpdirs):
     got2 = sorted(map(tuple, spark.read.parquet(str(orphan2)).collect()))
     assert got2 == [(1, "view", 75, True, 2)]
 
+    # --- late updates (sidecar-gated commit) ---
+    # two orphan flavors: a garbage partial dir (no _SUCCESS), and the
+    # nastier crash AFTER the parquet commit but BEFORE _WATERMARK.json —
+    # both must be invisible to the retry and repaired by overwrite
+    from test_flink_spark.streaming.late_updates import late_update_batch
+
+    st3 = tmpdirs / "orphan_late"
+    lu_schema = "event_type STRING, ts_ms LONG"
+    late_update_batch(
+        spark.createDataFrame([("view", 0), ("view", 61_000)], lu_schema),
+        str(st3),
+        batch_id=0,
+    )
+    orphan3 = st3 / "windows_v1"
+    orphan3.mkdir()
+    (orphan3 / "part-garbage.parquet").write_bytes(b"junk")
+    late_update_batch(
+        spark.createDataFrame([("view", 62_000)], lu_schema),
+        str(st3),
+        batch_id=1,
+    )
+    got3 = {
+        (r["event_type"], r["win_start"]): r["cnt"]
+        for r in spark.read.parquet(str(orphan3)).collect()
+    }
+    assert got3 == {("view", 0): 1, ("view", 60_000): 2}
+    # parquet-committed-but-sidecar-less orphan at v2: fabricate it by
+    # writing real parquet (has _SUCCESS) and withholding the sidecar
+    spark.createDataFrame([("bogus", 0, 999)], "event_type STRING, win_start LONG, cnt LONG").write.mode(
+        "overwrite"
+    ).parquet(str(st3 / "windows_v2"))
+    assert os.path.exists(str(st3 / "windows_v2" / "_SUCCESS"))
+    # a batch_id=None backfill must resolve v1 as prior (not wedge on the
+    # missing _WATERMARK.json), derive version 2, and repair the orphan
+    late_update_batch(
+        spark.createDataFrame([("view", 63_000)], lu_schema), str(st3)
+    )
+    got4 = {
+        (r["event_type"], r["win_start"]): r["cnt"]
+        for r in spark.read.parquet(str(st3 / "windows_v2")).collect()
+    }
+    assert got4 == {("view", 0): 1, ("view", 60_000): 3}
+    assert os.path.exists(str(st3 / "windows_v2" / "_WATERMARK.json"))
+
+
+def test_broadcast_rules_uncommitted_snapshot_invisible(spark, tmpdirs):
+    """The concurrent-writer race (r9 ADVICE): the rules fold and the
+    event evaluator run as separate streaming queries, so the evaluator
+    can glob the state dir while rules_v{N} is mid-write.  Snapshot
+    resolution is gated on the _SUCCESS commit marker, so an uncommitted
+    (or mid-overwrite) version is invisible and the batch evaluates under
+    the previous committed snapshot instead of crashing on a partial
+    directory."""
+    import os
+
+    from test_flink_spark.streaming.broadcast_rules import (
+        apply_rules_batch,
+        rules_ingest_batch,
+    )
+
+    state = tmpdirs / "br_race_state"
+    out = tmpdirs / "br_race_out"
+    rules_schema = (
+        "rule_id LONG, event_type STRING, min_value_cents LONG,"
+        " enabled BOOLEAN, seq LONG"
+    )
+    rules_ingest_batch(
+        spark.createDataFrame([(1, "view", 100, True, 1)], rules_schema),
+        str(state),
+        batch_id=0,
+    )
+    # simulate a concurrent writer mid-flight: a v1 dir with data files
+    # but NO _SUCCESS marker (what a reader sees before job commit)
+    mid = state / "rules_v1"
+    mid.mkdir()
+    (mid / "part-00000.parquet").write_bytes(b"incomplete")
+    apply_rules_batch(
+        spark.createDataFrame(
+            [(10, "view", 1.50), (11, "view", 0.50)],
+            "event_id LONG, event_type STRING, value DOUBLE",
+        ),
+        str(state),
+        str(out),
+        batch_id=0,
+    )
+    rows = sorted(
+        map(tuple, spark.read.parquet(str(out / "verdicts_b0")).collect())
+    )
+    # evaluated under committed v0 (threshold 100 cents): event 10 only
+    assert rows == [(10, 1, 0)]
+    assert os.path.exists(str(mid))  # the orphan was not disturbed
+
 
 def test_broadcast_rules_randomized_interleave_parity(spark, tmpdirs):
     """Randomized differential for the broadcast-state twin: a seeded
