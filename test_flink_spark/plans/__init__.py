@@ -58,6 +58,7 @@ _PROMOTED = (
     # END for new-r10 slots).
     # Regenerate with: python tools/verified_age.py --fill N
     # --- new in r10 (first driver look) ---
+    "events_processing_time_tumbling",
     # --- last verified r4 (forced cohort) ---
     "cdc_apply_latest",
     "cdc_scd2_history",
@@ -109,7 +110,6 @@ _PROMOTED = (
     # --- last verified r5 (fill; trim from the END for new-r10 slots) ---
     "approx_aggregates",
     "cdc_point_in_time_join",
-    "cohort_retention",
 )
 
 

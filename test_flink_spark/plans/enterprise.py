@@ -4815,3 +4815,82 @@ GROUP BY 1, 2
 
 QUERIES["events_dynamic_session_windows"] = events_dynamic_session_windows
 ORACLES["events_dynamic_session_windows"] = _DSG_SQL
+
+
+# ---------------------------------------------------------------------------
+# PROCESSING-TIME tumbling windows — the last Flink time characteristic
+# the engine left unexposed (TimeCharacteristic.{ProcessingTime,
+# IngestionTime}, the enum HotMediaTrack.java:53 imports).  Wall clocks
+# are banned from tests and plans (non-replayable), so the twin pins a
+# DETERMINISTIC ingestion model: events arrive in (ts, event_id) order,
+# the source triggers every _PT_BATCH arrivals (stamp = trigger id — the
+# streaming twin stamps foreachBatch batch_id, never wall time), and a
+# processing-time tumbling window spans _PT_WIN_BATCHES consecutive
+# triggers.  A window therefore holds _PT_BATCH * _PT_WIN_BATCHES
+# consecutive ARRIVALS regardless of their event-time spread — the
+# semantics that distinguish processing-time from every event-time
+# window in the suite (and from events_count_windows, whose counts are
+# PER-KEY).  The arrival sequence is a global total order, computed
+# scalably in two levels: a row_number partitioned by MINUTE bucket
+# (bounded: events within one minute), plus each bucket's prefix offset
+# from the minute-count histogram (a bounded-aggregate global window —
+# <= |minutes in corpus span| rows, curriculum_order's sanctioned
+# family).  At 100 TB the production path is the streaming twin
+# (arrival stamping is free at ingest); this query is its deterministic
+# batch replay/backfill, and the differential test pins the two equal.
+# ---------------------------------------------------------------------------
+
+_PT_BATCH = 500  # arrivals per simulated source trigger
+_PT_WIN_BATCHES = 4  # processing-time window = 4 consecutive triggers
+
+
+def events_processing_time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts per (processing-time window, event_type) under the
+    deterministic ingestion model: window w holds arrivals
+    [w*2000, (w+1)*2000) in (ts, event_id) order.  Output: win_id,
+    event_type, cnt."""
+    span = _PT_BATCH * _PT_WIN_BATCHES
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("unix_millis(cast(ts as timestamp))").alias("ms"),
+    ).withColumn("bkt", F.expr("ms div 60000"))
+    # prefix offset per minute bucket: bounded histogram, ordered window
+    hist = ev.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+    offs = hist.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("n").over(
+                Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bkt", "off")
+    intra = Window.partitionBy("bkt").orderBy("ms", "event_id")
+    seq = (
+        ev.withColumn("r", F.row_number().over(intra))
+        .join(offs, "bkt")
+        .withColumn("seq", F.col("off") + F.col("r"))
+    )
+    return (
+        seq.withColumn("win_id", F.expr(f"(seq - 1) div {span}"))
+        .groupBy(F.col("win_id").cast("long").alias("win_id"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+_PT_SQL = f"""
+WITH seq AS (
+    SELECT event_type,
+           ROW_NUMBER() OVER (ORDER BY epoch_ms(ts), event_id) AS rn
+    FROM events
+)
+SELECT CAST((rn - 1) // {_PT_BATCH * _PT_WIN_BATCHES} AS BIGINT) AS win_id,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM seq
+GROUP BY 1, 2
+"""
+
+QUERIES["events_processing_time_tumbling"] = events_processing_time_tumbling
+ORACLES["events_processing_time_tumbling"] = _PT_SQL

@@ -258,6 +258,12 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         # estimate table (one row per candidate dimension), never a
         # scaling relation — bounded-aggregate family.
         "join_order_advisor",
+        # processing-time arrival sequence: the prefix-offset window
+        # reads the MINUTE-COUNT HISTOGRAM (<= |minutes in corpus span|
+        # rows), never the event stream; the per-event rank is
+        # partitioned by minute bucket.  Value-histogram family,
+        # curriculum_order precedent.
+        "events_processing_time_tumbling",
     }
     forbidden = ("CartesianProduct", "BatchEvalPython")
     offenders = {}

@@ -3411,3 +3411,91 @@ def test_stats_ingest_streaming_e2e(spark, tmpdirs):
     want = sorted(map(tuple, stats(spark, str(direct_state)).collect()))
     assert got == want
     assert len(g.glob(str(state / "stats_v*"))) >= 2
+
+
+def test_processing_time_tumbling_replay_parity(spark, tmpdirs):
+    """Randomized differential for the processing-time twin: a seeded
+    random row stream cut at a fixed trigger size must fold to exactly
+    the python replay (window = batch_id div W, blind to event time),
+    and re-folding a batch under its own id is idempotent."""
+    import random
+    from collections import Counter
+
+    from test_flink_spark.streaming.processing_time import processing_time_batch
+
+    rng = random.Random(515)
+    types = ["view", "click", "purchase", "error"]
+    rows = [(rng.choice(types), rng.randrange(0, 10**9)) for _ in range(700)]
+    n, w = 100, 3
+    batches = [rows[i : i + n] for i in range(0, len(rows), n)]
+    schema = "event_type STRING, ts_ms LONG"
+    state = tmpdirs / "ptw_state"
+    for i, batch in enumerate(batches):
+        processing_time_batch(
+            spark.createDataFrame(batch, schema), str(state), batch_id=i, win_batches=w
+        )
+    want = Counter()
+    for i, batch in enumerate(batches):
+        for t, _ in batch:
+            want[(i // w, t)] += 1
+    last = str(state / f"ptwin_v{len(batches) - 1}")
+    got = {
+        (r["win_id"], r["event_type"]): r["cnt"]
+        for r in spark.read.parquet(last).collect()
+    }
+    assert got == dict(want)
+    # retry idempotence
+    processing_time_batch(
+        spark.createDataFrame(batches[2], schema), str(state), batch_id=2, win_batches=w
+    )
+    got2 = {
+        (r["win_id"], r["event_type"]): r["cnt"]
+        for r in spark.read.parquet(str(state / "ptwin_v2")).collect()
+    }
+    want2 = Counter()
+    for i, batch in enumerate(batches[:3]):
+        for t, _ in batch:
+            want2[(i // w, t)] += 1
+    assert got2 == dict(want2)
+
+
+def test_processing_time_stream_equals_batch_query(spark, tmpdirs):
+    """The replay/backfill contract: feeding the sf0.001 events table in
+    (ts, event_id) arrival order at _PT_BATCH rows per trigger must make
+    the streaming twin's final snapshot EQUAL the registered batch query
+    events_processing_time_tumbling over the same table."""
+    from test_flink_spark.plans.enterprise import (
+        _PT_BATCH,
+        _PT_WIN_BATCHES,
+        events_processing_time_tumbling,
+    )
+    from test_flink_spark.schemas import load_table
+    from test_flink_spark.streaming.processing_time import processing_time_batch
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").selectExpr(
+        "event_type", "unix_millis(cast(ts as timestamp)) AS ms", "event_id"
+    )
+    arrivals = [
+        (r["event_type"],)
+        for r in ev.orderBy("ms", "event_id").select("event_type").collect()
+    ]
+    state = tmpdirs / "ptw_sf_state"
+    batches = [
+        arrivals[i : i + _PT_BATCH] for i in range(0, len(arrivals), _PT_BATCH)
+    ]
+    for i, batch in enumerate(batches):
+        processing_time_batch(
+            spark.createDataFrame(batch, "event_type STRING"),
+            str(state),
+            batch_id=i,
+            win_batches=_PT_WIN_BATCHES,
+        )
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(str(state / f"ptwin_v{len(batches) - 1}")).collect(),
+        )
+    )
+    want = sorted(map(tuple, events_processing_time_tumbling(spark, sf).collect()))
+    assert got == want
