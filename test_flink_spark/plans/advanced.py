@@ -1299,9 +1299,20 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, in the house integer cross-product form (no float sqrt —
     the events_seasonality_acf statistic applied to the degree pairing):
         c = mΣxy − ΣxΣy;  signed_r2_milli = sign(c)·c²·1000 div (dx·dy)
-    with decimal(38,0)/HUGEINT factors (Σxy reaches ~|E|·deg² — far
-    past int64 at fleet scale).  One degree aggregation + two hash
-    joins of the degree table back onto the edge list."""
+    One degree aggregation + two hash joins of the degree table back
+    onto the edge list; the six moment sums are map-side partials into
+    ONE bounded aggregate and each fits int64 with room (Σxy ~ |E|·deg²
+    ~ 1e10 at sf1).  The FINAL cross-product ratio does not: c²·1000
+    crossed Decimal(38,0) — and then DuckDB's int128 — at the sf1
+    certification pass (1.05e38; exactly the overflow class the 10x
+    hash checks exist to catch).  Two-part fix: (a) the finish is
+    arbitrary-precision python on the collected 1-ROW moment row (the
+    sanctioned scalar-collect shape), and (b) the statistic quantizes
+    |c|, dx, dy by integer-div 10^6 BEFORE squaring (nonneg // nonneg —
+    identical in both engines; signed quantization would diverge, since
+    python // floors while DuckDB // truncates toward zero; relative
+    quantization error ~1e-13 at sf1, and the int128 oracle now has
+    ~4e4x sf1 headroom)."""
     li = _t(spark, sf_dir, "lineitem")
     od = _t(spark, sf_dir, "orders")
     base = (
@@ -1328,26 +1339,28 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = pairs.agg(
         F.count(F.lit(1)).cast("long").alias("m"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.expr("CAST(x AS BIGINT) * y")).alias("sxy"),
-        F.sum(F.expr("CAST(x AS BIGINT) * x")).alias("sxx"),
-        F.sum(F.expr("CAST(y AS BIGINT) * y")).alias("syy"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(x AS BIGINT) * y")).cast("long").alias("sxy"),
+        F.sum(F.expr("CAST(x AS BIGINT) * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("CAST(y AS BIGINT) * y")).cast("long").alias("syy"),
     )
-    d = "CAST({} AS DECIMAL(38,0))"
-    c = f"({d.format('m')} * {d.format('sxy')} - {d.format('sx')} * {d.format('sy')})"
-    dx = f"({d.format('m')} * {d.format('sxx')} - {d.format('sx')} * {d.format('sx')})"
-    dy = f"({d.format('m')} * {d.format('syy')} - {d.format('sy')} * {d.format('sy')})"
-    return agg.select(
-        "m",
-        F.expr(
-            f"CASE WHEN {dx} > 0 AND {dy} > 0 THEN"
-            f" CASE WHEN {c} < 0 THEN -1 ELSE 1 END"
-            f" * ({c} * {c} * CAST(1000 AS DECIMAL(38,0)))"
-            f" div ({dx} * {dy}) END"
-        )
-        .cast("long")
-        .alias("signed_r2_milli"),
+    row = agg.collect()[0]  # 1-row scalar finish (see docstring)
+    m, sx, sy, sxy, sxx, syy = (int(row[i]) for i in range(6))
+    q = 1_000_000  # cross-product quantizer (see docstring)
+    c = m * sxy - sx * sy
+    # quantize |c|, never signed c: python // floors while DuckDB //
+    # truncates toward zero, so signed quantization would diverge on
+    # negative c — abs keeps every division nonneg/nonneg (identical in
+    # both engines) and only the sign and square of c matter anyway
+    cq = abs(c) // q
+    dxq = (m * sxx - sx * sx) // q
+    dyq = (m * syy - sy * sy) // q
+    r2 = None
+    if dxq > 0 and dyq > 0:
+        r2 = (-1 if c < 0 else 1) * ((cq * cq * 1000) // (dxq * dyq))
+    return spark.createDataFrame(
+        [(m, r2)], "m LONG, signed_r2_milli LONG"
     )
 
 
@@ -1364,18 +1377,20 @@ pairs AS (
            CAST(SUM(x * x) AS BIGINT) AS sxx,
            CAST(SUM(y * y) AS BIGINT) AS syy
     FROM pairs
+), f AS (
+    SELECT m,
+           (m::HUGEINT * sxy - sx::HUGEINT * sy) AS c,
+           abs(m::HUGEINT * sxy - sx::HUGEINT * sy) // 1000000 AS cq,
+           (m::HUGEINT * sxx - sx::HUGEINT * sx) // 1000000 AS dxq,
+           (m::HUGEINT * syy - sy::HUGEINT * sy) // 1000000 AS dyq
+    FROM agg
 )
 SELECT m,
-       CAST(CASE WHEN m::HUGEINT * sxx - sx::HUGEINT * sx > 0
-                  AND m::HUGEINT * syy - sy::HUGEINT * sy > 0 THEN
-            (CASE WHEN m::HUGEINT * sxy - sx::HUGEINT * sy < 0
-                  THEN -1 ELSE 1 END)
-            * ((m::HUGEINT * sxy - sx::HUGEINT * sy)
-               * (m::HUGEINT * sxy - sx::HUGEINT * sy) * 1000)
-            // ((m::HUGEINT * sxx - sx::HUGEINT * sx)
-                * (m::HUGEINT * syy - sy::HUGEINT * sy)) END
+       CAST(CASE WHEN dxq > 0 AND dyq > 0 THEN
+            (CASE WHEN c < 0 THEN -1 ELSE 1 END)
+            * ((cq * cq * 1000) // (dxq * dyq)) END
             AS BIGINT) AS signed_r2_milli
-FROM agg
+FROM f
 """
 
 QUERIES["graph_degree_assortativity"] = graph_degree_assortativity
