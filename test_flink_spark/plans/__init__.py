@@ -47,6 +47,9 @@ _MODULE_ORDER = (reference_queries, enterprise, advanced, llm_data, relational, 
 _REVERIFY = {
     "dedup_simhash_clusters": 8,   # r8: w32 -> w64 / 16-bit-band rewrite
     "embedding_near_dup_lsh": 8,   # r8: fixed-6-plane -> corpus-adaptive
+    # r10: ROUND(SUM(double)) -> exact integer cents after the sf1 hash
+    # check caught cross-engine double-sum drift on the () grouping set
+    "grouping_sets_orders": 10,
 }
 
 _PROMOTED = (
@@ -59,6 +62,8 @@ _PROMOTED = (
     # Regenerate with: python tools/verified_age.py --fill N
     # --- new in r10 (first driver look) ---
     "events_processing_time_tumbling",
+    # --- r10 implementation swap (certificates voided, forced) ---
+    "grouping_sets_orders",
     # --- last verified r4 (forced cohort) ---
     "cdc_apply_latest",
     "cdc_scd2_history",
@@ -109,7 +114,6 @@ _PROMOTED = (
     "text_sparse_cosine_topk",
     # --- last verified r5 (fill; trim from the END for new-r10 slots) ---
     "approx_aggregates",
-    "cdc_point_in_time_join",
 )
 
 

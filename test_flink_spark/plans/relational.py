@@ -364,12 +364,20 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 
 
 def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with the price summed as exact integer CENTS.
+    The original ROUND(SUM(double), 2) form FAILED its sf1 hash check
+    (r10): the () grouping set sums the whole table, and at 10x the
+    cross-engine summation-order noise of a ~2e10 double sum crossed a
+    half-cent rounding boundary — precisely the drift the repo's
+    sum-cents-not-doubles convention exists to prevent.  Implementation
+    swapped r10 (plans._REVERIFY)."""
     orders = _t(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("__orders_gs")
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
-               ROUND(SUM(o_totalprice), 2) AS sum_price
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS sum_price_cents
         FROM __orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -378,7 +386,8 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GROUPING_SETS_SQL = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
-       ROUND(SUM(o_totalprice), 2) AS sum_price
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
