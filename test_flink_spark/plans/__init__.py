@@ -50,70 +50,75 @@ _REVERIFY = {
     # r10: ROUND(SUM(double)) -> exact integer cents after the sf1 hash
     # check caught cross-engine double-sum drift on the () grouping set
     "grouping_sets_orders": 10,
+    # r10: Decimal(38,0) cross-product finish -> quantized python-bigint
+    # scalar finish (semantics shift at floor boundaries / sub-1e6
+    # variances); its only driver row predates the swap (r6), so the
+    # certificate attests the retired algorithm (r10 ADVICE)
+    "graph_degree_assortativity": 10,
 }
 
 _PROMOTED = (
-    # r10 rotation window: verified-age rotation (tools/verified_age.py).
-    # New r10 queries lead (first driver look), then the FULL 47-query
-    # cohort last driver-verified in r4 (5 rounds stale at r10 open — the
-    # largest cohort, forced by test_promotion_window_rotates_stalest at
-    # MAX_AGE=6), then the oldest of the r5 cohort as fill (trim from the
-    # END for new-r10 slots).
+    # r11 rotation window: verified-age rotation (tools/verified_age.py).
+    # The window is exactly consumed by forced names this round — the
+    # 49-query cohort last driver-verified in r5 (6 rounds stale at r11
+    # open, forced by test_promotion_window_rotates_stalest at MAX_AGE=6)
+    # plus the r10 implementation swap of graph_degree_assortativity
+    # (certificate voided by _REVERIFY, forced).  49 + 1 = 50: ZERO slots
+    # for new queries, which is why r11 adds none (the registry debt from
+    # the 295-query build-out clears through r12; first free slots r13).
     # Regenerate with: python tools/verified_age.py --fill N
-    # --- new in r10 (first driver look) ---
-    "events_processing_time_tumbling",
-    # --- r10 implementation swap (certificates voided, forced) ---
-    "grouping_sets_orders",
-    # --- last verified r4 (forced cohort) ---
-    "cdc_apply_latest",
-    "cdc_scd2_history",
-    "cdc_snapshot_diff",
-    "corpus_domain_percentile_filter",
-    "corpus_topic_labels",
-    "corpus_weighted_sample",
-    "csv_parse_roundtrip",
-    "customers_rfm_segments",
-    "data_quality_report",
-    "dedup_incremental_shard",
-    "embedding_split_drift",
-    "events_cusum_drift",
-    "events_daily_anomaly",
-    "events_decayed_engagement",
-    "events_double_exp_forecast",
-    "events_forecast_backtest",
-    "events_frequent_paths",
-    "events_holt_winters",
-    "events_hourly_gapfill",
-    "events_item_cooccurrence",
-    "events_k_anonymity",
-    "events_markov_transitions",
-    "events_trailing_7d",
-    "filter_count_by_user",
-    "funnel_latency_quantiles",
-    "fuzzy_part_name_pairs",
-    "graph_lpa_communities",
-    "graph_pagerank_trade",
-    "graph_triangle_counts",
-    "json_parse_project",
-    "layout_encoding_advisor",
-    "layout_pruning_report",
-    "layout_zorder_events",
-    "rollup_multi_granularity",
-    "session_stats_per_user",
-    "session_window_count",
-    "sketch_cms_heavy_hitters",
-    "sketch_histogram_quantiles",
-    "sketch_hll_distinct_users",
-    "sketch_hll_merge_rollup",
-    "sketch_kmv_distinct_users",
-    "sketch_kmv_overlap",
-    "skew_key_report",
-    "text_bigram_surprisal",
-    "text_bpe_encode",
-    "text_bpe_merges",
-    "text_sparse_cosine_topk",
-    # --- last verified r5 (fill; trim from the END for new-r10 slots) ---
-    "approx_aggregates",
+    # --- r10 implementation swap (certificate voided, forced) ---
+    "graph_degree_assortativity",
+    # --- last verified r5 (forced cohort) ---
+    "cdc_point_in_time_join",
+    "cohort_retention",
+    "corpus_dsir_weights",
+    "corpus_epoch_mix",
+    "corpus_multimodal_dup_flags",
+    "corpus_quality_classifier",
+    "corpus_span_dedup",
+    "corpus_split_leakage",
+    "corpus_stratified_sample",
+    "corpus_vocab_coverage",
+    "dedup_cross_lingual",
+    "dedup_keep_best",
+    "embedding_ann_recall",
+    "embedding_cluster_purity",
+    "embedding_hybrid_rrf",
+    "embedding_ivfadc_ann",
+    "embedding_lsh_ann",
+    "embedding_quantize_error",
+    "events_lttb_downsample",
+    "events_ohlc_bars",
+    "events_time_weighted_avg",
+    "funnel_view_click_purchase",
+    "json_malformed_audit",
+    "lateral_top_orders_per_customer",
+    "multimodal_audio_fingerprint",
+    "multimodal_decode_features",
+    "multimodal_image_ahash",
+    "multimodal_image_resize_stats",
+    "multimodal_video_frame_jaccard",
+    "parts_price_size_skyline",
+    "pattern_view_then_click",
+    "percentile_value_by_type",
+    "q11_important_stock",
+    "q12_ship_delay_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_count",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion",
+    "q21_late_suppliers",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "text_bm25_topk",
+    "text_gopher_rules",
+    "text_lm_surprisal",
+    "text_winnowing_fingerprints",
 )
 
 

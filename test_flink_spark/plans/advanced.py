@@ -1346,7 +1346,12 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CAST(y AS BIGINT) * y")).cast("long").alias("syy"),
     )
     row = agg.collect()[0]  # 1-row scalar finish (see docstring)
-    m, sx, sy, sxy, sxx, syy = (int(row[i]) for i in range(6))
+    m = int(row[0])
+    if m == 0:
+        # empty pairs set: the SUM columns are NULL; the oracle's CASE
+        # yields NULL signed_r2_milli on its 1-row (m=0) aggregate
+        return spark.createDataFrame([(0, None)], "m LONG, signed_r2_milli LONG")
+    sx, sy, sxy, sxx, syy = (int(row[i]) for i in range(1, 6))
     q = 1_000_000  # cross-product quantizer (see docstring)
     c = m * sxy - sx * sy
     # quantize |c|, never signed c: python // floors while DuckDB //

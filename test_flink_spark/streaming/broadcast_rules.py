@@ -99,17 +99,28 @@ def apply_rules_batch(
     Events with no enabled matching rule produce no row — the Flink
     side-output-less variant.
 
-    Runs concurrently with the rules fold, so snapshot resolution must be
-    atomic: latest_snapshot only returns _SUCCESS-committed versions, so
-    a mid-write or retry-overwritten rules_v{N} is invisible and this
-    batch evaluates against the previous committed snapshot — the same
-    "whatever is in broadcast state right now" semantics Flink gives."""
+    Runs concurrently with the rules fold.  latest_snapshot only returns
+    committed versions, and write_snapshot publishes by rename (never
+    deleting a committed dir in place), so a mid-write or mid-retry
+    rules_v{N} is invisible and this batch evaluates against the previous
+    committed snapshot — the "whatever is in broadcast state right now"
+    semantics Flink gives.  One residual (narrow) race remains: between a
+    retry's two renames the resolved path is briefly absent, so the read
+    below re-resolves once on failure rather than claiming atomicity
+    (r10 ADVICE)."""
     spark = events_df.sparkSession
     path = latest_snapshot(state_dir, "rules")
     if path is None:
         return
+    try:
+        rules_all = spark.read.parquet(path).localCheckpoint(eager=True)
+    except Exception:
+        path = latest_snapshot(state_dir, "rules")  # re-resolve once
+        if path is None:
+            return
+        rules_all = spark.read.parquet(path).localCheckpoint(eager=True)
     version = version_of(path)
-    rules = spark.read.parquet(path).filter(F.col("enabled"))
+    rules = rules_all.filter(F.col("enabled"))
     flagged = (
         events_df.join(rules, "event_type")
         .filter(

@@ -18,11 +18,14 @@ directories under a state dir, with three invariants:
    (broadcast_rules runs the rules-fold and event-evaluation queries
    side by side) therefore never resolve a mid-write or mid-overwrite
    directory; they fall back to the previous committed version, which is
-   exactly the processing-time semantics the twins pin.  A crash between
-   the parquet commit and a sidecar write leaves a dir that is likewise
-   treated as nonexistent — the next backfill resolves the prior
-   committed version, derives version+1 (= the orphan's number), and
-   repairs it by overwrite.
+   exactly the processing-time semantics the twins pin.  As of r11,
+   write_snapshot stages into a glob-invisible directory and renames it
+   into place, so a visible version dir always has _SUCCESS AND every
+   sidecar (no partially-committed window), and a retry overwrite moves
+   the old committed dir aside whole instead of deleting it under a
+   live reader.  A crash mid-stage leaves only a glob-invisible
+   ``stage_…`` dir — the next backfill resolves the prior committed
+   version, derives version+1 (= the orphan's number), and repairs it.
 
 This module replaced five copy-pasted ``_latest()`` helpers
 (broadcast_rules / late_updates / sketch_ingest / verdict_ingest /
@@ -85,15 +88,37 @@ def write_snapshot(
     version: int,
     sidecars: dict[str, dict] | None = None,
 ) -> str:
-    """Overwrite ``{state_dir}/{prefix}_v{version}`` with ``df``, then
-    write JSON sidecar files into the committed directory.  Readers that
-    pass the same sidecar names to :func:`latest_snapshot` see the
-    snapshot only once every sidecar exists."""
+    """Publish ``{state_dir}/{prefix}_v{version}`` via stage-then-rename
+    (r10 ADVICE): the parquet write AND every sidecar land in a staging
+    directory whose name the ``{prefix}_v*`` glob cannot match, then one
+    ``os.rename`` exposes the fully-committed directory.  Consequences:
+
+    - a version directory visible to :func:`latest_snapshot` is complete
+      by construction — there is no window where ``_SUCCESS`` exists but
+      a required sidecar does not;
+    - a foreachBatch RETRY that overwrites an already-committed version
+      never deletes it in place: the old directory is moved aside whole
+      (to a ``trash_…`` name the glob also skips), so a concurrent reader
+      mid-scan keeps a consistent snapshot.  The path is absent only for
+      the instant between the two renames (narrowed, not eliminated —
+      readers that must not fail re-resolve once, see
+      broadcast_rules.apply_rules_batch).  Trash directories are inert
+      and tiny (retries are rare); they are left for external cleanup
+      rather than rmtree'd under a possibly-live reader."""
     out = os.path.join(state_dir, f"{prefix}_v{version}")
-    df.write.mode("overwrite").parquet(out)
+    stage = os.path.join(state_dir, f"stage_{prefix}_v{version}")
+    if os.path.exists(stage):  # crashed earlier attempt; staging is private
+        import shutil
+
+        shutil.rmtree(stage)
+    df.write.mode("overwrite").parquet(stage)
     for name, payload in (sidecars or {}).items():
-        with open(os.path.join(out, name), "w") as f:
+        with open(os.path.join(stage, name), "w") as f:
             json.dump(payload, f)
+    if os.path.exists(out):  # retry over a committed version: move aside
+        n = len(glob.glob(os.path.join(state_dir, f"trash_{prefix}_v{version}_*")))
+        os.rename(out, os.path.join(state_dir, f"trash_{prefix}_v{version}_{n}"))
+    os.rename(stage, out)
     return out
 
 

@@ -162,3 +162,61 @@ def test_min_label_components_isolated_nodes_self_label(spark):
         for r in gr.min_label_components(pairs, nodes, "node").collect()
     }
     assert labels == {10: 10, 11: 10, 99: 99}
+
+
+def _write_bipartite(spark, tmp_path, orders, lineitem):
+    spark.createDataFrame(
+        orders or [(None, None)], "o_orderkey LONG, o_custkey LONG"
+    ).filter("o_orderkey IS NOT NULL").write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    spark.createDataFrame(
+        lineitem or [(None, None)], "l_orderkey LONG, l_suppkey LONG"
+    ).filter("l_orderkey IS NOT NULL").write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+
+
+def test_assortativity_empty_pairs_returns_null_r2(spark, tmp_path):
+    """r10 ADVICE: with zero supplier-customer pairs the moment SUMs are
+    NULL; the scalar finish must return (0, NULL) like the oracle's CASE,
+    not raise TypeError on int(None)."""
+    from test_flink_spark.plans.advanced import graph_degree_assortativity
+
+    _write_bipartite(spark, tmp_path, [], [])
+    rows = graph_degree_assortativity(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0]["m"] == 0 and rows[0]["signed_r2_milli"] is None
+
+
+def test_assortativity_tiny_graph_matches_python_replay(spark, tmp_path):
+    from test_flink_spark.plans.advanced import graph_degree_assortativity
+
+    # S10-C1, S10-C2, S11-C1 (o_orderkey==o_custkey keys the join)
+    _write_bipartite(
+        spark,
+        tmp_path,
+        [(1, 1), (2, 2)],
+        [(1, 10), (2, 10), (1, 11)],
+    )
+    # python replay of the documented statistic (quantized by 10**6)
+    edges = [("S10", "C1"), ("S10", "C2"), ("S11", "C1")]
+    und = edges + [(b, a) for a, b in edges]
+    deg = {}
+    for a, _ in und:
+        deg[a] = deg.get(a, 0) + 1
+    xy = [(deg[a], deg[b]) for a, b in und]
+    m = len(xy)
+    sx = sum(x for x, _ in xy)
+    sy = sum(y for _, y in xy)
+    sxy = sum(x * y for x, y in xy)
+    sxx = sum(x * x for x, _ in xy)
+    syy = sum(y * y for _, y in xy)
+    c = m * sxy - sx * sy
+    q = 10**6
+    cq, dxq, dyq = abs(c) // q, (m * sxx - sx * sx) // q, (m * syy - sy * sy) // q
+    want = None
+    if dxq > 0 and dyq > 0:
+        want = (-1 if c < 0 else 1) * ((cq * cq * 1000) // (dxq * dyq))
+    row = graph_degree_assortativity(spark, str(tmp_path)).collect()[0]
+    assert row["m"] == m and row["signed_r2_milli"] == want

@@ -3499,3 +3499,44 @@ def test_processing_time_stream_equals_batch_query(spark, tmpdirs):
     )
     want = sorted(map(tuple, events_processing_time_tumbling(spark, sf).collect()))
     assert got == want
+
+
+def test_write_snapshot_stage_rename_protocol(spark, tmpdirs):
+    """r10 ADVICE: committed snapshot dirs must never be deleted in
+    place.  write_snapshot stages (parquet + sidecars) into a
+    glob-invisible dir and renames into place; a retry overwrite moves
+    the old committed dir aside whole (trash_…) instead of rmtree'ing it
+    under a live reader."""
+    import glob
+    import os
+
+    from test_flink_spark.streaming.snapshots import (
+        latest_snapshot,
+        write_snapshot,
+    )
+
+    state = tmpdirs / "stage_rename_state"
+    state.mkdir()
+    df1 = spark.createDataFrame([(1, "a")], "k LONG, v STRING")
+    out = write_snapshot(df1, str(state), "rules", 0, sidecars={"_META.json": {"n": 1}})
+    # fully committed on arrival: _SUCCESS and the sidecar both present
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert os.path.exists(os.path.join(out, "_META.json"))
+    assert latest_snapshot(str(state), "rules", sidecars=("_META.json",)) == out
+    # no staging residue, and staging/trash names are glob-invisible
+    assert glob.glob(str(state / "stage_*")) == []
+    assert glob.glob(str(state / "rules_v*")) == [out]
+
+    # retry overwrite of the committed version: old dir moved aside whole
+    df2 = spark.createDataFrame([(2, "b")], "k LONG, v STRING")
+    out2 = write_snapshot(df2, str(state), "rules", 0)
+    assert out2 == out
+    trash = glob.glob(str(state / "trash_rules_v0_*"))
+    assert len(trash) == 1
+    # the displaced dir is intact (still has its commit marker + sidecar)
+    assert os.path.exists(os.path.join(trash[0], "_SUCCESS"))
+    assert os.path.exists(os.path.join(trash[0], "_META.json"))
+    assert [tuple(r) for r in spark.read.parquet(out2).collect()] == [(2, "b")]
+    # second retry gets a distinct trash name
+    write_snapshot(df1, str(state), "rules", 0)
+    assert len(glob.glob(str(state / "trash_rules_v0_*"))) == 2

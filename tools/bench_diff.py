@@ -164,10 +164,12 @@ def main() -> None:
     odoc, oq = name_times(args.old)
     ndoc, nq = name_times(args.new)
     common = sorted(set(oq) & set(nq))
+    # oq[k] > 0 guard: a 0.0 s old line (sub-ms rounding) would raise
+    # ZeroDivisionError and its ratio is meaningless anyway
     ratios = [
         nq[k] / oq[k]
         for k in common
-        if oq[k] >= args.min_sec or nq[k] >= args.min_sec
+        if oq[k] > 0 and (oq[k] >= args.min_sec or nq[k] >= args.min_sec)
     ]
     cal = statistics.median(ratios) if ratios else 1.0
     print(
@@ -177,8 +179,12 @@ def main() -> None:
         f"(median common-line ratio)"
     )
     movers = []
+    zero_old = []
     for k in common:
         if max(oq[k], nq[k]) < args.min_sec:
+            continue
+        if oq[k] <= 0:  # ratio undefined; report alongside new-only lines
+            zero_old.append(k)
             continue
         r = (nq[k] / oq[k]) / cal
         if r >= args.threshold or r <= 1 / args.threshold:
@@ -188,6 +194,8 @@ def main() -> None:
         print(f"x{r:5.2f} {tag}  {k}: {oq[k]} -> {nq[k]} s (calibrated)")
     if not movers:
         print(f"(no calibrated movers beyond x{args.threshold})")
+    if zero_old:
+        print("zero-old (no ratio):", ", ".join(f"{k}->{nq[k]}s" for k in zero_old))
     new_only = sorted((k for k in nq if k not in oq), key=lambda k: -nq[k])
     if new_only:
         print("new:", ", ".join(f"{k}={nq[k]}" for k in new_only[:12]))
