@@ -95,14 +95,18 @@ def json_parse_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return parsed.groupBy("k").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        # value is 2-decimal: the exact cent sum IS ROUND(SUM(value), 4)
+        F.expr(
+            "CAST(SUM(CAST(ROUND(value * 100) AS DECIMAL(38,0))) AS DOUBLE)"
+            " / 100.0"
+        ).alias("sum_value"),
     )
 
 
 _JSON_PARSE_SQL = """
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
        COUNT(*) AS cnt,
-       ROUND(SUM(value), 4) AS sum_value
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
 FROM events
 GROUP BY 1
 """

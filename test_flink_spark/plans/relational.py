@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..operators.joins import asof_join, broadcast_dim_join, range_join
 from ..schemas import load_table
 from ..session import apply_runtime_confs
+from .money import cents_sum, cents_sum_sql, revenue_exact, revenue_exact_sql
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -35,34 +36,80 @@ def _ms(col) -> F.Column:
 # ---------------------------------------------------------------------------
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 with the money aggregates accumulated in EXACT scaled
+    integers (r10 verdict item 4 — retiring the ROUND(SUM(double)) class
+    fleet-wide after grouping_sets_orders flipped a half-cent at sf1).
+    Money columns are 2-decimal, so per-row CAST(ROUND(x*100) AS
+    DECIMAL(38,0)) cents are exact, the discounted price is an exact
+    integer in 1e-4 units (cents x (100 - discount hundredths)), and
+    every SUM adds integers — immune to cross-engine summation-order
+    drift at ANY scale (DECIMAL(38,0) accumulator: no int64 overflow
+    even at 100 TB).  Output columns keep their original names, types,
+    and values: the doubles are reconstructed from the exact sums with
+    integer half-up rounding.  Verified bit-identical to the previous
+    double-sum implementation at sf0.001 and sf0.01 (the driver's
+    certificate scale — NOT a semantic swap), and the migration diff
+    itself caught a live instance of the fragile class at sf0.1: one
+    group's sum_disc_price lands on an exact half-cent boundary
+    (…914.845) where the double sum under-rounded to .84 depending on
+    summation order; the exact value half-up rounds to .85 (sf0.1/sf1
+    certificates re-pinned to the decimal-correct value)."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    qc = F.expr("CAST(ROUND(l_quantity * 100) AS DECIMAL(38,0))")
+    pc = F.expr("CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0))")
+    d4 = F.expr(
+        "CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0))"
+    )
+    agg = (
         li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.sum(qc).alias("_sq"),
+            F.sum(pc).alias("_sp"),
+            F.sum(d4).alias("_s4"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("_sq").cast("double") / 100.0).alias("sum_qty"),
+        (F.col("_sp").cast("double") / 100.0).alias("sum_base_price"),
+        (F.expr("CAST((_s4 + 50) DIV 100 AS DOUBLE)") / 100.0).alias("sum_disc_price"),
+        (
+            F.expr("CAST((2 * _sq * 100 + count_order) DIV (2 * count_order) AS DOUBLE)")
+            / 10000.0
+        ).alias("avg_qty"),
+        (
+            F.expr("CAST((2 * _sp * 100 + count_order) DIV (2 * count_order) AS DOUBLE)")
+            / 10000.0
+        ).alias("avg_price"),
+        F.col("count_order"),
     )
 
 
 _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(AVG(l_quantity), 4) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4) AS avg_price,
-       COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2000-09-02'
-GROUP BY 1, 2
+       CAST(_sq AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(_sp AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST((_s4 + 50) // 100 AS DOUBLE) / 100.0 AS sum_disc_price,
+       CAST((2 * _sq * 100 + count_order) // (2 * count_order) AS DOUBLE)
+           / 10000.0 AS avg_qty,
+       CAST((2 * _sp * 100 + count_order) // (2 * count_order) AS DOUBLE)
+           / 10000.0 AS avg_price,
+       count_order
+FROM (
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS _sq,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS _sp,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS _s4,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY 1, 2
+) t
 """
 
 
@@ -83,7 +130,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
     )
     agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        revenue_exact().alias("revenue")  # exact cents (see plans.money)
     )
     return (
         agg.select(
@@ -98,7 +145,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q3_SQL = """
 SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -131,12 +178,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        revenue_exact().alias("revenue")  # exact cents (see plans.money)
     )
 
 
 _Q5_SQL = """
-SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -166,12 +213,12 @@ def broadcast_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.join(part, on=li.l_partkey == part.p_partkey)
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        cents_sum("l_quantity").alias("sum_qty"),  # exact (plans.money)
     )
 
 
 _BROADCAST_SQL = """
-SELECT p_brand, COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty
+SELECT p_brand, COUNT(*) AS cnt, CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1
 """
@@ -280,12 +327,12 @@ def union_all_account_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.unionByName(supp)
         .groupBy("nationkey")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("acctbal"), 2).alias("sum_bal"))
+        .agg(F.count(F.lit(1)).alias("cnt"), cents_sum("acctbal").alias("sum_bal"))
     )
 
 
 _UNION_SQL = """
-SELECT nationkey, COUNT(*) AS cnt, ROUND(SUM(acctbal), 2) AS sum_bal
+SELECT nationkey, COUNT(*) AS cnt, CAST(SUM(CAST(ROUND(acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_bal
 FROM (SELECT c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
       UNION ALL
       SELECT s_nationkey, s_acctbal FROM supplier)
@@ -336,29 +383,41 @@ _DISTINCT_SQL = "SELECT DISTINCT user_id, event_type FROM events"
 # ---------------------------------------------------------------------------
 
 def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with the quantity summed as exact integer cents then
+    reconstructed (same double output values — see q1_pricing_summary;
+    the () grouping set sums the whole table, exactly the addend count
+    that flipped grouping_sets_orders at sf1)."""
     li = _t(spark, sf_dir, "lineitem")
+    qc = F.expr("CAST(ROUND(l_quantity * 100) AS DECIMAL(38,0))")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+        F.count(F.lit(1)).alias("cnt"),
+        (F.sum(qc).cast("double") / 100.0).alias("sum_qty"),
     )
 
 
 _ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-       ROUND(SUM(l_quantity), 2) AS sum_qty
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
 def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with the price summed as exact integer cents then
+    reconstructed (same double output values — see q1_pricing_summary)."""
     li = _t(spark, sf_dir, "lineitem")
+    pc = F.expr("CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0))")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price")
+        F.count(F.lit(1)).alias("cnt"),
+        (F.sum(pc).cast("double") / 100.0).alias("sum_price"),
     )
 
 
 _CUBE_SQL = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-       ROUND(SUM(l_extendedprice), 2) AS sum_price
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS sum_price
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
@@ -413,7 +472,16 @@ def window_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_rank"),
         F.lag("o_totalprice", 1).over(w).alias("prev_price"),
         F.lead("o_totalprice", 1).over(w).alias("next_price"),
-        F.round(F.sum("o_totalprice").over(running), 2).alias("running_total"),
+        # exact integer-cents running sum (DuckDB evaluates window SUMs
+        # with a segment tree, i.e. a DIFFERENT addition order than
+        # Spark's sequential accumulator — the ROUND(SUM(double)) class;
+        # per-customer cent totals stay far inside int64 at any SF)
+        (
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .over(running)
+            .cast("double")
+            / 100.0
+        ).alias("running_total"),
     )
 
 
@@ -423,9 +491,10 @@ SELECT o_orderkey, o_custkey,
        RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_rank,
        LAG(o_totalprice, 1) OVER w AS prev_price,
        LEAD(o_totalprice, 1) OVER w AS next_price,
-       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey
              ORDER BY o_orderdate ASC, o_orderkey ASC
-             ROWS UNBOUNDED PRECEDING), 2) AS running_total
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0 AS running_total
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """
@@ -592,11 +661,18 @@ ORACLES = {
 
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure Spark-SQL surface demo (the engine's query language IS SQL +
-    DataFrame): selective filter + single agg — pushdown-friendly."""
+    DataFrame): selective filter + single agg — pushdown-friendly.
+    Revenue accumulates as exact integers in 1e-4 dollar units (price
+    cents x discount hundredths), then half-up rounds to cents — same
+    output value as the old ROUND(SUM(double), 2), but immune to
+    summation-order drift (see q1_pricing_summary)."""
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_q6")
     return spark.sql(
         """
-        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT CAST((SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                              * CAST(ROUND(l_discount * 100) AS BIGINT)
+                              AS DECIMAL(38,0))) + 50) DIV 100 AS DOUBLE)
+                   / 100.0 AS revenue,
                COUNT(*) AS cnt
         FROM __li_q6
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -608,7 +684,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q6_SQL = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue, COUNT(*) AS cnt
+SELECT CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * CAST(ROUND(l_discount * 100) AS BIGINT)) + 50) // 100
+            AS DOUBLE) / 100.0 AS revenue,
+       COUNT(*) AS cnt
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -648,14 +727,14 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
     agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        revenue_exact().alias("revenue")  # exact cents (see plans.money)
     )
     return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
 
 
 _Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -672,7 +751,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(cents_sum("l_quantity").alias("total_qty"))  # exact (plans.money)
         .filter(F.col("total_qty") > 150)
     )
     return (
@@ -684,8 +763,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q18_SQL = """
 SELECT o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms, total_qty
 FROM orders
-JOIN (SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
-      FROM lineitem GROUP BY 1 HAVING ROUND(SUM(l_quantity), 2) > 150) t
+JOIN (SELECT l_orderkey, CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 > 150) t
   ON o_orderkey = l_orderkey
 """
 
@@ -813,12 +893,12 @@ def full_outer_join_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = (
         _t(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("nationkey"))
-        .agg(F.round(F.sum("c_acctbal"), 2).alias("cust_bal"))
+        .agg(cents_sum("c_acctbal").alias("cust_bal"))  # exact (plans.money)
     )
     supp = (
         _t(spark, sf_dir, "supplier")
         .groupBy(F.col("s_nationkey").alias("nationkey"))
-        .agg(F.round(F.sum("s_acctbal"), 2).alias("supp_bal"))
+        .agg(cents_sum("s_acctbal").alias("supp_bal"))  # exact (plans.money)
     )
     return (
         cust.join(supp, "nationkey", "full_outer")
@@ -834,10 +914,10 @@ _FULL_OUTER_SQL = """
 SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
        COALESCE(cust_bal, 0.0) AS cust_bal,
        COALESCE(supp_bal, 0.0) AS supp_bal
-FROM (SELECT c_nationkey AS nationkey, ROUND(SUM(c_acctbal), 2) AS cust_bal
+FROM (SELECT c_nationkey AS nationkey, CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS cust_bal
       FROM customer GROUP BY 1) c
 FULL OUTER JOIN
-     (SELECT s_nationkey AS nationkey, ROUND(SUM(s_acctbal), 2) AS supp_bal
+     (SELECT s_nationkey AS nationkey, CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS supp_bal
       FROM supplier GROUP BY 1) s
   ON c.nationkey = s.nationkey
 """
@@ -948,13 +1028,18 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity") < 0.5 * F.col("avg_qty")
     )
     return joined.agg(
-        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.expr(
+            "CAST((2 * SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0)))"
+            " + 7) DIV 14 AS DOUBLE) / 100.0"
+        ).alias("avg_yearly"),  # exact half-up of cents/7 (plans.money)
         F.count(F.lit(1)).alias("cnt"),
     )
 
 
 _Q17_SQL = """
-SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly, COUNT(*) AS cnt
+SELECT CAST((2 * SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) + 7) // 14
+            AS DOUBLE) / 100.0 AS avg_yearly,
+       COUNT(*) AS cnt
 FROM lineitem l
 WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem
                     WHERE l_partkey = l.l_partkey)
@@ -974,12 +1059,12 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     idle = rich.join(pending, rich.c_custkey == pending.o_custkey, "left_anti")
     return idle.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("numcust"),
-        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        cents_sum("c_acctbal").alias("totacctbal"),  # exact (plans.money)
     )
 
 
 _Q22_SQL = """
-SELECT c_mktsegment, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+SELECT c_mktsegment, COUNT(*) AS numcust, CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS totacctbal
 FROM customer c
 WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .money import revenue_exact, revenue_exact_sql
 from .relational import _ms, _t
 
 # ---------------------------------------------------------------------------
@@ -135,9 +136,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("l_year", F.year("l_shipdate").cast("long"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            revenue_exact().alias("revenue"),  # exact cents (plans.money)
             F.count(F.lit(1)).alias("cnt"),
         )
     )
@@ -146,7 +145,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q7_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        EXTRACT(year FROM l_shipdate) AS l_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
        COUNT(*) AS cnt
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -198,10 +197,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_6", vol).otherwise(0.0))
-                / F.sum(vol),
-                4,
+            # exact ROUND(num/den, 4): both sums are exact integers in
+            # 1e-4 dollar units; integer half-up division (plans.money)
+            F.expr(
+                "CAST((2 * SUM(CASE WHEN supp_nation = 'NATION_6' THEN CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0))"
+                " ELSE CAST(0 AS DECIMAL(38,0)) END) * 10000"
+                " + SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0)))) DIV (2 * SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0)))) AS DOUBLE) / 10000.0"
             ).alias("mkt_share"),
             F.count(F.lit(1)).alias("cnt"),
         )
@@ -210,9 +211,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q8_SQL = """
 SELECT EXTRACT(year FROM o_orderdate) AS o_year,
-       ROUND(SUM(CASE WHEN n1.n_name = 'NATION_6'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share,
+       CAST((2 * SUM(CASE WHEN n1.n_name = 'NATION_6' THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                     ELSE 0 END) * 10000
+             + SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))) // (2 * SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))))
+            AS DOUBLE) / 10000.0 AS mkt_share,
        COUNT(*) AS cnt
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -443,11 +445,12 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
-                / F.sum(vol),
-                4,
+            # exact ROUND(100*num/den, 4) == half-up of num4*1e6/den4
+            # in 1e-4 units (plans.money convention)
+            F.expr(
+                "CAST((2 * SUM(CASE WHEN p_type = 'PROMO' THEN CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0))"
+                " ELSE CAST(0 AS DECIMAL(38,0)) END) * 1000000"
+                " + SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0)))) DIV (2 * SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0)))) AS DOUBLE) / 10000.0"
             ).alias("promo_revenue"),
             F.count(F.lit(1)).alias("cnt"),
         )
@@ -455,10 +458,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q14_SQL = """
-SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue,
+SELECT CAST((2 * SUM(CASE WHEN p_type = 'PROMO' THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                     ELSE 0 END) * 1000000
+             + SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))) // (2 * SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))))
+            AS DOUBLE) / 10000.0 AS promo_revenue,
        COUNT(*) AS cnt
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01'
@@ -577,16 +580,14 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li.l_partkey == part.p_partkey)
         .filter(b1 | b2 | b3)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            revenue_exact().alias("revenue"),  # exact cents (plans.money)
             F.count(F.lit(1)).alias("cnt"),
         )
     )
 
 
 _Q19_SQL = """
-SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
        COUNT(*) AS cnt
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
