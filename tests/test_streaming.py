@@ -3540,3 +3540,150 @@ def test_write_snapshot_stage_rename_protocol(spark, tmpdirs):
     # second retry gets a distinct trash name
     write_snapshot(df1, str(state), "rules", 0)
     assert len(glob.glob(str(state / "trash_rules_v0_*"))) == 2
+
+
+def _gdpr_python_audit(rows):
+    """Naive replay of plans.advanced.gdpr_erasure_audit over a list of
+    (src, k1, k2) arrival records: cohort = md5(custkey) % 32 == 0;
+    lineitem counts only where the order has arrived (inner-join
+    semantics, same as the batch query)."""
+    import hashlib
+
+    def in_cohort(ck):
+        return int(hashlib.md5(str(ck).encode()).hexdigest()[:15], 16) % 32 == 0
+
+    omap = {k1: k2 for src, k1, k2 in rows if src == "orders"}
+    agg = {}  # table -> {subject: n}
+    for src, k1, k2 in rows:
+        if src == "customer" and in_cohort(k1):
+            agg.setdefault("customer", {}).setdefault(k1, 0)
+            agg["customer"][k1] += 1
+        elif src == "orders" and in_cohort(k2):
+            agg.setdefault("orders", {}).setdefault(k2, 0)
+            agg["orders"][k2] += 1
+        elif src == "events" and in_cohort(k1):
+            agg.setdefault("events", {}).setdefault(k1, 0)
+            agg["events"][k1] += 1
+        elif src == "lineitem" and k1 in omap and in_cohort(omap[k1]):
+            subj = omap[k1]
+            agg.setdefault("lineitem", {}).setdefault(subj, 0)
+            agg["lineitem"][subj] += 1
+    return {
+        t: (sum(d.values()), len(d)) for t, d in agg.items()
+    }
+
+
+def test_gdpr_ingest_interleave_matches_python_replay(spark, tmpdirs):
+    """r10 verdict item 6: the governance twin.  A seeded random
+    interleave of customer/orders/lineitem/events arrivals — including
+    lineitems that arrive BEFORE their order (the pending re-match path)
+    — must, after every batch, produce exactly the python replay of the
+    batch audit over rows-so-far (inner-join semantics: orphan lineitems
+    are excluded by both sides until their order lands)."""
+    import random
+
+    from test_flink_spark.streaming.gdpr_ingest import audit, gdpr_ingest_batch
+
+    rng = random.Random(1137)
+    state = tmpdirs / "gdpr_state"
+    schema = "src STRING, k1 LONG, k2 LONG"
+
+    # synth rows: 200 customers, 150 orders over them, 300 lineitems over
+    # the orders (some referencing orders that arrive later), 200 events
+    rows = []
+    orders = [(1000 + i, rng.randrange(200)) for i in range(150)]
+    rows += [("customer", c, None) for c in range(200)]
+    rows += [("orders", ok, ck) for ok, ck in orders]
+    rows += [("lineitem", orders[rng.randrange(150)][0], None) for _ in range(300)]
+    rows += [("events", rng.randrange(200), None) for _ in range(200)]
+    rng.shuffle(rows)  # lineitem-before-order interleaves happen
+
+    batches = [rows[i::5] for i in range(5)]
+    seen = []
+    for bid, batch in enumerate(batches):
+        gdpr_ingest_batch(
+            spark.createDataFrame(batch, schema), str(state), batch_id=bid
+        )
+        seen += batch
+        got = {
+            r["table_name"]: (r["n_rows"], r["n_subjects"])
+            for r in audit(spark, str(state)).collect()
+        }
+        assert got == _gdpr_python_audit(seen), f"parity broke at batch {bid}"
+
+
+def test_gdpr_ingest_retry_idempotent_and_orphan_resume(spark, tmpdirs):
+    """A retried batch must not double-count (batch-keyed overwrite +
+    read-before), and a crash orphan (partial version dir without
+    _SUCCESS) must be invisible to the retry."""
+    from test_flink_spark.streaming.gdpr_ingest import audit, gdpr_ingest_batch
+
+    state = tmpdirs / "gdpr_retry"
+    schema = "src STRING, k1 LONG, k2 LONG"
+    # custkey 0 is always in the cohort (md5('0') stratum: verified by
+    # the replay helper — if not, pick one that is)
+    import hashlib
+
+    ck = next(
+        c
+        for c in range(64)
+        if int(hashlib.md5(str(c).encode()).hexdigest()[:15], 16) % 32 == 0
+    )
+    b0 = [("customer", ck, None), ("orders", 7, ck), ("lineitem", 7, None)]
+    b1 = [("lineitem", 7, None), ("events", ck, None)]
+    df0 = spark.createDataFrame(b0, schema)
+    df1 = spark.createDataFrame(b1, schema)
+    gdpr_ingest_batch(df0, str(state), batch_id=0)
+    # crash orphan for v1: garbage dir, no _SUCCESS
+    orphan = state / "gdpr_v1"
+    orphan.mkdir()
+    (orphan / "part-garbage.parquet").write_bytes(b"not parquet")
+    gdpr_ingest_batch(df1, str(state), batch_id=1)  # repairs v1 by overwrite
+    want = _gdpr_python_audit(b0 + b1)
+    got = {
+        r["table_name"]: (r["n_rows"], r["n_subjects"])
+        for r in audit(spark, str(state)).collect()
+    }
+    assert got == want
+    # retry batch 1 (foreachBatch redelivery): identical state after
+    gdpr_ingest_batch(df1, str(state), batch_id=1)
+    got2 = {
+        r["table_name"]: (r["n_rows"], r["n_subjects"])
+        for r in audit(spark, str(state)).collect()
+    }
+    assert got2 == want
+
+
+def test_gdpr_ingest_runs_as_streaming_query(spark, tmpdirs):
+    """End-to-end over readStream: the foreachBatch wiring
+    (streaming_gdpr_audit) folds a file-source CDC stream and the read
+    side matches the python replay once the stream drains."""
+    import json
+
+    from test_flink_spark.streaming.gdpr_ingest import audit, streaming_gdpr_audit
+
+    src = tmpdirs / "gdpr_src"
+    state = tmpdirs / "gdpr_e2e_state"
+    ckpt = tmpdirs / "gdpr_e2e_ckpt"
+    src.mkdir()
+    rows = [
+        ("customer", 17, None),  # 17 IS in the md5 % 32 cohort
+        ("orders", 70, 17),
+        ("lineitem", 70, None),
+        ("lineitem", 71, None),  # order 71 never arrives -> stays pending
+        ("events", 17, None),
+    ]
+    with open(src / "b0.json", "w") as f:
+        for src_t, k1, k2 in rows:
+            f.write(json.dumps({"src": src_t, "k1": k1, "k2": k2}) + "\n")
+    stream = spark.readStream.schema("src STRING, k1 LONG, k2 LONG").json(str(src))
+    q = streaming_gdpr_audit(stream, str(state), str(ckpt))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["table_name"]: (r["n_rows"], r["n_subjects"])
+        for r in audit(spark, str(state)).collect()
+    }
+    assert got == _gdpr_python_audit(rows)
