@@ -1,9 +1,11 @@
 #!/usr/bin/env python3
-"""Synthesize a 10x (sf≈1) scale probe from the driver's sf0.1 tables into
-/root/repo/.sf1 — SCALE EVIDENCE ONLY, never an oracle input for the
-registry (the driver's own testdata stops at sf0.1; r6 verdict item 5
-asks for one decade more to catch bucket-occupancy blowups and quadratic
-candidate growth before they reach 100 TB).
+"""Synthesize a 10x (sf≈1) — or, with ``--replicas 100``, a 100x (sf≈10)
+— scale probe from the driver's sf0.1 tables into /root/repo/.sf1 (or
+.sf10) — SCALE EVIDENCE ONLY, never an oracle input for the registry
+(the driver's own testdata stops at sf0.1; r6 verdict item 5 asks for
+one decade more to catch bucket-occupancy blowups and quadratic
+candidate growth before they reach 100 TB; r10 verdict item 5 asks for
+a second decade over the ISOLATED_TOP families).
 
 Structure-preserving replication, 10 replicas each:
 - relational keys shift by replica x (max_key+1): ten disjoint copies of
@@ -21,13 +23,15 @@ Structure-preserving replication, 10 replicas each:
 
 from __future__ import annotations
 
+import argparse
 import hashlib
 import os
 
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sf1")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DST = os.path.join(_REPO, ".sf1")
 R = 10
 
 
@@ -37,6 +41,16 @@ def perm(seed: str, n: int) -> list[int]:
 
 
 def main() -> None:
+    global R, DST
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=R,
+                    help="replica count (10 -> .sf1, 100 -> .sf10)")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    R = args.replicas
+    DST = args.out or os.path.join(
+        _REPO, ".sf1" if R == 10 else f".sf{R // 10}"
+    )
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
 
