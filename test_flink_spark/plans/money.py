@@ -62,16 +62,6 @@ def revenue_exact_sql(price: str = "l_extendedprice", disc: str = "l_discount") 
     return f"CAST((SUM({s4}) + 50) // 100 AS DOUBLE) / 100.0"
 
 
-def disc4_sum(price: str = "l_extendedprice", disc: str = "l_discount") -> Column:
-    """SUM of the exact 1e-4-unit discounted price (DECIMAL(38,0)) — for
-    ratios that divide two exact sums before any rounding."""
-    return F.expr(f"SUM({_DISC4_SPARK.format(p=price, d=disc)})")
-
-
-def disc4_sum_sql(price: str = "l_extendedprice", disc: str = "l_discount") -> str:
-    return f"SUM({_DISC4_DUCK.format(p=price, d=disc)})"
-
-
 def cents_sum(col: str) -> Column:
     """Aggregate Column == ROUND(SUM(col), 2) for a 2-decimal column,
     computed exactly (no rounding step at all: the cent sum IS the value).
@@ -83,17 +73,3 @@ def cents_sum(col: str) -> Column:
 
 def cents_sum_sql(col: str) -> str:
     return f"CAST(SUM(CAST(ROUND({col} * 100) AS BIGINT)) AS DOUBLE) / 100.0"
-
-
-def ratio4_exact(num: str, den: str) -> Column:
-    """Aggregate-level Column == ROUND(num/den, 4) where num/den are
-    exact nonneg integer columns/expressions — integer half-up at 1e-4."""
-    return F.expr(
-        f"CAST((2 * ({num}) * 10000 + ({den})) DIV (2 * ({den})) AS DOUBLE) / 10000.0"
-    )
-
-
-def ratio4_exact_sql(num: str, den: str) -> str:
-    return (
-        f"CAST((2 * ({num}) * 10000 + ({den})) // (2 * ({den})) AS DOUBLE) / 10000.0"
-    )

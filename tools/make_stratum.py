@@ -49,8 +49,18 @@ def main() -> int:
     ap.add_argument("--src", default=os.path.join(REPO, ".sf1"))
     ap.add_argument("--mod", type=int, default=16, help="keep doc_id strata where md5 %% mod == 0")
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--tpch",
+        action="store_true",
+        help="ALSO filter the trade graph: customer/orders on the same"
+        " md5(custkey) stratum, lineitem semi-joined to kept orders,"
+        " events on md5(user_id) — for graph-oracle variants whose"
+        " DuckDB replay (iterative peel / closure) spills at full sf1",
+    )
     args = ap.parse_args()
-    out = args.out or os.path.join(REPO, f".sf1_stratum{args.mod}")
+    out = args.out or os.path.join(
+        REPO, f".sf1_stratum{args.mod}{'t' if args.tpch else ''}"
+    )
     os.makedirs(out, exist_ok=True)
 
     con = duckdb.connect()
@@ -68,7 +78,41 @@ def main() -> int:
         )
         n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{dst}')").fetchone()[0]
         print(f"{t}: {n} rows -> {dst}")
+    filtered = set()
+    if args.tpch:
+        def strat(col):
+            return (
+                f"('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT"
+                f" % {args.mod} = 0"
+            )
+
+        tp = {
+            "customer": f"SELECT * FROM src WHERE {strat('c_custkey')} ORDER BY c_custkey",
+            "orders": f"SELECT * FROM src WHERE {strat('o_custkey')} ORDER BY o_orderkey",
+            "lineitem": (
+                "SELECT l.* FROM src l WHERE EXISTS (SELECT 1 FROM orders_kept o"
+                " WHERE o.o_orderkey = l.l_orderkey) ORDER BY l_orderkey, l_linenumber"
+            ),
+            "events": f"SELECT * FROM src WHERE {strat('user_id')} ORDER BY event_id",
+        }
+        for t in ("customer", "orders", "lineitem", "events"):
+            src = os.path.join(args.src, f"{t}.parquet")
+            dst = os.path.join(out, f"{t}.parquet")
+            if os.path.islink(dst) or os.path.exists(dst):
+                os.remove(dst)
+            sql = tp[t].replace("src", f"read_parquet('{src}')", 1)
+            if t == "lineitem":
+                sql = sql.replace(
+                    "orders_kept",
+                    f"read_parquet('{os.path.join(out, 'orders.parquet')}')",
+                )
+            con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
+            n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{dst}')").fetchone()[0]
+            print(f"{t}: {n} rows -> {dst}")
+            filtered.add(t)
     for t in PASSTHROUGH:
+        if t in filtered:
+            continue
         src = os.path.join(args.src, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
         if os.path.islink(dst) or os.path.exists(dst):

@@ -1,9 +1,12 @@
 #!/usr/bin/env python3
-"""Spark-side scale probe at the synthetic sf1 (tools/make_sf1.py output):
-times each named query end-to-end through the noop sink in one warm
-session, with a per-query wall budget so a quadratic blowup is RECORDED
-(as TIMEOUT) instead of hanging the probe.  Usage:
-    python tools/sf1_probe.py [--budget SEC] name...
+"""Spark-side scale probe at the synthetic sf1 (tools/make_sf1.py output)
+— or any other scale dir via SPARK_GRAFT_PROBE_SF (e.g. /root/repo/.sf10
+for the 100x second-decade probe): times each named query end-to-end
+through the noop sink in one fresh session per query, with a per-query
+wall budget so a quadratic blowup is RECORDED (as TIMEOUT) instead of
+hanging the probe.  Usage:
+    [SPARK_GRAFT_PROBE_SF=/root/repo/.sf10] \
+        python tools/sf1_probe.py [--budget SEC] name...
 """
 
 from __future__ import annotations
@@ -16,7 +19,7 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-SF1 = "/root/repo/.sf1"
+SF1 = os.environ.get("SPARK_GRAFT_PROBE_SF", "/root/repo/.sf1")
 
 
 def _run(name: str, q):
