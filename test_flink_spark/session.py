@@ -43,7 +43,16 @@ RUNTIME_CONFS = {
 def builder_confs(shuffle_partitions: int | None = None) -> dict[str, str]:
     """Confs for building a fresh session (tests / bench / pipelines)."""
     if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        # SPARK_GRAFT_SHUFFLE decouples partition count from thread count
+        # for scale probes: local[32] at sf10 needs 256+ partitions so a
+        # single shuffle partition stays inside per-thread heap — the same
+        # knob a real cluster turns when data grows 10x (AQE coalesces the
+        # excess at smaller SFs, so over-partitioning is cheap).
+        shuffle_partitions = int(
+            os.environ.get(
+                "SPARK_GRAFT_SHUFFLE", os.environ.get("SPARK_GRAFT_CPUS", "32")
+            )
+        )
     confs = dict(RUNTIME_CONFS)
     confs.update(
         {
