@@ -97,8 +97,7 @@ def json_parse_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         # value is 2-decimal: the exact cent sum IS ROUND(SUM(value), 4)
         F.expr(
-            "CAST(SUM(CAST(ROUND(value * 100) AS DECIMAL(38,0))) AS DOUBLE)"
-            " / 100.0"
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0"
         ).alias("sum_value"),
     )
 

@@ -55,11 +55,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation order; the exact value half-up rounds to .85 (sf0.1/sf1
     certificates re-pinned to the decimal-correct value)."""
     li = _t(spark, sf_dir, "lineitem")
-    qc = F.expr("CAST(ROUND(l_quantity * 100) AS DECIMAL(38,0))")
-    pc = F.expr("CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0))")
-    d4 = F.expr(
-        "CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
-        " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0))"
+    qc = F.expr("CAST(ROUND(l_quantity * 100) AS BIGINT)")
+    pc = F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+    d4 = (
+        "(CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))"
     )
     agg = (
         li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02")))
@@ -67,7 +67,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(qc).alias("_sq"),
             F.sum(pc).alias("_sp"),
-            F.sum(d4).alias("_s4"),
+            # split accumulator for the 1e-4-unit discounted price
+            # (plans.money): cent part + sub-cent remainder, both BIGINT
+            F.expr(f"SUM({d4} DIV 100)").alias("_s4q"),
+            F.expr(f"SUM({d4} % 100)").alias("_s4r"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -76,13 +79,24 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linestatus",
         (F.col("_sq").cast("double") / 100.0).alias("sum_qty"),
         (F.col("_sp").cast("double") / 100.0).alias("sum_base_price"),
-        (F.expr("CAST((_s4 + 50) DIV 100 AS DOUBLE)") / 100.0).alias("sum_disc_price"),
         (
-            F.expr("CAST((2 * _sq * 100 + count_order) DIV (2 * count_order) AS DOUBLE)")
+            F.expr("CAST(_s4q + (_s4r + 50) DIV 100 AS DOUBLE)") / 100.0
+        ).alias("sum_disc_price"),
+        # avg finishes run on 6 aggregated rows — decimal is free HERE
+        # (2*Scents*100 would overflow int64 at extreme SF), never in
+        # the per-row hot path
+        (
+            F.expr(
+                "CAST((2 * CAST(_sq AS DECIMAL(38,0)) * 100 + count_order)"
+                " DIV (2 * count_order) AS DOUBLE)"
+            )
             / 10000.0
         ).alias("avg_qty"),
         (
-            F.expr("CAST((2 * _sp * 100 + count_order) DIV (2 * count_order) AS DOUBLE)")
+            F.expr(
+                "CAST((2 * CAST(_sp AS DECIMAL(38,0)) * 100 + count_order)"
+                " DIV (2 * count_order) AS DOUBLE)"
+            )
             / 10000.0
         ).alias("avg_price"),
         F.col("count_order"),
@@ -93,7 +107,7 @@ _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(_sq AS DOUBLE) / 100.0 AS sum_qty,
        CAST(_sp AS DOUBLE) / 100.0 AS sum_base_price,
-       CAST((_s4 + 50) // 100 AS DOUBLE) / 100.0 AS sum_disc_price,
+       CAST(_s4q + (_s4r + 50) // 100 AS DOUBLE) / 100.0 AS sum_disc_price,
        CAST((2 * _sq * 100 + count_order) // (2 * count_order) AS DOUBLE)
            / 10000.0 AS avg_qty,
        CAST((2 * _sp * 100 + count_order) // (2 * count_order) AS DOUBLE)
@@ -103,8 +117,12 @@ FROM (
     SELECT l_returnflag, l_linestatus,
            SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS _sq,
            SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS _sp,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS _s4,
+           SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) // 100)
+               AS _s4q,
+           SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) % 100)
+               AS _s4r,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -145,7 +163,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q3_SQL = """
 SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
-       CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
+       CAST(SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) // 100) + (SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) % 100) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -183,7 +201,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q5_SQL = """
-SELECT n_name, CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
+SELECT n_name, CAST(SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) // 100) + (SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) % 100) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -388,7 +406,7 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     the () grouping set sums the whole table, exactly the addend count
     that flipped grouping_sets_orders at sf1)."""
     li = _t(spark, sf_dir, "lineitem")
-    qc = F.expr("CAST(ROUND(l_quantity * 100) AS DECIMAL(38,0))")
+    qc = F.expr("CAST(ROUND(l_quantity * 100) AS BIGINT)")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("cnt"),
         (F.sum(qc).cast("double") / 100.0).alias("sum_qty"),
@@ -407,7 +425,7 @@ def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE with the price summed as exact integer cents then
     reconstructed (same double output values — see q1_pricing_summary)."""
     li = _t(spark, sf_dir, "lineitem")
-    pc = F.expr("CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0))")
+    pc = F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("cnt"),
         (F.sum(pc).cast("double") / 100.0).alias("sum_price"),
@@ -669,10 +687,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_q6")
     return spark.sql(
         """
-        SELECT CAST((SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                              * CAST(ROUND(l_discount * 100) AS BIGINT)
-                              AS DECIMAL(38,0))) + 50) DIV 100 AS DOUBLE)
-                   / 100.0 AS revenue,
+        SELECT CAST(SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * CAST(ROUND(l_discount * 100) AS BIGINT)) DIV 100)
+                    + (SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * CAST(ROUND(l_discount * 100) AS BIGINT)) % 100)
+                       + 50) DIV 100
+                    AS DOUBLE) / 100.0 AS revenue,
                COUNT(*) AS cnt
         FROM __li_q6
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -684,8 +704,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q6_SQL = """
-SELECT CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                 * CAST(ROUND(l_discount * 100) AS BIGINT)) + 50) // 100
+SELECT CAST(SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * CAST(ROUND(l_discount * 100) AS BIGINT)) // 100)
+            + (SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_discount * 100) AS BIGINT)) % 100)
+               + 50) // 100
             AS DOUBLE) / 100.0 AS revenue,
        COUNT(*) AS cnt
 FROM lineitem
@@ -734,7 +757,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-       CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
+       CAST(SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) // 100) + (SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) % 100) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1029,7 +1052,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.agg(
         F.expr(
-            "CAST((2 * SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0)))"
+            "CAST((2 * SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))"
             " + 7) DIV 14 AS DOUBLE) / 100.0"
         ).alias("avg_yearly"),  # exact half-up of cents/7 (plans.money)
         F.count(F.lit(1)).alias("cnt"),

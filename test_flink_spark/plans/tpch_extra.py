@@ -145,7 +145,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q7_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        EXTRACT(year FROM l_shipdate) AS l_year,
-       CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
+       CAST(SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) // 100) + (SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) % 100) + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
        COUNT(*) AS cnt
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -197,12 +197,17 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("o_year")
         .agg(
-            # exact ROUND(num/den, 4): both sums are exact integers in
-            # 1e-4 dollar units; integer half-up division (plans.money)
+            # exact ROUND(num/den, 4): split-accumulator BIGINT sums in
+            # the hot path (plans.money), DECIMAL only on the 1-row finish
             F.expr(
-                "CAST((2 * SUM(CASE WHEN supp_nation = 'NATION_6' THEN CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0))"
-                " ELSE CAST(0 AS DECIMAL(38,0)) END) * 10000"
-                " + SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0)))) DIV (2 * SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0)))) AS DOUBLE) / 10000.0"
+                "CAST((2 * (CAST(SUM(CASE WHEN supp_nation = 'NATION_6'"
+                " THEN (CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) DIV 100 ELSE 0 END) AS DECIMAL(38,0)) * 100"
+                " + SUM(CASE WHEN supp_nation = 'NATION_6'"
+                " THEN (CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) % 100 ELSE 0 END)) * 10000"
+                " + (CAST(SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) DIV 100) AS DECIMAL(38,0)) * 100"
+                " + SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) % 100)))"
+                " DIV (2 * (CAST(SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) DIV 100) AS DECIMAL(38,0)) * 100"
+                " + SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) % 100))) AS DOUBLE) / 10000.0"
             ).alias("mkt_share"),
             F.count(F.lit(1)).alias("cnt"),
         )
@@ -211,9 +216,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q8_SQL = """
 SELECT EXTRACT(year FROM o_orderdate) AS o_year,
-       CAST((2 * SUM(CASE WHEN n1.n_name = 'NATION_6' THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
-                     ELSE 0 END) * 10000
-             + SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))) // (2 * SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))))
+       CAST((2 * (CAST(SUM(CASE WHEN n1.n_name = 'NATION_6'
+                           THEN (CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) // 100 ELSE 0 END) AS HUGEINT) * 100
+                  + SUM(CASE WHEN n1.n_name = 'NATION_6'
+                        THEN (CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) % 100 ELSE 0 END)) * 10000
+             + (CAST(SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) // 100) AS HUGEINT) * 100 + SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) % 100)))
+            // (2 * (CAST(SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) // 100) AS HUGEINT) * 100
+                     + SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) % 100)))
             AS DOUBLE) / 10000.0 AS mkt_share,
        COUNT(*) AS cnt
 FROM lineitem
@@ -445,12 +454,17 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
-            # exact ROUND(100*num/den, 4) == half-up of num4*1e6/den4
-            # in 1e-4 units (plans.money convention)
+            # exact ROUND(100*num/den, 4): split-accumulator BIGINT sums,
+            # DECIMAL only on the 1-row finish (plans.money)
             F.expr(
-                "CAST((2 * SUM(CASE WHEN p_type = 'PROMO' THEN CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0))"
-                " ELSE CAST(0 AS DECIMAL(38,0)) END) * 1000000"
-                " + SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0)))) DIV (2 * SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0)))) AS DOUBLE) / 10000.0"
+                "CAST((2 * (CAST(SUM(CASE WHEN p_type = 'PROMO'"
+                " THEN (CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) DIV 100 ELSE 0 END) AS DECIMAL(38,0)) * 100"
+                " + SUM(CASE WHEN p_type = 'PROMO'"
+                " THEN (CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) % 100 ELSE 0 END)) * 1000000"
+                " + (CAST(SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) DIV 100) AS DECIMAL(38,0)) * 100"
+                " + SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) % 100)))"
+                " DIV (2 * (CAST(SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) DIV 100) AS DECIMAL(38,0)) * 100"
+                " + SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) % 100))) AS DOUBLE) / 10000.0"
             ).alias("promo_revenue"),
             F.count(F.lit(1)).alias("cnt"),
         )
@@ -458,10 +472,14 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q14_SQL = """
-SELECT CAST((2 * SUM(CASE WHEN p_type = 'PROMO' THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
-                     ELSE 0 END) * 1000000
-             + SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))) // (2 * SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))))
-            AS DOUBLE) / 10000.0 AS promo_revenue,
+SELECT CAST((2 * (CAST(SUM(CASE WHEN p_type = 'PROMO'
+                          THEN (CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) // 100 ELSE 0 END) AS HUGEINT) * 100
+                 + SUM(CASE WHEN p_type = 'PROMO'
+                       THEN (CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) % 100 ELSE 0 END)) * 1000000
+            + (CAST(SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) // 100) AS HUGEINT) * 100 + SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) % 100)))
+           // (2 * (CAST(SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) // 100) AS HUGEINT) * 100
+                    + SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) % 100)))
+           AS DOUBLE) / 10000.0 AS promo_revenue,
        COUNT(*) AS cnt
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01'
@@ -587,7 +605,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q19_SQL = """
-SELECT CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
+SELECT CAST(SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) // 100) + (SUM((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) % 100) + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
        COUNT(*) AS cnt
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
