@@ -45,80 +45,103 @@ _MODULE_ORDER = (reference_queries, enterprise, advanced, llm_data, relational, 
 # lands.  Entries become no-ops (and can be pruned) once last-verified
 # >= swap round.
 _REVERIFY = {
-    "dedup_simhash_clusters": 8,   # r8: w32 -> w64 / 16-bit-band rewrite
-    "embedding_near_dup_lsh": 8,   # r8: fixed-6-plane -> corpus-adaptive
-    # r10: ROUND(SUM(double)) -> exact integer cents after the sf1 hash
-    # check caught cross-engine double-sum drift on the () grouping set
-    "grouping_sets_orders": 10,
-    # r10: Decimal(38,0) cross-product finish -> quantized python-bigint
-    # scalar finish (semantics shift at floor boundaries / sub-1e6
-    # variances); its only driver row predates the swap (r6), so the
-    # certificate attests the retired algorithm (r10 ADVICE)
-    "graph_degree_assortativity": 10,
+    # (r12 prune, r11 verdict item 8: the r8/r10 swap entries —
+    # dedup_simhash_clusters r8, embedding_near_dup_lsh r8,
+    # grouping_sets_orders r10, graph_degree_assortativity r11 — all
+    # re-verified at or after their swap rounds, so per the rule above
+    # they were no-ops and are removed.)
+    #
+    # r12 cap rollout (r11 verdict items 1+3): the n-gram pair-generation
+    # class (ngram_jaccard_pairs / containment_pairs / duplicate_clusters
+    # / _shared_pair_base) now defaults to the max_doc_freq=256
+    # stop-shingle cap — the 100 TB geometry (a shingle in f docs costs
+    # f^2 join pairs; the r11 sf10 probe killed the uncapped form).  The
+    # FIVE names below are this round's in-window swaps and their old
+    # certificates are voided.  The other consumers of the same builders
+    # are NOT voided, on measured grounds: the cap cannot bind at any
+    # certified scale (max shingle doc-freq: sf0.01 = 7, sf0.1 = 25,
+    # sf1 = 250 < 256), so capped output is bit-identical to every
+    # attested run — a plan-only change at those scales, re-checked
+    # locally via tools/check_oracle.py for every affected name (see
+    # BASELINE.md r12 notes) and re-certified by the normal rotation
+    # (the r7 cohort, incl. corpus_dedup_cascade_audit and
+    # dedup_detector_agreement, is forced into the r13 window).
+    "dedup_clusters_incremental": 12,
+    "dedup_containment": 12,
+    "dedup_lsh_candidate_audit": 12,
+    "dedup_minhash_band_sweep": 12,
+    "dedup_minhash_estimate_audit": 12,
 }
 
 _PROMOTED = (
-    # r11 rotation window: verified-age rotation (tools/verified_age.py).
-    # The window is exactly consumed by forced names this round — the
-    # 49-query cohort last driver-verified in r5 (6 rounds stale at r11
-    # open, forced by test_promotion_window_rotates_stalest at MAX_AGE=6)
-    # plus the r10 implementation swap of graph_degree_assortativity
-    # (certificate voided by _REVERIFY, forced).  49 + 1 = 50: ZERO slots
-    # for new queries, which is why r11 adds none (the registry debt from
-    # the 295-query build-out clears through r12; first free slots r13).
+    # r12 rotation window: verified-age rotation (tools/verified_age.py).
+    # 49 forced names — the cohort last driver-verified in r6 (6 rounds
+    # stale at r12 open, forced by test_promotion_window_rotates_stalest
+    # at MAX_AGE=6) — plus ONE free slot spent on dedup_clusters_incremental:
+    # the r11-verdict sf10-CONFIRMED scale failure, swapped this round to
+    # the max_doc_freq-capped pair geometry (certificate voided by
+    # _REVERIFY, forced; see the cap-rollout note on _REVERIFY).  Four of
+    # the forced r6 names (dedup_containment, dedup_lsh_candidate_audit,
+    # dedup_minhash_band_sweep, dedup_minhash_estimate_audit) are ALSO
+    # cap-swapped this round — their re-certification rides the forced
+    # rotation at zero slot cost.  49 + 1 = 50: no other additions; the
+    # registry-debt rotation (r7 cohort, 47 names) clears r13 with 3 free
+    # slots reserved for prompt post-cap re-certification of the three
+    # flipped-but-not-voided fresh-cert names (dedup_ngram_jaccard,
+    # corpus_split_leakage, dedup_cross_lingual — see _REVERIFY note).
     # Regenerate with: python tools/verified_age.py --fill N
-    # --- r10 implementation swap (certificate voided, forced) ---
-    "graph_degree_assortativity",
-    # --- last verified r5 (forced cohort) ---
-    "cdc_point_in_time_join",
-    "cohort_retention",
-    "corpus_dsir_weights",
-    "corpus_epoch_mix",
-    "corpus_multimodal_dup_flags",
-    "corpus_quality_classifier",
-    "corpus_span_dedup",
-    "corpus_split_leakage",
-    "corpus_stratified_sample",
-    "corpus_vocab_coverage",
-    "dedup_cross_lingual",
-    "dedup_keep_best",
-    "embedding_ann_recall",
-    "embedding_cluster_purity",
-    "embedding_hybrid_rrf",
-    "embedding_ivfadc_ann",
-    "embedding_lsh_ann",
-    "embedding_quantize_error",
-    "events_lttb_downsample",
-    "events_ohlc_bars",
-    "events_time_weighted_avg",
-    "funnel_view_click_purchase",
-    "json_malformed_audit",
-    "lateral_top_orders_per_customer",
-    "multimodal_audio_fingerprint",
-    "multimodal_decode_features",
-    "multimodal_image_ahash",
-    "multimodal_image_resize_stats",
-    "multimodal_video_frame_jaccard",
-    "parts_price_size_skyline",
-    "pattern_view_then_click",
-    "percentile_value_by_type",
-    "q11_important_stock",
-    "q12_ship_delay_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_count",
-    "q19_disjunctive_revenue",
-    "q20_part_promotion",
-    "q21_late_suppliers",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "text_bm25_topk",
-    "text_gopher_rules",
-    "text_lm_surprisal",
-    "text_winnowing_fingerprints",
+    # --- r11 implementation swap (certificate voided, forced) ---
+    "dedup_clusters_incremental",
+    # --- last verified r6 (forced cohort) ---
+    "bloom_join_prune_audit",
+    "cdc_merge_apply",
+    "corpus_classifier_auc",
+    "corpus_ngram_novelty",
+    "corpus_perplexity_buckets",
+    "corpus_shard_assignment",
+    "corpus_token_budget_select",
+    "dedup_containment",
+    "dedup_lsh_candidate_audit",
+    "dedup_minhash_band_sweep",
+    "dedup_minhash_estimate_audit",
+    "embedding_gram_matrix",
+    "embedding_matryoshka_overlap",
+    "embedding_power_iteration",
+    "events_ab_srm_check",
+    "events_ab_test_report",
+    "events_attribution_last_touch",
+    "events_cep_followed_by",
+    "events_cep_not_followed_by",
+    "events_cep_strict_sequence",
+    "events_changepoint_binseg",
+    "events_churn_cohorts",
+    "events_dau_mau_stickiness",
+    "events_peak_concurrency",
+    "events_robust_trend",
+    "events_run_lengths",
+    "events_seasonality_acf",
+    "events_user_entropy_segments",
+    "events_user_gini",
+    "events_watermark_lateness_audit",
+    "graph_bfs_hops",
+    "graph_kcore_trade",
+    "graph_supplier_jaccard",
+    "join_view_incremental_merge",
+    "multimodal_audio_quiet_segments",
+    "multimodal_image_dhash",
+    "multimodal_video_shot_segments",
+    "orders_benford_audit",
+    "parts_pareto_abc",
+    "rollup_incremental_merge",
+    "sketch_hll_sliding_users",
+    "supplier_mad_outliers",
+    "text_bpe_fertility",
+    "text_code_detection",
+    "text_feature_hashing_audit",
+    "text_language_confusion",
+    "text_pmi_collocations",
+    "text_rake_keywords",
+    "text_zipf_fit_audit",
 )
 
 
