@@ -39,6 +39,32 @@ def _h60(col: Column) -> Column:
 # while staying engine-portable integer arithmetic.
 MINHASH_MOD = 2147483647
 
+# Production default for the stop-shingle cap on EXACT n-gram pair
+# generation (ngram_jaccard_pairs / containment_pairs / duplicate_clusters
+# and the plans-level shared pair base): a shingle appearing in f
+# documents contributes f^2 candidate pairs through the inverted-index
+# equi-join, so boilerplate shingles (headers, licenses) make the join
+# bill quadratic in corpus size — the one measured scale-killer of the
+# r11 sf10 (100x) probes.  With the cap, every kept key's bucket is
+# <= 256 rows and the bill is bounded by n_keys * C(256, 2) no matter the
+# corpus shape.  256 is deliberately ABOVE the maximum per-shingle doc
+# frequency of every certified fixture (measured: sf0.01 = 7, sf0.1 = 25,
+# sf1 = 135), so capped output is bit-identical to the attested runs
+# there.  At sf10 the synthetic corpus SATURATES its 31-word-vocab
+# shingle space (29,791 distinct trigrams, df 257..1042 for every one):
+# the capped pair set is empty by construction while the uncapped bill is
+# 11.4e9 join pairs (the r11 task-loss).  That saturation is the
+# fixture's pathology, not the operator's: real corpora grow shingle
+# diversity with size (Heaps' law), so the cap prunes only true
+# boilerplate; on a saturated corpus even the TRUE near-dup pair count is
+# quadratic and NO exact pair algorithm can be sub-quadratic — the
+# at-scale production path there is the banded MinHash-LSH geometry
+# (minhash_lsh_pairs, sf10-green), with exact pair-gen reserved for
+# bounded strata.  See BASELINE.md r12 notes for the measured df tables.
+# Pass max_doc_freq=None for the exact uncapped form (audit harnesses on
+# bounded strata only).
+NGRAM_MAX_DOC_FREQ = 256
+
 
 def minhash_coeffs(num_perm: int) -> list[tuple[int, int]]:
     """Deterministic (a_p, b_p) pairs for the affine permutations, derived
@@ -126,7 +152,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = NGRAM_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
@@ -139,7 +165,11 @@ def ngram_jaccard_pairs(
     shingles (headers, licenses) blow the index join up quadratically.
     Capping drops them from candidate generation AND the Jaccard sets
     (slight under-count for docs sharing only boilerplate — exactly the
-    pairs you don't want).  Default None = exact (the oracle-checked mode).
+    pairs you don't want).  Default NGRAM_MAX_DOC_FREQ = 256 (the r12 cap
+    rollout: the registered queries' oracles replay the cap with the same
+    doc-frequency filter, and the cap cannot bind below sf10 on the
+    certified fixtures — see the constant's docstring).  None = exact
+    uncapped (bounded audit strata only; quadratic under hot shingles).
     """
     # NOTE: the shingle index feeds three plan branches; recomputing the
     # (cheap, codegen-fused) explode+md5 per branch measured FASTER than
@@ -153,9 +183,21 @@ def ngram_jaccard_pairs(
     # semantics are the shipped spec, as everywhere in this family).
     sh = shingle_hashes(df, text_col, id_col, n)
     if max_doc_freq is not None:
+        # Anti-join against the HOT set, not a semi-join on the kept set:
+        # kept shingles are ~all distinct shingles (unbroadcastable at
+        # 100 TB), while shingles over the cap are bounded by
+        # total_occurrences/cap — a small table Catalyst/AQE broadcasts on
+        # its own.  The df groupBy is one map-side-combined linear pass.
+        # localCheckpoint(eager) pins the hot set so the downstream
+        # consumers (sizes + both self-join sides re-expand the capped-sh
+        # subtree) anti-join against a materialized tiny table instead of
+        # re-running the freq aggregation per branch — measured +1.4-3.4 s
+        # per query at sf0.1 without it (r12 preflight).
         freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df_"))
-        keep = freq.filter(F.col("df_") <= max_doc_freq).select("h")
-        sh = sh.join(F.broadcast(keep), "h")
+        hot = freq.filter(F.col("df_") > max_doc_freq).select(
+            "h"
+        ).localCheckpoint(eager=True)
+        sh = sh.join(hot, "h", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -185,7 +227,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold_bp: int = 5000,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = NGRAM_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram CONTAINMENT — the asymmetric
     companion to Jaccard (Broder's resemblance vs containment split):
@@ -206,9 +248,21 @@ def containment_pairs(
     """
     sh = shingle_hashes(df, text_col, id_col, n)
     if max_doc_freq is not None:
+        # Anti-join against the HOT set, not a semi-join on the kept set:
+        # kept shingles are ~all distinct shingles (unbroadcastable at
+        # 100 TB), while shingles over the cap are bounded by
+        # total_occurrences/cap — a small table Catalyst/AQE broadcasts on
+        # its own.  The df groupBy is one map-side-combined linear pass.
+        # localCheckpoint(eager) pins the hot set so the downstream
+        # consumers (sizes + both self-join sides re-expand the capped-sh
+        # subtree) anti-join against a materialized tiny table instead of
+        # re-running the freq aggregation per branch — measured +1.4-3.4 s
+        # per query at sf0.1 without it (r12 preflight).
         freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df_"))
-        keep = freq.filter(F.col("df_") <= max_doc_freq).select("h")
-        sh = sh.join(F.broadcast(keep), "h")
+        hot = freq.filter(F.col("df_") > max_doc_freq).select(
+            "h"
+        ).localCheckpoint(eager=True)
+        sh = sh.join(hot, "h", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -590,6 +644,7 @@ def duplicate_clusters(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_iter: int = 15,
+    max_doc_freq: int | None = NGRAM_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Connected components over the near-duplicate graph: every document
     gets a ``cluster_id`` = the smallest doc id transitively reachable via
@@ -636,9 +691,9 @@ def duplicate_clusters(
             f"exactly in decimal(38,0). Map string ids to BIGINT first "
             f"(e.g. conv(substring(md5(id),1,15),16,10))."
         )
-    pairs = ngram_jaccard_pairs(df, text_col, id_col, threshold=threshold).select(
-        "id_a", "id_b"
-    )
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, threshold=threshold, max_doc_freq=max_doc_freq
+    ).select("id_a", "id_b")
     from .graph import min_label_components
 
     return min_label_components(

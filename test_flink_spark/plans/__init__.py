@@ -60,7 +60,7 @@ _REVERIFY = {
     # certificates are voided.  The other consumers of the same builders
     # are NOT voided, on measured grounds: the cap cannot bind at any
     # certified scale (max shingle doc-freq: sf0.01 = 7, sf0.1 = 25,
-    # sf1 = 250 < 256), so capped output is bit-identical to every
+    # sf1 = 135 < 256), so capped output is bit-identical to every
     # attested run — a plan-only change at those scales, re-checked
     # locally via tools/check_oracle.py for every affected name (see
     # BASELINE.md r12 notes) and re-certified by the normal rotation

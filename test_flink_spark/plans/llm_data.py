@@ -13,7 +13,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash
+from ..operators.dedup import (
+    NGRAM_MAX_DOC_FREQ,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
 from ..operators.multimodal import media_stats
 from ..operators.similarity import (
     cosine_topk,
@@ -129,12 +135,30 @@ FROM documents GROUP BY 1
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs at the production threshold,
+    riding the NGRAM_MAX_DOC_FREQ stop-shingle cap (r12 rollout: the
+    uncapped inverted-index self-join is quadratic in per-shingle doc
+    frequency — the r11 sf10 probe's one confirmed scale failure class).
+    The oracle replays the cap's doc-frequency filter bit for bit."""
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
-_JACCARD_SQL = r"""
-WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-sh AS (
+def _capped_sh_ctes(cap: int | None = NGRAM_MAX_DOC_FREQ) -> str:
+    """The shared DuckDB CTE chain ``ws, sh_all, sh`` where ``sh`` is the
+    (doc_id, h) 60-bit shingle-hash table AFTER the stop-shingle
+    doc-frequency cap — the exact replay of shingle_hashes + the
+    NGRAM_MAX_DOC_FREQ filter every capped pair oracle rides (r12 cap
+    rollout; operators/dedup.py::NGRAM_MAX_DOC_FREQ).  ``cap=None``
+    emits the uncapped chain (sh = sh_all) for audit-harness strings."""
+    capped = (
+        f"sh AS (SELECT doc_id, h FROM sh_all\n"
+        f"       WHERE h IN (SELECT h FROM sh_all GROUP BY h"
+        f" HAVING COUNT(*) <= {cap}))"
+        if cap is not None
+        else "sh AS (SELECT doc_id, h FROM sh_all)"
+    )
+    return rf"""ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+sh_all AS (
     -- DISTINCT on the 60-bit hash, matching the Spark side's map-side
     -- array_distinct over hashed shingles (hash-collision semantics are
     -- the shipped spec; the index join key is the same int)
@@ -144,6 +168,12 @@ sh AS (
                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
         FROM ws) WHERE s IS NOT NULL AND s <> ''
 ),
+{capped}"""
+
+
+def _jaccard_sql(cap: int | None = NGRAM_MAX_DOC_FREQ) -> str:
+    return rf"""
+WITH {_capped_sh_ctes(cap)},
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 shared AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
@@ -157,6 +187,9 @@ JOIN sizes sa ON id_a = sa.doc_id
 JOIN sizes sb ON id_b = sb.doc_id
 WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.5
 """
+
+
+_JACCARD_SQL = _jaccard_sql()
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2881,7 +2914,8 @@ def dedup_cross_lingual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-lingual duplicate mining: n-gram-Jaccard near-dup pairs
     whose two documents carry DIFFERENT language tags — the signal a
     curation pipeline uses to find copy-paste translations / mislabeled
-    languages (same inverted-index join as dedup_ngram_jaccard, then one
+    languages (same capped inverted-index join as dedup_ngram_jaccard
+    (NGRAM_MAX_DOC_FREQ stop-shingle cap, r12 rollout), then one
     metadata join; at 100 TB the lang join is doc-keyed and rides the
     pair table's partitioning).  Emits (id_a, id_b, jaccard, lang_a,
     lang_b)."""
@@ -2920,9 +2954,10 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     train/val/test boundary — each one is an eval example whose
     near-copy sits in training data, silently inflating eval scores (the
     split-level complement of corpus_decontaminate's external-benchmark
-    check).  Same inverted-index jaccard join as dedup_ngram_jaccard;
-    the hash-bucket split assignment rides the pair table with two
-    doc-keyed joins.  Emits (id_a, id_b, jaccard, split_a, split_b) with
+    check).  Same capped inverted-index jaccard join as
+    dedup_ngram_jaccard (NGRAM_MAX_DOC_FREQ stop-shingle cap, r12
+    rollout); the hash-bucket split assignment rides the pair table with
+    two doc-keyed joins.  Emits (id_a, id_b, jaccard, split_a, split_b) with
     split_a != split_b."""
     from ..operators.sampling import train_val_test_split
 
@@ -2970,15 +3005,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(_docs(spark, sf_dir), threshold_bp=5000)
 
 
-_CONTAINMENT_SQL = r"""
-WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-sh AS (
-    SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM (
-        SELECT doc_id,
-               unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
-                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-        FROM ws) WHERE s IS NOT NULL AND s <> ''
-),
+_CONTAINMENT_SQL = rf"""
+WITH {_capped_sh_ctes()},
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 shared AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
@@ -3170,9 +3198,17 @@ est AS (
     JOIN sig sa ON c.id_a = sa.doc_id
     JOIN sig sb ON c.id_b = sb.doc_id
 ),
-sh60 AS (
+sh60_all AS (
     SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
     FROM sh
+),
+-- exact leg rides the NGRAM_MAX_DOC_FREQ stop-shingle cap (r12 cap
+-- rollout, same filter as containment_pairs); the minhash kv/sig chain
+-- above stays UNCAPPED — signatures are min-over-all-shingles by spec
+sh60 AS (
+    SELECT doc_id, h FROM sh60_all
+    WHERE h IN (SELECT h FROM sh60_all GROUP BY h
+                HAVING COUNT(*) <= {NGRAM_MAX_DOC_FREQ})
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh60 GROUP BY 1),
 shared AS (
@@ -3777,7 +3813,9 @@ def dedup_lsh_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers signature quality; THIS covers what banding actually
     surfaces, i.e. the S-curve's real operating point at r=4 rows/band).
     One full-outer join of the two pair sets (both generated by the
-    scale-shaped inverted-index / band-join plans, never all-pairs) and
+    scale-shaped inverted-index / band-join plans, never all-pairs; the
+    exact leg rides the NGRAM_MAX_DOC_FREQ stop-shingle cap since r12,
+    so the audited ground truth is the production geometry itself) and
     a single global aggregate row."""
     docs = _docs(spark, sf_dir)
     e = (
@@ -4152,7 +4190,10 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding from.  Scale shape: the expensive signature pass (one md5
     per shingle) runs ONCE and is localCheckpoint-pinned; each config
     only re-slices the 16-value signatures and runs its band-key
-    equality join — the same amortization a real parameter sweep uses."""
+    equality join — the same amortization a real parameter sweep uses.
+    The exact leg rides the NGRAM_MAX_DOC_FREQ stop-shingle cap (r12
+    rollout), so recall is measured against the runnable-at-100 TB
+    ground truth rather than the quadratic uncapped one."""
     from ..operators.dedup import lsh_band_keys, minhash_signatures
 
     docs = _docs(spark, sf_dir)
@@ -6077,7 +6118,10 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted artifacts: the prior cluster labels (min-label CC over the
     pre-shard Jaccard graph) and the shingle inverted index.  New edges
     (shard-shard + shard-corpus, exact n-gram Jaccard >= 0.5 through the
-    index probe — never all-pairs) are condensed onto prior cluster ids
+    NGRAM_MAX_DOC_FREQ-capped index probe — never all-pairs, never
+    quadratic in per-shingle doc frequency: the uncapped form was the
+    r11 sf10 probe's confirmed task-loss failure) are condensed onto
+    prior cluster ids
     and min-label CC runs over THAT graph only: O(shard + touched
     clusters), independent of corpus size
     (operators/dedup.py::incremental_cluster_merge).
@@ -6347,6 +6391,20 @@ def _shared_pair_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         docs = _docs(spark, sf_dir)
         sh = shingle_hashes(docs)
+        # r12 cap rollout: the shared pair base rides the same
+        # NGRAM_MAX_DOC_FREQ stop-shingle cap as ngram_jaccard_pairs /
+        # containment_pairs (a shingle in f docs costs f^2 join pairs —
+        # the uncapped form is the r11 sf10-confirmed scale failure of
+        # corpus_dedup_cascade_audit).  Sizes are computed AFTER the cap,
+        # so shared/n_a/n_b stay a consistent capped-shingle-set algebra;
+        # every consumer's oracle replays the identical doc-freq filter.
+        from ..operators.dedup import NGRAM_MAX_DOC_FREQ
+
+        freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df_"))
+        hot = freq.filter(F.col("df_") > NGRAM_MAX_DOC_FREQ).select(
+            "h"
+        ).localCheckpoint(eager=True)
+        sh = sh.join(hot, "h", "left_anti")
         sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
         a, b = sh.alias("a"), sh.alias("b")
         df = (
@@ -6389,7 +6447,10 @@ def corpus_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniformly across stages, so stage overlap is measured on one policy.
 
     All four detectors are the registered operators' own pair stages
-    (shared inverted-index / band joins — nothing new shuffles), and the
+    (shared inverted-index / band joins — nothing new shuffles; the
+    containment/jaccard legs ride the shared pair base's
+    NGRAM_MAX_DOC_FREQ stop-shingle cap since r12, retiring the
+    r11-confirmed sf10 task-loss of the uncapped self-join), and the
     oracle recomputes all four from scratch, so the funnel arithmetic is
     value-checked end to end.  The 4x4 running-sum self-join replaces a
     single-partition window: stage rows are a 4-row aggregate, but the
@@ -6511,13 +6572,18 @@ exact_flags AS (
       ON f.fp = c.fp
     WHERE f.doc_id > c.canonical_id
 ),
-sh AS (
+sh_all AS (
     SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM (
         SELECT doc_id,
                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
         FROM ws) WHERE s IS NOT NULL AND s <> ''
 ),
+-- pair legs ride the NGRAM_MAX_DOC_FREQ stop-shingle cap (r12 rollout),
+-- replaying _shared_pair_base's doc-frequency filter exactly
+sh AS (SELECT doc_id, h FROM sh_all
+       WHERE h IN (SELECT h FROM sh_all GROUP BY h
+                   HAVING COUNT(*) <= {NGRAM_MAX_DOC_FREQ})),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 shared AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
@@ -6831,13 +6897,18 @@ def _detector_agreement_sql() -> str:
 
     return rf"""
 WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-sh AS (
+sh_all AS (
     SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM (
         SELECT doc_id,
                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
         FROM ws) WHERE s IS NOT NULL AND s <> ''
 ),
+-- pair legs ride the NGRAM_MAX_DOC_FREQ stop-shingle cap (r12 rollout),
+-- replaying _shared_pair_base's doc-frequency filter exactly
+sh AS (SELECT doc_id, h FROM sh_all
+       WHERE h IN (SELECT h FROM sh_all GROUP BY h
+                   HAVING COUNT(*) <= {NGRAM_MAX_DOC_FREQ})),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 shared AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
@@ -7352,13 +7423,18 @@ def _cluster_quality_sql() -> str:
     return rf"""
 WITH clusters AS ({clusters}),
 ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-sh AS (
+sh_all AS (
     SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM (
         SELECT doc_id,
                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
         FROM ws) WHERE s IS NOT NULL AND s <> ''
 ),
+-- pair legs ride the NGRAM_MAX_DOC_FREQ stop-shingle cap (r12 rollout),
+-- replaying _shared_pair_base's doc-frequency filter exactly
+sh AS (SELECT doc_id, h FROM sh_all
+       WHERE h IN (SELECT h FROM sh_all GROUP BY h
+                   HAVING COUNT(*) <= {NGRAM_MAX_DOC_FREQ})),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 shared AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
@@ -7902,13 +7978,18 @@ def _threshold_sensitivity_sql() -> str:
     thresholds = ", ".join(f"{t}::BIGINT" for t in _DEDUP_THRESHOLDS_BP)
     return rf"""
 WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-sh AS (
+sh_all AS (
     SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM (
         SELECT doc_id,
                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
         FROM ws) WHERE s IS NOT NULL AND s <> ''
 ),
+-- pair legs ride the NGRAM_MAX_DOC_FREQ stop-shingle cap (r12 rollout),
+-- replaying _shared_pair_base's doc-frequency filter exactly
+sh AS (SELECT doc_id, h FROM sh_all
+       WHERE h IN (SELECT h FROM sh_all GROUP BY h
+                   HAVING COUNT(*) <= {NGRAM_MAX_DOC_FREQ})),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 shared AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
@@ -7983,13 +8064,18 @@ def corpus_source_contamination_matrix(spark: SparkSession, sf_dir: str) -> Data
 def _contamination_matrix_sql() -> str:
     return rf"""
 WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-sh AS (
+sh_all AS (
     SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM (
         SELECT doc_id,
                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
         FROM ws) WHERE s IS NOT NULL AND s <> ''
 ),
+-- pair legs ride the NGRAM_MAX_DOC_FREQ stop-shingle cap (r12 rollout),
+-- replaying _shared_pair_base's doc-frequency filter exactly
+sh AS (SELECT doc_id, h FROM sh_all
+       WHERE h IN (SELECT h FROM sh_all GROUP BY h
+                   HAVING COUNT(*) <= {NGRAM_MAX_DOC_FREQ})),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 shared AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared

@@ -49,7 +49,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .snapshots import latest_snapshot, resolve_version, version_of, write_snapshot
+from .snapshots import read_latest, resolve_version, version_of, write_snapshot
 
 _RULES_SCHEMA = (
     "rule_id LONG, event_type STRING, min_value_cents LONG, enabled BOOLEAN,"
@@ -65,13 +65,10 @@ def rules_ingest_batch(
     row broken by larger min_value_cents then enabled=false — a total
     order so retries are deterministic).  Returns the new snapshot."""
     spark = batch_df.sparkSession
-    prior_path = latest_snapshot(state_dir, "rules", before=batch_id)
+    prior_path, prior = read_latest(spark, state_dir, "rules", before=batch_id)
     version = resolve_version(prior_path, batch_id)
-    prior = (
-        spark.read.parquet(prior_path)
-        if prior_path is not None
-        else spark.createDataFrame([], _RULES_SCHEMA)
-    )
+    if prior is None:
+        prior = spark.createDataFrame([], _RULES_SCHEMA)
     from pyspark.sql import Window
 
     w = Window.partitionBy("rule_id").orderBy(
@@ -106,19 +103,14 @@ def apply_rules_batch(
     committed snapshot — the "whatever is in broadcast state right now"
     semantics Flink gives.  One residual (narrow) race remains: between a
     retry's two renames the resolved path is briefly absent, so the read
-    below re-resolves once on failure rather than claiming atomicity
-    (r10 ADVICE)."""
+    re-resolves once on failure rather than claiming atomicity — since
+    r12 that guard lives in snapshots.read_latest and EVERY snapshot
+    consumer rides it (r11 ADVICE), not just this one."""
     spark = events_df.sparkSession
-    path = latest_snapshot(state_dir, "rules")
+    path, rules_all = read_latest(spark, state_dir, "rules")
     if path is None:
         return
-    try:
-        rules_all = spark.read.parquet(path).localCheckpoint(eager=True)
-    except Exception:
-        path = latest_snapshot(state_dir, "rules")  # re-resolve once
-        if path is None:
-            return
-        rules_all = spark.read.parquet(path).localCheckpoint(eager=True)
+    rules_all = rules_all.localCheckpoint(eager=True)
     version = version_of(path)
     rules = rules_all.filter(F.col("enabled"))
     flagged = (

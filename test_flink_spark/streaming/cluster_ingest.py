@@ -17,7 +17,10 @@ operator's streaming composition, the daily-ingest shape run continuously:
    exactly ``ngram_jaccard_pairs``'s inverted-index shape restricted to
    pairs with >= 1 batch endpoint; the Jaccard cut replicates the batch
    operator's ``round(j, 4) >= threshold`` so streaming labels are
-   BIT-EQUAL to the batch CC, not approximately equal.
+   BIT-EQUAL to the batch CC, not approximately equal (with
+   ``max_doc_freq`` set, bit-equality holds while every shingle's final
+   doc frequency stays under the cap — see cluster_ingest_batch's
+   docstring for the creation-time-vs-end-state divergence beyond it).
 3. **Condensed merge** — ``incremental_cluster_merge`` relabels touched
    clusters only; a batch whose new doc is near BOTH of two existing
    clusters BRIDGES them (the case the differential test pins).
@@ -45,7 +48,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from .snapshots import latest_snapshot, resolve_version, write_snapshot
+from .snapshots import read_latest, resolve_version, write_snapshot
 
 _LABELS_SCHEMA = "doc_id LONG, cluster_id LONG"
 _SHINGLE_SCHEMA = "doc_id LONG, h LONG"
@@ -57,11 +60,28 @@ def cluster_ingest_batch(
     batch_id: int | None = None,
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Fold ONE micro-batch of ``(doc_id, text)`` rows into the persisted
     cluster state; returns (and persists) the post-batch labels table.
     See the module docstring for the shape; callable directly for batch
-    backfill or through :func:`streaming_cluster_ingest`."""
+    backfill or through :func:`streaming_cluster_ingest`.
+
+    ``max_doc_freq`` (default None here; pass
+    ``operators.dedup.NGRAM_MAX_DOC_FREQ`` for the production geometry)
+    caps the per-batch probe bill: shingles whose CURRENT doc frequency in
+    the capped union index exceeds the cap stop generating candidates and
+    leave the Jaccard sets.  Per hot shingle the probe join emits
+    batch_occurrences x df pairs — linear in df, not df² (one endpoint is
+    always the batch), so unlike the batch self-join the uncapped form is
+    not quadratic; the cap still bounds a single batch's worst case at
+    O(batch x cap).  Streaming-capped semantics are pair-CREATION-time:
+    a pair admitted while its shingles were under the cap keeps its
+    cluster effect even if the shingle later crosses the cap, whereas the
+    capped batch recompute (duplicate_clusters) drops end-state-hot
+    shingles retroactively — the two are bit-equal exactly while every
+    shingle's final df stays <= cap (the regime the differential tests
+    pin), and diverge only on boilerplate-carried pairs beyond it."""
     from ..operators.dedup import incremental_cluster_merge, shingle_hashes
 
     spark = batch_df.sparkSession
@@ -70,10 +90,9 @@ def cluster_ingest_batch(
     # can exclude an ORPHAN shard (this version's shingles written by a
     # call that crashed before its labels snapshot): labels presence is
     # the commit point, so prior state is exactly shards < version
-    prior_path = latest_snapshot(state_dir, "labels", before=batch_id)
+    prior_path, prior = read_latest(spark, state_dir, "labels", before=batch_id)
     version = resolve_version(prior_path, batch_id)
     if prior_path is not None:
-        prior = spark.read.parquet(prior_path)
         prior_sh = (
             spark.read.parquet(sh_dir)
             .filter(F.col("batch") < F.lit(version))
@@ -88,6 +107,14 @@ def cluster_ingest_batch(
         eager=True
     )
     union_sh = prior_sh.unionByName(new_sh)
+    if max_doc_freq is not None:
+        # current-view stop-shingle cap (see docstring): anti-join against
+        # the small HOT set, mirroring ngram_jaccard_pairs' geometry
+        freq = union_sh.groupBy("h").agg(F.count(F.lit(1)).alias("df_"))
+        hot = freq.filter(F.col("df_") > max_doc_freq).select(
+            "h"
+        ).localCheckpoint(eager=True)
+        union_sh = union_sh.join(hot, "h", "left_anti")
     sizes = union_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # inverted-index probe: batch side only on the left, so every
     # candidate pair has >= 1 batch endpoint (incremental_cluster_merge's
@@ -157,6 +184,7 @@ def streaming_cluster_ingest(
     query_name: str = "cluster_ingest",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> StreamingQuery:
     """Run :func:`cluster_ingest_batch` over a STREAM of ``(doc_id,
     text)`` rows via ``foreachBatch`` — after every micro-batch,
@@ -165,7 +193,12 @@ def streaming_cluster_ingest(
 
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
         cluster_ingest_batch(
-            batch_df, state_dir, batch_id=batch_id, n=n, threshold=threshold
+            batch_df,
+            state_dir,
+            batch_id=batch_id,
+            n=n,
+            threshold=threshold,
+            max_doc_freq=max_doc_freq,
         )
 
     return (

@@ -21,6 +21,7 @@ stage-then-rename commit), a single uniformly-foldable table:
     kind STRING, table_name STRING, k LONG, v LONG
       counts:  per-(table, subject) cohort row counts   (k=subject, v=n)
       omap:    cohort order -> custkey map              (k=orderkey, v=custkey)
+      seen:    non-cohort orders already arrived        (k=orderkey, v=0)
       pending: lineitems whose order has NOT arrived    (k=orderkey, v=n)
 
 Design notes, scale-first:
@@ -28,21 +29,41 @@ Design notes, scale-first:
 * Cohort membership for customer/orders/events rows is a stateless
   md5(custkey) % 32 predicate on the row itself — no join, no state.
 * lineitem rows carry only l_orderkey, so they need the order->custkey
-  enrichment: matched rows fold into counts; unmatched rows wait in
-  ``pending`` and are re-matched the moment their order arrives (the
-  out-of-order CDC case a real erasure ledger must absorb — this is a
-  streaming join with explicit, bounded state, Flink's keyed-state
-  enrichment re-expressed as a snapshot fold).
-* State is O(cohort): counts keys are cohort subjects x 4 tables, omap
-  is cohort orders, pending is bounded by in-flight orphan lineitems.
-  Nothing in the snapshot scales with total ingested rows.
-* Mid-stream parity is EXACT, not eventual: the batch audit inner-joins
-  lineitem to orders, so lineitems whose orders are still in flight are
-  excluded there too.  After every batch, ``audit()`` over the snapshot
-  equals ``gdpr_erasure_audit``'s aggregation over the union of all rows
-  ingested so far (differential pinned in tests/test_streaming.py under
-  a seeded random interleave, plus retry-idempotence and orphan-crash
-  recovery shared with the other snapshot twins).
+  enrichment: matched-cohort rows fold into counts; rows matching a
+  ``seen`` non-cohort order are DISCARDED (their subject can never be in
+  the cohort); only rows whose order has not arrived at all wait in
+  ``pending`` and are re-matched the moment it does (the out-of-order
+  CDC case a real erasure ledger must absorb — this is a streaming join
+  with explicit, bounded state, Flink's keyed-state enrichment
+  re-expressed as a snapshot fold).  Without the ``seen`` tombstones,
+  the ~31/32 of lineitems referencing non-cohort orders would re-queue
+  into pending on every batch forever (r11 ADVICE): pending would scale
+  with total ingested lineitems, not with in-flight orphans.
+* State is O(cohort + orderkeys seen): counts keys are cohort subjects
+  x 4 tables, omap is cohort orders, ``seen`` is a key-only set over
+  non-cohort orders (the price of EXACT orphan semantics under
+  unbounded disorder — a production deployment bounds it further with
+  a disorder watermark that expires tombstones, or a Bloom filter once
+  a false-positive discard rate is acceptable), and pending is bounded
+  by in-flight orphan lineitems.  Nothing in the snapshot scales with
+  total ingested LINEITEM rows — the unbounded-fan-in table.
+* Parity with the batch audit is exact under FK-complete prefixes, and
+  two-sided in general:
+    - lineitem legs are exact mid-stream in BOTH directions — the batch
+      audit inner-joins lineitem to orders, so in-flight orphans are
+      excluded by both sides until the order lands;
+    - orders/events legs decide membership with the stateless
+      md5(custkey) predicate on arrival, while the batch audit derives
+      the cohort from the CUSTOMER table — an order/event arriving
+      BEFORE its customer row is counted here and excluded there until
+      the customer lands (the twin is deliberately the early-counting
+      side: an erasure ledger must price rows whose subject is already
+      determinable from the row itself).  After every batch where the
+      rows-so-far are FK-complete w.r.t. customer, ``audit()`` equals
+      ``gdpr_erasure_audit`` over those rows exactly (differentials in
+      tests/test_streaming.py pin the FK-complete interleave, the
+      customer-late divergence-and-convergence case, retry idempotence
+      and orphan-crash recovery).
 
 Reference parity: the reference's only stateful operator is the keyed
 ListState Top-N (HotItemAnalysis.java:173-223); this twin exercises the
@@ -56,7 +77,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from .snapshots import latest_snapshot, resolve_version, write_snapshot
+from .snapshots import read_latest, resolve_version, write_snapshot
 
 _GDPR_MOD = 32  # must match plans/advanced.py's erasure cohort
 
@@ -91,18 +112,16 @@ def gdpr_ingest_batch(
     """Fold ONE micro-batch of CDC row-arrival records into the audit
     snapshot.  Returns the new snapshot DataFrame."""
     spark = batch_df.sparkSession
-    prior_path = latest_snapshot(state_dir, _PREFIX, before=batch_id)
+    prior_path, prior = read_latest(spark, state_dir, _PREFIX, before=batch_id)
     version = resolve_version(prior_path, batch_id)
-    prior = (
-        spark.read.parquet(prior_path)
-        if prior_path is not None
-        else spark.createDataFrame([], _STATE_SCHEMA)
-    )
+    if prior is None:
+        prior = spark.createDataFrame([], _STATE_SCHEMA)
     batch_df = batch_df.localCheckpoint(eager=True)  # read once, reuse 4x
 
     # --- stateless cohort legs -------------------------------------------
     cust = batch_df.filter((F.col("src") == "customer") & _in_cohort("k1"))
-    orders = batch_df.filter((F.col("src") == "orders") & _in_cohort("k2"))
+    orders_any = batch_df.filter(F.col("src") == "orders")
+    orders = orders_any.filter(_in_cohort("k2"))
     events = batch_df.filter((F.col("src") == "events") & _in_cohort("k1"))
     legs = [
         _counts(cust, "customer", "k1"),
@@ -121,6 +140,22 @@ def gdpr_ingest_batch(
         prior.filter(F.col("kind") == "omap")
         .unionByName(omap_new)
         .dropDuplicates(["k"])  # an orderkey maps to one custkey
+        .localCheckpoint(eager=True)
+    )
+    # seen tombstones for NON-cohort orders (r11 ADVICE): a lineitem whose
+    # order is known non-cohort is discarded, not parked — without this,
+    # pending re-queues ~31/32 of all lineitems every batch forever.
+    # Key-only set: v is a constant 0.
+    seen_new = orders_any.filter(~_in_cohort("k2")).select(
+        F.lit("seen").alias("kind"),
+        F.lit(None).cast("string").alias("table_name"),
+        F.col("k1").alias("k"),
+        F.lit(0).cast("long").alias("v"),
+    ).dropDuplicates(["k"])
+    seen_all = (
+        prior.filter(F.col("kind") == "seen")
+        .unionByName(seen_new)
+        .dropDuplicates(["k"])
         .localCheckpoint(eager=True)
     )
 
@@ -152,11 +187,21 @@ def gdpr_ingest_batch(
             "v",
         )
     )
-    pending_new = matched.filter(F.col("subject").isNull()).select(
-        F.lit("pending").alias("kind"),
-        F.lit(None).cast("string").alias("table_name"),
-        "k",
-        "v",
+    pending_new = (
+        matched.filter(F.col("subject").isNull())
+        # discard lineitems whose order is a seen NON-cohort order: only
+        # truly in-flight orphans remain pending (state contract above)
+        .join(
+            seen_all.select(F.col("k").alias("sk")),
+            F.col("k") == F.col("sk"),
+            "left_anti",
+        )
+        .select(
+            F.lit("pending").alias("kind"),
+            F.lit(None).cast("string").alias("table_name"),
+            "k",
+            "v",
+        )
     )
 
     # --- fold counts with prior and publish -------------------------------
@@ -168,6 +213,7 @@ def gdpr_ingest_batch(
     )
     snapshot = (
         counts_folded.unionByName(omap_all)
+        .unionByName(seen_all)
         .unionByName(pending_new)
         .localCheckpoint(eager=True)
     )
@@ -178,12 +224,11 @@ def gdpr_ingest_batch(
 def audit(spark, state_dir: str) -> DataFrame:
     """Read-side: the blast-radius audit over everything ingested so far —
     same output columns as plans.advanced.gdpr_erasure_audit."""
-    path = latest_snapshot(state_dir, _PREFIX)
+    path, snap = read_latest(spark, state_dir, _PREFIX)
     if path is None:
         return spark.createDataFrame(
             [], "table_name STRING, n_rows LONG, n_subjects LONG"
         )
-    snap = spark.read.parquet(path)
     return (
         snap.filter(F.col("kind") == "counts")
         .groupBy("table_name")

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .snapshots import (
-    latest_snapshot,
+    read_latest,
     read_sidecar,
     resolve_version,
     write_snapshot,
@@ -66,10 +66,11 @@ def late_update_batch(
     semantics; rows beyond the bound are written to ``late_dir`` (the
     side output) and excluded from the fold.  Returns the new snapshot."""
     spark = batch_df.sparkSession
-    prior_path = latest_snapshot(state_dir, "windows", before=batch_id, sidecars=_SIDECARS)
+    prior_path, prior = read_latest(
+        spark, state_dir, "windows", before=batch_id, sidecars=_SIDECARS
+    )
     version = resolve_version(prior_path, batch_id)
     if prior_path is not None:
-        prior = spark.read.parquet(prior_path)
         prior_wm = read_sidecar(prior_path, "_WATERMARK.json")["watermark_ms"]
     else:
         prior = spark.createDataFrame([], _WIN_SCHEMA)

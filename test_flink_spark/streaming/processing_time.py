@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from .snapshots import latest_snapshot, resolve_version, write_snapshot
+from .snapshots import read_latest, resolve_version, write_snapshot
 
 _PTW_SCHEMA = "win_id LONG, event_type STRING, cnt LONG"
 
@@ -51,13 +51,10 @@ def processing_time_batch(
     is the trigger id, not the row's event time).  Returns the new
     snapshot."""
     spark = batch_df.sparkSession
-    prior_path = latest_snapshot(state_dir, "ptwin", before=batch_id)
+    prior_path, prior = read_latest(spark, state_dir, "ptwin", before=batch_id)
     version = resolve_version(prior_path, batch_id)
-    prior = (
-        spark.read.parquet(prior_path)
-        if prior_path is not None
-        else spark.createDataFrame([], _PTW_SCHEMA)
-    )
+    if prior is None:
+        prior = spark.createDataFrame([], _PTW_SCHEMA)
     delta = batch_df.groupBy(F.col(type_col).alias("event_type")).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     ).select(

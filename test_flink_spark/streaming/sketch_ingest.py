@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators import sketch as sk
-from .snapshots import latest_snapshot, resolve_version, write_snapshot
+from .snapshots import read_latest, resolve_version, write_snapshot
 
 _REG_SCHEMA = "grp STRING, reg LONG, m_rank LONG"
 
@@ -57,13 +57,12 @@ def sketch_ingest_batch(
     returns (and persists) the post-batch register table.  Callable
     directly for batch backfill or through :func:`streaming_sketch_ingest`."""
     spark = batch_df.sparkSession
-    prior_path = latest_snapshot(state_dir, "registers", before=batch_id)
-    version = resolve_version(prior_path, batch_id)
-    prior = (
-        spark.read.parquet(prior_path)
-        if prior_path is not None
-        else spark.createDataFrame([], _REG_SCHEMA)
+    prior_path, prior = read_latest(
+        spark, state_dir, "registers", before=batch_id
     )
+    version = resolve_version(prior_path, batch_id)
+    if prior is None:
+        prior = spark.createDataFrame([], _REG_SCHEMA)
     new_regs = sk.hll_registers(batch_df, value_col, [group_col]).withColumnRenamed(
         group_col, "grp"
     )
@@ -82,10 +81,9 @@ def estimates(spark, state_dir: str, with_rollup: bool = True) -> DataFrame:
     """Fold the LATEST register snapshot through the shared estimator:
     ``(grp, registers_used, hll_est)`` rows, plus an '__all__' rollup row
     max-merged from the per-group sketches (never from the raw values)."""
-    path = latest_snapshot(state_dir, "registers")
+    path, regs = read_latest(spark, state_dir, "registers")
     if path is None:
         raise ValueError(f"no register snapshot under {state_dir}")
-    regs = spark.read.parquet(path)
     per_group = sk.hll_fold_registers(regs, ["grp"])
     if not with_rollup:
         return per_group

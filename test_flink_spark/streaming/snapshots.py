@@ -122,6 +122,41 @@ def write_snapshot(
     return out
 
 
+def read_latest(
+    spark,
+    state_dir: str,
+    prefix: str,
+    before: int | None = None,
+    sidecars: tuple[str, ...] = (),
+):
+    """Resolve the newest committed snapshot AND read it, re-resolving
+    once if the read fails — the shared guard for write_snapshot's narrow
+    retry race (r11 ADVICE): between a retry's two renames the previously
+    committed ``{prefix}_v{N}`` is briefly absent (moved to trash, stage
+    not yet renamed in), so a reader that resolved just before loses the
+    path.  One re-resolve suffices: the rename pair is not repeated for
+    the same version, and a second failure means real corruption, which
+    should raise.  Returns ``(path, DataFrame)`` or ``(None, None)`` when
+    no committed snapshot exists.
+
+    Every snapshot consumer — fold-side prior reads and read-side
+    audit()/merge views — goes through here instead of a bare
+    ``spark.read.parquet(latest_snapshot(...))``; previously only
+    broadcast_rules.apply_rules_batch carried the guard."""
+    path = latest_snapshot(state_dir, prefix, before=before, sidecars=sidecars)
+    if path is None:
+        return None, None
+    try:
+        return path, spark.read.parquet(path)
+    except Exception:
+        path = latest_snapshot(
+            state_dir, prefix, before=before, sidecars=sidecars
+        )
+        if path is None:
+            return None, None
+        return path, spark.read.parquet(path)
+
+
 def read_sidecar(path: str, name: str) -> dict:
     with open(os.path.join(path, name)) as f:
         return json.load(f)

@@ -122,6 +122,51 @@ def streaming_top_n(
     )
 
 
+def streaming_top_n_auto(
+    counts: DataFrame,
+    n: int = 3,
+    window_end_col: str = "window_end_ts",
+    engine: str = "auto",
+) -> DataFrame:
+    """Strategy selector for the pre-aggregated-counts Top-N (r11 verdict
+    item 6: the TWS port is the tested DEFAULT wherever it can run, not an
+    environment-gated curiosity).
+
+    ``engine='auto'`` picks Spark 4's ``transformWithStateInPandas`` port
+    (stateful_topn_tws.py — real ListState + named timers, the 1:1
+    TopNHotItems translation) whenever its python-protobuf control channel
+    is importable (``tws_available()``), else the
+    ``applyInPandasWithState`` GroupState form above.  ``'tws'`` /
+    ``'groupstate'`` force a side (``'tws'`` raises where unavailable).
+
+    Side effect, stated loudly: choosing TWS sets the RocksDB state-store
+    provider on the session conf (``rocksdb_confs``) because
+    transformWithState's ListState needs multiple column families, which
+    the default HDFS-backed provider rejects.  Streaming queries read the
+    provider at THEIR OWN start, so already-running queries are
+    unaffected; queries started afterwards inherit RocksDB, which every
+    operator in this package supports."""
+    from .stateful_topn_tws import (
+        rocksdb_confs,
+        streaming_top_n_tws,
+        tws_available,
+    )
+
+    if engine not in ("auto", "tws", "groupstate"):
+        raise ValueError(f"unknown engine {engine!r}")
+    use_tws = engine == "tws" or (engine == "auto" and tws_available())
+    if engine == "tws" and not tws_available():
+        raise RuntimeError(
+            "engine='tws' forced but python protobuf is unavailable"
+        )
+    if use_tws:
+        spark = counts.sparkSession
+        for k, v in rocksdb_confs().items():
+            spark.conf.set(k, v)
+        return streaming_top_n_tws(counts, n=n, window_end_col=window_end_col)
+    return streaming_top_n(counts, n=n, window_end_col=window_end_col)
+
+
 def _windowed_topn_func(top_size: int):
     """Fused CountAgg + TopNHotItems: state is the per-item count map of one
     window-end key, updated incrementally (the reference's window accumulator

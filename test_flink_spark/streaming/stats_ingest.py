@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators import sketch as sk
-from .snapshots import latest_snapshot, resolve_version, write_snapshot
+from .snapshots import read_latest, resolve_version, write_snapshot
 
 _STATS_SCHEMA = (
     "column STRING, reg LONG, m_rank LONG, min_v LONG, max_v LONG, n_nulls LONG"
@@ -108,13 +108,10 @@ def stats_ingest_batch(
     snapshot; returns the post-batch foldable table.  Callable directly
     for batch backfill or through :func:`streaming_stats_ingest`."""
     spark = batch_df.sparkSession
-    prior_path = latest_snapshot(state_dir, "stats", before=batch_id)
+    prior_path, prior = read_latest(spark, state_dir, "stats", before=batch_id)
     version = resolve_version(prior_path, batch_id)
-    prior = (
-        spark.read.parquet(prior_path)
-        if prior_path is not None
-        else spark.createDataFrame([], _STATS_SCHEMA)
-    )
+    if prior is None:
+        prior = spark.createDataFrame([], _STATS_SCHEMA)
     merged = _fold(prior, _partials(batch_df, columns)).localCheckpoint(eager=True)
     write_snapshot(merged, state_dir, "stats", version)
     return merged
@@ -124,10 +121,9 @@ def stats(spark, state_dir: str) -> DataFrame:
     """Read side: the catalog view of the LATEST snapshot —
     ``(column, ndv_est, min_v, max_v, n_nulls)``, NDV through the shared
     HLL estimator so streaming stats are bit-equal to the batch path."""
-    path = latest_snapshot(state_dir, "stats")
+    path, snap = read_latest(spark, state_dir, "stats")
     if path is None:
         raise ValueError(f"no stats snapshot under {state_dir}")
-    snap = spark.read.parquet(path)
     ndv = sk.hll_fold_registers(
         snap.filter(F.col("reg") >= 0).select("column", "reg", "m_rank"),
         ["column"],

@@ -63,7 +63,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from .snapshots import latest_snapshot, resolve_version, version_of, write_snapshot
+from .snapshots import read_latest, resolve_version, version_of, write_snapshot
 
 _INTERVALS_SCHEMA = "doc_id LONG, s INT, e INT, h LONG"
 
@@ -99,7 +99,9 @@ def verdict_ingest_batch(
     # the verdict snapshot is the commit point: prior state is exactly
     # the shards/versions below it, so orphans from a crashed call are
     # ignored and overwritten (cluster_ingest's crash-resume rule)
-    prior_path = latest_snapshot(state_dir, "verdicts", before=batch_id)
+    prior_path, prior_verdicts_df = read_latest(
+        spark, state_dir, "verdicts", before=batch_id
+    )
     version = resolve_version(prior_path, batch_id)
     new_anch = anchor_contexts(batch_df, "text", "doc_id", k, w, ext).localCheckpoint(
         eager=True
@@ -125,7 +127,7 @@ def verdict_ingest_batch(
         prior_iv = spark.read.parquet(
             os.path.join(state_dir, f"intervals_v{version_of(prior_path)}")
         )
-        prior_verdicts = spark.read.parquet(prior_path)
+        prior_verdicts = prior_verdicts_df
     else:
         prior_anch = spark.createDataFrame([], new_anch.schema)
         prior_meta = spark.createDataFrame([], new_meta.schema)

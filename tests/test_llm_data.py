@@ -1677,3 +1677,91 @@ def test_cluster_sharding_keeps_clusters_whole(spark):
     assert sum(r["n_docs"] for r in out) == n_docs
     assert sum(r["n_clusters"] for r in out) == n_clusters
     assert all(0 <= r["shard"] < L._CS_SHARDS for r in out)
+
+
+def test_capped_pair_oracle_parity_when_cap_binds(spark):
+    """The r12 cap rollout's missing regime at certified SFs: every
+    fixture's max shingle doc-frequency sits BELOW NGRAM_MAX_DOC_FREQ
+    (sf0.01 = 7, sf0.1 = 25, sf1 = 135), so the sf-dir differentials
+    never exercise a FIRING cap.  This test closes that gap on a
+    synthetic hot corpus (300 boilerplate-only carriers, df = 300 > 256,
+    plus one planted genuine near-dup pair):
+
+      1. Spark `ngram_jaccard_pairs` (capped default) must equal the
+         capped DuckDB oracle `_jaccard_sql()` row for row — the oracle
+         replays the doc-frequency filter, not just the happy path;
+      2. the UNCAPPED oracle (`_jaccard_sql(cap=None)`) must disagree
+         (the C(300,2) boilerplate pairs) — proving the cap actually
+         fired in both engines rather than being vacuously equal;
+      3. same pair of claims for `containment_pairs` via a cap=None
+         rebuild of _CONTAINMENT_SQL's algebra.
+    """
+    import duckdb
+    import pandas as pd
+
+    from test_flink_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+    from test_flink_spark.plans.llm_data import _capped_sh_ctes, _jaccard_sql
+
+    hot = "all rights reserved contact us today"
+    rows = [(i, f"{hot} u{i}") for i in range(1, 301)]
+    rows += [
+        (1001, "q1 q2 q3 q4 q5 q6 q7 q8"),
+        (1002, "q1 q2 q3 q4 q5 q6 q7 q8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+
+    def duck_jaccard(sql):
+        return {
+            (a, b): j
+            for a, b, j in con.execute(sql).fetchall()
+        }
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    capped_oracle = duck_jaccard(_jaccard_sql())
+    uncapped_oracle = duck_jaccard(_jaccard_sql(cap=None))
+    assert got == capped_oracle
+    assert got == {(1001, 1002): 1.0}
+    # the uncapped form admits every boilerplate carrier pair: the cap
+    # fired, and the oracle's filter is what matched it
+    assert len(uncapped_oracle) == (300 * 299) // 2 + 1
+
+    cont_sql_capped = f"""
+WITH {_capped_sh_ctes()},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, (shared * 10000) // LEAST(sa.n_sh, sb.n_sh) AS cbp
+FROM shared
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE (shared * 10000) // LEAST(sa.n_sh, sb.n_sh) >= 5000
+"""
+    got_c = {
+        (r["id_a"], r["id_b"]): r["containment_bp"]
+        for r in containment_pairs(df, threshold_bp=5000).collect()
+    }
+    capped_c = {
+        (a, b): c for a, b, c in con.execute(cont_sql_capped).fetchall()
+    }
+    uncapped_c = con.execute(
+        cont_sql_capped.replace(
+            _capped_sh_ctes(), _capped_sh_ctes(cap=None)
+        )
+    ).fetchall()
+    assert got_c == capped_c
+    assert got_c == {(1001, 1002): 10000}
+    assert len(uncapped_c) == (300 * 299) // 2 + 1

@@ -336,6 +336,61 @@ def test_transform_with_state_topn(spark, tmpdirs):
     assert sorted(got)[:2] == [(1, 300, 9), (2, 100, 5)]
 
 
+def test_streaming_top_n_auto_defaults_to_tws(spark, tmpdirs):
+    """r11 verdict item 6: streaming_top_n_auto must pick the
+    transformWithState port BY DEFAULT in this environment (the cloud-sdk
+    protobuf fallback makes tws_available() true here), execute it
+    end-to-end, and agree with the forced GroupState engine on the same
+    fixture — the promotion is semantic-preserving, not just a dispatch."""
+    from test_flink_spark.streaming.stateful_topn import streaming_top_n_auto
+    from test_flink_spark.streaming.stateful_topn_tws import (
+        rocksdb_confs,
+        tws_available,
+    )
+
+    assert tws_available(), "protobuf fallback regressed: auto would demote"
+
+    def run(engine, tag):
+        src = tmpdirs / f"auto_src_{tag}"
+        src.mkdir()
+        (src / "b1.csv").write_text(
+            "120000,100,5\n120000,200,3\n120000,300,9\n"
+        )
+        raw = spark.readStream.schema(
+            "wem BIGINT, item_id BIGINT, cnt BIGINT"
+        ).csv(str(src))
+        counts = raw.select(
+            F.timestamp_millis(F.col("wem")).alias("window_end_ts"),
+            "item_id",
+            "cnt",
+        ).withWatermark("window_end_ts", "0 seconds")
+        out = streaming_top_n_auto(counts, n=2, engine=engine)
+        q = start_memory(out, f"auto_out_{tag}", str(tmpdirs / f"ckpt_{tag}"))
+        try:
+            q.processAllAvailable()
+            (src / "b2.csv").write_text("900000,999,1\n")
+            q.processAllAvailable()
+            return sorted(
+                (r["rank"], r["item_id"], r["cnt"])
+                for r in spark.table(f"auto_out_{tag}").collect()
+                if r["item_id"] != 999
+            )
+        finally:
+            q.stop()
+
+    prev = {k: spark.conf.get(k, None) for k in rocksdb_confs()}
+    try:
+        got_auto = run("auto", "tws")
+        got_gs = run("groupstate", "gs")
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert got_auto == got_gs == [(1, 300, 9), (2, 100, 5)]
+
+
 def test_update_mode_emits_revisions(spark, tmpdirs):
     """Update output mode re-emits a group whenever its aggregate changes —
     the complement of append mode's emit-once-on-close (SURVEY.md §4.3:
@@ -2249,6 +2304,47 @@ def test_cluster_ingest_backfill_resumes_after_partial_write(spark, tmpdirs):
     assert got == want == {(1, 1), (2, 1), (3, 1)}
 
 
+def test_cluster_ingest_cap_creation_time_semantics(spark, tmpdirs):
+    """max_doc_freq on the streaming ingest is CURRENT-VIEW: a shingle
+    over the cap stops generating new candidates and leaves the Jaccard
+    sets, but pairs admitted while it was under the cap keep their
+    cluster effect (creation-time semantics).  Fixture: batch 0 delivers
+    an identical pair (df = 2 <= cap), batch 1 delivers two more copies
+    pushing df to 4 > cap — the newcomers must NOT pair (their only
+    shingles are hot now) while the existing cluster persists.  The
+    capped BATCH recompute over the union drops the end-state-hot
+    shingles retroactively and sees only singletons — exactly the
+    documented divergence between the two semantics."""
+    from test_flink_spark.operators.dedup import duplicate_clusters
+    from test_flink_spark.streaming.cluster_ingest import cluster_ingest_batch
+
+    state = tmpdirs / "cluster_cap_state"
+    schema = "doc_id LONG, text STRING"
+    a = "alpha beta gamma delta epsilon zeta"
+    cluster_ingest_batch(
+        spark.createDataFrame([(1, a), (2, a)], schema),
+        str(state),
+        batch_id=None,
+        max_doc_freq=2,
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in cluster_ingest_batch(
+            spark.createDataFrame([(3, a), (4, a)], schema),
+            str(state),
+            batch_id=None,
+            max_doc_freq=2,
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 3), (4, 4)}
+    union = spark.createDataFrame([(i, a) for i in (1, 2, 3, 4)], schema)
+    batch_capped = {
+        (r["doc_id"], r["cluster_id"])
+        for r in duplicate_clusters(union, max_doc_freq=2).collect()
+    }
+    assert batch_capped == {(1, 1), (2, 2), (3, 3), (4, 4)}
+
+
 def test_streaming_verdict_ingest_matches_batch(spark, tmpdirs):
     """Streaming incremental RETENTION VERDICTS (r8 verdict item 5,
     streaming/verdict_ingest.py): after EVERY micro-batch the persisted
@@ -3543,10 +3639,14 @@ def test_write_snapshot_stage_rename_protocol(spark, tmpdirs):
 
 
 def _gdpr_python_audit(rows):
-    """Naive replay of plans.advanced.gdpr_erasure_audit over a list of
-    (src, k1, k2) arrival records: cohort = md5(custkey) % 32 == 0;
-    lineitem counts only where the order has arrived (inner-join
-    semantics, same as the batch query)."""
+    """Naive replay of the TWIN's semantics over a list of (src, k1, k2)
+    arrival records: cohort membership by the stateless md5(custkey) % 32
+    predicate on the row itself (NOT via the customer table — the twin
+    deliberately counts orders/events whose customer row is still in
+    flight; test_gdpr_customer_late_fk_divergence_and_convergence pins
+    the divergence from the join-based batch audit and the convergence
+    at FK-completeness); lineitem counts only where the order has arrived
+    (inner-join semantics, same as the batch query)."""
     import hashlib
 
     def in_cohort(ck):
@@ -3652,6 +3752,122 @@ def test_gdpr_ingest_retry_idempotent_and_orphan_resume(spark, tmpdirs):
         for r in audit(spark, str(state)).collect()
     }
     assert got2 == want
+
+
+def test_gdpr_pending_discards_non_cohort_orphans(spark, tmpdirs):
+    """r11 ADVICE (medium): lineitems referencing a SEEN non-cohort order
+    must be discarded, not re-queued into pending forever — pending holds
+    only truly in-flight orphans, so the snapshot is O(cohort + seen
+    orderkeys), never O(ingested lineitems)."""
+    import hashlib
+
+    from test_flink_spark.streaming.gdpr_ingest import audit, gdpr_ingest_batch
+    from test_flink_spark.streaming.snapshots import latest_snapshot
+
+    def in_cohort(ck):
+        return int(hashlib.md5(str(ck).encode()).hexdigest()[:15], 16) % 32 == 0
+
+    non_ck = next(c for c in range(64) if not in_cohort(c))
+    state = tmpdirs / "gdpr_pending_bound"
+    schema = "src STRING, k1 LONG, k2 LONG"
+    # batch 0: a NON-cohort order arrives
+    gdpr_ingest_batch(
+        spark.createDataFrame([("orders", 900, non_ck)], schema),
+        str(state),
+        batch_id=0,
+    )
+    # batches 1..3: lineitems for that order, plus one true orphan (order
+    # 901 never arrives)
+    for bid in (1, 2, 3):
+        gdpr_ingest_batch(
+            spark.createDataFrame(
+                [("lineitem", 900, None)] * 5 + [("lineitem", 901, None)],
+                schema,
+            ),
+            str(state),
+            batch_id=bid,
+        )
+    snap = spark.read.parquet(latest_snapshot(str(state), "gdpr"))
+    pending = {
+        (r["k"], r["v"])
+        for r in snap.filter(snap.kind == "pending").collect()
+    }
+    # the 15 non-cohort lineitems are GONE; the 3 true orphans accumulate
+    assert pending == {(901, 3)}
+    seen = {r["k"] for r in snap.filter(snap.kind == "seen").collect()}
+    assert seen == {900}
+    # and nothing leaked into the audit
+    assert audit(spark, str(state)).count() == 0
+
+
+def test_gdpr_customer_late_fk_divergence_and_convergence(spark, tmpdirs):
+    """r11 ADVICE (low): the orders/events legs decide cohort membership
+    with the stateless md5(custkey) predicate on arrival, while the batch
+    audit joins through the CUSTOMER table — so an order arriving BEFORE
+    its customer row is counted by the twin and excluded by the batch
+    query over rows-so-far.  This test pins BOTH halves of that contract:
+    the documented mid-stream divergence on an FK-incomplete prefix, and
+    exact convergence (against a JOIN-BASED replay of the batch audit)
+    the moment the customer row lands."""
+    import hashlib
+
+    from test_flink_spark.streaming.gdpr_ingest import audit, gdpr_ingest_batch
+
+    def in_cohort(ck):
+        return int(hashlib.md5(str(ck).encode()).hexdigest()[:15], 16) % 32 == 0
+
+    ck = next(c for c in range(64) if in_cohort(c))
+
+    def join_based_audit(rows):
+        """The batch gdpr_erasure_audit's semantics, replayed naively:
+        cohort = stratum-filtered CUSTOMER rows seen so far; orders,
+        events and (via orders) lineitems count only through a join."""
+        cust = {k1 for s, k1, k2 in rows if s == "customer" and in_cohort(k1)}
+        omap = {k1: k2 for s, k1, k2 in rows if s == "orders"}
+        agg = {}
+
+        def add(t, subj):
+            agg.setdefault(t, {}).setdefault(subj, 0)
+            agg[t][subj] += 1
+
+        for s, k1, k2 in rows:
+            if s == "customer" and k1 in cust:
+                add("customer", k1)
+            elif s == "orders" and k2 in cust:
+                add("orders", k2)
+            elif s == "events" and k1 in cust:
+                add("events", k1)
+            elif s == "lineitem" and omap.get(k1) in cust:
+                add("lineitem", omap[k1])
+        return {t: (sum(d.values()), len(d)) for t, d in agg.items()}
+
+    state = tmpdirs / "gdpr_fk_late"
+    schema = "src STRING, k1 LONG, k2 LONG"
+    b0 = [("orders", 500, ck), ("lineitem", 500, None), ("events", ck, None)]
+    b1 = [("customer", ck, None)]
+    gdpr_ingest_batch(spark.createDataFrame(b0, schema), str(state), batch_id=0)
+    got0 = {
+        r["table_name"]: (r["n_rows"], r["n_subjects"])
+        for r in audit(spark, str(state)).collect()
+    }
+    # twin counts the order/event/lineitem NOW (subject determinable from
+    # the row); the batch-join replay sees no cohort yet — the documented
+    # FK-incomplete divergence
+    assert got0 == {"orders": (1, 1), "lineitem": (1, 1), "events": (1, 1)}
+    assert join_based_audit(b0) == {}
+    # customer lands: rows-so-far are FK-complete, parity must be exact
+    gdpr_ingest_batch(spark.createDataFrame(b1, schema), str(state), batch_id=1)
+    got1 = {
+        r["table_name"]: (r["n_rows"], r["n_subjects"])
+        for r in audit(spark, str(state)).collect()
+    }
+    assert got1 == join_based_audit(b0 + b1)
+    assert got1 == {
+        "customer": (1, 1),
+        "orders": (1, 1),
+        "lineitem": (1, 1),
+        "events": (1, 1),
+    }
 
 
 def test_gdpr_ingest_runs_as_streaming_query(spark, tmpdirs):

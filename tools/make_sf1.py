@@ -48,9 +48,11 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     R = args.replicas
-    DST = args.out or os.path.join(
-        _REPO, ".sf1" if R == 10 else f".sf{R // 10}"
-    )
+    # suffix derived from the ACTUAL scale (replicas of sf0.1), not
+    # R // 10 (r11 ADVICE: --replicas 15 silently collided with the 10x
+    # dir and --replicas 5 wrote .sf0): 10 -> .sf1, 100 -> .sf10,
+    # 15 -> .sf1.5, 5 -> .sf0.5
+    DST = args.out or os.path.join(_REPO, f".sf{R / 10:g}")
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
 

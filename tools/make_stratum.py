@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
-"""Materialize a deterministic md5-stratum subset of the sf1 dataset so
+"""Materialize a deterministic md5-stratum subset of the sf1 (or, via
+--src, any scale) dataset so
 the DuckDB-intractable oracles get DIRECT sf1 value-hash evidence
 (r10 verdict item 3 — the join_cardinality_estimate trick applied to
 whole queries).
@@ -58,8 +59,12 @@ def main() -> int:
         " DuckDB replay (iterative peel / closure) spills at full sf1",
     )
     args = ap.parse_args()
+    # default out name follows the SOURCE scale dir (r11 verdict item 5:
+    # the same cutter serves .sf10 for 100x-scale value evidence):
+    # .sf1 -> .sf1_stratum16, .sf10 -> .sf10_stratum16
+    base = os.path.basename(os.path.normpath(args.src)).lstrip(".")
     out = args.out or os.path.join(
-        REPO, f".sf1_stratum{args.mod}{'t' if args.tpch else ''}"
+        REPO, f".{base}_stratum{args.mod}{'t' if args.tpch else ''}"
     )
     os.makedirs(out, exist_ok=True)
 
