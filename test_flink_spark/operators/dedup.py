@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .fanout import fan_out
 from .text import words
 
 
@@ -66,6 +67,20 @@ MINHASH_MOD = 2147483647
 NGRAM_MAX_DOC_FREQ = 256
 
 
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Release an eager ``localCheckpoint``'s blocks (PySpark has no public
+    unpersist for them): resolve the LogicalRDD's own RDD id and unpersist
+    at the RDD level — the graph._rolling_checkpoint discipline, exposed
+    for one-shot pins like the stop-shingle hot set."""
+    try:
+        rid = df._jdf.queryExecution().analyzed().rdd().id()
+        jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+        if jmap.containsKey(rid):
+            jmap.get(rid).unpersist(False)
+    except Exception:  # noqa: BLE001 — internals moved; blocks stay pinned
+        pass
+
+
 def minhash_coeffs(num_perm: int) -> list[tuple[int, int]]:
     """Deterministic (a_p, b_p) pairs for the affine permutations, derived
     from md5 so any engine reproduces them (a must be non-zero)."""
@@ -85,7 +100,7 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     # Fan out first: a single-file parquet corpus arrives as ONE partition,
     # and everything downstream (md5 per shingle, minhash aggs, index joins)
     # is compute-bound — spread it across the cluster before the explode.
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = fan_out(df)
     ws = words(F.col(text_col))
     # guard: sequence(1, 0) is DESCENDING in Spark ([1,0]), not empty — docs
     # shorter than n words must yield an empty shingle set explicitly
@@ -120,7 +135,7 @@ def shingle_hashes(
     document would merge two shingles.  That convention is shared with the
     DuckDB oracles (their DISTINCT is on the same md5-derived int), so the
     differential gate checks the exact semantics shipped here."""
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = fan_out(df)
     ws = words(F.col(text_col))
     idx = F.when(
         F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))
@@ -153,6 +168,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = NGRAM_MAX_DOC_FREQ,
+    _hot_out: list | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
@@ -197,6 +213,11 @@ def ngram_jaccard_pairs(
         hot = freq.filter(F.col("df_") > max_doc_freq).select(
             "h"
         ).localCheckpoint(eager=True)
+        if _hot_out is not None:
+            # hand the checkpoint to the caller for unpersist once its
+            # consumer has materialized (cache discipline: a long-running
+            # service must not accumulate one pinned hot set per call)
+            _hot_out.append(hot)
         sh = sh.join(hot, "h", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -478,7 +499,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     Pure expression tree (explode + conditional sums) — engine-independent
     md5 word hashes, reproduced exactly by the oracle SQL.
     """
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = fan_out(df)
     w = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
     hw = w.select(F.col(id_col), _h60(F.col("w")).alias("h"))
     votes = [
@@ -509,7 +530,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     disjoint 32-bit slices of the SAME md5 (chars 1-8 and 9-16) — md5
     bits are independent, and the oracle reproduces both slices exactly.
     """
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = fan_out(df)
     w = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
     hw = w.select(
         F.col(id_col),
@@ -691,18 +712,26 @@ def duplicate_clusters(
             f"exactly in decimal(38,0). Map string ids to BIGINT first "
             f"(e.g. conv(substring(md5(id),1,15),16,10))."
         )
+    hot_handles: list = []
     pairs = ngram_jaccard_pairs(
-        df, text_col, id_col, threshold=threshold, max_doc_freq=max_doc_freq
+        df, text_col, id_col, threshold=threshold, max_doc_freq=max_doc_freq,
+        _hot_out=hot_handles,
     ).select("id_a", "id_b")
     from .graph import min_label_components
 
-    return min_label_components(
+    out = min_label_components(
         pairs,
         df.select(F.col(id_col)),
         id_col,
         max_iter=max_iter,
         warn_name="duplicate_clusters",
     )
+    # min_label_components returns an eager localCheckpoint — the hot-set
+    # pin is no longer reachable from any live plan, so release it here
+    # (the cache-discipline contract: <= 1 persistent RDD survives a call)
+    for h in hot_handles:
+        _unpersist_checkpoint(h)
+    return out
 
 
 def minhash_signature_expr(
