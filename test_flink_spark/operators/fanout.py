@@ -1,0 +1,41 @@
+"""Scale-adaptive fan-out before expensive map-side passes.
+
+A single-file parquet corpus (one row group — not splittable) arrives as
+ONE scan partition, so every downstream map-side pass (per-gram md5,
+higher-order-function vector math, multi-distinct Expand) runs
+single-threaded no matter how many cores the cluster has.  The classic
+fix — an unconditional ``repartition(defaultParallelism)`` — is a full
+shuffle of the input: correct locally, an anti-pattern at 100 TB where
+the scan already yields thousands of splits and the repartition would
+move the whole corpus across the network for nothing.
+
+``fan_out`` makes the crutch conditional: repartition ONLY when the
+input is narrower than the cluster.  At scale the condition is false and
+the operator's plan contains no exchange; on a small/local corpus it
+fans out exactly as before.  (Measured at sf0.1/local: the winnowing
+gram pass drops 3.8 s -> 1.0 s once its md5 work stops running on one
+core — r12 optimization round.)
+
+Streaming micro-batches cannot be inspected (``.rdd`` is illegal on a
+streaming DataFrame); they keep the unconditional repartition their
+operators always applied — micro-batch volumes are bounded, so the
+shuffle is small by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
+    """Round-robin repartition to ``defaultParallelism * multiple`` unless
+    the input already has at least that many partitions."""
+    target = df.sparkSession.sparkContext.defaultParallelism * multiple
+    if df.isStreaming:
+        return df.repartition(target)
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:  # noqa: BLE001 — unplannable input: keep old behavior
+        pass
+    return df.repartition(target)

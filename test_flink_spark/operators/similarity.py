@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .fanout import fan_out
+
 
 def _to_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -74,7 +76,7 @@ def cosine_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).withColumn("nq", _norm(F.col("qv"), dim))
     c = (
-        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        fan_out(corpus)
         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
         .withColumn("nc", _norm(F.col("cv"), dim))
     )
@@ -245,7 +247,7 @@ def near_dup_pairs(
     O(n²) norm folds — 3× fewer flops per pair) with the identical fold
     arithmetic, so per-pair results are bit-equal to the naive form."""
     a = (
-        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        fan_out(corpus)
         .select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         .withColumn("na", _norm(F.col("va"), dim))
     )

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import _h60, shingle_hashes
+from .fanout import fan_out
 from .text import words
 
 
@@ -191,6 +192,10 @@ def winnowing_fingerprints(
     the gram count and only 8-byte hashes ever shuffle."""
     from pyspark.sql import Window
 
+    # fan out before the per-gram md5 pass: a single-file corpus arrives as
+    # ONE scan partition and the gram hashing is the dominant map cost
+    # (measured 3.8 s -> 1.0 s at sf0.1 — r12 optimization round)
+    df = fan_out(df)
     ws = words(F.col(text_col))
     idx = F.when(
         F.size(ws) >= k, F.sequence(F.lit(1), F.size(ws) - (k - 1))
@@ -302,6 +307,9 @@ def anchor_contexts(
     substring_anchor_index: <= max_df on the corpus side only)."""
     from pyspark.sql import Window
 
+    # same fan-out as winnowing_fingerprints: the gram-hash pass and the
+    # ctx-slice join side below must not run on one core locally
+    df = fan_out(df)
     ws = words(F.col(text_col))
     idx = F.when(
         F.size(ws) >= k, F.sequence(F.lit(1), F.size(ws) - (k - 1))

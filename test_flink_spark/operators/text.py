@@ -15,6 +15,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .fanout import fan_out
+
 # Words counted as stopwords by the quality scorer and language-ID heuristic.
 STOPWORDS_EN = ("the", "a", "of", "and", "to", "in")
 
@@ -137,7 +139,7 @@ def repetition_scores(
     # a single-file parquet corpus arrives as ONE partition; the explode +
     # first aggregation are compute-bound, so fan out before them (the
     # groupBys shuffle anyway — this adds parallelism, not a new barrier)
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = fan_out(df)
     bi = df.select(F.col(id_col), F.explode(bigrams(F.col(text_col))).alias("bg"))
     per_pair = bi.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
     return per_pair.groupBy(id_col).agg(

@@ -2665,7 +2665,12 @@ def collect_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     column, exact NDV / null count / integer min / integer max (floats
     in cents, dates in epoch millis).  Output: column, ndv, n_nulls,
     min_v, max_v."""
-    li = _t(spark, sf_dir, "lineitem")
+    from ..operators.fanout import fan_out
+
+    # multi-distinct aggregates plan an Expand of ~17 projections per input
+    # row — heavy map work that must not run on the single partition a
+    # one-file parquet scan yields (measured 3.5 s -> 2.1 s at sf0.1)
+    li = fan_out(_t(spark, sf_dir, "lineitem"))
     aggs = []
     for name, sexpr, _ in _CTS_COLS:
         aggs += [

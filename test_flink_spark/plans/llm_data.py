@@ -28,6 +28,7 @@ from ..operators.similarity import (
     near_dup_pairs_lsh,
 )
 from ..operators.text import fingerprint, language_id, quality_scores, token_stats
+from ..operators.fanout import fan_out
 from ..schemas import load_table
 from ..session import apply_runtime_confs
 
@@ -4924,7 +4925,7 @@ def text_trigram_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan out before the char-level explode: a single-file corpus arrives
     # as ONE partition and the index build is compute-bound (the
     # shingles() discipline)
-    fanned = docs.repartition(spark.sparkContext.defaultParallelism)
+    fanned = fan_out(docs)
     postings = fanned.select(
         "doc_id",
         F.explode(

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators.topn import top_n_by_count
 from ..operators.windows import session_count, sliding_count, tumbling_count
+from ..operators.fanout import fan_out
 from ..schemas import load_table
 from ..session import apply_runtime_confs
 
@@ -161,7 +162,7 @@ def csv_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here (format_string + regexp + from_csv) is compute-bound: fan out
     # before the parse or it runs on one core (measured 5.5 s -> 0.3 s at
     # sf0.1; same rule as repetition_scores/shingles)
-    df = df.repartition(spark.sparkContext.defaultParallelism)
+    df = fan_out(df)
     lines = df.select(
         F.format_string("%d , %s , %d", "user_id", "event_type", "event_id").alias("value")
     )
