@@ -210,15 +210,23 @@ def ngram_jaccard_pairs(
         # re-running the freq aggregation per branch — measured +1.4-3.4 s
         # per query at sf0.1 without it (r12 preflight).
         freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df_"))
-        hot = freq.filter(F.col("df_") > max_doc_freq).select(
-            "h"
-        ).localCheckpoint(eager=True)
+        hot = freq.filter(F.col("df_") > max_doc_freq).select("h")
+        # Pin the CAPPED shingle table, not just the hot set: three plan
+        # branches read it (sizes + both self-join sides), and without a
+        # materialization each branch re-runs the shingle pass, the freq
+        # aggregation and the anti-join — four corpus passes per query
+        # (measured: the shared dedup stage tripled when the r12 cap
+        # rollout pinned only `hot`).  The pin is O(doc-shingle rows) of
+        # 16-byte (id, hash) pairs, MEMORY_AND_DISK, and at 100 TB it is
+        # the same artifact a production pipeline persists as its shingle
+        # index table instead of re-deriving per consumer (guide §5:
+        # reuse x recompute-cost > memory pressure here).
+        sh = sh.join(hot, "h", "left_anti").localCheckpoint(eager=True)
         if _hot_out is not None:
             # hand the checkpoint to the caller for unpersist once its
             # consumer has materialized (cache discipline: a long-running
-            # service must not accumulate one pinned hot set per call)
-            _hot_out.append(hot)
-        sh = sh.join(hot, "h", "left_anti")
+            # service must not accumulate one pinned table per call)
+            _hot_out.append(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -280,10 +288,10 @@ def containment_pairs(
         # re-running the freq aggregation per branch — measured +1.4-3.4 s
         # per query at sf0.1 without it (r12 preflight).
         freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df_"))
-        hot = freq.filter(F.col("df_") > max_doc_freq).select(
-            "h"
-        ).localCheckpoint(eager=True)
-        sh = sh.join(hot, "h", "left_anti")
+        hot = freq.filter(F.col("df_") > max_doc_freq).select("h")
+        # pin the capped shingle table once for the three consuming
+        # branches — see ngram_jaccard_pairs for the measured rationale
+        sh = sh.join(hot, "h", "left_anti").localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (

@@ -29,13 +29,24 @@ from pyspark.sql import DataFrame
 
 def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
     """Round-robin repartition to ``defaultParallelism * multiple`` unless
-    the input already has at least that many partitions."""
+    the input's leaf scans already span at least that many files.
+
+    The width probe is ``df.inputFiles()`` — pure catalog metadata, no
+    job.  ``df.rdd.getNumPartitions()`` would be exact but is a TRAP
+    under AQE: materializing the RDD of a plan that contains exchanges
+    EXECUTES every non-result shuffle stage eagerly, so probing a derived
+    input would run (part of) the query twice (measured: the shared
+    dedup stage went 4 s -> 12.7 s with an .rdd probe).  File count is
+    the right proxy for the thing being decided: a many-file scan is
+    already parallel at the source, which is exactly the at-scale case
+    where the repartition must not run; a few-file (local/small) input
+    keeps the fan-out the unconditional form always applied."""
     target = df.sparkSession.sparkContext.defaultParallelism * multiple
     if df.isStreaming:
         return df.repartition(target)
     try:
-        if df.rdd.getNumPartitions() >= target:
+        if len(df.inputFiles()) >= target:
             return df
-    except Exception:  # noqa: BLE001 — unplannable input: keep old behavior
+    except Exception:  # noqa: BLE001 — no file source: keep old behavior
         pass
     return df.repartition(target)

@@ -6402,10 +6402,10 @@ def _shared_pair_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..operators.dedup import NGRAM_MAX_DOC_FREQ
 
         freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df_"))
-        hot = freq.filter(F.col("df_") > NGRAM_MAX_DOC_FREQ).select(
-            "h"
-        ).localCheckpoint(eager=True)
-        sh = sh.join(hot, "h", "left_anti")
+        hot = freq.filter(F.col("df_") > NGRAM_MAX_DOC_FREQ).select("h")
+        # pin the capped shingle table (not just the hot set): sizes and
+        # both self-join sides read it — see ngram_jaccard_pairs
+        sh = sh.join(hot, "h", "left_anti").localCheckpoint(eager=True)
         sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
         a, b = sh.alias("a"), sh.alias("b")
         df = (
