@@ -97,10 +97,20 @@ def ivf_train(
 
     Seeding: the k vectors with the smallest ``md5(seed ':' id)`` (hash
     order = reproducible pseudo-random, cluster id = rank).  Each iteration
-    assigns against literal centroids (narrow pass) and aggregates k rows
-    of per-dimension sums; only those k rows reach the driver.
+    is ONE Arrow pass: per batch, numpy assigns every vector to its nearest
+    centroid and emits per-cluster partial ``(n, per-dim sums)`` rows —
+    <= k rows per batch, merged exactly on the driver (int64 sums are
+    associative; numpy integer arithmetic is bit-identical to a JVM fold,
+    the sq8/SemDedup precedent).  The r12 rewrite: the old form built a
+    k·dim-literal Catalyst expression (8×64 = 512-term distance tree) that
+    was re-analyzed and interpreted per Lloyd collect — measured 2.14 s vs
+    0.58 s for the identical centroids at sf0.1 (guide §4.2: hand whole
+    batches to vectorized native code; the values are unchanged).
     ``train_frac`` trains on a deterministic hash sample — at corpus scale
-    the codebook needs a sample, not the corpus.
+    the codebook needs a sample, not the corpus.  The quantized training
+    sample is pinned (MEMORY_AND_DISK localCheckpoint) for the iterations
+    and released before return — the standard cache-the-training-set shape
+    (guide §5: reused per iteration, recompute = full scan + quantize).
     """
     from .sampling import hash_bucket
 
@@ -109,32 +119,64 @@ def ivf_train(
         q = q.filter(
             hash_bucket(F.col("vid"), f"{seed}-train") < round(train_frac * 10_000)
         )
-    seeds = (
-        q.withColumn(
-            "h", F.md5(F.concat(F.lit(f"{seed}:"), F.col("vid").cast("string")))
-        )
-        .orderBy("h", "vid")  # TakeOrdered(k) — no global sort materializes
-        .limit(k)
-        .collect()
-    )
-    centroids = [list(r["qv"]) for r in seeds]
-    for _ in range(iters):
-        assigned = q.withColumn("cluster", _argmin_cluster(F.col("qv"), centroids))
-        sums = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)],
+    q = q.localCheckpoint(eager=True)
+    try:
+        seeds = (
+            q.withColumn(
+                "h", F.md5(F.concat(F.lit(f"{seed}:"), F.col("vid").cast("string")))
             )
+            .orderBy("h", "vid")  # TakeOrdered(k) — no global sort materializes
+            .limit(k)
             .collect()
         )
-        updated = {
-            int(r["cluster"]): [math.floor(r[f"s{i}"] / r["n"]) for i in range(dim)]
-            for r in sums
-        }
-        # empty clusters keep their previous centroid
-        centroids = [updated.get(cid, c) for cid, c in enumerate(centroids)]
-    return centroids
+        centroids = [list(r["qv"]) for r in seeds]
+        for _ in range(iters):
+            cents = centroids
+
+            def _partials(batches):
+                import numpy as np
+                import pandas as pd
+
+                c_arr = np.asarray(cents, dtype=np.int64)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    x = np.stack(pdf["qv"].to_numpy()).astype(np.int64, copy=False)
+                    d = ((x[:, None, :] - c_arr[None, :, :]) ** 2).sum(axis=2)
+                    # numpy argmin takes the FIRST minimum — the same
+                    # lowest-cid tie-break as _argmin_cluster / the oracle
+                    cl = d.argmin(axis=1)
+                    cids, ns, sums = [], [], []
+                    for cid in np.unique(cl):
+                        sel = x[cl == cid]
+                        cids.append(int(cid))
+                        ns.append(int(sel.shape[0]))
+                        sums.append([int(v) for v in sel.sum(axis=0)])
+                    yield pd.DataFrame({"cluster": cids, "n": ns, "sm": sums})
+
+            parts = q.mapInPandas(
+                _partials, "cluster bigint, n bigint, sm array<bigint>"
+            ).collect()
+            merged: dict[int, list] = {}
+            for r in parts:
+                cid = int(r["cluster"])
+                if cid in merged:
+                    merged[cid][0] += int(r["n"])
+                    merged[cid][1] = [a + b for a, b in zip(merged[cid][1], r["sm"])]
+                else:
+                    merged[cid] = [int(r["n"]), list(r["sm"])]
+            # floor of the float quotient, exactly as the old groupBy path
+            # (exact <2^53 integers divide correctly rounded — module doc)
+            updated = {
+                cid: [math.floor(s / n) for s in sm] for cid, (n, sm) in merged.items()
+            }
+            # empty clusters keep their previous centroid
+            centroids = [updated.get(cid, c) for cid, c in enumerate(centroids)]
+        return centroids
+    finally:
+        from .dedup import _unpersist_checkpoint
+
+        _unpersist_checkpoint(q)
 
 
 def ivf_assign(
@@ -659,11 +701,17 @@ def pq_train(
     lowest-cid tie-break, ``floor(sum/count)`` centroid updates, empty
     clusters keep their codeword.
 
-    One-pass shape: the residual table explodes to (vid, s, 16-dim slice)
-    rows ONCE (localCheckpointed — seeding + every Lloyd pass reuse it),
-    each iteration is a single narrow assignment pass (all m codebooks as
-    literals, branch on ``s``) + ONE groupBy(s, cluster) whose output is
-    m·ksub summary rows to the driver — never the vectors.
+    One-pass shape: the residual table ``(vid, r)`` is materialized ONCE
+    (localCheckpointed — seeding + every Lloyd pass read it, released
+    before return); the (vid, s, slice) explode exists only lazily for
+    seeding.  Each iteration is ONE Arrow pass over the residuals: numpy
+    slices the m subspaces, assigns each against its codebook, and emits
+    per-(s, cluster) partial ``(n, per-dim sums)`` rows — <= m·ksub rows
+    per batch, merged exactly on the driver (int64 sums are associative;
+    the sq8/SemDedup bit-exactness precedent).  The r12 rewrite: the old
+    per-iteration ``when``-chain over m·ksub·dsub literal distance terms
+    (1024 literals) was re-analyzed and interpreted per collect —
+    measured 6.18 s vs 1.49 s for identical books at sf0.1 (guide §4.2).
 
     ``train_frac`` trains on a deterministic hash sample, the same
     ``hash_bucket(id, seed + '-train')`` arithmetic as :func:`ivf_train`
@@ -692,9 +740,9 @@ def pq_train(
             F.element_at(cent_lit, (F.col("cluster") + 1).cast("int")),
             lambda a, b: a - b,
         ).alias("r"),
-    )
-    sub = (
-        res.select(
+    ).localCheckpoint(eager=True)
+    try:
+        sub = res.select(
             "vid",
             F.explode(
                 F.array(
@@ -707,64 +755,91 @@ def pq_train(
                     ]
                 )
             ).alias("e"),
-        )
-        .select("vid", "e.s", "e.qv")
-        .localCheckpoint(eager=True)
-    )
-    wnd = Window.partitionBy("s").orderBy("h", "vid")
-    seed_rows = (
-        sub.withColumn(
-            "h",
-            F.md5(
-                F.concat(
-                    F.lit(seed),
-                    F.col("s").cast("string"),
-                    F.lit(":"),
-                    F.col("vid").cast("string"),
-                )
-            ),
-        )
-        .withColumn("rk", F.row_number().over(wnd))
-        .filter(F.col("rk") <= ksub)
-        .select("s", (F.col("rk") - 1).alias("cid"), "qv")
-        .collect()
-    )
-    books: list[list[list[int]]] = [[None] * ksub for _ in range(m)]
-    for r in seed_rows:
-        books[r["s"]][r["cid"]] = list(r["qv"])
-    for s, book in enumerate(books):
-        n_seeded = sum(1 for cw in book if cw is not None)
-        if n_seeded < ksub:
-            raise ValueError(
-                f"pq_train: subspace {s} has only {n_seeded} < ksub={ksub} "
-                f"training rows — shrink ksub or enlarge the training set"
+        ).select("vid", "e.s", "e.qv")
+        wnd = Window.partitionBy("s").orderBy("h", "vid")
+        seed_rows = (
+            sub.withColumn(
+                "h",
+                F.md5(
+                    F.concat(
+                        F.lit(seed),
+                        F.col("s").cast("string"),
+                        F.lit(":"),
+                        F.col("vid").cast("string"),
+                    )
+                ),
             )
-    for _ in range(iters):
-        assign = F.when(F.col("s") == 0, _argmin_cluster(F.col("qv"), books[0]))
-        for s in range(1, m):
-            assign = assign.when(
-                F.col("s") == s, _argmin_cluster(F.col("qv"), books[s])
-            )
-        sums = (
-            sub.withColumn("cluster", assign)
-            .groupBy("s", "cluster")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dsub)],
-            )
+            .withColumn("rk", F.row_number().over(wnd))
+            .filter(F.col("rk") <= ksub)
+            .select("s", (F.col("rk") - 1).alias("cid"), "qv")
             .collect()
         )
-        updated = {
-            (int(r["s"]), int(r["cluster"])): [
-                math.floor(r[f"s{i}"] / r["n"]) for i in range(dsub)
+        books: list[list[list[int]]] = [[None] * ksub for _ in range(m)]
+        for r in seed_rows:
+            books[r["s"]][r["cid"]] = list(r["qv"])
+        for s, book in enumerate(books):
+            n_seeded = sum(1 for cw in book if cw is not None)
+            if n_seeded < ksub:
+                raise ValueError(
+                    f"pq_train: subspace {s} has only {n_seeded} < ksub={ksub} "
+                    f"training rows — shrink ksub or enlarge the training set"
+                )
+        for _ in range(iters):
+            bks = books
+
+            def _partials(batches):
+                import numpy as np
+                import pandas as pd
+
+                b_arr = np.asarray(bks, dtype=np.int64)  # (m, ksub, dsub)
+                n_sub, d_sub = b_arr.shape[0], b_arr.shape[2]
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    r = np.stack(pdf["r"].to_numpy()).astype(np.int64, copy=False)
+                    out_s, out_c, out_n, out_sum = [], [], [], []
+                    for s in range(n_sub):
+                        rs = r[:, s * d_sub : (s + 1) * d_sub]
+                        d = ((rs[:, None, :] - b_arr[s][None, :, :]) ** 2).sum(axis=2)
+                        # first minimum = lowest-cid tie-break (oracle rule)
+                        cl = d.argmin(axis=1)
+                        for cid in np.unique(cl):
+                            sel = rs[cl == cid]
+                            out_s.append(s)
+                            out_c.append(int(cid))
+                            out_n.append(int(sel.shape[0]))
+                            out_sum.append([int(v) for v in sel.sum(axis=0)])
+                    yield pd.DataFrame(
+                        {"s": out_s, "cluster": out_c, "n": out_n, "sm": out_sum}
+                    )
+
+            parts = res.mapInPandas(
+                _partials, "s int, cluster bigint, n bigint, sm array<bigint>"
+            ).collect()
+            merged: dict[tuple, list] = {}
+            for r in parts:
+                key = (int(r["s"]), int(r["cluster"]))
+                if key in merged:
+                    merged[key][0] += int(r["n"])
+                    merged[key][1] = [
+                        a + b for a, b in zip(merged[key][1], r["sm"])
+                    ]
+                else:
+                    merged[key] = [int(r["n"]), list(r["sm"])]
+            # floor of the float quotient, exactly as the old groupBy path
+            updated = {
+                key: [math.floor(s / n) for s in sm]
+                for key, (n, sm) in merged.items()
+            }
+            books = [
+                [updated.get((s, cid), books[s][cid]) for cid in range(ksub)]
+                for s in range(m)
             ]
-            for r in sums
-        }
-        books = [
-            [updated.get((s, cid), books[s][cid]) for cid in range(ksub)]
-            for s in range(m)
-        ]
-    return books
+        return books
+    finally:
+        from .dedup import _unpersist_checkpoint
+
+        _unpersist_checkpoint(res)
 
 
 def ivfpq_ann_topk(
