@@ -488,18 +488,27 @@ def min_label_components(
         # stringification alone OOMs by round ~12), so each generation is
         # rolling-checkpointed: constant-depth plan, two generations of
         # blocks live, superseded ones freed (pagerank discipline)
+        #
+        # The fixed-point label sum rides the checkpoint job as an
+        # Observation (CollectMetrics): the materializing pass computes it
+        # map-side for free, replacing the separate one-job-per-round
+        # aggregate that re-scanned the fresh generation (guide §1/2:
+        # one full pass per round removed; exact decimal sum unchanged).
+        from pyspark.sql import Observation
+
+        obs = Observation()
         new_labels = _rolling_checkpoint(
             one_hop.join(jump, one_hop.label == jump.jnode, "left").select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce("jlabel", "label")
                 ).alias("label"),
+            ).observe(
+                obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
             ),
             cp_ids,
         )
-        label_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
+        label_sum = obs.get["s"]
         labels = new_labels
         if label_sum == prev_sum:
             converged = True
