@@ -1501,19 +1501,28 @@ def graph_supplier_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("jaccard_bp"),
     )
+    # one-pass symmetrization (explode, not union): the union form ran the
+    # whole capped-basket pair pipeline once per direction — 32 parquet
+    # scans / 70 exchanges in the physical plan; the explode halves it
+    # (plans/r12/graph_supplier_jaccard_{before,after}.txt)
     sym = scored.select(
-        F.col("item_a").alias("supplier"),
-        F.col("item_b").alias("neighbor"),
-        "n_co",
-        "jaccard_bp",
-    ).unionAll(
-        scored.select(
-            F.col("item_b").alias("supplier"),
-            F.col("item_a").alias("neighbor"),
-            "n_co",
-            "jaccard_bp",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("supplier"),
+                    F.col("item_b").alias("neighbor"),
+                    F.col("n_co").alias("n_co"),
+                    F.col("jaccard_bp").alias("jaccard_bp"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("supplier"),
+                    F.col("item_a").alias("neighbor"),
+                    F.col("n_co").alias("n_co"),
+                    F.col("jaccard_bp").alias("jaccard_bp"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
     w = Window.partitionBy("supplier").orderBy(
         F.col("jaccard_bp").desc(), F.col("neighbor").asc()
     )
