@@ -41,6 +41,27 @@ DAMP_NUM = 85  # damping 0.85 as an exact integer percentage
 BASE = (100 - DAMP_NUM) * SCALE // 100  # floor(0.15 * SCALE)
 
 
+def symmetrize_edges(
+    df: DataFrame, a_col: str = "s", b_col: str = "c",
+    src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """Both directions of an undirected edge list in ONE pass: explode a
+    two-element struct array instead of unioning two selects over the
+    (often expensive — fact-fact join + distinct) base relation, which
+    executes the base subtree once per branch.  Row multiset identical to
+    ``base.select(a->src,b->dst).unionAll(base.select(b->src,a->dst))``;
+    the cache-fill pass of every iterative consumer (pagerank/kcore/ppr/
+    hits symmetrized inputs) halves (guide §2.4)."""
+    return df.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a_col).alias(src), F.col(b_col).alias(dst)),
+                F.struct(F.col(b_col).alias(src), F.col(a_col).alias(dst)),
+            )
+        ).alias("e")
+    ).select(f"e.{src}", f"e.{dst}")
+
+
 def _rolling_checkpoint(df: DataFrame, prior_ids: set) -> DataFrame:
     """Eager localCheckpoint that FREES the previous generation's blocks.
 

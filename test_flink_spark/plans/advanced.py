@@ -137,9 +137,10 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = base.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
-        base.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    )
+    # one-pass symmetrization (explode, not union) — the union form ran
+    # the fact-fact join + distinct once per direction (operators/graph
+    # symmetrize_edges; guide §2.4)
+    edges = gr.symmetrize_edges(base, "s", "c")
     return gr.pagerank(edges, _PR_ITERATIONS)
 
 
@@ -812,9 +813,10 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = base.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
-        base.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    )
+    # one-pass symmetrization (explode, not union) — the union form ran
+    # the fact-fact join + distinct once per direction (operators/graph
+    # symmetrize_edges; guide §2.4)
+    edges = gr.symmetrize_edges(base, "s", "c")
     seeds = supp.filter(F.col("s_suppkey") < 5).select(
         F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node")
     )
@@ -938,9 +940,10 @@ def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = base.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
-        base.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    )
+    # one-pass symmetrization (explode, not union) — the union form ran
+    # the fact-fact join + distinct once per direction (operators/graph
+    # symmetrize_edges; guide §2.4)
+    edges = gr.symmetrize_edges(base, "s", "c")
     return gr.kcore_peel(edges, k=3, rounds=3)
 
 
@@ -1323,9 +1326,10 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = base.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
-        base.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    )
+    # one-pass symmetrization (explode, not union) — the union form ran
+    # the fact-fact join + distinct once per direction (operators/graph
+    # symmetrize_edges; guide §2.4)
+    edges = gr.symmetrize_edges(base, "s", "c")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     pairs = (
         edges.join(deg.withColumnRenamed("src", "src_k"), F.col("src") == F.col("src_k"))
@@ -2357,9 +2361,10 @@ def graph_ppr_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = base.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
-        base.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    )
+    # one-pass symmetrization (explode, not union) — the union form ran
+    # the fact-fact join + distinct once per direction (operators/graph
+    # symmetrize_edges; guide §2.4)
+    edges = gr.symmetrize_edges(base, "s", "c")
     seeds = (
         li.filter(F.col("l_suppkey") < 10)
         .select(

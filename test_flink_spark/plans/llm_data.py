@@ -5730,9 +5730,9 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    # one-pass symmetrization (explode, not union): the union form ran the
+    # bigram distinct subtree once per direction (graph.symmetrize_edges)
+    edges = gr.symmetrize_edges(und, "a", "b")
     ranks = gr.pagerank(edges, _TEXTRANK_ITERATIONS)
     w = Window.orderBy(F.col("rank_fp").desc(), F.col("word").asc())
     # global rank window over the VOCABULARY-sized rank table (31 rows
