@@ -28,6 +28,16 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Join strategy (guide §3.1/§9): let the planner pick shuffled-hash
+    # over sort-merge when its size conditions hold, and let AQE rewrite
+    # SMJ->SHJ at runtime when every post-shuffle partition's build side
+    # fits 128 MB (size-based, so the decision stays correct at any
+    # scale).  SHJ skips the per-partition sort — measured 3-13% on the
+    # join-heavy fleet (q2/q3/q8/q21, fk audit, sparse cosine) at sf0.1,
+    # and the win grows with partition width at 100 TB where the sort
+    # spills.  Join strategy never changes values, only the plan.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "134217728",
     # The driver's events.parquet carries TIMESTAMP(NANOS), which Spark 4
     # refuses by default; read the raw int64 and normalize in load_table
     # (schemas.py) — lossless down to the microsecond Spark works in.
