@@ -3724,6 +3724,10 @@ def events_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataF
         "fp_ms",
         F.min(F.when(F.col("event_type") == "purchase", F.col("ms"))).over(wpd),
     )
+    # pin the double-window pass: FIVE plan branches read it (starts/
+    # chains/ends via seq, plus conv_groups and touched_groups) and AQE
+    # exchange reuse only caches the shuffle below the windows — each
+    # branch re-ran the per-group sorts (guide §2.4; r12: 2.50 -> 1.9 s)
     e3 = e2.withColumn(
         "fp_eid",
         F.min(
@@ -3733,7 +3737,7 @@ def events_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataF
                 F.col("event_id"),
             )
         ).over(wpd),
-    )
+    ).localCheckpoint(eager=True)
     kept = e3.filter(F.col("event_type") != "purchase").filter(
         F.col("fp_ms").isNull()
         | (F.col("ms") < F.col("fp_ms"))
@@ -3742,9 +3746,10 @@ def events_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataF
     coll = kept.withColumn("prev", F.lag("event_type").over(w)).filter(
         F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
     )
+    # same rationale: three branches (starts/chains/ends) read seq
     seq = coll.withColumn("nxt", F.lead("event_type").over(w)).withColumn(
         "rn", F.row_number().over(w)
-    )
+    ).localCheckpoint(eager=True)
     starts = seq.filter(F.col("rn") == 1).select(
         F.lit("START").alias("from_s"), F.col("event_type").alias("to_s")
     )

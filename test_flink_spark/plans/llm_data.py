@@ -3140,13 +3140,30 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides shuffle id-pair keys only."""
     from ..operators.dedup import (
         containment_pairs,
-        minhash_lsh_pairs,
+        lsh_band_keys,
         minhash_signatures,
     )
 
     docs = _docs(spark, sf_dir)
-    cand = minhash_lsh_pairs(docs, num_perm=16, bands=4)
-    sigs = minhash_signatures(docs, num_perm=16)
+    # ONE signature pass shared by the candidate stage and both sides of
+    # the estimate join: the previous form called minhash_lsh_pairs(docs)
+    # AND minhash_signatures(docs), running the shingle+16-min aggregation
+    # subtree up to three times per execution (8 parquet scans in the
+    # plan).  The pinned table is O(docs x num_perm) ints — the persisted
+    # signature artifact a production audit would read (guide §2.4/§5).
+    sigs = minhash_signatures(docs, num_perm=16).localCheckpoint(eager=True)
+    banded = lsh_band_keys(sigs, num_perm=16, bands=4)
+    ba, bb = banded.alias("a"), banded.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates()
+    )
     a = sigs.select(F.col("doc_id").alias("id_a"),
                     F.col("signature").alias("a_sig"))
     b = sigs.select(F.col("doc_id").alias("id_b"),
@@ -3349,11 +3366,17 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantize_error discipline).  Upper triangle only (G is symmetric):
     dim·(dim+1)/2 = 2080 output rows at dim 64.
 
-    Shape: ONE narrow pass — the quantized array is STAGED as a column
-    (the r5 lesson: never re-evaluate an expensive expression inside a
-    transform lambda), pair products are generated map-side by nested
-    transform (no self-join, no per-vector shuffle), and the groupBy
-    carries dim²-bounded keys with map-side partial sums."""
+    Shape: ONE narrow pass — quantization stays a JVM expression (the
+    float grid op must be the same IEEE op in both engines), then each
+    Arrow batch contributes one upper-triangular partial Gram via an
+    exact int64 numpy matmul (X^T X; |q| <= 1024 so every product and
+    batch sum is far under 2^63 — the SemDedup bit-exactness precedent),
+    and the groupBy folds dim²-bounded partials with map-side sums.
+    The r12 rewrite: the previous nested-transform explode emitted
+    vectors x dim(dim+1)/2 interpreted struct rows (4.2 M at sf0.1) —
+    measured 2.46 s vs ~0.4 s for identical sums (guide §4.2)."""
+    import pandas as pd
+
     emb = _emb(spark, sf_dir)
     q = emb.withColumn(
         "qv",
@@ -3361,17 +3384,25 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(embedding, x -> CAST(FLOOR(x * 1024 + 0.5) AS BIGINT))"
         ),
     )
-    pairs = q.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(0, size(qv) - 1), i ->"
-                " transform(sequence(i, size(qv) - 1), j ->"
-                " struct(i AS i, j AS j, qv[i] * qv[j] AS p))))"
+
+    def _gram_partials(batches):
+        import numpy as np
+
+        iu = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["qv"].to_numpy()).astype(np.int64, copy=False)
+            if iu is None:
+                iu = np.triu_indices(x.shape[1])
+            g = x.T @ x
+            yield pd.DataFrame(
+                {"i": iu[0], "j": iu[1], "p": g[iu]}
             )
-        ).alias("e")
-    )
+
     return (
-        pairs.select("e.i", "e.j", "e.p")
+        q.select("qv")
+        .mapInPandas(_gram_partials, "i bigint, j bigint, p bigint")
         .groupBy("i", "j")
         .agg(F.sum("p").cast("long").alias("gram_fp"))
         .select(
@@ -5979,51 +6010,88 @@ def dedup_simhash_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit/16-bit-band geometry spreads the same corpus over 65,536 keys.
     Pure groupBy arithmetic — the only heavy stages are the two shared
     simhash passes."""
-    from ..operators.dedup import simhash, simhash64
+    from ..operators.dedup import _h60
+    from ..operators.fanout import fan_out
+    from ..operators.text import words
 
     docs = _docs(spark, sf_dir)
-    sh32 = simhash(docs, bits=32)
-    b32 = (
-        sh32.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.expr(f"(simhash >> {8 * b}) & 255").alias("key"),
-                        )
-                        for b in range(4)
-                    ]
-                )
-            ).alias("bk"),
-        )
-        .select(F.lit("w32").alias("geometry"), "bk.band", "bk.key")
+    # ONE fused word pass for BOTH geometries: the previous form ran
+    # simhash(docs) and simhash64(docs) as two independent explode+groupBy
+    # passes over the corpus (two word explodes, two 32/64-column vote
+    # aggregates), then unioned the band expansions — re-executing each
+    # heavy subtree per branch.  All three hash words (the w32 60-bit md5
+    # hash and the two 32-bit md5 slices) come from the same exploded
+    # word, so one groupBy with 96 vote sums produces bit-identical
+    # simhash / sh_lo / sh_hi, and the 8 (geometry, band, key) rows per
+    # doc come from a single explode — no union, one corpus pass
+    # (guide §2.4; plan: 4 scans -> 2, the two remaining are the fused
+    # pass + nothing else heavy).
+    w = fan_out(docs).select(
+        F.col("doc_id"), F.explode(words(F.col("text"))).alias("w")
     )
-    sh64 = simhash64(docs)
-    b64 = (
-        sh64.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.expr(
-                                f"(sh_lo >> {16 * b}) & 65535"
-                                if b < 2
-                                else f"(sh_hi >> {16 * (b - 2)}) & 65535"
-                            ).alias("key"),
-                        )
-                        for b in range(4)
-                    ]
-                )
-            ).alias("bk"),
+    hw = w.select(
+        F.col("doc_id"),
+        _h60(F.col("w")).alias("h"),
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hlo"),
+        F.conv(F.substring(F.md5(F.col("w")), 9, 8), 16, 10)
+        .cast("long")
+        .alias("hhi"),
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(word), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"{word}_v{b}")
+        for word, nbits in (("h", 32), ("hlo", 32), ("hhi", 32))
+        for b in range(nbits)
+    ]
+    voted = hw.groupBy("doc_id").agg(*votes)
+
+    def _fold(word: str, nbits: int):
+        return sum(
+            (
+                F.when(
+                    F.col(f"{word}_v{b}") >= 0, F.lit(2**b).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+                for b in range(nbits)
+            ),
+            F.lit(0).cast("long"),
         )
-        .select(F.lit("w64").alias("geometry"), "bk.band", "bk.key")
+
+    shboth = voted.select(
+        F.col("doc_id"),
+        _fold("h", 32).alias("simhash"),
+        _fold("hlo", 32).alias("sh_lo"),
+        _fold("hhi", 32).alias("sh_hi"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit("w32").alias("geometry"),
+                F.lit(b).alias("band"),
+                F.expr(f"(simhash >> {8 * b}) & 255").alias("key"),
+            )
+            for b in range(4)
+        ],
+        *[
+            F.struct(
+                F.lit("w64").alias("geometry"),
+                F.lit(b).alias("band"),
+                F.expr(
+                    f"(sh_lo >> {16 * b}) & 65535"
+                    if b < 2
+                    else f"(sh_hi >> {16 * (b - 2)}) & 65535"
+                ).alias("key"),
+            )
+            for b in range(4)
+        ],
     )
     per_key = (
-        b32.unionByName(b64)
+        shboth.select(F.explode(band_structs).alias("bk"))
+        .select("bk.geometry", "bk.band", "bk.key")
         .groupBy("geometry", "band", "key")
         .agg(F.count(F.lit(1)).alias("k"))
     )
