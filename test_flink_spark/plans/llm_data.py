@@ -7933,6 +7933,10 @@ def embedding_filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id")
+        # three consumers (n_ex, h2, h4) — without the pin the 20x-corpus
+        # BNLJ + rank window re-executes per consumer (guide §2.4); the
+        # pin is <= 100 (query_id, neighbor_id) rows
+        .localCheckpoint(eager=True)
     )
     np2 = _filtered_ann(spark, sf_dir, nprobe=2).select("query_id", "neighbor_id")
     np4 = _filtered_ann(spark, sf_dir, nprobe=4).select("query_id", "neighbor_id")
