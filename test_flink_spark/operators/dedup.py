@@ -413,12 +413,16 @@ def minhash_lsh_pairs(
     num_perm/bands rows; docs sharing any band key are candidates.
     The band key is md5 of the band's signature slice — an equality-join
     key, so candidate generation is a hash join, never all-pairs."""
+    # both sides of the self-join consume `banded`; one side is a
+    # broadcast build, so exchange reuse never fires and the shingle +
+    # minhash pass ran twice — materialize once (the
+    # incremental_lsh_dedup precedent)
     banded = lsh_band_keys(
         minhash_signatures(df, text_col, id_col, num_perm, shingle_n),
         id_col=id_col,
         num_perm=num_perm,
         bands=bands,
-    )
+    ).localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

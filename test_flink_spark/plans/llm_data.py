@@ -1044,9 +1044,13 @@ def corpus_multimodal_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _min_equal(keyed: DataFrame, key_cols: list[str], out: str) -> DataFrame:
-        mins = keyed.groupBy(*key_cols).agg(F.min("media_id").alias("m"))
+        # min-per-key as a window, not agg+self-join: the agg+join form
+        # executed the upstream decode/fingerprint chain (3 mapInPandas
+        # passes) once per side (guide §2.4/§4) — the window is one pass
+        # and one exchange, and `m < media_id` keeps the same row set
+        w = Window.partitionBy(*key_cols)
         return (
-            keyed.join(mins, key_cols)
+            keyed.withColumn("m", F.min("media_id").over(w))
             .select(
                 F.col("media_id").alias("doc_id"),
                 F.when(F.col("m") < F.col("media_id"), F.col("m")).alias(out),
