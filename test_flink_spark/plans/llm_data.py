@@ -7174,6 +7174,10 @@ def embedding_ivfpq_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id")
+        # three consumers (n_ex, hits_s, hits_f) — without the pin the
+        # 20x-corpus BNLJ + rank window re-executes per consumer (guide
+        # §2.4); the pin is <= 100 (query_id, neighbor_id) rows
+        .localCheckpoint(eager=True)
     )
     n_ex = exact5.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_exact")
