@@ -4106,6 +4106,10 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(hash_bucket(F.col("user_id"), "cuped") < 5000, F.lit("A"))
             .otherwise(F.lit("B")),
         )
+        # two consumers (pooled + per_variant) — without the pin each
+        # re-ran the full events scan and per-user aggregate (guide
+        # §2.4); the pin is the O(users) moment table
+        .localCheckpoint(eager=True)
     )
     pooled = per_user.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
