@@ -6573,6 +6573,11 @@ def corpus_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("stage_name"),
         )
         flags = tagged if flags is None else flags.unionByName(tagged)
+    # two consumers (per_stage + new_per_stage) — without the pin all
+    # four detector legs (fp groupBy, both capped pair cuts, the simhash
+    # band join) re-executed per consumer (guide §2.4); the pin is the
+    # O(flagged docs x stages) slim flag table
+    flags = flags.localCheckpoint(eager=True)
     # explicit stage dimension: a detector that flags NOTHING still owns a
     # funnel row (flagged=0), otherwise the report silently shrinks
     dim = spark.createDataFrame(
@@ -6597,6 +6602,9 @@ def corpus_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("flagged", F.lit(0)).cast("long").alias("flagged"),
             F.coalesce("new_flags", F.lit(0)).cast("long").alias("new_flags"),
         )
+        # 4 rows; both sides of the running-sum self-join read it — the
+        # pin keeps the funnel aggregation single-pass over the flag pin
+        .localCheckpoint(eager=True)
     )
     # running sum over 4 rows via inequality self-join (no global window)
     cum_src = joined.select(
