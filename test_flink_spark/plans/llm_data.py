@@ -6014,63 +6014,19 @@ def dedup_simhash_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit/16-bit-band geometry spreads the same corpus over 65,536 keys.
     Pure groupBy arithmetic — the only heavy stages are the two shared
     simhash passes."""
-    from ..operators.dedup import _h60
-    from ..operators.fanout import fan_out
-    from ..operators.text import words
+    from ..operators.dedup import simhash_signatures
 
     docs = _docs(spark, sf_dir)
-    # ONE fused word pass for BOTH geometries: the previous form ran
-    # simhash(docs) and simhash64(docs) as two independent explode+groupBy
-    # passes over the corpus (two word explodes, two 32/64-column vote
-    # aggregates), then unioned the band expansions — re-executing each
-    # heavy subtree per branch.  All three hash words (the w32 60-bit md5
-    # hash and the two 32-bit md5 slices) come from the same exploded
-    # word, so one groupBy with 96 vote sums produces bit-identical
-    # simhash / sh_lo / sh_hi, and the 8 (geometry, band, key) rows per
-    # doc come from a single explode — no union, one corpus pass
-    # (guide §2.4; plan: 4 scans -> 2, the two remaining are the fused
-    # pass + nothing else heavy).
-    w = fan_out(docs).select(
-        F.col("doc_id"), F.explode(words(F.col("text"))).alias("w")
-    )
-    hw = w.select(
-        F.col("doc_id"),
-        _h60(F.col("w")).alias("h"),
-        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("hlo"),
-        F.conv(F.substring(F.md5(F.col("w")), 9, 8), 16, 10)
-        .cast("long")
-        .alias("hhi"),
-    )
-    votes = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col(word), b).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"{word}_v{b}")
-        for word, nbits in (("h", 32), ("hlo", 32), ("hhi", 32))
-        for b in range(nbits)
-    ]
-    voted = hw.groupBy("doc_id").agg(*votes)
-
-    def _fold(word: str, nbits: int):
-        return sum(
-            (
-                F.when(
-                    F.col(f"{word}_v{b}") >= 0, F.lit(2**b).cast("long")
-                ).otherwise(F.lit(0).cast("long"))
-                for b in range(nbits)
-            ),
-            F.lit(0).cast("long"),
-        )
-
-    shboth = voted.select(
-        F.col("doc_id"),
-        _fold("h", 32).alias("simhash"),
-        _fold("hlo", 32).alias("sh_lo"),
-        _fold("hhi", 32).alias("sh_hi"),
-    )
+    # ONE fused signature pass for BOTH geometries: simhash_signatures
+    # emits all three lanes (the w32 60-bit-hash simhash and the two
+    # 32-bit md5 slices) from a single Arrow map over (doc_id, text) —
+    # no word explode, no 96-accumulator vote aggregate, no exchange
+    # (guide §4.2 + §2.4; the r12 fused-expression form this replaces
+    # still paid a corpus-sized shuffle of vote partials and an
+    # interpreted-width aggregate).  The 8 (geometry, band, key) rows
+    # per doc come from a single explode below — no union, one corpus
+    # pass.
+    shboth = simhash_signatures(docs)
     band_structs = F.array(
         *[
             F.struct(

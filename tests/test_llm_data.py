@@ -36,6 +36,45 @@ def test_lsh_ann_recall(spark):
     assert all(-1.0 <= r["sim"] <= 1.0 for r in many)
 
 
+def test_simhash_signatures_arrow_matches_expression_reference(spark):
+    """The Arrow signature pass (simhash_signatures — the production path
+    behind simhash/simhash64 since the r12 optimization round) must be
+    bit-identical to the retained expression references on the tokenizer's
+    edge cases: Spark's split(trim(text), '\\s+') strips 0x20 only, treats
+    Java's ASCII \\s as separators (unicode whitespace is TOKEN content),
+    and keeps leading/trailing empty tokens; null text emits no row."""
+    from test_flink_spark.operators.dedup import (
+        _simhash64_expr,
+        _simhash_expr,
+        simhash_signatures,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, " leading and trailing spaces "),
+        (3, "\ttab\tleads and\ttrailing tab\t"),  # trim keeps \t -> empty tokens
+        (4, ""),  # -> [''] one empty token
+        (5, "   "),  # trim -> '' -> [''] too
+        (6, "nbsp\xa0inside and\u2003em-space stay single tokens"),
+        (7, None),  # null text: no output row
+        (8, "x\ny\rz\x0bw\x0cv"),  # every ASCII \s class member separates
+        (9, "unicode töken \U0001f600 emoji"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (r["simhash"], r["sh_lo"], r["sh_hi"])
+        for r in simhash_signatures(df).collect()
+    }
+    ref32 = {r["doc_id"]: r["simhash"] for r in _simhash_expr(df, bits=32).collect()}
+    ref64 = {
+        r["doc_id"]: (r["sh_lo"], r["sh_hi"]) for r in _simhash64_expr(df).collect()
+    }
+    assert set(got) == set(ref32) == set(ref64) == {1, 2, 3, 4, 5, 6, 8, 9}
+    for doc_id, (s32, lo, hi) in got.items():
+        assert s32 == ref32[doc_id], f"w32 lane diverged on doc {doc_id}"
+        assert (lo, hi) == ref64[doc_id], f"w64 lanes diverged on doc {doc_id}"
+
+
 def test_simhash_locality(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog"),
