@@ -337,18 +337,101 @@ def minhash_signatures(
     h_p = (a_p·h + b_p) mod M over the base hash — the classic
     a·x+b construction, ~16× cheaper than num_perm independent md5s.
 
-    Shuffle profile: ONE groupBy(doc) with num_perm min-aggregates — no
-    row blowup; partial mins combine map-side, so shuffle volume is
-    O(docs × num_perm) ints regardless of shingle count.  MEASURED
-    (sf0.1, warm): this Tungsten-aggregate form runs ~1.5 s; the
-    shuffle-free ``minhash_signature_expr`` array-fold form 8-12 s —
-    nested higher-order lambdas evaluate interpreted with per-element
-    array allocation, so the shuffle it saves costs 5× more than it
-    returns.  The expression form exists for streaming, where an
-    aggregation upstream of a stateful operator is illegal and
-    per-micro-batch volumes are small (streaming/minhash_dedup.py); a
-    parity pytest pins the two forms bit-identical.
+    Shuffle profile: NONE — the signature is a pure per-doc function, so
+    it runs as one Arrow map pass over (id, text) (guide §4.2; see the
+    inline comment).  The two retained reference forms:
+    ``_minhash_signatures_agg`` (explode + Tungsten min-aggregates — the
+    pre-r12 batch path, one exchange of partial mins) and the shuffle-free
+    ``minhash_signature_expr`` array-fold (8-12 s at sf0.1 — interpreted
+    higher-order lambdas; kept for streaming, where an aggregation
+    upstream of a stateful operator is illegal and micro-batch volumes
+    are small — streaming/minhash_dedup.py).  A parity pytest pins all
+    three bit-identical.
     """
+    # Arrow map pass (r12 optimization round, guide §4.2 + §2.4): the
+    # per-doc signature is a pure function of the doc's own distinct
+    # shingle hashes, so the explode + num_perm-min groupBy (and its
+    # exchange of per-partition partial mins) collapses into one
+    # mapInPandas over (id, text) — tokenization/shingling replicated with
+    # Spark-exact semantics (see simhash_signatures for the tokenizer
+    # contract), md5 per shingle via hashlib, the num_perm affine mins via
+    # numpy reduceat.  Bit-identical to the retained Tungsten-aggregate
+    # reference (_minhash_signatures_agg) and the streaming expression
+    # form — the parity pytest pins all three.  Docs with no shingles
+    # (fewer than shingle_n words, or only empty grams) emit no row,
+    # exactly like the groupBy form.
+    coeffs = minhash_coeffs(num_perm)
+    src = fan_out(df.select(F.col(id_col), F.col(text_col)))
+
+    def gen(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        split = re.compile("[ \t\n\x0b\f\r]+").split
+        md5 = hashlib.md5
+        a_arr = np.asarray([a for a, _ in coeffs], dtype=np.int64)
+        b_arr = np.asarray([b for _, b in coeffs], dtype=np.int64)
+        mod = np.int64(MINHASH_MOD)
+        for pdf in batches:
+            ids_all = pdf[id_col].values
+            texts = pdf[text_col].values
+            ids: list = []
+            counts: list = []
+            hashes: list = []
+            for i in range(len(texts)):
+                t = texts[i]
+                if t is None or isinstance(t, float):
+                    continue
+                toks = split(t.strip(" "))
+                if len(toks) < shingle_n:
+                    continue
+                hs = {
+                    int(md5(g.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_MOD
+                    for g in (
+                        " ".join(toks[j : j + shingle_n])
+                        for j in range(len(toks) - shingle_n + 1)
+                    )
+                    if g != ""
+                }
+                if not hs:
+                    continue
+                ids.append(ids_all[i])
+                counts.append(len(hs))
+                hashes.append(np.fromiter(hs, dtype=np.int64, count=len(hs)))
+            if not ids:
+                continue
+            h = np.concatenate(hashes)
+            n = np.asarray(counts, dtype=np.int64)
+            starts = np.zeros(len(n), dtype=np.int64)
+            np.cumsum(n[:-1], out=starts[1:])
+            sig = np.empty((len(n), num_perm), dtype=np.int64)
+            for p in range(num_perm):
+                sig[:, p] = np.minimum.reduceat((a_arr[p] * h + b_arr[p]) % mod, starts)
+            yield pd.DataFrame(
+                {
+                    id_col: np.asarray(ids, dtype=np.int64),
+                    "signature": list(sig),
+                }
+            )
+
+    return src.mapInPandas(
+        gen, schema=f"{id_col} long, signature array<long>"
+    )
+
+
+def _minhash_signatures_agg(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Tungsten-aggregate reference for :func:`minhash_signatures`
+    (explode + num_perm min-aggregates) — kept for the three-way parity
+    test; the batch production path is the Arrow map pass above."""
     # shingle_hashes dedups on the 60-bit hash map-side (no string shuffle);
     # MIN over the permuted hashes is multiset-invariant, so even a 60-bit
     # collision collapsing two shingles cannot change any signature value —

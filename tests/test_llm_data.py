@@ -595,6 +595,7 @@ def test_minhash_expression_matches_groupby_form(spark):
     from pyspark.sql import functions as F2
 
     from test_flink_spark.operators.dedup import (
+        _minhash_signatures_agg,
         minhash_signature_expr,
         minhash_signatures,
     )
@@ -605,6 +606,13 @@ def test_minhash_expression_matches_groupby_form(spark):
         r["doc_id"]: list(r["signature"])
         for r in minhash_signatures(docs).collect()
     }
+    # the Arrow map pass (production path since r12) must equal the
+    # Tungsten-aggregate reference doc-for-doc, including the absent-row set
+    agg = {
+        r["doc_id"]: list(r["signature"])
+        for r in _minhash_signatures_agg(docs).collect()
+    }
+    assert got == agg and len(got) > 0
     expr_rows = docs.select(
         "doc_id",
         minhash_signature_expr(F2.col("text")).alias("signature"),
