@@ -213,6 +213,28 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
 
+    # One-time capped pair base (the localCheckpointed inverted-index
+    # self-join every exact-Jaccard/containment consumer reads —
+    # _shared_pair_base), timed as its OWN line (r12: previously SIX
+    # queries each re-ran the identical shingle pass + doc-frequency cap +
+    # self-join; now the build runs once per session and consumers report
+    # marginal cost, the production accounting — a pipeline persists its
+    # pair table per ingest).  Measured FIRST so the shared-clusters line
+    # below prices the CC propagation, not the pair join.
+    from test_flink_spark.plans.llm_data import _PAIR_BASE_CACHE, _shared_pair_base
+
+    best = float("inf")
+    for _ in range(reps):
+        _PAIR_BASE_CACHE.clear()
+        t0 = time.perf_counter()
+        _shared_pair_base(spark, sf_dir)  # eager localCheckpoint materializes
+        best = min(best, time.perf_counter() - t0)
+    timings["dedup_pair_base_build"] = round(best, 2)
+    print(
+        f"# dedup_pair_base_build: {timings['dedup_pair_base_build']:.2f}s",
+        file=sys.stderr,
+    )
+
     # One-time shared dedup stage (the localCheckpointed connected-components
     # result consumed by dedup_clusters + the curation/build queries), timed
     # as its OWN line: previously the full propagation price landed on
@@ -277,7 +299,7 @@ def main() -> None:
     )
     # the shared-stage accounting lines are not registry names, so qt
     # cannot carry them — always itemize them in the map
-    for stage in ("dedup_shared_stage", "dedup_index_build"):
+    for stage in ("dedup_pair_base_build", "dedup_shared_stage", "dedup_index_build"):
         if stage in timings:
             slowest[stage] = timings[stage]
     # 8-hex fingerprint of the sorted name list: lets compare_bench

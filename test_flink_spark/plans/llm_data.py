@@ -17,7 +17,6 @@ from ..operators.dedup import (
     NGRAM_MAX_DOC_FREQ,
     exact_dedup,
     minhash_lsh_pairs,
-    ngram_jaccard_pairs,
     simhash,
 )
 from ..operators.multimodal import media_stats
@@ -140,8 +139,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     riding the NGRAM_MAX_DOC_FREQ stop-shingle cap (r12 rollout: the
     uncapped inverted-index self-join is quadratic in per-shingle doc
     frequency — the r11 sf10 probe's one confirmed scale failure class).
-    The oracle replays the cap's doc-frequency filter bit for bit."""
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    The oracle replays the cap's doc-frequency filter bit for bit.
+    Pairs come from the session-shared capped pair base
+    (_pair_base_jaccard — bit-identical to
+    ngram_jaccard_pairs(_docs(...), threshold=0.5))."""
+    return _pair_base_jaccard(spark, sf_dir, threshold=0.5)
 
 
 def _capped_sh_ctes(cap: int | None = NGRAM_MAX_DOC_FREQ) -> str:
@@ -1444,9 +1446,20 @@ def _shared_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -
     key = (spark.sparkContext.applicationId, sf_dir, threshold)
     df = _CLUSTERS_CACHE.get(key)
     if df is None:
-        from ..operators.dedup import duplicate_clusters
+        from ..operators.graph import min_label_components
 
-        df = duplicate_clusters(_docs(spark, sf_dir), threshold=threshold)
+        # edges from the session-shared capped pair base (bit-identical to
+        # duplicate_clusters' internal ngram_jaccard_pairs — same capped
+        # algebra, same round-to-4 cut), so the inverted-index self-join
+        # runs once per session instead of once per shared stage; the
+        # bench prices the base on its own dedup_pair_base_build line and
+        # this stage as the marginal CC propagation.
+        df = min_label_components(
+            _pair_base_jaccard(spark, sf_dir, threshold=threshold),
+            _docs(spark, sf_dir).select("doc_id"),
+            "doc_id",
+            warn_name="duplicate_clusters",
+        )
         _CLUSTERS_CACHE[key] = df
     return df
 
@@ -2925,7 +2938,7 @@ def dedup_cross_lingual(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair table's partitioning).  Emits (id_a, id_b, jaccard, lang_a,
     lang_b)."""
     docs = _docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs = _pair_base_jaccard(spark, sf_dir, threshold=0.5)
     la = docs.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"))
     lb = docs.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"))
     return (
@@ -2968,7 +2981,7 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     tagged = train_val_test_split(docs).select("doc_id", "split")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs = _pair_base_jaccard(spark, sf_dir, threshold=0.5)
     sa = tagged.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
     sb = tagged.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
     return (
@@ -3004,10 +3017,21 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate wrappers), which symmetric Jaccard under-scores because
     the length gap inflates the union.  Same inverted-index shape as
     dedup_ngram_jaccard, integer-exact basis points
-    (operators/dedup.py::containment_pairs)."""
-    from ..operators.dedup import containment_pairs
-
-    return containment_pairs(_docs(spark, sf_dir), threshold_bp=5000)
+    (operators/dedup.py::containment_pairs) — derived from the
+    session-shared capped pair base (same sizes-after-cap algebra and
+    casts as the operator, one inverted-index self-join per session)."""
+    return (
+        _shared_pair_base(spark, sf_dir)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("shared").cast("long").alias("shared"),
+            F.expr("(shared * 10000) div least(n_a, n_b)").alias("containment_bp"),
+        )
+        .filter(F.col("containment_bp") >= 5000)
+    )
 
 
 _CONTAINMENT_SQL = rf"""
@@ -3855,7 +3879,7 @@ def dedup_lsh_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single global aggregate row."""
     docs = _docs(spark, sf_dir)
     e = (
-        ngram_jaccard_pairs(docs, threshold=0.5)
+        _pair_base_jaccard(spark, sf_dir, threshold=0.5)
         .select("id_a", "id_b")
         .withColumn("in_e", F.lit(1))
     )
@@ -4234,7 +4258,7 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     exact = (
-        ngram_jaccard_pairs(docs, threshold=0.5)
+        _pair_base_jaccard(spark, sf_dir, threshold=0.5)
         .select("id_a", "id_b")
         .withColumn("in_e", F.lit(1))
         .localCheckpoint(eager=True)
@@ -6158,7 +6182,7 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the FULL-RECOMPUTE transitive closure over the whole
     corpus — identical SQL to dedup_clusters — so the green hash IS the
     proof that incremental reconciliation equals batch CC."""
-    from ..operators.dedup import incremental_cluster_merge, ngram_jaccard_pairs
+    from ..operators.dedup import incremental_cluster_merge
     from ..operators.graph import min_label_components
 
     docs = _docs(spark, sf_dir)
@@ -6171,7 +6195,7 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside duplicate_clusters plus a second shard-vs-all probe join —
     # 7.2 s in-sweep, three shingle passes.  Pair endpoints classify by
     # one slim (doc_id, is_shard) map join on each side.
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    pairs = _pair_base_jaccard(spark, sf_dir, threshold=0.5).select("id_a", "id_b")
     flags = docs.select(
         "doc_id", (srcn >= _SHARD_MIN_SRC).alias("is_shard")
     )
@@ -6460,8 +6484,36 @@ def _shared_pair_base(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        # the capped-shingle pin only feeds the build above; once the pair
+        # table is materialized, release it (cache discipline — without
+        # this every session kept one corpus-sized (id, h) pin alive)
+        from ..operators.dedup import _unpersist_checkpoint
+
+        _unpersist_checkpoint(sh)
         _PAIR_BASE_CACHE[key] = df
     return df
+
+
+def _pair_base_jaccard(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """``(id_a, id_b, jaccard)`` at ``threshold`` from the session-shared
+    capped pair base — bit-identical to
+    ``ngram_jaccard_pairs(_docs(...), threshold=...)`` (same capped-shingle
+    algebra, same sizes-after-cap, same round-to-4 cut), but every consumer
+    rides ONE inverted-index self-join per session instead of re-running
+    the shingle pass + doc-frequency cap + self-join per query (guide
+    §2.4/§5: the pair table is the artifact a production pipeline persists
+    once per ingest; the r12 sweep ran the identical join 6x).  The bench
+    prices the build as its own ``dedup_pair_base_build`` line."""
+    base = _shared_pair_base(spark, sf_dir)
+    return base.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def corpus_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
