@@ -614,9 +614,10 @@ def simhash_signatures(
     ``>> 4``; 1-8 → ``>> 32``; 9-16 → ``& 0xFFFFFFFF``).  Bit b of a lane
     is set iff 2·ones_b >= n_tokens (identical to the vote sum
     ``ones - (n - ones) >= 0``).  Null texts emit no row (explode-of-null
-    semantics).  ``tests/test_dedup.py`` pins equality against the
-    retained expression reference on an adversarial fixture (tabs,
-    unicode whitespace, empties, null).
+    semantics).  ``tests/test_llm_data.py::
+    test_simhash_signatures_arrow_matches_expression_reference`` pins
+    equality against the retained expression references on an adversarial
+    fixture (tabs, unicode whitespace, empties, null).
     """
     src = fan_out(df.select(F.col(id_col), F.col(text_col)))
 
