@@ -3166,11 +3166,7 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact side reuses the inverted-index join (never all-pairs); the
     estimate side joins the two signatures on the candidate pair — both
     sides shuffle id-pair keys only."""
-    from ..operators.dedup import (
-        containment_pairs,
-        lsh_band_keys,
-        minhash_signatures,
-    )
+    from ..operators.dedup import lsh_band_keys, minhash_signatures
 
     docs = _docs(spark, sf_dir)
     # ONE signature pass shared by the candidate stage and both sides of
@@ -3206,8 +3202,12 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", (agree * F.lit(625)).cast("long").alias("est_bp"),
     )
     # exact Jaccard from the inverted-index pair stats, all-integer:
-    # shared·10⁴ div (|A|+|B|−shared) — never the rounded float
-    exact = containment_pairs(docs, threshold_bp=0).select(
+    # shared·10⁴ div (|A|+|B|−shared) — never the rounded float.  The
+    # pair stats come from the session-shared capped pair base (identical
+    # to containment_pairs(docs, threshold_bp=0): bp >= 0 always holds,
+    # so the unthresholded operator call WAS the full base — r12
+    # change 16 family).
+    exact = _shared_pair_base(spark, sf_dir).select(
         "id_a",
         "id_b",
         F.expr("(shared * 10000) div (n_a + n_b - shared)").alias("exact_bp"),
