@@ -45,103 +45,82 @@ _MODULE_ORDER = (reference_queries, enterprise, advanced, llm_data, relational, 
 # lands.  Entries become no-ops (and can be pruned) once last-verified
 # >= swap round.
 _REVERIFY = {
-    # (r12 prune, r11 verdict item 8: the r8/r10 swap entries —
-    # dedup_simhash_clusters r8, embedding_near_dup_lsh r8,
-    # grouping_sets_orders r10, graph_degree_assortativity r11 — all
-    # re-verified at or after their swap rounds, so per the rule above
-    # they were no-ops and are removed.)
-    #
-    # r12 cap rollout (r11 verdict items 1+3): the n-gram pair-generation
-    # class (ngram_jaccard_pairs / containment_pairs / duplicate_clusters
-    # / _shared_pair_base) now defaults to the max_doc_freq=256
-    # stop-shingle cap — the 100 TB geometry (a shingle in f docs costs
-    # f^2 join pairs; the r11 sf10 probe killed the uncapped form).  The
-    # FIVE names below are this round's in-window swaps and their old
-    # certificates are voided.  The other consumers of the same builders
-    # are NOT voided, on measured grounds: the cap cannot bind at any
-    # certified scale (max shingle doc-freq: sf0.01 = 7, sf0.1 = 25,
-    # sf1 = 135 < 256), so capped output is bit-identical to every
-    # attested run — a plan-only change at those scales, re-checked
-    # locally via tools/check_oracle.py for every affected name (see
-    # BASELINE.md r12 notes) and re-certified by the normal rotation
-    # (the r7 cohort, incl. corpus_dedup_cascade_audit and
-    # dedup_detector_agreement, is forced into the r13 window).
-    "dedup_clusters_incremental": 12,
-    "dedup_containment": 12,
-    "dedup_lsh_candidate_audit": 12,
-    "dedup_minhash_band_sweep": 12,
-    "dedup_minhash_estimate_audit": 12,
+    # (r13 prune: the five r12 cap-rollout swap entries —
+    # dedup_clusters_incremental, dedup_containment,
+    # dedup_lsh_candidate_audit, dedup_minhash_band_sweep,
+    # dedup_minhash_estimate_audit, all swapped in r12 — were
+    # driver-re-certified by CORRECTNESS_r12 (50/50 green), so per the
+    # rule above they became no-ops and are removed.  No implementation
+    # swaps this round: r13 is an optimization round and every change is
+    # plan-only (oracle hashes unchanged, re-checked via
+    # tools/check_oracle.py).
 }
 
 _PROMOTED = (
-    # r12 rotation window: verified-age rotation (tools/verified_age.py).
-    # 49 forced names — the cohort last driver-verified in r6 (6 rounds
-    # stale at r12 open, forced by test_promotion_window_rotates_stalest
-    # at MAX_AGE=6) — plus ONE free slot spent on dedup_clusters_incremental:
-    # the r11-verdict sf10-CONFIRMED scale failure, swapped this round to
-    # the max_doc_freq-capped pair geometry (certificate voided by
-    # _REVERIFY, forced; see the cap-rollout note on _REVERIFY).  Four of
-    # the forced r6 names (dedup_containment, dedup_lsh_candidate_audit,
-    # dedup_minhash_band_sweep, dedup_minhash_estimate_audit) are ALSO
-    # cap-swapped this round — their re-certification rides the forced
-    # rotation at zero slot cost.  49 + 1 = 50: no other additions; the
-    # registry-debt rotation (r7 cohort, 47 names) clears r13 with 3 free
-    # slots reserved for prompt post-cap re-certification of the three
-    # flipped-but-not-voided fresh-cert names (dedup_ngram_jaccard,
-    # corpus_split_leakage, dedup_cross_lingual — see _REVERIFY note).
+    # r13 rotation window: verified-age rotation (tools/verified_age.py).
+    # 46 forced names — the cohort last driver-verified in r7 (6 rounds
+    # stale at r13 open, forced by test_promotion_window_rotates_stalest
+    # at MAX_AGE=6) — plus the 3 slots RESERVED by the r12 window note
+    # for prompt post-cap re-certification of the flipped-but-not-voided
+    # fresh-cert names (dedup_ngram_jaccard r8, corpus_split_leakage r11,
+    # dedup_cross_lingual r11 — their r12 marginal cost now rides the
+    # session pair base, so a fresh certificate attests the shipped
+    # read path), plus ONE remaining free slot spent on the stalest r8
+    # name (anti_join_customers_no_orders).  46 + 3 + 1 = 50.
     # Regenerate with: python tools/verified_age.py --fill N
-    # --- r11 implementation swap (certificate voided, forced) ---
-    "dedup_clusters_incremental",
-    # --- last verified r6 (forced cohort) ---
-    "bloom_join_prune_audit",
-    "cdc_merge_apply",
-    "corpus_classifier_auc",
-    "corpus_ngram_novelty",
-    "corpus_perplexity_buckets",
-    "corpus_shard_assignment",
-    "corpus_token_budget_select",
-    "dedup_containment",
-    "dedup_lsh_candidate_audit",
-    "dedup_minhash_band_sweep",
-    "dedup_minhash_estimate_audit",
-    "embedding_gram_matrix",
-    "embedding_matryoshka_overlap",
-    "embedding_power_iteration",
-    "events_ab_srm_check",
-    "events_ab_test_report",
-    "events_attribution_last_touch",
-    "events_cep_followed_by",
-    "events_cep_not_followed_by",
-    "events_cep_strict_sequence",
-    "events_changepoint_binseg",
-    "events_churn_cohorts",
-    "events_dau_mau_stickiness",
-    "events_peak_concurrency",
-    "events_robust_trend",
-    "events_run_lengths",
-    "events_seasonality_acf",
-    "events_user_entropy_segments",
-    "events_user_gini",
-    "events_watermark_lateness_audit",
-    "graph_bfs_hops",
-    "graph_kcore_trade",
-    "graph_supplier_jaccard",
-    "join_view_incremental_merge",
-    "multimodal_audio_quiet_segments",
-    "multimodal_image_dhash",
-    "multimodal_video_shot_segments",
-    "orders_benford_audit",
-    "parts_pareto_abc",
-    "rollup_incremental_merge",
-    "sketch_hll_sliding_users",
-    "supplier_mad_outliers",
-    "text_bpe_fertility",
-    "text_code_detection",
-    "text_feature_hashing_audit",
-    "text_language_confusion",
-    "text_pmi_collocations",
-    "text_rake_keywords",
-    "text_zipf_fit_audit",
+    # --- last verified r7 (forced cohort) ---
+    "corpus_classifier_calibration",
+    "corpus_dedup_cascade_audit",
+    "dedup_detector_agreement",
+    "dedup_simhash_band_occupancy",
+    "dedup_source_flow_matrix",
+    "embedding_bitq_hamming_recall",
+    "embedding_ivf_nprobe_sweep",
+    "embedding_ivfpq_ann",
+    "embedding_ivfpq_refine_sweep",
+    "embedding_label_confusion",
+    "embedding_ood_outliers",
+    "embedding_pq_distortion_audit",
+    "embedding_random_projection_audit",
+    "events_attribution_linear",
+    "events_attribution_markov_removal",
+    "events_cep_branching",
+    "events_cep_within",
+    "events_cohort_ltv_curve",
+    "events_cuped_adjustment",
+    "events_interarrival_profile",
+    "events_kaplan_meier_retention",
+    "events_ks_drift_test",
+    "events_l_diversity",
+    "events_power_mde",
+    "events_seasonal_decompose",
+    "events_session_threshold_sweep",
+    "events_velocity_flags",
+    "events_wilson_ctr_rank",
+    "fk_integrity_audit",
+    "graph_clustering_coefficient",
+    "graph_components_knn",
+    "graph_hits_trade",
+    "graph_ppr_suppliers",
+    "hot_items_topn",
+    "hot_media_tumbling_count",
+    "multimodal_image_phash",
+    "nation_revenue_hhi",
+    "orders_basket_rules",
+    "orders_fulfillment_latency",
+    "part_price_anova_by_brand",
+    "reco_item_cf_topk",
+    "retrieval_ndcg_audit",
+    "schema_fd_audit",
+    "text_textrank_keywords",
+    "text_trigram_index_audit",
+    "unpivot_user_event_matrix",
+    # --- reserved post-cap re-certifications (r12 window note) ---
+    "dedup_ngram_jaccard",
+    "corpus_split_leakage",
+    "dedup_cross_lingual",
+    # --- stalest r8 name (remaining free slot) ---
+    "anti_join_customers_no_orders",
 )
 
 
