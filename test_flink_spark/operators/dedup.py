@@ -362,6 +362,11 @@ def minhash_signatures(
     # exactly like the groupBy form.
     coeffs = minhash_coeffs(num_perm)
     src = fan_out(df.select(F.col(id_col), F.col(text_col)))
+    # the id column passes through untouched: derive its output type from
+    # the input schema (r12 ADVICE — the first Arrow form hardcoded `long`
+    # and int64-cast the ids, silently rejecting string/nullable ids that
+    # the groupBy reference form accepts)
+    id_type = src.schema[id_col].dataType.simpleString()
 
     def gen(batches):
         import hashlib
@@ -376,9 +381,8 @@ def minhash_signatures(
         b_arr = np.asarray([b for _, b in coeffs], dtype=np.int64)
         mod = np.int64(MINHASH_MOD)
         for pdf in batches:
-            ids_all = pdf[id_col].values
             texts = pdf[text_col].values
-            ids: list = []
+            keep: list = []
             counts: list = []
             hashes: list = []
             for i in range(len(texts)):
@@ -398,10 +402,10 @@ def minhash_signatures(
                 }
                 if not hs:
                     continue
-                ids.append(ids_all[i])
+                keep.append(i)
                 counts.append(len(hs))
                 hashes.append(np.fromiter(hs, dtype=np.int64, count=len(hs)))
-            if not ids:
+            if not keep:
                 continue
             h = np.concatenate(hashes)
             n = np.asarray(counts, dtype=np.int64)
@@ -412,13 +416,15 @@ def minhash_signatures(
                 sig[:, p] = np.minimum.reduceat((a_arr[p] * h + b_arr[p]) % mod, starts)
             yield pd.DataFrame(
                 {
-                    id_col: np.asarray(ids, dtype=np.int64),
+                    # positional take preserves the input dtype (incl.
+                    # string/nullable ids) — no int64 coercion
+                    id_col: pdf[id_col].take(keep).reset_index(drop=True),
                     "signature": list(sig),
                 }
             )
 
     return src.mapInPandas(
-        gen, schema=f"{id_col} long, signature array<long>"
+        gen, schema=f"{id_col} {id_type}, signature array<long>"
     )
 
 
@@ -620,6 +626,9 @@ def simhash_signatures(
     fixture (tabs, unicode whitespace, empties, null).
     """
     src = fan_out(df.select(F.col(id_col), F.col(text_col)))
+    # derive the pass-through id type from the input schema (r12 ADVICE —
+    # see minhash_signatures)
+    id_type = src.schema[id_col].dataType.simpleString()
 
     def gen(batches):
         import hashlib
@@ -631,9 +640,8 @@ def simhash_signatures(
         split = re.compile("[ \t\n\x0b\f\r]+").split
         md5 = hashlib.md5
         for pdf in batches:
-            ids_all = pdf[id_col].values
             texts = pdf[text_col].values
-            ids: list = []
+            keep: list = []
             counts: list = []
             bufs: list = []
             for i in range(len(texts)):
@@ -641,12 +649,12 @@ def simhash_signatures(
                 if t is None or isinstance(t, float):  # null text
                     continue
                 toks = split(t.strip(" "))
-                ids.append(ids_all[i])
+                keep.append(i)
                 counts.append(len(toks))
                 bufs.append(
                     b"".join(md5(tok.encode("utf-8")).digest()[:8] for tok in toks)
                 )
-            if not ids:
+            if not keep:
                 continue
             h = np.frombuffer(b"".join(bufs), dtype=">u8").astype(np.uint64)
             n = np.asarray(counts, dtype=np.int64)
@@ -669,7 +677,9 @@ def simhash_signatures(
                 out.append(sh)
             yield pd.DataFrame(
                 {
-                    id_col: np.asarray(ids, dtype=np.int64),
+                    # positional take preserves the input dtype (incl.
+                    # string/nullable ids) — no int64 coercion
+                    id_col: pdf[id_col].take(keep).reset_index(drop=True),
                     "simhash": out[0],
                     "sh_lo": out[1],
                     "sh_hi": out[2],
@@ -677,7 +687,7 @@ def simhash_signatures(
             )
 
     return src.mapInPandas(
-        gen, schema=f"{id_col} long, simhash long, sh_lo long, sh_hi long"
+        gen, schema=f"{id_col} {id_type}, simhash long, sh_lo long, sh_hi long"
     )
 
 

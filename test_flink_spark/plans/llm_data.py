@@ -6436,6 +6436,21 @@ ORACLES["embedding_pq_distortion_audit"] = _pq_distortion_sql()
 _PAIR_BASE_CACHE: dict[tuple, DataFrame] = {}
 
 
+def release_pinned_cache(cache: dict) -> None:
+    """Unpersist every eagerly-localCheckpointed DataFrame held by a
+    session-memo cache (``_PAIR_BASE_CACHE`` / ``_CLUSTERS_CACHE`` /
+    ``_SHARD_INDEX_CACHE``), then drop the entries — the explicit release
+    path for long-lived sessions touching many corpora (r12 ADVICE: a
+    bare ``.clear()`` drops the reference but leaves the pinned blocks to
+    ContextCleaner GC, one pair table per corpus forever)."""
+    from ..operators.dedup import _unpersist_checkpoint
+
+    for df in cache.values():
+        if isinstance(df, DataFrame):
+            _unpersist_checkpoint(df)
+    cache.clear()
+
+
 def _shared_pair_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _PAIR_BASE_CACHE.get(key)

@@ -75,6 +75,39 @@ def test_simhash_signatures_arrow_matches_expression_reference(spark):
         assert (lo, hi) == ref64[doc_id], f"w64 lanes diverged on doc {doc_id}"
 
 
+def test_signature_passes_preserve_id_type(spark):
+    """r12 ADVICE: the Arrow signature passes hardcoded a bigint id schema
+    and int64-cast the ids, so the public ``id_col`` parameter silently
+    stopped accepting the string/non-bigint ids the groupBy/expression
+    reference forms handle.  Both passes must now propagate the input id
+    type and pass values through untouched."""
+    from test_flink_spark.operators.dedup import (
+        _minhash_signatures_agg,
+        minhash_signatures,
+        simhash_signatures,
+    )
+
+    sdf = spark.createDataFrame(
+        [
+            ("doc-a", "the quick brown fox jumps over the lazy dog"),
+            ("doc-b", "pack my box with five dozen liquor jugs"),
+            ("doc-null", None),
+        ],
+        "k STRING, text STRING",
+    )
+    mh = minhash_signatures(sdf, id_col="k")
+    assert mh.schema["k"].dataType.simpleString() == "string"
+    got = {r["k"]: tuple(r["signature"]) for r in mh.collect()}
+    ref = {
+        r["k"]: tuple(r["signature"])
+        for r in _minhash_signatures_agg(sdf, id_col="k").collect()
+    }
+    assert got == ref and set(got) == {"doc-a", "doc-b"}
+    sh = simhash_signatures(sdf, id_col="k")
+    assert sh.schema["k"].dataType.simpleString() == "string"
+    assert {r["k"] for r in sh.collect()} == {"doc-a", "doc-b"}
+
+
 def test_simhash_locality(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog"),
