@@ -97,15 +97,25 @@ def get_spark(
     return spark
 
 
+# sessions already normalized: every query helper calls
+# apply_runtime_confs defensively, so without this memo the fleet pays
+# len(RUNTIME_CONFS) py4j conf.set round-trips per query (the session
+# object rides in the value so a GC'd id can never alias a live session)
+_CONFS_APPLIED: dict[int, SparkSession] = {}
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally-provided session.
 
     The correctness driver hands us its own SparkSession; UTC + AQE must
     hold there too or epoch arithmetic diverges from the oracle.
     """
+    if id(spark) in _CONFS_APPLIED:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf not runtime-settable on this build — defaults fine
+    _CONFS_APPLIED[id(spark)] = spark
     return spark
