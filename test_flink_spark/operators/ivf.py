@@ -76,6 +76,125 @@ def sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+def exact_sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = None,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Exact integer-L2 top-k of every query against the corpus —
+    ``(query_id, neighbor_id)``, self-matches excluded, optionally
+    restricted to corpus rows whose ``label_col`` equals the query's.
+
+    The r13 replacement for the 20×-corpus broadcast-NLJ + rank-window
+    "exact5" ground-truth legs (r12 verdict item 7): ONE Arrow map pass
+    over the corpus computes all |Q| distances per row in int64 numpy and
+    emits only each batch's per-query top-k (≤ |Q|·k rows per batch); a
+    final window over that bounded union picks the global top-k.  Same
+    pass count as the BNLJ form but the per-row work is a vectorized
+    int64 matmul instead of |Q| interpreted zip_with/aggregate lambdas,
+    and the rank window sorts batches·|Q|·k rows instead of |corpus|·|Q|
+    (guide §3/§4.2).
+
+    Exactness (the oracle is untouched): distances are integer squared
+    L2 over the same ``quantize`` fixed-point values — JVM-computed on
+    the query side, numpy int64 on the corpus side (float32→float64 cast,
+    ×10⁶, floor are the identical IEEE ops; all sums < 2⁶³).  The
+    decomposition ``|c|² + |q|² − 2c·q`` is associative integer
+    arithmetic, bit-equal to the zip_with fold.  Per-batch top-k keeps
+    the k smallest under the total order (dist, neighbor_id) — a
+    selection that decomposes over any partitioning of the corpus, so
+    the final window sees every global top-k row and reproduces the
+    BNLJ + row_number result row-for-row.
+
+    ``queries`` (≤ ``max_queries`` rows — asserted) is collected to the
+    driver: the same panel the BNLJ form broadcast, in the sanctioned
+    tiny-panel class."""
+    import numpy as np
+
+    q_cols = [F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("q")]
+    if label_col is not None:
+        q_cols.append(F.col(label_col).alias("qlabel"))
+    q_rows = queries.select(*q_cols).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"exact_sq_topk query panel has {len(q_rows)} rows > "
+            f"max_queries={max_queries} — use the IVF path for large panels"
+        )
+    qids = np.asarray([r["query_id"] for r in q_rows], dtype=np.int64)
+    qmat = np.asarray([r["q"] for r in q_rows], dtype=np.int64)
+    qlabels = (
+        np.asarray([r["qlabel"] for r in q_rows], dtype=np.int64)
+        if label_col is not None
+        else None
+    )
+    c_cols = [F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")]
+    if label_col is not None:
+        c_cols.append(F.col(label_col).alias("clabel"))
+    src = corpus.select(*c_cols)
+
+    def gen(batches):
+        import pandas as pd
+
+        nq = len(qids)
+        qn = (qmat * qmat).sum(axis=1)  # (nq,)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["cv"].to_numpy())
+            # same fixed-point quantize as the JVM side: float32→float64
+            # (exact), ×1e6 and floor are identical IEEE double ops
+            c = np.floor(x.astype(np.float64) * float(QUANT)).astype(np.int64)
+            nid = pdf["neighbor_id"].to_numpy().astype(np.int64)
+            cn = (c * c).sum(axis=1)  # (nb,)
+            # (nb, nq) integer distances: |c|² + |q|² − 2 c·q
+            d = cn[:, None] + qn[None, :] - 2 * (c @ qmat.T)
+            clab = (
+                pdf["clabel"].to_numpy().astype(np.int64)
+                if qlabels is not None
+                else None
+            )
+            out_q, out_n, out_d = [], [], []
+            for j in range(nq):
+                mask = nid != qids[j]
+                if clab is not None:
+                    mask &= clab == qlabels[j]
+                if not mask.any():
+                    continue
+                dj = d[mask, j]
+                nj = nid[mask]
+                # total order (dist asc, neighbor asc): lexsort keys are
+                # last-key-primary
+                order = np.lexsort((nj, dj))[:k]
+                out_q.append(np.full(len(order), qids[j], dtype=np.int64))
+                out_n.append(nj[order])
+                out_d.append(dj[order])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "dist": np.concatenate(out_d),
+                }
+            )
+
+    partial = src.mapInPandas(
+        gen, schema="query_id bigint, neighbor_id bigint, dist bigint"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+
 def _argmin_cluster(vec: Column, centroids: list[list[int]]) -> Column:
     """Index of the nearest centroid; ties -> lowest index (matches the
     oracle's ``ORDER BY dist, cid`` row_number)."""

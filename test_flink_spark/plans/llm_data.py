@@ -7168,7 +7168,7 @@ def embedding_ivfpq_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame
     the session-memoized codebooks shared with embedding_ivfpq_ann.
     The exact leg is the sanctioned 20-row broadcast-query-panel BNLJ
     (cosine_topk precedent, see tests/test_plans.py allowlist)."""
-    from ..operators.ivf import ivfpq_ann_topk, quantize, sq_dist
+    from ..operators.ivf import exact_sq_topk, ivfpq_ann_topk
 
     emb = _emb(spark, sf_dir)
     coarse_s, books_s = _shared_sampled_codebooks(spark, sf_dir)
@@ -7185,29 +7185,15 @@ def embedding_ivfpq_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame
         nprobe=2,
         refine=3,
     ).select("query_id", "neighbor_id")
-    qv = queries.select(
-        F.col("vec_id").alias("query_id"), quantize(F.col("embedding")).alias("q")
-    )
-    cv = emb.select(
-        F.col("vec_id").alias("neighbor_id"), quantize(F.col("embedding")).alias("c")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("neighbor_id").asc()
-    )
+    # exact ground truth as ONE vectorized corpus pass with per-batch
+    # partial top-5 (r13, guide §3/§4.2) — replaces the 20×-corpus
+    # broadcast-NLJ + full rank window; row-identical (exactness argument
+    # on operators/ivf.exact_sq_topk; oracle unchanged)
     exact5 = (
-        cv.crossJoin(F.broadcast(qv))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            sq_dist(F.col("q"), F.col("c")).alias("dist"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("query_id", "neighbor_id")
+        exact_sq_topk(emb, queries, k=5)
         # three consumers (n_ex, hits_s, hits_f) — without the pin the
-        # 20x-corpus BNLJ + rank window re-executes per consumer (guide
-        # §2.4); the pin is <= 100 (query_id, neighbor_id) rows
+        # exact pass re-executes per consumer (guide §2.4); the pin is
+        # <= 100 (query_id, neighbor_id) rows
         .localCheckpoint(eager=True)
     )
     n_ex = exact5.groupBy("query_id").agg(
@@ -7941,40 +7927,20 @@ def embedding_filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     the recall back.  The exact leg is the sanctioned 20-row
     broadcast-query-panel BNLJ (cosine_topk precedent); both IVF legs
     are bucketed equi-joins."""
-    from ..operators.ivf import quantize, sq_dist
+    from ..operators.ivf import exact_sq_topk
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
-    qv = queries.select(
-        F.col("vec_id").alias("query_id"),
-        quantize(F.col("embedding")).alias("q"),
-        F.col("label").alias("qlabel"),
-    )
-    cv = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        quantize(F.col("embedding")).alias("c"),
-        "label",
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("neighbor_id").asc()
-    )
+    # exact same-label ground truth as ONE vectorized corpus pass with
+    # per-batch partial top-5 (r13, guide §3/§4.2) — replaces the
+    # 20×-corpus broadcast-NLJ + full rank window; row-identical
+    # (exactness argument on operators/ivf.exact_sq_topk; oracle
+    # unchanged)
     exact5 = (
-        cv.crossJoin(F.broadcast(qv))
-        .filter(
-            (F.col("neighbor_id") != F.col("query_id"))
-            & (F.col("label") == F.col("qlabel"))
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            sq_dist(F.col("q"), F.col("c")).alias("dist"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("query_id", "neighbor_id")
-        # three consumers (n_ex, h2, h4) — without the pin the 20x-corpus
-        # BNLJ + rank window re-executes per consumer (guide §2.4); the
-        # pin is <= 100 (query_id, neighbor_id) rows
+        exact_sq_topk(emb, queries, k=5, label_col="label")
+        # three consumers (n_ex, h2, h4) — without the pin the exact
+        # pass re-executes per consumer (guide §2.4); the pin is <= 100
+        # (query_id, neighbor_id) rows
         .localCheckpoint(eager=True)
     )
     np2 = _filtered_ann(spark, sf_dir, nprobe=2).select("query_id", "neighbor_id")
