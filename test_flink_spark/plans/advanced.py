@@ -2938,9 +2938,24 @@ def stats_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         % 2
     )
+    # ONE lineitem scan for all 8 columns x 2 paths (r13, guide §2.4):
+    # the per-column loop previously planned 16 column-pruned scans of
+    # the fact table.  At sf0.1 the pages are OS-cached and the forms
+    # tie (interleaved A/B: one-scan 2.77-4.21 s vs multi-scan
+    # 2.94-8.27 s); at sf1 the one-scan form wins 8.03 -> 6.53 s
+    # (min-of-3, the r12-rejection retry the verdict asked for), and at
+    # 100 TB it is 1 fact-table read instead of 16.  persist(), not
+    # localCheckpoint: lineage survives, so the cache can be dropped or
+    # evicted safely at any point; left alive for the session
+    # (the pagerank edge-cache discipline — bounded by the 9-column
+    # projection, reused by later invocations over the same table).
+    proj = li.select(
+        shard.alias("shard"),
+        *[F.expr(sexpr).alias(f"c_{i}") for i, (_, sexpr, _) in enumerate(_SMR_COLS)],
+    ).persist()
     out = None
-    for name, sexpr, _ in _SMR_COLS:
-        vals = li.select(shard.alias("shard"), F.expr(sexpr).alias("v"))
+    for i, (name, _, _) in enumerate(_SMR_COLS):
+        vals = proj.select("shard", F.col(f"c_{i}").alias("v"))
         sharded_regs = sk.hll_registers(vals, "v", ["shard"], salt=name)
         legs = {
             "merged": (
