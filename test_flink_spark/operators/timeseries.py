@@ -159,25 +159,37 @@ def double_exponential_forecast(
             for i in range(n_days)
         ]
     )
-    s = F.lit(HW_SCALE).cast("long")
+    S = HW_SCALE
     an, ad = HW_ALPHA
     bn, bd = HW_BETA
-    cur = base.withColumn("l", F.col("x0") * s).withColumn(
-        "b", (F.col("x1") - F.col("x0")) * s
+    # ONE nested-subquery SQL analyzed in a single pass (the
+    # holt_winters_forecast treatment, r13, guide §1): the old form
+    # issued ~4 withColumn calls per unrolled step, each a py4j round
+    # trip + an analysis pass over the deepening plan.  l_t substitutes
+    # textually into b_t (prior-step references only, constant expression
+    # size); identical int64 arithmetic, oracle-replayed unchanged.
+    carried = [f"`{c}`" for c in key_cols] + [f"x{i}" for i in range(n_days)]
+    q = (
+        "SELECT *, "
+        + f"CAST(x0 * {S} AS BIGINT) AS l, "
+        + f"CAST((x1 - x0) * {S} AS BIGINT) AS b "
+        + "FROM {base}"
     )
+    cols = carried + ["l", "b"]
     for t in range(1, n_days):
-        # each step is a projection referencing the PREVIOUS step's
-        # columns — linear plan depth, no expression blow-up
-        cur = cur.withColumn(
-            "l_new",
-            F.expr(
-                f"({an} * (x{t} * {HW_SCALE}) + {ad - an} * (l + b)) div {ad}"
-            ).cast("long"),
+        ln = f"CAST(({an} * (x{t} * {S}) + {ad - an} * (l + b)) div {ad} AS BIGINT)"
+        keep = [c for c in cols if c not in ("l", "b")]
+        q = (
+            "SELECT "
+            + ", ".join(keep)
+            + f", {ln} AS l"
+            + f", CAST(({bn} * ({ln} - l) + {bd - bn} * b) div {bd} AS BIGINT) AS b"
+            + " FROM ("
+            + q
+            + ")"
         )
-        cur = cur.withColumn(
-            "b", F.expr(f"({bn} * (l_new - l) + {bd - bn} * b) div {bd}").cast("long")
-        )
-        cur = cur.withColumn("l", F.col("l_new")).drop("l_new")
+        cols = keep + ["l", "b"]
+    cur = df.sparkSession.sql(q, base=base)
     return cur.select(
         *key_cols,
         F.col("l").alias("level_fp"),
@@ -377,31 +389,57 @@ def holt_winters_forecast(
     gn, gd = HW_GAMMA
     w1 = " + ".join(f"x{i}" for i in range(period))
     w2 = " + ".join(f"x{i}" for i in range(period, 2 * period))
-    cur = base.withColumn("m", F.expr(f"(({w1}) * {S}) div {period}").cast("long"))
-    for i in range(period):
-        cur = cur.withColumn(f"sc{i}", (F.col(f"x{i}") * S - F.col("m")).cast("long"))
-    cur = cur.withColumn("l", F.col("m")).withColumn(
-        "b",
-        F.expr(f"((({w2}) - ({w1})) * {S}) div {period * period}").cast("long"),
+    # The 21 unrolled smoothing steps are assembled as ONE nested-subquery
+    # SQL string and analyzed in ONE pass (r13, guide §1: fn()
+    # construction was 1.8 s of this query's 2.5 s — the old form issued
+    # ~90 withColumn calls, each a py4j round trip plus a Catalyst
+    # analysis pass over the ever-deeper plan, quadratic total work; a
+    # single spark.sql() analyzes the whole 22-level tree once, and the
+    # optimizer collapses the nested Projects to the identical physical
+    # plan).  Each step's l_t is substituted textually into its b_t/s_t
+    # expressions (it references only prior-step columns, so one level of
+    # substitution suffices and expression size stays constant per
+    # step); every value is the same int64 arithmetic, oracle-replayed
+    # unchanged.
+    carried = [f"`{c}`" for c in key_cols] + [f"x{i}" for i in range(n_days)]
+    q = (
+        "SELECT *, "
+        + f"CAST((({w1}) * {S}) div {period} AS BIGINT) AS m "
+        + "FROM {base}"
     )
+    sc_init = ", ".join(
+        f"CAST(x{i} * {S} - m AS BIGINT) AS sc{i}" for i in range(period)
+    )
+    q = (
+        "SELECT *, "
+        + sc_init
+        + ", CAST(m AS BIGINT) AS l"
+        + f", CAST(((({w2}) - ({w1})) * {S}) div {period * period} AS BIGINT) AS b"
+        + " FROM ("
+        + q
+        + ")"
+    )
+    cols = carried + ["m"] + [f"sc{i}" for i in range(period)] + ["l", "b"]
     for t in range(period, n_days):
         k = t % period
-        cur = cur.withColumn(
-            "l_new",
-            F.expr(
-                f"({an} * (x{t} * {S} - sc{k}) + {ad - an} * (l + b)) div {ad}"
-            ).cast("long"),
+        ln = (
+            f"CAST(({an} * (x{t} * {S} - sc{k}) + {ad - an} * (l + b)) "
+            f"div {ad} AS BIGINT)"
         )
-        cur = cur.withColumn(
-            "b", F.expr(f"({bn} * (l_new - l) + {bd - bn} * b) div {bd}").cast("long")
+        keep = [c for c in cols if c not in ("l", "b", f"sc{k}")]
+        q = (
+            "SELECT "
+            + ", ".join(keep)
+            + f", {ln} AS l"
+            + f", CAST(({bn} * ({ln} - l) + {bd - bn} * b) div {bd} AS BIGINT) AS b"
+            + f", CAST(({gn} * (x{t} * {S} - {ln}) + {gd - gn} * sc{k}) div {gd}"
+            + f" AS BIGINT) AS sc{k}"
+            + " FROM ("
+            + q
+            + ")"
         )
-        cur = cur.withColumn(
-            f"sc{k}",
-            F.expr(f"({gn} * (x{t} * {S} - l_new) + {gd - gn} * sc{k}) div {gd}").cast(
-                "long"
-            ),
-        )
-        cur = cur.withColumn("l", F.col("l_new")).drop("l_new")
+        cols = keep + ["l", "b", f"sc{k}"]
+    cur = df.sparkSession.sql(q, base=base)
     nk = n_days % period
     return cur.select(
         *key_cols,
