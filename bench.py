@@ -202,14 +202,16 @@ def main() -> None:
     # round-4 measurement); in a warm-but-quiet JVM it reflects the
     # pipeline, not the harness history.
     stream_out = {}
-    # One small UNRECORDED warm-up run first: batch warmup doesn't touch the
-    # micro-batch execution paths, and streaming-operator JIT is heavy enough
-    # that even best-of-2 cold runs under-reports by 30-50% (measured: cold
-    # runs 21-26k ev/s with huge variance, post-warm-up runs a stable
-    # 38-46k).  40k events costs ~3 s and buys a number that reflects the
-    # pipeline, not the JVM's compile queue.
+    # One UNRECORDED warm-up run first, at FULL measurement volume (r13):
+    # batch warmup doesn't touch the micro-batch execution paths, and
+    # streaming-operator JIT + state-store warmup keeps ramping through a
+    # 40k warm-up — measured post-40k-warm-up runs still climbed
+    # 49k -> 59k -> 72k ev/s within one session, while after one full
+    # 400k warm-up two consecutive median-of-3 measurements read 69,299
+    # and 69,215 ev/s (0.1% apart, within-run spread 9-11%).  ~6 s buys
+    # a reportable number.
     try:
-        streaming_throughput(spark, n_events=40_000)
+        streaming_throughput(spark, n_events=400_000)
     except Exception as e:  # noqa: BLE001
         print(f"# streaming warm-up failed: {e}", file=sys.stderr)
     # median-of-3 measured runs at 400k events (r12 verdict item 5: the
