@@ -7678,16 +7678,31 @@ def embedding_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _filtered_ann(spark, sf_dir, nprobe=4)
 
 
+def _filtered_ann_inv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The labeled inverted file ``(neighbor_id, cv, cluster, label)``
+    both ``_filtered_ann`` legs probe — the coarse assignment is a
+    512-term literal distance expression per corpus row, so a consumer
+    comparing two nprobe settings should encode the corpus once and
+    probe twice (r13, guide §2.4; production reads a PERSISTED IVF
+    index, it never re-encodes per query)."""
+    from ..operators.ivf import ivf_assign
+
+    emb = _emb(spark, sf_dir)
+    centroids = _shared_ivf_centroids(spark, sf_dir)
+    return ivf_assign(emb, centroids).join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    )
+
+
 def _filtered_ann(
-    spark: SparkSession, sf_dir: str, nprobe: int
+    spark: SparkSession, sf_dir: str, nprobe: int, inv: DataFrame | None = None
 ) -> DataFrame:
     from ..operators.ivf import _probe_clusters, ivf_assign, sq_dist
 
     emb = _emb(spark, sf_dir)
     centroids = _shared_ivf_centroids(spark, sf_dir)
-    inv = ivf_assign(emb, centroids).join(
-        emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
-    )
+    if inv is None:
+        inv = _filtered_ann_inv(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
     probes = _probe_clusters(
         queries, centroids, nprobe, "vec_id", "embedding"
@@ -7943,8 +7958,17 @@ def embedding_filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame
         # (query_id, neighbor_id) rows
         .localCheckpoint(eager=True)
     )
-    np2 = _filtered_ann(spark, sf_dir, nprobe=2).select("query_id", "neighbor_id")
-    np4 = _filtered_ann(spark, sf_dir, nprobe=4).select("query_id", "neighbor_id")
+    # both nprobe legs probe the SAME labeled inverted file — encode the
+    # corpus once (localCheckpoint: the pin IS the persisted IVF index a
+    # production deployment reads; intra-query, priced inside this
+    # query's own bench line) instead of once per leg (r13, guide §2.4)
+    inv = _filtered_ann_inv(spark, sf_dir).localCheckpoint(eager=True)
+    np2 = _filtered_ann(spark, sf_dir, nprobe=2, inv=inv).select(
+        "query_id", "neighbor_id"
+    )
+    np4 = _filtered_ann(spark, sf_dir, nprobe=4, inv=inv).select(
+        "query_id", "neighbor_id"
+    )
     n_ex = exact5.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_exact")
     )
