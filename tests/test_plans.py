@@ -209,6 +209,14 @@ def test_every_registered_query_plan_is_scale_clean(spark):
     # side thresholds job, not the registered plan, so no allowance needed.)
     global_window_allowed = {
         "corpus_mix_report",
+        # co-occurrence false positive (r13): every window is partitioned
+        # (by query_id); the SinglePartition exchanges are the 1-ROW
+        # finals of Catalyst's own runtime bloom_filter_agg builds
+        # (SPARK-32268), injected once the exact5/inverted-file legs
+        # became checkpointed ≤O(corpus)-row relations with known stats —
+        # a bounded filter build fed by map-side partials, the global
+        # count() shape, and a scale WIN (it pre-filters the probe join)
+        "embedding_filtered_ann_recall",
         # false positive of the co-occurrence detector: the Window IS
         # partitioned (by spark_partition_id — the distributed prefix
         # sum, operators/prefix.py) and the SinglePartition exchange is
